@@ -1,0 +1,97 @@
+"""Canonical element encoding and injective composite keys.
+
+The reference coerces every input to a byte string before hashing
+(/root/reference/php/hll.c:265-353): int 100 and string "100" are the
+*same* element (php/tests/hll_add_int_conversion.phpt), floats use their
+short decimal form ("100.1"), true → "1", false/null → "" (PHP string
+casts). We reproduce that contract for Arrow columns so estimates are
+insensitive to the physical column type.
+
+Composite keys (e.g. the (role, tool) distinct-pair query) are encoded
+*length-delimited* so ("a","bc") ≠ ("ab","c") — an injective encoding the
+separator-join trick cannot guarantee.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["canonical_string_array", "canonical_flat_bytes", "composite_flat_bytes"]
+
+
+def canonical_string_array(arr):
+    """Cast any Arrow array to its canonical string form (PHP-coercion
+    parity): integers → decimal, floats → shortest repr, bool → "1"/"",
+    null → ""."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(arr)
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        out = arr
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return arr
+    elif pa.types.is_boolean(t):
+        out = pc.if_else(arr, "1", "")
+    elif pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t):
+        out = pc.cast(arr, pa.string())
+    elif pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
+        out = pc.cast(arr, pa.string())
+    else:
+        out = pc.cast(arr, pa.string())
+    if out.null_count:
+        out = out.fill_null("")
+    return out
+
+
+def canonical_flat_bytes(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Column → (flat uint8, int64 offsets) after canonical coercion."""
+    from .hashing import arrow_to_flat_bytes
+
+    return arrow_to_flat_bytes(canonical_string_array(arr))
+
+
+def _ragged_copy(dst: np.ndarray, dst_starts: np.ndarray, src: np.ndarray, src_offsets: np.ndarray) -> None:
+    """Copy n variable-length byte runs from ``src`` (described by
+    ``src_offsets``) to positions ``dst_starts`` in ``dst``. Vectorized."""
+    lens = src_offsets[1:] - src_offsets[:-1]
+    total = int(lens.sum())
+    if total == 0:
+        return
+    cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos = np.arange(total, dtype=np.int64)
+    dst_idx = pos + np.repeat(dst_starts - cum, lens)
+    src_idx = pos + np.repeat(src_offsets[:-1] - cum, lens)
+    dst[dst_idx] = src[src_idx]
+
+
+def composite_flat_bytes(columns) -> tuple[np.ndarray, np.ndarray]:
+    """Injective length-delimited encoding of a tuple of columns.
+
+    Each field is written as ``uint32-LE length || payload``; the encodings
+    are concatenated per row. Returns (flat uint8, int64 offsets) ready
+    for :func:`raysketch.hashing.murmur64a`.
+    """
+    parts = [canonical_flat_bytes(c) for c in columns]
+    n = len(parts[0][1]) - 1
+    field_lens = [off[1:] - off[:-1] for _, off in parts]
+    row_lens = np.zeros(n, dtype=np.int64)
+    for fl in field_lens:
+        row_lens += 4 + fl
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(row_lens, out=out_offsets[1:])
+    out = np.zeros(int(out_offsets[-1]), dtype=np.uint8)
+
+    field_start = out_offsets[:-1].copy()
+    for (data, off), fl in zip(parts, field_lens):
+        # 4-byte little-endian length prefix
+        fl_u = fl.astype(np.uint32)
+        for b in range(4):
+            out[field_start + b] = ((fl_u >> np.uint32(8 * b)) & np.uint32(0xFF)).astype(np.uint8)
+        _ragged_copy(out, field_start + 4, data, off)
+        field_start += 4 + fl
+    return out, out_offsets
