@@ -1,4 +1,27 @@
-from .hll import HLL
 from .base import MergeableSketch, hash_column, hash_composite
+from .bloom import BloomFilter
+from .cms import CountMin
+from .hll import HLL
+from .kll import KLL
+from .tdigest import TDigest
 
-__all__ = ["HLL", "MergeableSketch", "hash_column", "hash_composite"]
+#: name → class registry used by the Ray aggregation layer and checkpoints
+SKETCHES = {
+    "hll": HLL,
+    "bloom": BloomFilter,
+    "countmin": CountMin,
+    "kll": KLL,
+    "tdigest": TDigest,
+}
+
+__all__ = [
+    "HLL",
+    "BloomFilter",
+    "CountMin",
+    "KLL",
+    "TDigest",
+    "MergeableSketch",
+    "SKETCHES",
+    "hash_column",
+    "hash_composite",
+]

@@ -1,0 +1,226 @@
+"""Bloom / Count-Min / KLL / t-digest: published error bounds, merge
+algebra, serialization round-trips (FIXTURES.md §3)."""
+
+import pickle
+import random
+
+import numpy as np
+import pytest
+
+from raysketch.sketches.bloom import BloomFilter
+from raysketch.sketches.cms import CountMin
+from raysketch.sketches.kll import KLL
+from raysketch.sketches.tdigest import TDigest
+
+
+# ---------------------------------------------------------------- Bloom
+class TestBloom:
+    def test_no_false_negatives(self):
+        bf = BloomFilter(capacity=10000, fp_rate=0.01)
+        items = [f"item-{i}" for i in range(10000)]
+        bf.add_batch(items)
+        assert bf.contains_batch(items).all()
+
+    def test_fp_rate_within_bound(self):
+        bf = BloomFilter(capacity=10000, fp_rate=0.01)
+        bf.add_batch([f"item-{i}" for i in range(10000)])
+        probes = [f"absent-{i}" for i in range(20000)]
+        fpr = bf.contains_batch(probes).mean()
+        assert fpr < 0.02  # 2x the configured 1% bound
+
+    def test_merge_or_semantics(self):
+        a = BloomFilter(num_bits=1 << 14, num_hashes=5)
+        b = BloomFilter(num_bits=1 << 14, num_hashes=5)
+        a.add_batch(["x", "y"])
+        b.add_batch(["z"])
+        a.merge(b)
+        assert a.contains("x") and a.contains("z")
+        # idempotent
+        before = a.words.copy()
+        a.merge(b)
+        assert np.array_equal(a.words, before)
+
+    def test_roundtrip_and_estimate(self):
+        bf = BloomFilter(capacity=5000, fp_rate=0.01)
+        bf.add_batch([str(i) for i in range(5000)])
+        bf2 = BloomFilter.from_bytes(bf.to_bytes())
+        assert np.array_equal(bf.words, bf2.words)
+        est = bf2.finalize()["estimated_items"]
+        assert abs(est - 5000) / 5000 < 0.05
+        bf3 = pickle.loads(pickle.dumps(bf))
+        assert np.array_equal(bf.words, bf3.words)
+
+    def test_mismatched_merge_rejected(self):
+        with pytest.raises(ValueError):
+            BloomFilter(num_bits=128, num_hashes=3).merge(BloomFilter(num_bits=256, num_hashes=3))
+
+
+# ------------------------------------------------------------- CountMin
+class TestCountMin:
+    def test_point_queries_zipf(self):
+        rng = np.random.default_rng(3)
+        zipf = rng.zipf(1.3, size=50000)
+        items = [f"tool-{z}" for z in np.minimum(zipf, 500)]
+        cm = CountMin(eps=0.001, delta=0.01)
+        cm.add_batch(items)
+        from collections import Counter
+
+        truth = Counter(items)
+        n = len(items)
+        eps = np.e / cm.w
+        for key, true_cnt in list(truth.items())[:100]:
+            est = cm.estimate(key)
+            assert est >= true_cnt  # never underestimates
+            assert est <= true_cnt + eps * n + 1
+
+    def test_weights_and_merge_add(self):
+        a = CountMin(width=1024, depth=4)
+        b = CountMin(width=1024, depth=4)
+        a.add_batch(["x"], weights=[10])
+        b.add_batch(["x"], weights=[5])
+        b.add_batch(["y"])
+        a.merge(b)
+        assert a.estimate("x") == 15
+        assert a.estimate("y") == 1
+        assert a.total == 16
+
+    def test_merge_associative(self):
+        items = [f"e{i % 50}" for i in range(1000)]
+        parts = [items[i::3] for i in range(3)]
+        sketches = []
+        for p in parts:
+            c = CountMin(width=2048, depth=5)
+            c.add_batch(p)
+            sketches.append(c)
+        ab_c = CountMin(width=2048, depth=5).merge(sketches[0]).merge(sketches[1]).merge(sketches[2])
+        c_ba = CountMin(width=2048, depth=5).merge(sketches[2]).merge(sketches[1]).merge(sketches[0])
+        assert np.array_equal(ab_c.table, c_ba.table)
+
+    def test_roundtrip(self):
+        cm = CountMin(width=512, depth=3)
+        cm.add_batch([str(i % 20) for i in range(100)])
+        cm2 = CountMin.from_bytes(cm.to_bytes())
+        assert np.array_equal(cm.table, cm2.table) and cm2.total == 100
+        cm3 = pickle.loads(pickle.dumps(cm))
+        assert np.array_equal(cm.table, cm3.table)
+
+    def test_int_str_canonicalization(self):
+        import pyarrow as pa
+
+        cm = CountMin(width=512, depth=3)
+        cm.add_batch(pa.array([100, 100], type=pa.int64()))
+        assert cm.estimate("100") == 2
+
+
+# ------------------------------------------------------------------ KLL
+class TestKLL:
+    def test_rank_error_bound(self):
+        rng = np.random.default_rng(11)
+        data = rng.lognormal(5, 1.5, size=200000)
+        kll = KLL(k=200)
+        for i in range(0, len(data), 10000):
+            kll.add_batch(data[i : i + 10000])
+        s = np.sort(data)
+        for q in [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]:
+            est = kll.quantile(q)
+            true_rank = np.searchsorted(s, est) / len(s)
+            assert abs(true_rank - q) < 0.025, (q, est, true_rank)
+
+    def test_merge_preserves_bound(self):
+        rng = np.random.default_rng(12)
+        data = rng.normal(0, 1, size=100000)
+        parts = np.array_split(data, 7)
+        sketches = []
+        for p in parts:
+            s = KLL(k=200)
+            s.add_batch(p)
+            sketches.append(s)
+        merged = sketches[0]
+        for s in sketches[1:]:
+            merged.merge(s)
+        assert merged.n == len(data)
+        s_sorted = np.sort(data)
+        for q in [0.1, 0.5, 0.9]:
+            est = merged.quantile(q)
+            true_rank = np.searchsorted(s_sorted, est) / len(s_sorted)
+            assert abs(true_rank - q) < 0.03
+
+    def test_small_exact(self):
+        kll = KLL(k=200)
+        kll.add_batch([1.0, 2.0, 3.0, 4.0, 5.0])
+        assert abs(kll.quantile(0.5) - 3.0) < 1.0
+        assert kll.n == 5
+
+    def test_roundtrip(self):
+        kll = KLL(k=128)
+        kll.add_batch(np.arange(10000, dtype=np.float64))
+        k2 = KLL.from_bytes(kll.to_bytes())
+        assert k2.n == kll.n
+        assert abs(k2.quantile(0.5) - kll.quantile(0.5)) < 1e-9
+        k3 = pickle.loads(pickle.dumps(kll))
+        assert k3.n == kll.n
+
+    def test_nulls_dropped(self):
+        import pyarrow as pa
+
+        kll = KLL()
+        kll.add_batch(pa.array([1.0, None, 3.0]))
+        assert kll.n == 2
+
+
+# -------------------------------------------------------------- TDigest
+class TestTDigest:
+    def test_quantile_accuracy(self):
+        rng = np.random.default_rng(21)
+        data = rng.lognormal(5, 1.5, size=200000)
+        td = TDigest(compression=100)
+        for i in range(0, len(data), 10000):
+            td.add_batch(data[i : i + 10000])
+        s = np.sort(data)
+        for q in [0.01, 0.1, 0.5, 0.9, 0.99]:
+            est = td.quantile(q)
+            true_rank = np.searchsorted(s, est) / len(s)
+            # t-digest: tighter at tails
+            tol = 0.01 if q in (0.01, 0.99) else 0.03
+            assert abs(true_rank - q) < tol, (q, est, true_rank)
+
+    def test_centroid_budget(self):
+        td = TDigest(compression=100)
+        td.add_batch(np.random.default_rng(1).normal(size=100000))
+        td._compress()
+        assert len(td.means) <= 2 * td.delta + 10
+
+    def test_merge(self):
+        rng = np.random.default_rng(22)
+        data = rng.normal(0, 1, size=100000)
+        parts = np.array_split(data, 5)
+        ds = []
+        for p in parts:
+            t = TDigest(compression=100)
+            t.add_batch(p)
+            ds.append(t)
+        merged = ds[0]
+        for t in ds[1:]:
+            merged.merge(t)
+        assert merged.n == len(data)
+        s = np.sort(data)
+        for q in [0.05, 0.5, 0.95]:
+            est = merged.quantile(q)
+            true_rank = np.searchsorted(s, est) / len(s)
+            assert abs(true_rank - q) < 0.03
+
+    def test_min_max_exact(self):
+        td = TDigest()
+        td.add_batch([5.0, 1.0, 9.0])
+        assert td.min == 1.0 and td.max == 9.0
+        assert td.quantile(0.0) == 1.0
+        assert td.quantile(1.0) == 9.0
+
+    def test_roundtrip(self):
+        td = TDigest(compression=50)
+        td.add_batch(np.arange(1000, dtype=np.float64))
+        t2 = TDigest.from_bytes(td.to_bytes())
+        assert t2.n == td.n and t2.min == td.min and t2.max == td.max
+        assert abs(t2.quantile(0.5) - td.quantile(0.5)) < 1e-9
+        t3 = pickle.loads(pickle.dumps(td))
+        assert t3.n == td.n
