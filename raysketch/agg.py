@@ -1,0 +1,244 @@
+"""Ray Data aggregation layer: sketches as distributed UDAFs.
+
+This industrializes the reference's implicit distribution story
+(partition externally → local sketch → dump() → ship bytes → merge;
+/root/reference/README.md:157-176, hyperloglog.c:1274-1342) as the
+idiomatic Ray Data two-stage aggregate:
+
+    ds.map_batches(fold)             # stage 1: per-batch partial sketches,
+                                     #   vectorized over zero-copy Arrow
+      → rows {key..., sketch: binary, partial_n: int64}
+    .groupby(key).aggregate(SketchMerge)   # stage 2: tree-merge the tiny
+                                     #   serialized states (the ONLY shuffle)
+
+Stage 1 collapses each input batch to ≤ one row per (batch, key) — at
+100 TB the shuffle moves per-batch sketch rows (KBs each), never raw
+rows, so element-level skew (a hot conv_id appearing in every batch)
+costs nothing extra: every batch still emits one bounded-size state.
+Key-level skew (millions of distinct group keys) is ordinary hash
+partitioning over small rows.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+
+from .sketches import SKETCHES
+from .sketches.base import hash_column, hash_composite
+
+__all__ = ["fold_partials", "SketchMerge", "sketch_aggregate", "make_fold_fn"]
+
+_HASH_SKETCHES = {"hll", "bloom", "countmin"}  # fold hashed byte elements
+_VALUE_SKETCHES = {"kll", "tdigest"}  # fold numeric values
+
+
+def _group_row_lists(tbl: pa.Table, by: Sequence[str]):
+    """Within-batch grouping: returns (key_table, list of row-index arrays).
+    Uses Arrow's C++ hash grouper — exact, no Python per row."""
+    n = tbl.num_rows
+    idx_tbl = pa.table(
+        {**{c: tbl.column(c) for c in by}, "__row": pa.array(np.arange(n, dtype=np.int64))}
+    )
+    grouped = idx_tbl.group_by(by).aggregate([("__row", "list")])
+    lists = grouped.column("__row_list").combine_chunks()
+    flat = lists.flatten().to_numpy()
+    offs = lists.offsets.to_numpy()
+    row_lists = [flat[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
+    return grouped.select(by), row_lists
+
+
+def make_fold_fn(
+    sketch: str,
+    on: Union[str, Sequence[str]],
+    by: Optional[Sequence[str]] = None,
+    weight: Optional[str] = None,
+    **params,
+) -> Callable[[pa.Table], pa.Table]:
+    """Build the stage-1 map_batches function: Arrow batch in →
+    {by..., sketch: binary, partial_n} rows out.
+
+    ``on`` may be one column or a list (folded as an injective composite
+    key — the distinct-(role,tool) query shape). ``weight`` (Count-Min
+    only) adds per-row weights.
+    """
+    cls = SKETCHES[sketch]
+    on_cols = [on] if isinstance(on, str) else list(on)
+    by = list(by) if by else []
+    is_hash = sketch in _HASH_SKETCHES
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out_keys: dict = {}
+        sketches: list[bytes] = []
+        counts: list[int] = []
+
+        if is_hash:
+            # canonicalize + hash the whole batch ONCE; per-group folds
+            # then reuse the hash vectors (no re-hash per group)
+            from .hashing import murmur64a, HLL_SEED
+            from .keys import canonical_flat_bytes, composite_flat_bytes
+
+            if len(on_cols) == 1:
+                data, offsets = canonical_flat_bytes(batch.column(on_cols[0]))
+            else:
+                data, offsets = composite_flat_bytes([batch.column(c) for c in on_cols])
+            hashes = murmur64a(data, offsets, HLL_SEED)
+            if sketch in ("bloom", "countmin"):
+                from .sketches.bloom import _SEED2
+
+                hashes2 = murmur64a(data, offsets, _SEED2)
+        else:
+            values = batch.column(on_cols[0])
+
+        wts = batch.column(weight).to_numpy(zero_copy_only=False) if weight else None
+
+        if not by:
+            groups = [(None, np.arange(n, dtype=np.int64))]
+            key_tbl = None
+        else:
+            key_tbl, row_lists = _group_row_lists(batch, by)
+            groups = list(zip(range(len(row_lists)), row_lists))
+
+        for _, rows in groups:
+            sk = cls.empty(**params)
+            if sketch == "hll":
+                sk.add_hashes(hashes[rows])
+            elif sketch == "bloom":
+                sk.add_hash_pairs(hashes[rows], hashes2[rows])
+            elif sketch == "countmin":
+                sk.add_hash_pairs(hashes[rows], hashes2[rows],
+                                  wts[rows] if wts is not None else None)
+            else:
+                sk.add_batch(values.take(pa.array(rows)))
+            sketches.append(sk.to_bytes())
+            counts.append(len(rows))
+
+        cols = {}
+        if by:
+            for c in by:
+                cols[c] = key_tbl.column(c)
+        cols["sketch"] = pa.array(sketches, type=pa.binary())
+        cols["partial_n"] = pa.array(counts, type=pa.int64())
+        return pa.table(cols)
+
+    fold.__name__ = f"fold_{sketch}"
+    return fold
+
+
+def fold_partials(
+    ds,
+    sketch: str,
+    on: Union[str, Sequence[str]],
+    by: Optional[Sequence[str]] = None,
+    weight: Optional[str] = None,
+    batch_size: Optional[int] = 32768,
+    **params,
+):
+    """Stage 1: Dataset → Dataset of per-batch partial sketch rows."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+    need = list(dict.fromkeys(on_cols + (list(by) if by else []) + ([weight] if weight else [])))
+    return ds.select_columns(need).map_batches(
+        make_fold_fn(sketch, on, by, weight, **params),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
+try:
+    from ray.data.aggregate import AggregateFnV2
+    from ray.data.block import BlockAccessor
+
+    class SketchMerge(AggregateFnV2):
+        """Stage 2: merge serialized sketch states per group.
+
+        The accumulator is the sketch object itself (pickles via its wire
+        format); ``aggregate_block`` merges every sketch in a block slice,
+        ``combine`` merges accumulators — an associative tree reduction,
+        exactly the reference's pfCountMerged shape
+        (/root/reference/hyperloglog.c:1274-1304).
+
+        ``mode`` selects the output: "bytes" (serialized merged state),
+        "estimate" (HLL count / Bloom summary / dict for quantiles), or a
+        callable sketch → value.
+        """
+
+        def __init__(
+            self,
+            sketch: str = "hll",
+            on: str = "sketch",
+            alias_name: Optional[str] = None,
+            mode: Union[str, Callable] = "bytes",
+            **params,
+        ):
+            self._sketch_name = sketch
+            self._cls = SKETCHES[sketch]
+            self._params = params
+            self._mode = mode
+            super().__init__(
+                alias_name or f"{sketch}_merged",
+                on=on,
+                ignore_nulls=True,
+                zero_factory=lambda: None,
+            )
+
+        def aggregate_block(self, block):
+            t = BlockAccessor.for_block(block).to_arrow()
+            col = t.column(self._target_col_name)
+            acc = None
+            for chunk in col.chunks if isinstance(col, pa.ChunkedArray) else [col]:
+                for v in chunk:
+                    if not v.is_valid:
+                        continue
+                    sk = self._cls.from_bytes(v.as_py())
+                    acc = sk if acc is None else acc.merge(sk)
+            return acc
+
+        def combine(self, current, new):
+            if current is None:
+                return new
+            if new is None:
+                return current
+            return current.merge(new)
+
+        def finalize(self, acc):
+            if acc is None:
+                acc = self._cls.empty(**self._params)
+            if self._mode == "bytes":
+                return acc.to_bytes()
+            if self._mode == "estimate":
+                out = acc.finalize()
+                return out
+            return self._mode(acc)
+
+except ImportError:  # pragma: no cover - ray always present in this env
+    SketchMerge = None
+
+
+def sketch_aggregate(
+    ds,
+    sketch: str,
+    on: Union[str, Sequence[str]],
+    by: Optional[Union[str, Sequence[str]]] = None,
+    weight: Optional[str] = None,
+    mode: Union[str, Callable] = "estimate",
+    alias_name: Optional[str] = None,
+    batch_size: Optional[int] = 32768,
+    **params,
+):
+    """End-to-end sketch aggregation.
+
+    - ``by=None``: returns the merged sketch/estimate (a plain value /
+      dict) — the global union, computed without materializing raw rows.
+    - ``by=cols``: returns a Dataset with one row per group.
+    """
+    by_cols = [by] if isinstance(by, str) else (list(by) if by else None)
+    partials = fold_partials(ds, sketch, on, by_cols, weight, batch_size, **params)
+    agg = SketchMerge(sketch, on="sketch", alias_name=alias_name, mode=mode, **params)
+    if by_cols:
+        return partials.groupby(by_cols).aggregate(agg)
+    result = partials.aggregate(agg)
+    return result[agg.name]

@@ -55,18 +55,23 @@ def canonical_flat_bytes(arr) -> tuple[np.ndarray, np.ndarray]:
     return arrow_to_flat_bytes(canonical_string_array(arr))
 
 
-def _ragged_copy(dst: np.ndarray, dst_starts: np.ndarray, src: np.ndarray, src_offsets: np.ndarray) -> None:
-    """Copy n variable-length byte runs from ``src`` (described by
-    ``src_offsets``) to positions ``dst_starts`` in ``dst``. Vectorized."""
-    lens = src_offsets[1:] - src_offsets[:-1]
+def ragged_copy(dst: np.ndarray, dst_starts: np.ndarray, src: np.ndarray,
+                src_starts: np.ndarray, lens: np.ndarray) -> None:
+    """Copy n variable-length byte runs src[src_starts[i]:+lens[i]] to
+    dst[dst_starts[i]:]. Fully vectorized."""
     total = int(lens.sum())
     if total == 0:
         return
     cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
     pos = np.arange(total, dtype=np.int64)
     dst_idx = pos + np.repeat(dst_starts - cum, lens)
-    src_idx = pos + np.repeat(src_offsets[:-1] - cum, lens)
+    src_idx = pos + np.repeat(src_starts - cum, lens)
     dst[dst_idx] = src[src_idx]
+
+
+def _ragged_copy(dst, dst_starts, src, src_offsets):
+    ragged_copy(dst, dst_starts, src, src_offsets[:-1],
+                src_offsets[1:] - src_offsets[:-1])
 
 
 def composite_flat_bytes(columns) -> tuple[np.ndarray, np.ndarray]:

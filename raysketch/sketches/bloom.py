@@ -60,7 +60,13 @@ class BloomFilter:
     def add_batch(self, column) -> None:
         data, offsets = canonical_flat_bytes(column)
         h1 = murmur64a(data, offsets, HLL_SEED)
-        h2 = murmur64a(data, offsets, _SEED2) | np.uint64(1)  # odd → full period
+        h2 = murmur64a(data, offsets, _SEED2)
+        self.add_hash_pairs(h1, h2)
+
+    def add_hash_pairs(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        """Fold pre-hashed elements (the batch fold computes the two base
+        hashes once and shares them across per-key groups)."""
+        h2 = h2 | np.uint64(1)  # odd → full period
         one = np.uint64(1)
         for pos in self._positions(h1, h2):
             np.bitwise_or.at(self.words, (pos >> np.uint64(6)).astype(np.int64),

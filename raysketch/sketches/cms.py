@@ -65,7 +65,17 @@ class CountMin:
 
     def add_batch(self, column, weights=None) -> None:
         data, offsets = canonical_flat_bytes(column)
-        pos = self._row_positions(data, offsets)
+        h1 = murmur64a(data, offsets, HLL_SEED)
+        h2 = murmur64a(data, offsets, _SEED2)
+        self.add_hash_pairs(h1, h2, weights)
+
+    def add_hash_pairs(self, h1: np.ndarray, h2: np.ndarray, weights=None) -> None:
+        """Fold pre-hashed elements (shared base hashes per batch)."""
+        h2 = h2 | np.uint64(1)
+        w = np.uint64(self.w)
+        pos = np.empty((self.d, len(h1)), dtype=np.int64)
+        for i in range(self.d):
+            pos[i] = ((h1 + np.uint64(i) * h2) % w).astype(np.int64)
         if weights is None:
             for i in range(self.d):
                 np.add.at(self.table[i], pos[i], 1)

@@ -1,0 +1,117 @@
+"""Ray Data aggregation layer: distributed fold/merge equals local fold
+byte-for-byte, grouped estimates match exact counts, all five sketch
+families run through groupby-aggregate."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import raysketch
+from raysketch import HLL
+from raysketch.agg import SketchMerge, fold_partials, sketch_aggregate
+from raysketch.sketches import CountMin, KLL, TDigest
+from raysketch.sources.transcripts import gen_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts(ray_session):
+    import ray.data
+
+    tbl = gen_transcripts(20000, seed=42)
+    return ray.data.from_arrow(tbl).repartition(8), tbl
+
+
+def test_global_hll_matches_local_fold(transcripts):
+    ds, tbl = transcripts
+    est = sketch_aggregate(ds, "hll", on="conv_id", mode="estimate")
+    local = HLL()
+    local.add_batch(tbl.column("conv_id"))
+    assert est == local.finalize()
+    exact = len(set(tbl.column("conv_id").to_pylist()))
+    assert abs(est - exact) / max(exact, 1) < 0.02
+
+
+def test_global_hll_registers_identical(transcripts):
+    """Distributed tree merge produces byte-identical registers to a
+    single-process fold (merge order independence at the Ray level)."""
+    ds, tbl = transcripts
+    blob = sketch_aggregate(ds, "hll", on="conv_id", mode="bytes")
+    local = HLL()
+    local.add_batch(tbl.column("conv_id"))
+    assert np.array_equal(HLL.from_bytes(blob).regs, local.regs)
+
+
+def test_grouped_hll_by_role(transcripts):
+    ds, tbl = transcripts
+    out = sketch_aggregate(
+        ds, "hll", on="conv_id", by="role", mode="estimate", alias_name="distinct_convs"
+    ).to_pandas()
+    df = tbl.to_pandas()
+    exact = df.groupby("role")["conv_id"].nunique()
+    assert set(out["role"]) == set(exact.index)
+    for _, row in out.iterrows():
+        e = exact[row["role"]]
+        assert abs(row["distinct_convs"] - e) / max(e, 1) < 0.02
+
+
+def test_composite_key_hll(transcripts):
+    ds, tbl = transcripts
+    est = sketch_aggregate(ds, "hll", on=["role", "tool"], mode="estimate")
+    df = tbl.to_pandas()
+    exact = len(df.groupby(["role", "tool"]).size())
+    assert abs(est - exact) <= max(1, 0.02 * exact)
+
+
+def test_countmin_heavy_hitters(transcripts):
+    ds, tbl = transcripts
+    blob = sketch_aggregate(ds, "countmin", on="tool", mode="bytes", width=1 << 14, depth=5)
+    cm = CountMin.from_bytes(blob)
+    df = tbl.to_pandas()
+    truth = df["tool"].value_counts()
+    assert cm.total == len(df)
+    for tool, cnt in truth.head(10).items():
+        est = cm.estimate(tool)
+        assert est >= cnt
+        assert est <= cnt + np.e / cm.w * cm.total + 1
+
+
+def test_quantile_sketches(transcripts):
+    import pyarrow.compute as pc
+
+    ds, tbl = transcripts
+    ds_len = ds.map_batches(
+        lambda t: t.append_column("text_len", pc.cast(pc.utf8_length(t.column("text")), pa.int64())),
+        batch_format="pyarrow",
+    )
+    lens = pc.utf8_length(tbl.column("text")).to_numpy().astype(np.float64)
+    for name, cls in [("kll", KLL), ("tdigest", TDigest)]:
+        blob = sketch_aggregate(ds_len, name, on="text_len", mode="bytes")
+        sk = cls.from_bytes(blob)
+        s = np.sort(lens)
+        for q in [0.1, 0.5, 0.9]:
+            est = sk.quantile(q)
+            # discrete data: a repeated value occupies a rank *interval*
+            lo = np.searchsorted(s, est, side="left") / len(s)
+            hi = np.searchsorted(s, est, side="right") / len(s)
+            assert lo - 0.035 <= q <= hi + 0.035, (name, q, est, lo, hi)
+
+
+def test_bloom_membership(transcripts):
+    from raysketch.sketches import BloomFilter
+
+    ds, tbl = transcripts
+    blob = sketch_aggregate(ds, "bloom", on="conv_id", mode="bytes",
+                            capacity=10000, fp_rate=0.01)
+    bf = BloomFilter.from_bytes(blob)
+    convs = list(set(tbl.column("conv_id").to_pylist()))
+    assert bf.contains_batch(convs).all()
+    absent = [f"conv-x{i}" for i in range(5000)]
+    assert bf.contains_batch(absent).mean() < 0.02
+
+
+def test_partial_fold_shapes(transcripts):
+    ds, _ = transcripts
+    partials = fold_partials(ds, "hll", on="conv_id", by=["role"])
+    t = partials.take(3)
+    assert set(t[0].keys()) == {"role", "sketch", "partial_n"}
+    assert isinstance(t[0]["sketch"], bytes)
