@@ -1,0 +1,487 @@
+"""Query suite: every pipeline exposed through __ray_entry__.queries().
+
+Two families:
+
+1. **Exact, SQL-checkable** — run over the driver's TPC-H-ish parquet
+   tables and verified value-for-value against DuckDB oracles
+   (CORRECTNESS_r{N}.json). Monetary aggregates are computed in integer
+   cents (both sides) so float summation order can never break the
+   value-hash compare.
+2. **Sketch / approximate** — the north-rule queries over the synthetic
+   transcript table (rows-only driver checks; pytest enforces each
+   algorithm's published error bound instead — tests/test_queries.py).
+
+Ray is initialised by the caller (driver / bench / tests) — nothing
+here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..agg import sketch_aggregate
+from ..sketches import HLL, BloomFilter, CountMin
+from ..sources.transcripts import write_transcripts
+
+# sf dir name → transcript turns (deterministic, cached under /tmp)
+_TURNS_PER_SF = 20_000_000  # sf0.001 → 20k turns, sf0.01 → 200k, sf0.1 → 2M
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.001
+
+
+def transcripts_ds(sf_dir: str, columns=None):
+    """The transcript table at a size matching the sf tier (generated
+    once, cached as partitioned parquet under /tmp)."""
+    import ray.data
+
+    n_turns = max(1000, int(sf_of(sf_dir) * _TURNS_PER_SF))
+    path = write_transcripts(n_turns)
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def _one_row(**cols) -> pd.DataFrame:
+    return pd.DataFrame([cols])
+
+
+def _cents(col) -> pa.Array:
+    """Exact 2-decimal money → int64 cents."""
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+# ====================================================================
+# 1. Exact, SQL-checkable queries
+# ====================================================================
+
+def exact_distinct_orders(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT l_orderkey): per-batch dedup inside
+    map_batches (shrinks the shuffle), then a groupby over keys."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    deduped = ds.map_batches(
+        lambda t: pa.table({"l_orderkey": pc.unique(t.column("l_orderkey"))}),
+        batch_format="pyarrow",
+    )
+    n = deduped.groupby("l_orderkey").count().count()
+    return _one_row(n_distinct=n)
+
+
+def hll_distinct_nation(sf_dir: str) -> pd.DataFrame:
+    """HLL estimate of distinct n_name — exact at this cardinality
+    (LinearCounting regime), so it gets a real SQL oracle: sketch-vs-
+    reference parity is checked by the driver itself."""
+    ds = _read(sf_dir, "nation", columns=["n_name"])
+    est = sketch_aggregate(ds, "hll", on="n_name", mode="estimate")
+    return _one_row(n_distinct=est)
+
+
+def hll_distinct_event_type(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    est = sketch_aggregate(ds, "hll", on="event_type", mode="estimate")
+    return _one_row(n_distinct=est)
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape in exact integer arithmetic (cents / basis points)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), pa.scalar(pd.Timestamp("2002-09-02"))))
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_b = _cents(t.column("l_discount"))  # basis: discount*100 (2-dec → int)
+        tax_b = _cents(t.column("l_tax"))
+        disc_price = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_b))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(100, pa.int64()), tax_b))
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+            "base_cents": price_c,
+            "disc_price_e4": disc_price,
+            "charge_e6": charge,
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
+            Sum("charge_e6", alias_name="sum_charge_e6"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return out.to_pandas()
+
+
+def topk_event_types(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    out = ds.groupby("event_type").count().rename_columns({"count()": "n"})
+    df = out.to_pandas().sort_values(["n", "event_type"], ascending=[False, True]).head(5)
+    return df.reset_index(drop=True)
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        hour = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
+        return pa.table({
+            "hour": pc.cast(hour, pa.timestamp("us")),
+            "event_type": t.column("event_type"),
+            "value_cents": _cents(t.column("value")),
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Sum("value_cents", alias_name="sum_value_cents"),
+                   Count(alias_name="n"))
+    )
+    return out.to_pandas()
+
+
+def dedup_docs_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup keeping the smallest doc_id per identical text.
+    Scale path: group on a 64-bit content hash (computed vectorized per
+    batch) so the shuffle carries 8-byte keys, never document bodies."""
+    from ..sketches.base import hash_column
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = hash_column(t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text_hash": pa.array(h.astype(np.int64))})
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def mktsegment_revenue(sf_dir: str) -> pd.DataFrame:
+    """Orders⋈customer revenue per market segment — broadcast hash join
+    (dimension side ray.put once, looked up per batch; no shuffle)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    class JoinSegment:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_numpy()
+            seg = pd.Series(keys).map(self.lookup).to_numpy()
+            return pa.table({
+                "c_mktsegment": pa.array(seg, type=pa.string()),
+                "price_cents": _cents(t.column("o_totalprice")),
+            })
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(JoinSegment, batch_format="pyarrow", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("price_cents", alias_name="revenue_cents"),
+                   Count(alias_name="n_orders"))
+    )
+    return out.to_pandas()
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join via broadcast key set (semi/anti joins never shuffle
+    when one side's key set fits the object store)."""
+    import ray
+
+    okeys = _read(sf_dir, "orders", columns=["o_custkey"])
+    keyset = set()
+    for b in okeys.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keyset.update(pc.unique(b.column("o_custkey")).to_pylist())
+    keys_ref = ray.put(np.array(sorted(keyset), dtype=np.int64))
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    class AntiJoin:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t.column("c_custkey").to_numpy()
+            pos = np.searchsorted(self.keys, ck)
+            pos = np.minimum(pos, len(self.keys) - 1)
+            absent = self.keys[pos] != ck if len(self.keys) else np.ones(len(ck), bool)
+            return pa.table({"c_custkey": pa.array(ck[absent])})
+
+    out = ds.map_batches(AntiJoin, batch_format="pyarrow", concurrency=2)
+    df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+def knn_cosine_top10(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-k against a fixed query vector (all-ones):
+    per-batch float64 matmul, then a global top-k of the tiny per-batch
+    candidate sets. The scale path for real ANN is stages/similarity.py."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        emb = np.asarray(t.column("embedding").combine_chunks().to_numpy(zero_copy_only=False).tolist(),
+                         dtype=np.float64)
+        q = np.ones(emb.shape[1])
+        cos = (emb @ q) / (np.linalg.norm(emb, axis=1) * np.linalg.norm(q) + 1e-300)
+        order = np.argsort(-cos)[:10]  # per-batch candidates only
+        return pa.table({
+            "vec_id": pc.take(t.column("vec_id"), pa.array(order)),
+            "cos": pa.array(cos[order]),
+        })
+
+    cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    top = cand.sort_values(["cos", "vec_id"], ascending=[False, True]).head(10)
+    top = top.reset_index(drop=True)
+    return pd.DataFrame({"rank": np.arange(1, len(top) + 1), "vec_id": top["vec_id"]})
+
+
+def doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-document exact text stats, all SQL-replicable definitions."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        n_chars = pc.utf8_length(txt)
+        n_spaces = pc.subtract(
+            pc.binary_length(txt),
+            pc.binary_length(pc.replace_substring(txt, pattern=" ", replacement=""))
+        )
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_spaces": pc.cast(n_spaces, pa.int64()),
+            "n_tokens_ws": pc.cast(pc.add(n_spaces, 1), pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def orders_priority_stats(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    out = (
+        ds.map_batches(
+            lambda t: pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                                "price_cents": _cents(t.column("o_totalprice"))}),
+            batch_format="pyarrow",
+        )
+        .groupby("o_orderpriority")
+        .aggregate(Sum("price_cents", alias_name="sum_price_cents"),
+                   Count(alias_name="n"))
+    )
+    return out.to_pandas()
+
+
+# ====================================================================
+# 2. Sketch queries over the transcript table (north rule §2.6)
+# ====================================================================
+
+def hll_distinct_conv(sf_dir: str) -> pd.DataFrame:
+    ds = transcripts_ds(sf_dir, columns=["conv_id"])
+    est = sketch_aggregate(ds, "hll", on="conv_id", mode="estimate")
+    return _one_row(distinct_convs_est=est)
+
+
+def hll_distinct_conv_by_role(sf_dir: str) -> pd.DataFrame:
+    ds = transcripts_ds(sf_dir, columns=["conv_id", "role"])
+    out = sketch_aggregate(ds, "hll", on="conv_id", by="role",
+                           mode="estimate", alias_name="distinct_convs_est")
+    return out.to_pandas().sort_values("role").reset_index(drop=True)
+
+
+def hll_distinct_role_tool_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = transcripts_ds(sf_dir, columns=["role", "tool"])
+    est = sketch_aggregate(ds, "hll", on=["role", "tool"], mode="estimate")
+    return _one_row(distinct_pairs_est=est)
+
+
+def cms_tool_top10(sf_dir: str) -> pd.DataFrame:
+    """Heavy-hitter tools: Count-Min estimates for the (small) candidate
+    vocabulary discovered via per-batch unique → distinct."""
+    ds = transcripts_ds(sf_dir, columns=["tool"])
+    blob = sketch_aggregate(ds, "countmin", on="tool", mode="bytes",
+                            width=1 << 15, depth=5)
+    cm = CountMin.from_bytes(blob)
+    cand = (
+        ds.map_batches(lambda t: pa.table({"tool": pc.unique(t.column("tool"))}),
+                       batch_format="pyarrow")
+        .groupby("tool").count().select_columns(["tool"]).to_pandas()["tool"]
+    )
+    cand = [c for c in cand if c]  # drop the non-tool empty string
+    ests = cm.estimate_batch(cand)
+    df = pd.DataFrame({"tool": cand, "est_count": ests})
+    return df.sort_values(["est_count", "tool"], ascending=[False, True]) \
+        .head(10).reset_index(drop=True)
+
+
+def _text_len_ds(sf_dir: str):
+    ds = transcripts_ds(sf_dir, columns=["text"])
+    return ds.map_batches(
+        lambda t: pa.table({"text_len": pc.cast(pc.utf8_length(t.column("text")), pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def tdigest_text_len(sf_dir: str) -> pd.DataFrame:
+    est = sketch_aggregate(_text_len_ds(sf_dir), "tdigest", on="text_len",
+                           mode="estimate", compression=200)
+    return _one_row(**est)
+
+
+def kll_text_len(sf_dir: str) -> pd.DataFrame:
+    est = sketch_aggregate(_text_len_ds(sf_dir), "kll", on="text_len",
+                           mode="estimate", k=256)
+    return _one_row(**est)
+
+
+def bloom_conv_membership(sf_dir: str) -> pd.DataFrame:
+    ds = transcripts_ds(sf_dir, columns=["conv_id"])
+    blob = sketch_aggregate(ds, "bloom", on="conv_id", mode="bytes",
+                            capacity=1 << 20, fp_rate=0.01)
+    bf = BloomFilter.from_bytes(blob)
+    present = [f"conv-{i:08d}" for i in range(50)]
+    absent = [f"never-{i}" for i in range(10000)]
+    return _one_row(
+        present_hits=int(bf.contains_batch(present).sum()),
+        absent_hits=int(bf.contains_batch(absent).sum()),
+        bits_set=bf.finalize()["bits_set"],
+    )
+
+
+# ====================================================================
+# Registry + DuckDB oracles
+# ====================================================================
+
+QUERIES = {
+    # exact, SQL-checked
+    "exact_distinct_orders": exact_distinct_orders,
+    "hll_distinct_nation": hll_distinct_nation,
+    "hll_distinct_event_type": hll_distinct_event_type,
+    "q1_pricing_summary": q1_pricing_summary,
+    "topk_event_types": topk_event_types,
+    "events_hourly": events_hourly,
+    "dedup_docs_exact": dedup_docs_exact,
+    "mktsegment_revenue": mktsegment_revenue,
+    "customers_without_orders": customers_without_orders,
+    "knn_cosine_top10": knn_cosine_top10,
+    "doc_token_stats": doc_token_stats,
+    "orders_priority_stats": orders_priority_stats,
+    # sketch / approximate (rows-only driver checks; pytest owns bounds)
+    "hll_distinct_conv": hll_distinct_conv,
+    "hll_distinct_conv_by_role": hll_distinct_conv_by_role,
+    "hll_distinct_role_tool_pairs": hll_distinct_role_tool_pairs,
+    "cms_tool_top10": cms_tool_top10,
+    "tdigest_text_len": tdigest_text_len,
+    "kll_text_len": kll_text_len,
+    "bloom_conv_membership": bloom_conv_membership,
+}
+
+_KNN_Q = "[" + ", ".join(["1.0"] * 64) + "]"
+
+ORACLES = {
+    "exact_distinct_orders":
+        "SELECT COUNT(DISTINCT l_orderkey) AS n_distinct FROM lineitem",
+    "hll_distinct_nation":
+        "SELECT COUNT(DISTINCT n_name) AS n_distinct FROM nation",
+    "hll_distinct_event_type":
+        "SELECT COUNT(DISTINCT event_type) AS n_distinct FROM events",
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                   * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= DATE '2002-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "topk_event_types": """
+        SELECT event_type, COUNT(*) AS n FROM events
+        GROUP BY event_type ORDER BY n DESC, event_type ASC LIMIT 5
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "dedup_docs_exact":
+        "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+    "mktsegment_revenue": """
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey
+    """,
+    "knn_cosine_top10": f"""
+        SELECT CAST(ROW_NUMBER() OVER (
+                 ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_KNN_Q}) DESC,
+                          vec_id ASC) AS BIGINT) AS rank,
+               vec_id
+        FROM embeddings
+        ORDER BY rank LIMIT 10
+    """,
+    "doc_token_stats": """
+        SELECT doc_id,
+               LENGTH(text) AS n_chars,
+               LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces,
+               LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens_ws
+        FROM documents ORDER BY doc_id
+    """,
+    "orders_priority_stats": """
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    """,
+}
