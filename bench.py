@@ -1,0 +1,119 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Runs the headline sketch pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32).
+
+The headline metric is wall-clock seconds for the north-rule sketch
+suite over the transcript table (sf0.1 → 2M turns); `turns_per_sec`
+reports the fold throughput of the flagship HLL distinct-conv pipeline
+(compare BASELINE.md: the reference's C loop does 6.35M adds/s on one
+core).
+
+`bench.py --scaling` runs the same job in fresh processes at
+num_cpus=8 and num_cpus=32 and reports both throughputs plus scaling
+efficiency (the sandbox stand-in for the N vs 4N node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # generate / locate the cached transcript table BEFORE timing
+    from raysketch.pipelines.queries import sf_of
+    from raysketch.sources.transcripts import write_transcripts
+
+    n_turns = max(1000, int(sf_of(sf_dir) * 20_000_000))
+    tpath = write_transcripts(n_turns)
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data
+
+    # warm OS page cache (untimed) so we measure compute + shuffle
+    ray.data.read_parquet(tpath).count()
+
+    from raysketch.pipelines import queries as Q
+
+    bench_queries = {
+        "hll_distinct_conv": Q.hll_distinct_conv,
+        "hll_distinct_conv_by_role": Q.hll_distinct_conv_by_role,
+        "hll_distinct_role_tool_pairs": Q.hll_distinct_role_tool_pairs,
+        "cms_tool_top10": Q.cms_tool_top10,
+        "tdigest_text_len": Q.tdigest_text_len,
+        "kll_text_len": Q.kll_text_len,
+        "bloom_conv_membership": Q.bloom_conv_membership,
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "exact_distinct_orders": Q.exact_distinct_orders,
+        "dedup_docs_exact": Q.dedup_docs_exact,
+    }
+
+    per_q = {}
+    t_all = time.perf_counter()
+    for name, fn in bench_queries.items():
+        t0 = time.perf_counter()
+        fn(sf_dir)
+        per_q[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    turns_per_sec = n_turns / per_q["hll_distinct_conv"]
+    result = {
+        "metric": "sketch_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_q,
+        "sf": sf_of(sf_dir),
+        "num_cpus": ncpu,
+        "n_turns": n_turns,
+        "turns_per_sec": round(turns_per_sec),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": r_lo["turns_per_sec"],
+        "turns_per_sec_hi": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,81 @@
+"""Query-suite accuracy: sketch estimates vs exact ground truth on the
+deterministic transcript table (error-band enforcement that the driver's
+rows-only checks delegate to us)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+import pytest
+
+from raysketch.pipelines import queries as Q
+from raysketch.sources.transcripts import gen_transcripts
+
+SF_DIR = "/root/testdata/sf0.001"  # → 20k-turn transcript table
+
+
+@pytest.fixture(scope="module")
+def truth(ray_session):
+    n = max(1000, int(Q.sf_of(SF_DIR) * 20_000_000))
+    return gen_transcripts(n).to_pandas()
+
+
+def test_hll_distinct_conv(truth):
+    est = Q.hll_distinct_conv(SF_DIR)["distinct_convs_est"][0]
+    exact = truth["conv_id"].nunique()
+    assert abs(est - exact) / exact < 0.0105  # reference tolerance band (helpers.inc:13-16)
+
+
+def test_hll_by_role(truth):
+    out = Q.hll_distinct_conv_by_role(SF_DIR)
+    exact = truth.groupby("role")["conv_id"].nunique()
+    assert set(out["role"]) == set(exact.index)
+    for _, r in out.iterrows():
+        e = exact[r["role"]]
+        assert abs(r["distinct_convs_est"] - e) / e < 0.02
+
+
+def test_hll_pairs(truth):
+    est = Q.hll_distinct_role_tool_pairs(SF_DIR)["distinct_pairs_est"][0]
+    exact = len(truth.groupby(["role", "tool"]).size())
+    assert abs(est - exact) <= max(1, 0.02 * exact)
+
+
+def test_cms_top10(truth):
+    out = Q.cms_tool_top10(SF_DIR)
+    exact = truth[truth["tool"] != ""]["tool"].value_counts()
+    n = (truth["tool"] != "").sum()
+    # CM overestimates by at most eps*N (w=2^15 → eps*N tiny here)
+    for _, r in out.iterrows():
+        true_cnt = exact.get(r["tool"], 0)
+        assert r["est_count"] >= true_cnt
+        assert r["est_count"] <= true_cnt + np.e / (1 << 15) * len(truth) + 1
+    # top-3 must be the true top-3 (zipf gaps are big)
+    assert list(out["tool"][:3]) == list(exact.index[:3])
+
+
+@pytest.mark.parametrize("fn", [Q.tdigest_text_len, Q.kll_text_len])
+def test_text_len_quantiles(truth, fn):
+    out = fn(SF_DIR)
+    lens = np.sort(truth["text"].str.len().to_numpy())
+    n = len(lens)
+    for q in (0.5, 0.9, 0.99):
+        est = out[f"p{int(q*100)}"][0]
+        lo = np.searchsorted(lens, est, side="left") / n
+        hi = np.searchsorted(lens, est, side="right") / n
+        assert lo - 0.02 <= q <= hi + 0.02, (fn.__name__, q, est, lo, hi)
+
+
+def test_bloom_membership(truth):
+    out = Q.bloom_conv_membership(SF_DIR)
+    assert out["present_hits"][0] == 50  # no false negatives
+    assert out["absent_hits"][0] <= 0.02 * 10000
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__
+
+    df = __ray_entry__.entry()
+    assert len(df) > 0
+    assert set(df.columns) == {"metric", "key", "value"}
+    g = df[df["metric"] == "distinct_convs_est"]["value"].iloc[0]
+    assert g > 0
