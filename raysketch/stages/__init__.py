@@ -1,0 +1,24 @@
+from .dedup import (
+    MinHasher,
+    SimHasher,
+    embedding_dedup,
+    exact_dedup_keep_ids,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    ngram_jaccard,
+    simhash_candidate_pairs,
+    simhash_dedup,
+    union_find_components,
+)
+from .multimodal import AudioFrameSample, ImageDecode, ImageFeatures, ImageResize
+from .similarity import IVFIndex, brute_force_topk
+from .textstats import Fingerprint, LangId, QualityScore, TokenCount
+
+__all__ = [
+    "MinHasher", "SimHasher", "embedding_dedup", "exact_dedup_keep_ids",
+    "lsh_candidate_pairs", "minhash_dedup", "ngram_jaccard",
+    "simhash_candidate_pairs", "simhash_dedup", "union_find_components",
+    "AudioFrameSample", "ImageDecode", "ImageFeatures", "ImageResize",
+    "IVFIndex", "brute_force_topk",
+    "Fingerprint", "LangId", "QualityScore", "TokenCount",
+]

@@ -1,0 +1,501 @@
+"""Deduplication pipelines: exact, MinHash+LSH, SimHash, n-gram Jaccard
+verification, embedding-cosine near-dup.
+
+Shared scale shape (ray_guide.md "Exact dedup / Near-dup"): vectorized
+per-batch signature computation → explode to (bucket, doc) rows →
+``groupby(bucket)`` over *small* rows (never document bodies) →
+candidate pairs → verify → connected components. The only all-to-all
+exchanges move fixed-width signature/bucket rows; text leaves the
+object store exactly once (at signature time).
+
+Connected components run as driver-side union-find over the *candidate
+pair list* — valid because LSH emits O(dups) pairs, not O(n²); the
+distributed alternative (iterative min-label propagation via groupby)
+is provided for completeness as ``propagate_components``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import arrow_to_flat_bytes, murmur64a
+from ..keys import canonical_flat_bytes
+
+__all__ = [
+    "exact_dedup_keep_ids",
+    "MinHasher",
+    "lsh_candidate_pairs",
+    "SimHasher",
+    "simhash_candidate_pairs",
+    "union_find_components",
+    "minhash_dedup",
+    "simhash_dedup",
+    "embedding_dedup",
+    "ngram_jaccard",
+]
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x + _MIX
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup_keep_ids(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the smallest id per identical content (64-bit content hash;
+    the shuffle carries only (hash, id) rows)."""
+    from ray.data.aggregate import Min
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        data, offsets = canonical_flat_bytes(t.column(text_col))
+        h = murmur64a(data, offsets).astype(np.int64)
+        return pa.table({id_col: t.column(id_col), "content_hash": pa.array(h)})
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min(id_col, alias_name=id_col))
+        .select_columns([id_col])
+    )
+
+
+# --------------------------------------------------------------- minhash
+def _window_hashes(data: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hash every k-byte shingle window (k ≤ 8) of every doc in one shot.
+
+    Equivalent to MurmurHash64A on each window (tail-only path since
+    k ≤ 8). Returns (window hashes, per-doc window-count offsets)."""
+    assert 1 <= k <= 8
+    lens = offsets[1:] - offsets[:-1]
+    wcounts = np.maximum(lens - k + 1, 0)
+    woff = np.zeros(len(wcounts) + 1, dtype=np.int64)
+    np.cumsum(wcounts, out=woff[1:])
+    total = int(woff[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), woff
+    # window start positions in the flat buffer
+    base = np.repeat(offsets[:-1], wcounts) + (
+        np.arange(total, dtype=np.int64) - np.repeat(woff[:-1], wcounts)
+    )
+    idx = base[:, None] + np.arange(8)
+    np.minimum(idx, len(data) - 1, out=idx)
+    b = data[idx]
+    if k < 8:
+        b[:, k:] = 0
+    w = np.ascontiguousarray(b).view(np.uint64).ravel()
+    # murmur64a tail-only round
+    m = np.uint64(0xC6A4A7935BD1E995)
+    h = np.uint64(0xADC83B19) ^ (np.uint64(k) * m)
+    h = (np.full(total, h, dtype=np.uint64) ^ w) * m
+    h ^= h >> np.uint64(47)
+    h *= m
+    h ^= h >> np.uint64(47)
+    return h, woff
+
+
+class MinHasher:
+    """map_batches stage: text → MinHash signature (``num_perms`` × u64)
+    over k-byte character shingles.
+
+    Permutations are multiply-shift universal hashes of one strong base
+    window hash (Broder resemblance sketches; Li & König's b-bit /
+    one-hash literature justifies the construction). Signature column is
+    a fixed-size-list<uint64> so downstream banding is zero-copy.
+
+    Actor-pool stage: the permutation constants are built once per actor.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 num_perms: int = 128, shingle_k: int = 5, seed: int = 1):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.P = num_perms
+        self.k = shingle_k
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, 2**63, size=num_perms, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 2**63, size=num_perms, dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(batch.column(self.text_col))
+        data, offsets = arrow_to_flat_bytes(
+            txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        )
+        wh, woff = _window_hashes(data, offsets, self.k)
+        n = len(offsets) - 1
+        sig = np.full((n, self.P), np.iinfo(np.uint64).max, dtype=np.uint64)
+        nonempty = np.nonzero(woff[1:] > woff[:-1])[0]
+        if len(wh):
+            red_off = woff[:-1][nonempty]
+            for p in range(self.P):
+                mixed = wh * self.a[p] + self.b[p]
+                sig[nonempty, p] = np.minimum.reduceat(mixed, red_off)
+        flat = pa.array(sig.reshape(-1).astype(np.uint64))
+        sig_col = pa.FixedSizeListArray.from_arrays(flat, self.P)
+        return pa.table({self.id_col: batch.column(self.id_col), "minhash": sig_col})
+
+
+def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
+                        sig_col: str = "minhash"):
+    """Signatures → LSH banding → candidate pairs with estimated Jaccard.
+
+    Emits (band, band_hash, id) rows, groups by bucket, and yields pairs
+    within each bucket (buckets are tiny for sane thresholds). Pair
+    Jaccard is then estimated from full-signature agreement.
+    """
+    import pandas as pd
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sig = np.asarray(t.column(sig_col).combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)).reshape(len(ids), -1).astype(np.uint64)
+        P = sig.shape[1]
+        r = P // num_bands
+        out_band, out_hash, out_id, out_sigrow = [], [], [], []
+        for b in range(num_bands):
+            chunk = sig[:, b * r : (b + 1) * r]
+            h = np.zeros(len(ids), dtype=np.uint64)
+            for j in range(r):  # mix band columns into one 64-bit bucket hash
+                h = _splitmix64(h ^ chunk[:, j])
+            out_band.append(np.full(len(ids), b, dtype=np.int32))
+            out_hash.append(h.astype(np.int64))
+            out_id.append(ids)
+        return pa.table({
+            "band": pa.array(np.concatenate(out_band)),
+            "bucket": pa.array(np.concatenate(out_hash)),
+            id_col: pa.array(np.concatenate(out_id)),
+        })
+
+    buckets = sig_ds.map_batches(band_rows, batch_format="pyarrow")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids = np.sort(g[id_col].to_numpy())
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+
+    pairs = buckets.groupby(["band", "bucket"]).map_groups(emit_pairs, batch_format="pandas")
+
+    # dedupe pairs found in multiple bands
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def estimate_pair_jaccard(pairs_df, sig_ds, id_col: str = "doc_id",
+                          sig_col: str = "minhash"):
+    """Estimated Jaccard = fraction of agreeing minhash coordinates.
+    Signatures for the candidate ids are broadcast (candidates ≪ corpus)."""
+    import pandas as pd
+
+    want = set(pairs_df["id_a"]).union(pairs_df["id_b"])
+    sigs = {}
+    for t in sig_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, list(want))
+        if mask.any():
+            arr = np.asarray(t.column(sig_col).combine_chunks().flatten().to_numpy(
+                zero_copy_only=False)).reshape(len(ids), -1)
+            for i in np.nonzero(mask)[0]:
+                sigs[int(ids[i])] = arr[i]
+    est = [
+        float((sigs[int(a)] == sigs[int(b)]).mean()) if int(a) in sigs and int(b) in sigs else 0.0
+        for a, b in zip(pairs_df["id_a"], pairs_df["id_b"])
+    ]
+    out = pairs_df.copy()
+    out["est_jaccard"] = est
+    return out
+
+
+# --------------------------------------------------------------- simhash
+class SimHasher:
+    """map_batches stage: text → 64-bit SimHash (Charikar 2002) over
+    word-token hashes; near-duplicates differ in few bits."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(batch.column(self.text_col))
+        toks = pc.split_pattern_regex(txt, r"\W+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        toff = toks.offsets.to_numpy().astype(np.int64)
+        data, offsets = arrow_to_flat_bytes(flat)
+        wh = murmur64a(data, offsets)
+        # drop empty tokens (regex split artifacts)
+        tok_lens = offsets[1:] - offsets[:-1]
+        n_docs = len(toff) - 1
+        votes = np.zeros((n_docs, 64), dtype=np.int64)
+        if len(wh):
+            doc_of = np.repeat(np.arange(n_docs), toff[1:] - toff[:-1])
+            keep = tok_lens > 0
+            wh_k, doc_k = wh[keep], doc_of[keep]
+            for j in range(64):
+                bit = ((wh_k >> np.uint64(j)) & np.uint64(1)).astype(np.int64) * 2 - 1
+                np.add.at(votes[:, j], doc_k, bit)
+        bits = (votes > 0).astype(np.uint64)
+        sim = np.zeros(n_docs, dtype=np.uint64)
+        for j in range(64):
+            sim |= bits[:, j] << np.uint64(j)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "simhash": pa.array(sim.astype(np.int64)),
+        })
+
+
+def simhash_candidate_pairs(sim_ds, id_col: str = "doc_id", max_hamming: int = 3):
+    """Bucket by 4 × 16-bit bands (pigeonhole: any pair within hamming
+    ≤ 3 shares at least one intact band), then verify exact hamming."""
+    import pandas as pd
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sim = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bands, buckets, oids, sims = [], [], [], []
+        for b in range(4):
+            bands.append(np.full(len(ids), b, dtype=np.int32))
+            buckets.append(((sim >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+            oids.append(ids)
+            sims.append(sim.astype(np.int64))
+        return pa.table({
+            "band": pa.array(np.concatenate(bands)),
+            "bucket": pa.array(np.concatenate(buckets)),
+            id_col: pa.array(np.concatenate(oids)),
+            "simhash": pa.array(np.concatenate(sims)),
+        })
+
+    buckets = sim_ds.map_batches(band_rows, batch_format="pyarrow")
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sims = g["simhash"].to_numpy().astype(np.uint64)
+        a, b = np.triu_indices(len(ids), k=1)
+        x = sims[a] ^ sims[b]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for j in range(64):
+            ham += ((x >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[a][keep], "id_b": ids[b][keep],
+                             "hamming": ham[keep]})
+
+    pairs = buckets.groupby(["band", "bucket"]).map_groups(emit, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# --------------------------------------------------- components / driver
+def union_find_components(pairs_df, ids=None) -> dict[int, int]:
+    """Union-find over candidate pairs → {id: component root (min id)}."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = {x: find(x) for x in list(parent)}
+    if ids is not None:
+        for x in ids:
+            out.setdefault(int(x), int(x))
+    return out
+
+
+def propagate_components(pairs_ds, rounds: int = 5):
+    """Distributed alternative: iterative min-label propagation via
+    groupby (for candidate sets too large for the driver). Each round
+    sends every node its neighbours' current minimum label."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    edges = pairs_ds.map_batches(
+        lambda t: pa.table({
+            "node": pa.concat_arrays([t.column("id_a").combine_chunks().cast(pa.int64()),
+                                      t.column("id_b").combine_chunks().cast(pa.int64())]),
+            "peer": pa.concat_arrays([t.column("id_b").combine_chunks().cast(pa.int64()),
+                                      t.column("id_a").combine_chunks().cast(pa.int64())]),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    labels = edges.groupby("node").aggregate(Min("peer", alias_name="label"))
+    labels = labels.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "label": pc.min_element_wise(t.column("node"), t.column("label"))}),
+        batch_format="pyarrow",
+    )
+    for _ in range(rounds):
+        lab_df = labels.to_pandas()
+        lookup = dict(zip(lab_df["node"], lab_df["label"]))
+
+        def relabel(t: pa.Table, lookup=lookup) -> pa.Table:
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            peer = t.column("peer").to_numpy(zero_copy_only=False)
+            peer_lab = np.array([lookup.get(int(p), int(p)) for p in peer])
+            return pa.table({"node": pa.array(node), "label": pa.array(peer_lab)})
+
+        nxt = edges.map_batches(relabel, batch_format="pyarrow") \
+            .groupby("node").aggregate(Min("label", alias_name="label"))
+        nxt = nxt.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "label": pc.min_element_wise(t.column("node"), t.column("label"))}),
+            batch_format="pyarrow",
+        )
+        new_df = nxt.to_pandas()
+        if dict(zip(new_df["node"], new_df["label"])) == lookup:
+            break
+        labels = nxt
+    return labels
+
+
+# ------------------------------------------------------------ end-to-end
+def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
+                  shingle_k=5, num_bands=32, threshold=0.7):
+    """Full near-dup pipeline → pandas {id, component} for verified dups."""
+    sigs = ds.map_batches(
+        MinHasher(text_col, id_col, num_perms, shingle_k),
+        batch_format="pyarrow", concurrency=4,
+    ).materialize()
+    pairs = lsh_candidate_pairs(sigs, id_col, num_bands).to_pandas()
+    if len(pairs) == 0:
+        import pandas as pd
+
+        return pd.DataFrame({id_col: [], "component": []})
+    pairs = estimate_pair_jaccard(pairs, sigs, id_col)
+    verified = pairs[pairs["est_jaccard"] >= threshold]
+    comp = union_find_components(verified)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {id_col: list(comp), "component": [comp[k] for k in comp]}
+    ).sort_values(id_col).reset_index(drop=True)
+
+
+def simhash_dedup(ds, text_col="text", id_col="doc_id", max_hamming=3):
+    sims = ds.map_batches(SimHasher(text_col, id_col),
+                          batch_format="pyarrow", concurrency=4)
+    pairs = simhash_candidate_pairs(sims, id_col, max_hamming).to_pandas()
+    comp = union_find_components(pairs)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {id_col: list(comp), "component": [comp[k] for k in comp]}
+    ).sort_values(id_col).reset_index(drop=True)
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact character-k-gram Jaccard (the verifier for candidate pairs)."""
+    sa = {text_a[i : i + k] for i in range(max(0, len(text_a) - k + 1))}
+    sb = {text_b[i : i + k] for i in range(max(0, len(text_b) - k + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def embedding_dedup(ds, vec_col="embedding", id_col="vec_id",
+                    threshold=0.95, num_planes=64, seed=3):
+    """Embedding near-dup: random-hyperplane LSH (sign sketch) buckets →
+    exact cosine verify within buckets. The sketch is 64 bits/vector, so
+    the shuffle moves (bucket, id, bits) rows, not vectors; exact verify
+    re-reads only candidate vectors (broadcast)."""
+    import pandas as pd
+
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first[vec_col][0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_planes))
+
+    import ray
+
+    planes_ref = ray.put(planes)
+
+    class SignSketch:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            emb = np.asarray(
+                t.column(vec_col).combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            ).reshape(t.num_rows, -1).astype(np.float64)
+            proj = emb @ self.planes
+            bits = (proj > 0).astype(np.uint64)
+            sig = np.zeros(len(emb), dtype=np.uint64)
+            for j in range(bits.shape[1]):
+                sig |= bits[:, j] << np.uint64(j)
+            norm = np.linalg.norm(emb, axis=1)
+            return pa.table({
+                id_col: t.column(id_col),
+                "sig": pa.array(sig.astype(np.int64)),
+            })
+
+    sigs = ds.map_batches(SignSketch, batch_format="pyarrow", concurrency=2)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sig = t.column("sig").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bands, buckets, oids = [], [], []
+        for b in range(4):
+            bands.append(np.full(len(ids), b, dtype=np.int32))
+            buckets.append(((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+            oids.append(ids)
+        return pa.table({"band": pa.array(np.concatenate(bands)),
+                         "bucket": pa.array(np.concatenate(buckets)),
+                         id_col: pa.array(np.concatenate(oids))})
+
+    buckets = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids = np.sort(g[id_col].to_numpy())
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+
+    from ray.data.aggregate import Count
+
+    pairs = (
+        buckets.groupby(["band", "bucket"]).map_groups(emit, batch_format="pandas")
+        .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame({id_col: [], "component": []})
+
+    # exact cosine verify on candidates (vectors gathered once)
+    want = set(pairs["id_a"]).union(pairs["id_b"])
+    vecs = {}
+    for t in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, list(want))
+        if mask.any():
+            emb = np.asarray(
+                t.column(vec_col).combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            ).reshape(t.num_rows, -1).astype(np.float64)
+            for i in np.nonzero(mask)[0]:
+                vecs[int(ids[i])] = emb[i]
+    cos = []
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        va, vb = vecs[int(a)], vecs[int(b)]
+        cos.append(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-300)))
+    pairs["cosine"] = cos
+    verified = pairs[pairs["cosine"] >= threshold]
+    comp = union_find_components(verified)
+    return pd.DataFrame(
+        {id_col: list(comp), "component": [comp[k] for k in comp]}
+    ).sort_values(id_col).reset_index(drop=True)

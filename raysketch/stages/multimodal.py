@@ -1,0 +1,171 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata.
+
+The decode kernels themselves are STUBBED (this container ships no
+image/audio codecs — install pillow/av in production and swap the
+``_decode_*_real`` bodies), but everything Ray-side is real and tested:
+schemas, actor-pool stage signatures, batch sizing for wide binary rows,
+and the output layout. ``deterministic_fake=True`` (default) substitutes
+a seeded hash-derived decode so pipelines are runnable end-to-end in CI.
+
+Batch-size guidance (ray_guide.md "Memory-aware"): a 4 MB-image batch of
+256 rows is ~1 GB in flight per actor — callers should pass
+``batch_size≈64`` and raise ``DataContext.target_max_block_size`` so
+blocks aren't split absurdly small.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "image_schema",
+    "audio_schema",
+    "make_fake_image_table",
+    "ImageDecode",
+    "ImageResize",
+    "ImageFeatures",
+    "AudioFrameSample",
+]
+
+IMAGE_META = {"width": pa.int32(), "height": pa.int32(), "format": pa.string()}
+AUDIO_META = {"sample_rate": pa.int32(), "n_channels": pa.int32(), "format": pa.string()}
+
+
+def image_schema() -> pa.Schema:
+    return pa.schema(
+        [("item_id", pa.int64()), ("payload", pa.binary())]
+        + [(k, v) for k, v in IMAGE_META.items()]
+    )
+
+
+def audio_schema() -> pa.Schema:
+    return pa.schema(
+        [("item_id", pa.int64()), ("payload", pa.binary())]
+        + [(k, v) for k, v in AUDIO_META.items()]
+    )
+
+
+def make_fake_image_table(n: int, seed: int = 0, payload_bytes: int = 4096) -> pa.Table:
+    """Deterministic fake multimodal rows for tests/CI."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.bytes(payload_bytes) for _ in range(n)]
+    w = rng.integers(32, 257, size=n).astype(np.int32)
+    h = rng.integers(32, 257, size=n).astype(np.int32)
+    return pa.table({
+        "item_id": pa.array(np.arange(n, dtype=np.int64)),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array(w),
+        "height": pa.array(h),
+        "format": pa.array(["png"] * n),
+    })
+
+
+def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic stand-in decode: payload hash seeds the pixels."""
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+class ImageDecode:
+    """Actor-pool stage: binary payload → HWC uint8 tensor column.
+
+    Real codecs are injected in ``__init__`` (once per actor — the
+    actor-pool contract); here the import is gated and the deterministic
+    fake is used when the codec is unavailable.
+    """
+
+    def __init__(self, deterministic_fake: bool = True):
+        self.fake = deterministic_fake
+        self.codec = None
+        if not deterministic_fake:
+            try:
+                import PIL.Image  # noqa: F401
+
+                self.codec = "pillow"
+            except ImportError as e:
+                raise NotImplementedError(
+                    "image codec not available in this environment; "
+                    "use deterministic_fake=True or install pillow"
+                ) from e
+
+    def __call__(self, batch: pa.Table) -> dict:
+        payloads = batch.column("payload").to_pylist()
+        ws = batch.column("width").to_numpy(zero_copy_only=False)
+        hs = batch.column("height").to_numpy(zero_copy_only=False)
+        if self.fake:
+            images = [_fake_pixels(p, int(w), int(h)) for p, w, h in zip(payloads, ws, hs)]
+        else:  # pragma: no cover - codec not in this container
+            raise NotImplementedError("real decode path requires pillow")
+        return {
+            "item_id": batch.column("item_id").to_numpy(zero_copy_only=False),
+            "image": np.array(images, dtype=object),
+        }
+
+
+class ImageResize:
+    """Nearest-neighbour resize to a fixed (H, W) — pure numpy, no codec
+    needed; output is a dense (n, H, W, 3) tensor batch ready for model
+    inference stages."""
+
+    def __init__(self, size: tuple[int, int] = (64, 64)):
+        self.size = size
+
+    def __call__(self, batch: dict) -> dict:
+        H, W = self.size
+        out = np.empty((len(batch["image"]), H, W, 3), dtype=np.uint8)
+        for i, img in enumerate(batch["image"]):
+            h, w = img.shape[:2]
+            yi = (np.arange(H) * h // H).astype(np.int64)
+            xi = (np.arange(W) * w // W).astype(np.int64)
+            out[i] = img[yi[:, None], xi[None, :]]
+        return {"item_id": batch["item_id"], "image": out}
+
+
+class ImageFeatures:
+    """Cheap feature extraction (channel means/stds + 8-bin luma
+    histogram) — the stand-in for a model-inference actor stage; swap
+    ``__call__``'s body for a batched forward pass in production."""
+
+    def __call__(self, batch: dict) -> dict:
+        imgs = batch["image"].astype(np.float32)  # (n, H, W, 3)
+        mean = imgs.mean(axis=(1, 2))
+        std = imgs.std(axis=(1, 2))
+        luma = imgs.mean(axis=3)
+        hist = np.stack([
+            np.histogram(l, bins=8, range=(0, 255))[0] for l in luma
+        ]).astype(np.float32)
+        hist /= np.maximum(hist.sum(1, keepdims=True), 1)
+        return {
+            "item_id": batch["item_id"],
+            "feature": np.concatenate([mean, std, hist], axis=1),
+        }
+
+
+class AudioFrameSample:
+    """Audio frame sampling stub: every payload → ``n_frames`` fixed
+    offsets with deterministic fake PCM stats. Real path gated behind an
+    (absent) codec import, mirroring ImageDecode."""
+
+    def __init__(self, n_frames: int = 4, deterministic_fake: bool = True):
+        if not deterministic_fake:
+            raise NotImplementedError("audio codec not available in this container")
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("item_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        rows_id, rows_frame, rows_energy = [], [], []
+        for i, p in zip(ids, payloads):
+            seed = int.from_bytes(p[:8].ljust(8, b"\0"), "little")
+            rng = np.random.default_rng(seed)
+            for f in range(self.n_frames):
+                rows_id.append(int(i))
+                rows_frame.append(f)
+                rows_energy.append(float(rng.random()))
+        return pa.table({
+            "item_id": pa.array(rows_id, type=pa.int64()),
+            "frame_idx": pa.array(rows_frame, type=pa.int32()),
+            "energy": pa.array(rows_energy, type=pa.float64()),
+        })

@@ -1,0 +1,173 @@
+"""Similarity search over an embedding column (list<float>).
+
+Two tiers:
+
+- :func:`brute_force_topk` — the exactness baseline: broadcast the query
+  matrix once (``ray.put``), each batch does one float matmul and emits
+  only its local top-k candidates; a final tiny merge picks the global
+  top-k. Scales linearly in corpus size, perfectly in batch parallelism.
+- :class:`IVFIndex` — the scale path: coarse k-means centroids trained
+  on a driver-side sample, vectors partitioned into centroid buckets
+  (written as partitioned parquet — the "index"), queries probe only the
+  ``nprobe`` nearest buckets. Recall/latency trade documented per the
+  IVF literature (Jégou et al., PAMI 2011 product-quantization family).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["brute_force_topk", "IVFIndex"]
+
+
+def _batch_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
+    col = t.column(vec_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(col.flatten().to_numpy(zero_copy_only=False)).reshape(
+        t.num_rows, -1
+    ).astype(np.float64)
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     metric: str = "cosine") -> pd.DataFrame:
+    """Exact top-k for each query row → DataFrame(query_idx, rank, id, score)."""
+    import ray
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(queries)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(qref)
+            if metric == "cosine":
+                self.qn = self.q / (np.linalg.norm(self.q, axis=1, keepdims=True) + 1e-300)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            emb = _batch_matrix(t, vec_col)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            if metric == "cosine":
+                en = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-300)
+                scores = en @ self.qn.T  # (batch, nq)
+            elif metric == "dot":
+                scores = emb @ self.q.T
+            else:  # l2 → negative distance so "bigger is better" uniformly
+                scores = -(
+                    (emb**2).sum(1, keepdims=True)
+                    - 2 * emb @ self.q.T
+                    + (self.q**2).sum(1)
+                )
+            nq = scores.shape[1]
+            kk = min(k, len(ids))
+            part = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (kk, nq)
+            out_q = np.repeat(np.arange(nq), kk)
+            cand = part.T.reshape(-1)
+            return pa.table({
+                "query_idx": pa.array(out_q.astype(np.int64)),
+                id_col: pa.array(ids[cand]),
+                "score": pa.array(scores[cand, out_q]),
+            })
+
+    cand = ds.map_batches(Score, batch_format="pyarrow", concurrency=2).to_pandas()
+    cand = cand.sort_values(["query_idx", "score", id_col],
+                            ascending=[True, False, True])
+    top = cand.groupby("query_idx").head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_idx").cumcount() + 1
+    return top[["query_idx", "rank", id_col, "score"]]
+
+
+class IVFIndex:
+    """Inverted-file ANN index as partitioned parquet.
+
+    build(): sample → k-means (lightweight Lloyd iterations, driver
+    numpy) → assign every vector to its nearest centroid inside
+    map_batches → write one parquet partition per centroid bucket.
+    search(): score probes against centroids, read only the nprobe
+    bucket partitions, brute-force inside them.
+    """
+
+    def __init__(self, index_dir: str, n_centroids: int = 16,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        self.index_dir = index_dir
+        self.ncent = n_centroids
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.centroids: np.ndarray | None = None
+
+    # -- build -----------------------------------------------------------
+    def _train(self, sample: np.ndarray, iters: int = 10, seed: int = 0) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        cent = sample[rng.choice(len(sample), self.ncent, replace=False)].copy()
+        for _ in range(iters):
+            d = ((sample[:, None, :] - cent[None]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(self.ncent):
+                m = assign == c
+                if m.any():
+                    cent[c] = sample[m].mean(0)
+        return cent
+
+    def build(self, ds, sample_size: int = 4096, seed: int = 0) -> "IVFIndex":
+        import ray
+
+        os.makedirs(self.index_dir, exist_ok=True)
+        n = ds.count()
+        frac = min(1.0, sample_size / max(n, 1))
+        sample_tbl = ds.random_sample(frac, seed=seed).take_batch(
+            sample_size, batch_format="pyarrow"
+        )
+        sample = np.asarray(
+            pa.table(sample_tbl).column(self.vec_col).combine_chunks()
+            .flatten().to_numpy(zero_copy_only=False)
+        ).reshape(-1, len(sample_tbl[self.vec_col][0])).astype(np.float64)
+        self.centroids = self._train(sample, seed=seed)
+        np.save(os.path.join(self.index_dir, "centroids.npy"), self.centroids)
+        cref = ray.put(self.centroids)
+        vec_col, id_col = self.vec_col, self.id_col
+
+        class Assign:
+            def __init__(self):
+                self.cent = ray.get(cref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                emb = _batch_matrix(t, vec_col)
+                d = (emb**2).sum(1, keepdims=True) - 2 * emb @ self.cent.T + (self.cent**2).sum(1)
+                return t.append_column("bucket", pa.array(d.argmin(1).astype(np.int64)))
+
+        assigned = ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+        assigned.write_parquet(
+            os.path.join(self.index_dir, "buckets"),
+            partition_cols=["bucket"],
+        )
+        return self
+
+    @classmethod
+    def load(cls, index_dir: str, **kw) -> "IVFIndex":
+        out = cls(index_dir, **kw)
+        out.centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+        out.ncent = len(out.centroids)
+        return out
+
+    # -- search ----------------------------------------------------------
+    def search(self, query: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+        import ray.data
+
+        q = np.asarray(query, dtype=np.float64).reshape(-1)
+        d = ((self.centroids - q) ** 2).sum(1)
+        probes = np.argsort(d)[:nprobe]
+        import glob
+
+        paths = []
+        for b in probes:
+            d = os.path.join(self.index_dir, "buckets", f"bucket={int(b)}")
+            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+        if not paths:
+            return pd.DataFrame({self.id_col: [], "score": [], "rank": []})
+        sub = ray.data.read_parquet(paths)
+        out = brute_force_topk(sub, q[None, :], k=k,
+                               vec_col=self.vec_col, id_col=self.id_col)
+        return out[["rank", self.id_col, "score"]]

@@ -1,0 +1,245 @@
+"""Scale-pipeline stages: dedup (exact/minhash/simhash/embedding),
+similarity (brute force + IVF), text stats, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raysketch.stages.dedup import (
+    MinHasher,
+    SimHasher,
+    exact_dedup_keep_ids,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    ngram_jaccard,
+    simhash_dedup,
+    union_find_components,
+)
+from raysketch.stages.similarity import IVFIndex, brute_force_topk
+from raysketch.stages.textstats import Fingerprint, LangId, QualityScore, TokenCount
+
+
+def _docs_table():
+    rng = np.random.default_rng(77)
+    vocab = [f"word{i:03d}" for i in range(400)]
+    texts = []
+    for i in range(40):  # each doc: its own random 60-word bag → low cross-jaccard
+        texts.append(" ".join(rng.choice(vocab, size=60)))
+    # near-duplicate cluster: tiny edits of doc 0's text
+    texts.append(texts[0].replace(texts[0][:7], "edited!", 1))
+    texts.append(texts[0] + " extra tail words here")
+    gold_dups = [0, 40, 41]
+    # exact duplicate of doc 5
+    texts.append(texts[5])
+    return pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                     "text": pa.array(texts)}), gold_dups
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    tbl, gold = _docs_table()
+    return ray.data.from_arrow(tbl).repartition(4), tbl, gold
+
+
+class TestDedup:
+    def test_exact(self, docs_ds):
+        ds, tbl, _ = docs_ds
+        keep = exact_dedup_keep_ids(ds).to_pandas()["doc_id"].tolist()
+        texts = tbl.column("text").to_pylist()
+        assert len(keep) == len(set(texts))
+        assert 42 not in keep  # duplicate of doc 5
+        assert 5 in keep
+
+    def test_minhash_finds_near_dups(self, docs_ds):
+        ds, tbl, gold = docs_ds
+        out = minhash_dedup(ds, threshold=0.6)
+        comp = dict(zip(out["doc_id"], out["component"]))
+        assert comp.get(40) == comp.get(0) == 0
+        assert comp.get(41) == 0
+        # unrelated docs must not collapse into component 0
+        merged = [k for k, v in comp.items() if v == 0]
+        assert set(merged) <= {0, 40, 41, 42, 5}
+
+    def test_minhash_jaccard_estimate_quality(self, docs_ds):
+        ds, tbl, _ = docs_ds
+        sigs = ds.map_batches(MinHasher(num_perms=128), batch_format="pyarrow").materialize()
+        pairs = lsh_candidate_pairs(sigs).to_pandas()
+        from raysketch.stages.dedup import estimate_pair_jaccard
+
+        est = estimate_pair_jaccard(pairs, sigs)
+        texts = tbl.column("text").to_pylist()
+        for _, r in est.iterrows():
+            true_j = ngram_jaccard(texts[int(r["id_a"])], texts[int(r["id_b"])])
+            assert abs(r["est_jaccard"] - true_j) < 0.22
+
+    def test_simhash(self, docs_ds):
+        ds, tbl, gold = docs_ds
+        out = simhash_dedup(ds, max_hamming=6)
+        comp = dict(zip(out["doc_id"], out["component"]))
+        # exact duplicate pair must land together (hamming 0)
+        assert comp.get(42) == comp.get(5)
+
+    def test_union_find(self):
+        pairs = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+        comp = union_find_components(pairs)
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[10] == comp[11] == 10
+
+    def test_embedding_dedup(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((30, 16)).astype(np.float32)
+        base[7] = base[3] + 0.01 * rng.standard_normal(16)  # near-dup pair
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(base.reshape(-1)), 16
+            ).cast(pa.list_(pa.float32())),
+        })
+        from raysketch.stages.dedup import embedding_dedup
+
+        out = embedding_dedup(ray.data.from_arrow(tbl), threshold=0.98)
+        comp = dict(zip(out["vec_id"], out["component"]))
+        assert comp.get(7) == comp.get(3) == 3
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(1)
+        mat = rng.standard_normal((200, 16))
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), 16
+            ).cast(pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        q = rng.standard_normal((2, 16))
+        out = brute_force_topk(ds, q, k=5)
+        matf = np.asarray(
+            tbl.column("embedding").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).reshape(200, 16).astype(np.float64)
+        for qi in range(2):
+            cos = (matf @ q[qi]) / (np.linalg.norm(matf, axis=1) * np.linalg.norm(q[qi]))
+            expect = list(np.argsort(-cos)[:5])
+            got = out[out["query_idx"] == qi].sort_values("rank")["vec_id"].tolist()
+            assert got == expect
+
+    def test_ivf_recall(self, ray_session, tmp_path):
+        import ray.data
+
+        rng = np.random.default_rng(2)
+        mat = rng.standard_normal((500, 16)).astype(np.float64)
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(500, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1).astype(np.float32)), 16
+            ).cast(pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(tbl)
+        idx = IVFIndex(str(tmp_path / "ivf"), n_centroids=8).build(ds, sample_size=256)
+        q = mat[123] + 0.01  # near an existing vector
+        got = idx.search(q, k=5, nprobe=4)
+        assert 123 in got["vec_id"].tolist()
+        reload = IVFIndex.load(str(tmp_path / "ivf"))
+        got2 = reload.search(q, k=5, nprobe=4)
+        assert got2["vec_id"].tolist() == got["vec_id"].tolist()
+
+
+class TestTextStats:
+    def test_token_count(self):
+        t = pa.table({"text": ["hello world", "", "a b  c", "it's 42 ok!"]})
+        out = TokenCount()(t)
+        assert out.column("n_tokens_ws").to_pylist() == [2, 0, 3, 3]
+        assert out.column("n_chars").to_pylist() == [11, 0, 6, 11]
+        assert out.column("n_tokens_bpe").to_pylist()[0] >= 2
+
+    def test_lang_id(self):
+        t = pa.table({"text": [
+            "the cat and the dog are in the house for the night",
+            "der hund und die katze sind in einem schönen haus",
+            "les enfants mangent des pommes dans le jardin ensemble",
+            "",
+        ]})
+        out = LangId()(t)
+        preds = out.column("lang_pred").to_pylist()
+        assert preds[0] == "en"
+        assert preds[1] == "de"
+        assert preds[2] == "fr"
+        assert preds[3] == "und"
+
+    def test_quality(self):
+        t = pa.table({"text": [
+            "A normal sentence with reasonable words and structure in it.",
+            "aaa aaa aaa aaa aaa aaa aaa aaa",  # repetitive
+            "!!! ??? ### $$$ %%% ^^^ &&& ***",  # punctuation soup
+            "",
+        ]})
+        out = QualityScore()(t)
+        keep = out.column("quality_keep").to_pylist()
+        assert keep[0] == 1.0
+        assert keep[1] == 0.0  # max_word_rep = 1
+        assert keep[2] == 0.0
+        assert keep[3] == 0.0
+
+    def test_fingerprint_normalized(self):
+        t = pa.table({"text": ["Hello   World", "hello world", "different"]})
+        out = Fingerprint()(t)
+        fp = out.column("fingerprint").to_pylist()
+        assert fp[0] == fp[1]
+        assert fp[0] != fp[2]
+
+
+class TestMultimodal:
+    def test_pipeline_plumbing(self, ray_session):
+        import ray.data
+
+        from raysketch.stages.multimodal import (
+            ImageDecode,
+            ImageFeatures,
+            ImageResize,
+            make_fake_image_table,
+        )
+
+        tbl = make_fake_image_table(20, seed=1)
+        ds = ray.data.from_arrow(tbl)
+        out = (
+            ds.map_batches(ImageDecode, batch_format="pyarrow", batch_size=8, concurrency=1)
+            .map_batches(ImageResize, batch_size=8, concurrency=1)
+            .map_batches(ImageFeatures, batch_size=8, concurrency=1)
+        )
+        rows = out.take_all()
+        assert len(rows) == 20
+        assert rows[0]["feature"].shape == (14,)  # 3 mean + 3 std + 8 hist
+
+    def test_decode_deterministic(self):
+        from raysketch.stages.multimodal import ImageDecode, make_fake_image_table
+
+        tbl = make_fake_image_table(3, seed=5)
+        a = ImageDecode()(tbl)
+        b = ImageDecode()(tbl)
+        assert all(np.array_equal(x, y) for x, y in zip(a["image"], b["image"]))
+
+    def test_real_codec_gated(self):
+        from raysketch.stages.multimodal import AudioFrameSample
+
+        with pytest.raises(NotImplementedError):
+            AudioFrameSample(deterministic_fake=False)
+
+    def test_audio_frames(self, ray_session):
+        import ray.data
+
+        from raysketch.stages.multimodal import AudioFrameSample, make_fake_image_table
+
+        tbl = make_fake_image_table(5, seed=2)
+        out = ray.data.from_arrow(tbl).map_batches(
+            AudioFrameSample, batch_format="pyarrow", batch_size=4, concurrency=1
+        ).to_pandas()
+        assert len(out) == 20
+        assert set(out.columns) == {"item_id", "frame_idx", "energy"}
