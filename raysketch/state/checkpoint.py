@@ -1,0 +1,121 @@
+"""Per-partition checkpointing with lineage + metrics.
+
+Industrializes the reference's dump/load distribution story
+(/root/reference/README.md:157-176: partition externally → local sketch
+→ dump() → ship → merge): a long job over many input shards folds each
+shard to partial-sketch parquet under the checkpoint dir, records a
+lineage manifest entry (input files, row count, wall time, rows/s,
+output file), and the final merge runs over the partial files. A re-run
+skips every shard whose manifest entry is complete — for HLL/Bloom the
+idempotent max/or merge would even forgive double-folding, but the
+skip is *exactly-once*, which CMS/KLL/t-digest require
+(IDEMPOTENT_MERGE=False; SURVEY.md §7 "hard parts").
+
+Partial files are written atomically (tmp + rename) so a crash mid-shard
+never leaves a corrupt "complete" entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional, Sequence, Union
+
+__all__ = ["CheckpointedSketchJob"]
+
+
+class CheckpointedSketchJob:
+    def __init__(
+        self,
+        ckpt_dir: str,
+        sketch: str,
+        on: Union[str, Sequence[str]],
+        by: Optional[Sequence[str]] = None,
+        shard_files_per_task: int = 8,
+        **params,
+    ):
+        self.ckpt_dir = ckpt_dir
+        self.sketch = sketch
+        self.on = on
+        self.by = list(by) if by else None
+        self.group = shard_files_per_task
+        self.params = params
+        os.makedirs(os.path.join(ckpt_dir, "partials"), exist_ok=True)
+        self.manifest_path = os.path.join(ckpt_dir, "manifest.jsonl")
+
+    # -- lineage ---------------------------------------------------------
+    def _load_manifest(self) -> dict[str, dict]:
+        done = {}
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                for line in f:
+                    if line.strip():
+                        e = json.loads(line)
+                        done[e["shard_id"]] = e
+        return done
+
+    def _append_manifest(self, entry: dict) -> None:
+        with open(self.manifest_path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def manifest(self) -> list[dict]:
+        return list(self._load_manifest().values())
+
+    # -- run -------------------------------------------------------------
+    def _shards(self, input_files: Sequence[str]) -> list[tuple[str, list[str]]]:
+        files = sorted(input_files)
+        out = []
+        for i in range(0, len(files), self.group):
+            chunk = files[i : i + self.group]
+            out.append((f"shard-{i // self.group:05d}", chunk))
+        return out
+
+    def run(self, input_files: Sequence[str], merge_mode: str = "bytes"):
+        """Fold every shard (skipping completed ones), then merge all
+        partials. Returns the merged result (grouped Dataset or global
+        value, same contract as sketch_aggregate)."""
+        import ray.data
+
+        from ..agg import SketchMerge, fold_partials
+
+        done = self._load_manifest()
+        for shard_id, files in self._shards(input_files):
+            if shard_id in done:
+                continue
+            t0 = time.perf_counter()
+            ds = ray.data.read_parquet(files)
+            partials = fold_partials(ds, self.sketch, self.on, self.by, **self.params)
+            out_file = os.path.join(self.ckpt_dir, "partials", shard_id)
+            tmp_dir = out_file + ".tmp"
+            partials.write_parquet(tmp_dir)
+            # atomic publish: parquet dir rename
+            os.replace(tmp_dir, out_file)
+            wall = time.perf_counter() - t0
+            n_rows = sum(
+                e["partial_n"]
+                for e in ray.data.read_parquet(out_file)
+                .select_columns(["partial_n"])
+                .take_all()
+            )
+            self._append_manifest({
+                "shard_id": shard_id,
+                "input_files": files,
+                "rows_folded": n_rows,
+                "wall_sec": round(wall, 3),
+                "rows_per_sec": round(n_rows / wall) if wall > 0 else None,
+                "output": out_file,
+                "sketch": self.sketch,
+                "ts": time.time(),
+            })
+
+        import glob as _glob
+
+        partial_files = []
+        for e in self._load_manifest().values():
+            partial_files.extend(sorted(_glob.glob(os.path.join(e["output"], "*.parquet"))))
+        merged_ds = ray.data.read_parquet(partial_files)
+        agg = SketchMerge(self.sketch, on="sketch", mode=merge_mode, **self.params)
+        if self.by:
+            return merged_ds.groupby(self.by).aggregate(agg)
+        return merged_ds.aggregate(agg)[agg.name]

@@ -1,0 +1,82 @@
+"""Checkpoint/resume: lineage manifest, shard skipping, exactly-once
+folding, result equivalence with the direct aggregate."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from raysketch import HLL
+from raysketch.sources.transcripts import write_transcripts
+from raysketch.state.checkpoint import CheckpointedSketchJob
+
+
+@pytest.fixture(scope="module")
+def shards(ray_session, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tdata"))
+    path = write_transcripts(30000, root=root, rows_per_file=5000)
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def test_checkpointed_equals_direct(shards, tmp_path):
+    job = CheckpointedSketchJob(str(tmp_path / "ck"), "hll", on="conv_id",
+                                shard_files_per_task=2)
+    blob = job.run(shards)
+    local = HLL()
+    for f in shards:
+        local.add_batch(pq.read_table(f, columns=["conv_id"]).column("conv_id"))
+    assert np.array_equal(HLL.from_bytes(blob).regs, local.regs)
+
+    man = job.manifest()
+    assert len(man) == 3  # 6 files / 2 per shard
+    assert sum(e["rows_folded"] for e in man) == 30000
+    assert all(e["rows_per_sec"] > 0 for e in man)
+    assert all(os.path.exists(e["output"]) for e in man)
+
+
+def test_resume_skips_completed(shards, tmp_path):
+    ck = str(tmp_path / "ck2")
+    job = CheckpointedSketchJob(ck, "hll", on="conv_id", shard_files_per_task=3)
+    job.run(shards[:3])  # first shard only
+    man1 = job.manifest()
+    assert len(man1) == 1
+    ts1 = man1[0]["ts"]
+
+    # full run: shard-00000 must be skipped (same ts), shard-00001 added
+    blob = job.run(shards)
+    man2 = {e["shard_id"]: e for e in job.manifest()}
+    assert len(man2) == 2
+    assert man2["shard-00000"]["ts"] == ts1  # not re-folded (exactly-once)
+
+    local = HLL()
+    for f in shards:
+        local.add_batch(pq.read_table(f, columns=["conv_id"]).column("conv_id"))
+    assert HLL.from_bytes(blob).finalize() == local.finalize()
+
+
+def test_grouped_checkpoint(shards, tmp_path):
+    import pandas as pd
+
+    job = CheckpointedSketchJob(str(tmp_path / "ck3"), "hll", on="conv_id",
+                                by=["role"], shard_files_per_task=6)
+    out = job.run(shards, merge_mode="estimate").to_pandas()
+    df = pd.concat([pq.read_table(f, columns=["conv_id", "role"]).to_pandas() for f in shards])
+    exact = df.groupby("role")["conv_id"].nunique()
+    for _, r in out.iterrows():
+        e = exact[r["role"]]
+        assert abs(r["hll_merged"] - e) / max(e, 1) < 0.02
+
+
+def test_non_idempotent_sketch_exactly_once(shards, tmp_path):
+    """CMS totals double if a shard is folded twice — resume must not."""
+    from raysketch.sketches import CountMin
+
+    job = CheckpointedSketchJob(str(tmp_path / "ck4"), "countmin", on="tool",
+                                shard_files_per_task=3, width=1 << 12, depth=4)
+    job.run(shards)
+    blob = job.run(shards)  # second full run: all shards skipped
+    cm = CountMin.from_bytes(blob)
+    assert cm.total == 30000
