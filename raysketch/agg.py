@@ -134,10 +134,13 @@ def fold_partials(
     on: Union[str, Sequence[str]],
     by: Optional[Sequence[str]] = None,
     weight: Optional[str] = None,
-    batch_size: Optional[int] = 32768,
+    batch_size: Optional[int] = None,
     **params,
 ):
-    """Stage 1: Dataset → Dataset of per-batch partial sketch rows."""
+    """Stage 1: Dataset → Dataset of per-batch partial sketch rows.
+
+    ``batch_size=None`` (default) folds whole native blocks — zero
+    re-slicing; parquet row-group size is the effective batch size."""
     on_cols = [on] if isinstance(on, str) else list(on)
     need = list(dict.fromkeys(on_cols + (list(by) if by else []) + ([weight] if weight else [])))
     return ds.select_columns(need).map_batches(

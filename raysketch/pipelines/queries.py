@@ -485,3 +485,132 @@ ORACLES = {
         FROM orders GROUP BY o_orderpriority
     """,
 }
+
+
+# ====================================================================
+# 3. Stage pipelines as queries (dedup / similarity / text analysis /
+#    sessionization)
+# ====================================================================
+
+def sessionize_events(sf_dir: str) -> pd.DataFrame:
+    """Session windows per user (gap > 30 min ⇒ new session): the
+    stream-shaped operator — partition by key, order by ts within the
+    group, window with pandas inside map_groups (ray_guide.md
+    "Streaming-shaped workloads")."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        new = (ts.diff() > pd.Timedelta(minutes=30)).sum() + 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [int(new)]})
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+def ivf_ann_top10(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN with nprobe = n_centroids (exhaustive ⇒ exact, so it
+    shares the brute-force SQL oracle; production uses nprobe ≪
+    n_centroids for the recall/latency trade)."""
+    import tempfile
+
+    from ..stages.similarity import IVFIndex
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first["embedding"][0])
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), "raysketch_data", f"ivf_{sf_of(sf_dir)}"
+    )
+    if os.path.exists(os.path.join(idx_dir, "centroids.npy")):
+        idx = IVFIndex.load(idx_dir)
+    else:
+        idx = IVFIndex(idx_dir, n_centroids=8).build(ds, sample_size=256)
+    out = idx.search(np.ones(dim), k=10, nprobe=idx.ncent)
+    return out[["rank", "vec_id"]].reset_index(drop=True)
+
+
+def minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate components over documents (MinHash+LSH)."""
+    from ..stages.dedup import minhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup(ds, threshold=0.8)
+
+
+def simhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dedup(ds, max_hamming=3)
+
+
+def embedding_dedup_vecs(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import embedding_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_dedup(ds, threshold=0.95)
+
+
+def lang_id_docs(sf_dir: str) -> pd.DataFrame:
+    from ..stages.textstats import LangId
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(LangId(), batch_format="pyarrow", batch_size=256)
+    return out.to_pandas()[["doc_id", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_docs(sf_dir: str) -> pd.DataFrame:
+    from ..stages.textstats import QualityScore
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(QualityScore(), batch_format="pyarrow", batch_size=256)
+    return out.to_pandas()[
+        ["doc_id", "alpha_ratio", "stopword_ratio", "max_word_rep", "quality_keep"]
+    ].sort_values("doc_id").reset_index(drop=True)
+
+
+def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
+    from ..stages.textstats import Fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprint(), batch_format="pyarrow")
+    return out.to_pandas()[["doc_id", "fingerprint"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def token_count_docs(sf_dir: str) -> pd.DataFrame:
+    from ..stages.textstats import TokenCount
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(TokenCount(), batch_format="pyarrow", batch_size=256)
+    return out.to_pandas()[
+        ["doc_id", "n_chars", "n_tokens_ws", "n_tokens_bpe"]
+    ].sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES.update({
+    "sessionize_events": sessionize_events,
+    "ivf_ann_top10": ivf_ann_top10,
+    "minhash_dedup_docs": minhash_dedup_docs,
+    "simhash_dedup_docs": simhash_dedup_docs,
+    "embedding_dedup_vecs": embedding_dedup_vecs,
+    "lang_id_docs": lang_id_docs,
+    "quality_docs": quality_docs,
+    "fingerprint_docs": fingerprint_docs,
+    "token_count_docs": token_count_docs,
+})
+
+ORACLES.update({
+    "sessionize_events": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        FROM (SELECT user_id, ts,
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+              FROM events)
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "ivf_ann_top10": ORACLES["knn_cosine_top10"],
+})

@@ -76,14 +76,15 @@ class CountMin:
         pos = np.empty((self.d, len(h1)), dtype=np.int64)
         for i in range(self.d):
             pos[i] = ((h1 + np.uint64(i) * h2) % w).astype(np.int64)
+        # bincount is ~10x faster than np.add.at for scatter-add
         if weights is None:
             for i in range(self.d):
-                np.add.at(self.table[i], pos[i], 1)
+                self.table[i] += np.bincount(pos[i], minlength=self.w)
             self.total += pos.shape[1]
         else:
             wts = np.asarray(weights, dtype=np.int64)
             for i in range(self.d):
-                np.add.at(self.table[i], pos[i], wts)
+                self.table[i] += np.bincount(pos[i], weights=wts, minlength=self.w).astype(np.int64)
             self.total += int(wts.sum())
 
     def estimate_batch(self, column) -> np.ndarray:

@@ -207,7 +207,7 @@ def gen_transcripts(n_turns: int, seed: int = 42) -> pa.Table:
 
 
 def transcripts_path(n_turns: int, seed: int = 42, root: str = "/tmp/raysketch_data") -> str:
-    tag = hashlib.sha1(f"v1:{n_turns}:{seed}".encode()).hexdigest()[:10]
+    tag = hashlib.sha1(f"v2:{n_turns}:{seed}".encode()).hexdigest()[:10]
     return os.path.join(root, f"transcripts_n{n_turns}_s{seed}_{tag}")
 
 
@@ -215,7 +215,7 @@ def write_transcripts(
     n_turns: int,
     seed: int = 42,
     root: str = "/tmp/raysketch_data",
-    rows_per_file: int = 1_000_000,
+    rows_per_file: int = 125_000,
 ) -> str:
     """Generate + write partitioned parquet shard-at-a-time (bounded
     memory; one file per ~1M rows so reads parallelize). Idempotent —
@@ -230,7 +230,8 @@ def write_transcripts(
     for i in range(nfiles):
         sl = slice(i * rows_per_file, min((i + 1) * rows_per_file, n_turns))
         tbl = _gen_columns(conv_i[sl], turn_idx[sl], seed)
-        pq.write_table(tbl, os.path.join(path, f"part-{i:05d}.parquet"))
+        pq.write_table(tbl, os.path.join(path, f"part-{i:05d}.parquet"),
+                       row_group_size=31250)
     with open(done, "w") as f:
         f.write("ok\n")
     return path
