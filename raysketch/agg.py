@@ -65,6 +65,10 @@ def make_fold_fn(
     only) adds per-row weights.
     """
     cls = SKETCHES[sketch]
+    if sketch == "hll":
+        # sparse wire encoding for small partials (redis.c:32 threshold
+        # decides sparse vs dense per state) — shrinks the shuffle
+        params.setdefault("sparse", True)
     on_cols = [on] if isinstance(on, str) else list(on)
     by = list(by) if by else []
     is_hash = sketch in _HASH_SKETCHES
@@ -134,13 +138,16 @@ def fold_partials(
     on: Union[str, Sequence[str]],
     by: Optional[Sequence[str]] = None,
     weight: Optional[str] = None,
-    batch_size: Optional[int] = None,
+    batch_size: Optional[int] = 262144,
     **params,
 ):
     """Stage 1: Dataset → Dataset of per-batch partial sketch rows.
 
-    ``batch_size=None`` (default) folds whole native blocks — zero
-    re-slicing; parquet row-group size is the effective batch size."""
+    Default batch_size (256k rows) keeps the vectorized fold cheap while
+    emitting few partial rows — the grouped-merge shuffle then moves
+    ~(n_batches × n_keys) KB-size states, and Ray coalesces small
+    native blocks up to this size. Pass None to fold whole native
+    blocks as-is."""
     on_cols = [on] if isinstance(on, str) else list(on)
     need = list(dict.fromkeys(on_cols + (list(by) if by else []) + ([weight] if weight else [])))
     return ds.select_columns(need).map_batches(

@@ -343,12 +343,13 @@ def cms_tool_top10(sf_dir: str) -> pd.DataFrame:
     blob = sketch_aggregate(ds, "countmin", on="tool", mode="bytes",
                             width=1 << 15, depth=5)
     cm = CountMin.from_bytes(blob)
-    cand = (
-        ds.map_batches(lambda t: pa.table({"tool": pc.unique(t.column("tool"))}),
-                       batch_format="pyarrow")
-        .groupby("tool").count().select_columns(["tool"]).to_pandas()["tool"]
-    )
-    cand = [c for c in cand if c]  # drop the non-tool empty string
+    # candidate vocabulary: per-batch unique (bounded by the tool
+    # vocabulary) → tiny result → dedupe on the driver; no shuffle
+    cand_df = ds.map_batches(
+        lambda t: pa.table({"tool": pc.unique(t.column("tool"))}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    cand = sorted(c for c in cand_df["tool"].unique() if c)  # drop non-tool ""
     ests = cm.estimate_batch(cand)
     df = pd.DataFrame({"tool": cand, "est_count": ests})
     return df.sort_values(["est_count", "tool"], ascending=[False, True]) \
