@@ -134,37 +134,46 @@ def run_scaling_workload() -> dict:
     import pyarrow.compute as pc
     import ray.data
 
-    from raysketch.agg import sketch_aggregate
+    from raysketch.agg import multi_sketch_aggregate
 
     for f in glob.glob(os.path.join(tpath, "*.parquet")):
         with open(f, "rb") as fh:
             fh.read()
 
     def job():
-        # per-turn sketch updates over the full text payload; every
-        # stage's output is a KB-size state (nothing big re-enters the
-        # object store, exactly the 100 TB design point)
+        # ONE pass over the turns updating every sketch family — the
+        # flagship sketch-update workload: each output is a KB-size
+        # state, nothing big re-enters the object store
         ds = ray.data.read_parquet(tpath, columns=["conv_id", "text", "tool"])
-        sketch_aggregate(ds, "hll", on="text", mode="estimate")
-        sketch_aggregate(ds, "hll", on="conv_id", mode="estimate")
-        sketch_aggregate(ds, "countmin", on="tool", mode="bytes", width=1 << 15)
-        lens = ds.map_batches(
-            lambda t: pa.table({"v": pc.cast(pc.utf8_length(t.column("text")), pa.int64())}),
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "text_len", pc.cast(pc.utf8_length(t.column("text")), pa.int64())
+            ),
             batch_format="pyarrow",
         )
-        sketch_aggregate(lens, "kll", on="v", mode="estimate")
-        sketch_aggregate(lens, "tdigest", on="v", mode="estimate")
+        multi_sketch_aggregate(ds, {
+            "distinct_texts": {"sketch": "hll", "on": "text"},
+            "distinct_convs": {"sketch": "hll", "on": "conv_id"},
+            "distinct_pairs": {"sketch": "hll", "on": ["conv_id", "tool"]},
+            "tool_counts": {"sketch": "countmin", "on": "tool",
+                            "mode": "bytes", "width": 1 << 15},
+            "len_kll": {"sketch": "kll", "on": "text_len"},
+            "len_tdigest": {"sketch": "tdigest", "on": "text_len"},
+            "seen": {"sketch": "bloom", "on": "conv_id", "mode": "bytes",
+                     "num_bits": 1 << 23, "num_hashes": 5},
+        }, batch_size=65536)
 
     job()  # warm workers + allocators (untimed)
-    best = float("inf")
-    for _ in range(2):
+    reps = []
+    for _ in range(3):
         t0 = _t.perf_counter()
         job()
-        best = min(best, _t.perf_counter() - t0)
+        reps.append(round(_t.perf_counter() - t0, 3))
+    med = sorted(reps)[1]
     ray.shutdown()
-    return {"metric": "scaling_workload_sec", "value": round(best, 3),
+    return {"metric": "scaling_workload_sec", "value": med, "reps": reps,
             "unit": "sec", "num_cpus": ncpu, "n_turns": n_turns,
-            "turns_per_sec": round(n_turns / best)}
+            "turns_per_sec": round(n_turns / med)}
 
 
 def run_scaling() -> dict:
@@ -191,6 +200,8 @@ def run_scaling() -> dict:
         "num_cpus_hi": hi,
         "sec_lo": r_lo["value"],
         "sec_hi": r_hi["value"],
+        "reps_lo": r_lo["reps"],
+        "reps_hi": r_hi["reps"],
         "turns_per_sec_lo": r_lo["turns_per_sec"],
         "turns_per_sec_hi": r_hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),

@@ -29,7 +29,7 @@ import pyarrow as pa
 from .sketches import SKETCHES
 from .sketches.base import hash_column, hash_composite
 
-__all__ = ["fold_partials", "SketchMerge", "sketch_aggregate", "make_fold_fn"]
+__all__ = ["fold_partials", "SketchMerge", "sketch_aggregate", "multi_sketch_aggregate", "make_fold_fn"]
 
 _HASH_SKETCHES = {"hll", "bloom", "countmin"}  # fold hashed byte elements
 _VALUE_SKETCHES = {"kll", "tdigest"}  # fold numeric values
@@ -252,3 +252,74 @@ def sketch_aggregate(
         return partials.groupby(by_cols).aggregate(agg)
     result = partials.aggregate(agg)
     return result[agg.name]
+
+
+def multi_sketch_aggregate(
+    ds,
+    specs: "dict[str, dict]",
+    by: Optional[Union[str, Sequence[str]]] = None,
+    batch_size: Optional[int] = 262144,
+):
+    """ONE pass over the data updating MANY sketches — the 100 TB-scale
+    answer to "compute all the summaries": the input is read and decoded
+    once, every batch updates every sketch, and a single merge stage
+    combines all states.
+
+    ``specs``: {output_name: {"sketch": ..., "on": ..., "mode": ...,
+    **params}}. Returns a dict of results (global) or a Dataset with one
+    column per spec (grouped).
+
+    Example::
+
+        multi_sketch_aggregate(ds, {
+            "distinct_convs": {"sketch": "hll", "on": "conv_id"},
+            "tool_counts":   {"sketch": "countmin", "on": "tool",
+                               "mode": "bytes"},
+            "len_quantiles": {"sketch": "tdigest", "on": "text_len"},
+        })
+    """
+    by_cols = [by] if isinstance(by, str) else (list(by) if by else None)
+    folds = {}
+    need: list[str] = list(by_cols or [])
+    for name, spec in specs.items():
+        spec = dict(spec)
+        sketch = spec.pop("sketch")
+        on = spec.pop("on")
+        spec.pop("mode", None)
+        weight = spec.pop("weight", None)
+        folds[name] = make_fold_fn(sketch, on, by_cols, weight, **spec)
+        on_cols = [on] if isinstance(on, str) else list(on)
+        need.extend(on_cols + ([weight] if weight else []))
+    need = list(dict.fromkeys(need))
+
+    def fold_all(batch: pa.Table) -> pa.Table:
+        out = None
+        for name, fn in folds.items():
+            part = fn(batch)
+            if out is None:
+                cols = {c: part.column(c) for c in (by_cols or [])}
+                cols[f"sk_{name}"] = part.column("sketch")
+                cols["partial_n"] = part.column("partial_n")
+            else:
+                cols = {c: out.column(c) for c in out.column_names}
+                cols[f"sk_{name}"] = part.column("sketch")
+            out = pa.table(cols)
+        return out
+
+    partials = ds.select_columns(need).map_batches(
+        fold_all, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    aggs = []
+    for name, spec in specs.items():
+        spec = dict(spec)
+        sketch = spec.pop("sketch")
+        spec.pop("on")
+        mode = spec.pop("mode", "estimate")
+        spec.pop("weight", None)
+        aggs.append(SketchMerge(sketch, on=f"sk_{name}", alias_name=name,
+                                mode=mode, **spec))
+    if by_cols:
+        return partials.groupby(by_cols).aggregate(*aggs)
+    result = partials.aggregate(*aggs)
+    return {name: result[name] for name in specs}

@@ -115,3 +115,49 @@ def test_partial_fold_shapes(transcripts):
     t = partials.take(3)
     assert set(t[0].keys()) == {"role", "sketch", "partial_n"}
     assert isinstance(t[0]["sketch"], bytes)
+
+
+def test_multi_sketch_single_pass(transcripts):
+    """One pass over the data updates all five sketch families; results
+    match the individual aggregates."""
+    import pyarrow.compute as pc
+
+    from raysketch.agg import multi_sketch_aggregate
+    from raysketch.sketches import CountMin
+
+    ds, tbl = transcripts
+    ds_len = ds.map_batches(
+        lambda t: t.append_column(
+            "text_len", pc.cast(pc.utf8_length(t.column("text")), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    out = multi_sketch_aggregate(ds_len, {
+        "distinct_convs": {"sketch": "hll", "on": "conv_id"},
+        "distinct_pairs": {"sketch": "hll", "on": ["role", "tool"]},
+        "tool_counts": {"sketch": "countmin", "on": "tool", "mode": "bytes",
+                        "width": 1 << 14, "depth": 5},
+        "len_quantiles": {"sketch": "tdigest", "on": "text_len"},
+        "seen": {"sketch": "bloom", "on": "conv_id", "mode": "bytes",
+                 "capacity": 10000},
+    })
+    df = tbl.to_pandas()
+    exact = df["conv_id"].nunique()
+    assert abs(out["distinct_convs"] - exact) / exact < 0.02
+    exact_pairs = len(df.groupby(["role", "tool"]).size())
+    assert abs(out["distinct_pairs"] - exact_pairs) <= max(1, 0.02 * exact_pairs)
+    cm = CountMin.from_bytes(out["tool_counts"])
+    assert cm.total == len(df)
+    assert out["len_quantiles"]["n"] == len(df)
+
+    # grouped variant
+    g = multi_sketch_aggregate(ds_len, {
+        "distinct_convs": {"sketch": "hll", "on": "conv_id"},
+        "len_q": {"sketch": "kll", "on": "text_len",
+                  "mode": lambda sk: sk.quantile(0.5)},
+    }, by="role").to_pandas()
+    per_role = df.groupby("role")["conv_id"].nunique()
+    for _, r in g.iterrows():
+        e = per_role[r["role"]]
+        assert abs(r["distinct_convs"] - e) / max(e, 1) < 0.02
+        assert r["len_q"] >= 0
