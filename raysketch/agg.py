@@ -237,6 +237,7 @@ def sketch_aggregate(
     mode: Union[str, Callable] = "estimate",
     alias_name: Optional[str] = None,
     batch_size: Optional[int] = 32768,
+    salt: Optional[int] = None,
     **params,
 ):
     """End-to-end sketch aggregation.
@@ -244,10 +245,36 @@ def sketch_aggregate(
     - ``by=None``: returns the merged sketch/estimate (a plain value /
       dict) — the global union, computed without materializing raw rows.
     - ``by=cols``: returns a Dataset with one row per group.
+    - ``salt=S``: two-stage skew defusal for hot group keys. Per-batch
+      partials already bound each key to ≤1 row per batch, but at
+      100 TB a zipf-hot conv_id still funnels ~n_batches partial rows
+      into ONE reducer; salting splits that key's merge across S
+      sub-reducers (groupby (key, salt) → merge → groupby key over S
+      rows). Merge associativity (hyperloglog.c:1038-1077) makes the
+      two-stage result identical to the direct one.
     """
     by_cols = [by] if isinstance(by, str) else (list(by) if by else None)
     partials = fold_partials(ds, sketch, on, by_cols, weight, batch_size, **params)
     agg = SketchMerge(sketch, on="sketch", alias_name=alias_name, mode=mode, **params)
+    if by_cols and salt:
+        def add_salt(t: pa.Table) -> pa.Table:
+            # deterministic per-batch entropy (first sketch's bytes) so the
+            # same key gets different salts in different batches
+            import zlib
+
+            first = t.column("sketch")[0].as_py() if t.num_rows else b""
+            ent = zlib.crc32(first[:64])
+            s = (np.arange(t.num_rows, dtype=np.int64) + ent) % salt
+            return t.append_column("__salt", pa.array(s))
+
+        stage1 = (
+            partials.map_batches(add_salt, batch_format="pyarrow")
+            .groupby(by_cols + ["__salt"])
+            .aggregate(SketchMerge(sketch, on="sketch", alias_name="sketch",
+                                   mode="bytes", **params))
+            .select_columns(by_cols + ["sketch"])
+        )
+        return stage1.groupby(by_cols).aggregate(agg)
     if by_cols:
         return partials.groupby(by_cols).aggregate(agg)
     result = partials.aggregate(agg)

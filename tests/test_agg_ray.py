@@ -161,3 +161,51 @@ def test_multi_sketch_single_pass(transcripts):
         e = per_role[r["role"]]
         assert abs(r["distinct_convs"] - e) / max(e, 1) < 0.02
         assert r["len_q"] >= 0
+
+
+def test_salted_two_stage_identical(transcripts):
+    """Skew defusal: salted two-stage grouped merge must equal the
+    direct grouped merge exactly (merge associativity)."""
+    ds, tbl = transcripts
+    direct = sketch_aggregate(ds, "hll", on="conv_id", by="role",
+                              mode="estimate", alias_name="d").to_pandas()
+    salted = sketch_aggregate(ds, "hll", on="conv_id", by="role",
+                              mode="estimate", alias_name="d",
+                              salt=8).to_pandas()
+    a = direct.sort_values("role").reset_index(drop=True)
+    b = salted.sort_values("role").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_null_keys_and_empty_strings(ray_session):
+    """Null group keys and empty-string elements flow through (the
+    reference treats "" as a real element; nulls coerce to "")."""
+    import ray.data
+
+    t = pa.table({
+        "k": pa.array(["a", None, "a", None]),
+        "v": pa.array(["", "x", None, "y"]),
+    })
+    ds = ray.data.from_arrow(t)
+    out = sketch_aggregate(ds, "hll", on="v", by="k",
+                           mode="estimate", alias_name="n").to_pandas()
+    # group "a": elements {"", null→""} → 1 distinct; group null: {x, y} → 2
+    got = {row["k"]: row["n"] for _, row in out.iterrows()}
+    assert got["a"] == 1
+    assert got[None] == 2
+
+
+@pytest.mark.parametrize("p", [8, 10, 12, 16])
+def test_hll_precision_range(ray_session, p):
+    """Error bound 1.04/sqrt(2^p) holds across the precision range."""
+    h = HLL(p=p)
+    n = 50000
+    h.add_batch([f"e{i}" for i in range(n)])
+    sigma = 1.04 / np.sqrt(1 << p)
+    assert abs(h.finalize() - n) <= 4 * sigma * n + 1
+    # round-trips through the private wire format
+    h2 = HLL.from_bytes(h.to_bytes())
+    assert h2.p == p and np.array_equal(h2.regs, h.regs)
+    # cross-precision merges rejected
+    with pytest.raises(ValueError):
+        HLL(p=p).merge(HLL(p=14))
