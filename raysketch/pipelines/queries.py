@@ -615,3 +615,130 @@ ORACLES.update({
     """,
     "ivf_ann_top10": ORACLES["knn_cosine_top10"],
 })
+
+
+def events_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """1-hour windows sliding every 30 min: each event lands in exactly
+    two windows — emitted per batch as duplicated (window_start, type)
+    rows, then a plain groupby. The window assignment never shuffles
+    more than 2x the (already tiny) projected rows."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    HALF = 1_800_000_000  # 30 min in us
+
+    def windows(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        base = (us // HALF) * HALF
+        starts = np.concatenate([base - HALF, base])
+        ev = t.column("event_type").to_numpy(zero_copy_only=False)
+        val = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "window_start": pa.array(np.concatenate([starts[:len(us)], starts[len(us):]]),
+                                     type=pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(np.concatenate([ev, ev])),
+            "value_cents": pa.array(np.concatenate([val, val])),
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("value_cents", alias_name="sum_value_cents"),
+                   Count(alias_name="n"))
+    )
+    return out.to_pandas()
+
+
+def multi_sketch_summary(sf_dir: str) -> pd.DataFrame:
+    """All north-rule sketches in ONE pass over the transcript table
+    (single read/decode; the merge stage combines every family)."""
+    from ..agg import multi_sketch_aggregate
+
+    ds = transcripts_ds(sf_dir, columns=["conv_id", "role", "tool", "text"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "text_len", pc.cast(pc.utf8_length(t.column("text")), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    out = multi_sketch_aggregate(ds, {
+        "distinct_convs": {"sketch": "hll", "on": "conv_id"},
+        "distinct_pairs": {"sketch": "hll", "on": ["role", "tool"]},
+        "p50_len": {"sketch": "tdigest", "on": "text_len",
+                    "mode": lambda sk: float(sk.quantile(0.5))},
+        "p99_len": {"sketch": "kll", "on": "text_len",
+                    "mode": lambda sk: float(sk.quantile(0.99))},
+    })
+    return _one_row(**{k: float(v) for k, v in out.items()})
+
+
+def curate_documents(sf_dir: str) -> pd.DataFrame:
+    """End-to-end training-data curation: quality filter → exact dedup →
+    per-language counts; curated rows stream to partitioned parquet
+    (resumable layout), only the summary is materialized."""
+    import tempfile
+
+    from ..stages.dedup import exact_dedup_keep_ids
+    from ..stages.textstats import LangId, QualityScore
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    keep_ids = set(
+        exact_dedup_keep_ids(ds).to_pandas()["doc_id"]
+    )
+    import ray
+
+    keep_ref = ray.put(np.array(sorted(keep_ids), dtype=np.int64))
+
+    class DedupFilter:
+        def __init__(self):
+            self.keys = ray.get(keep_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, ids)
+            pos = np.minimum(pos, len(self.keys) - 1)
+            return t.filter(pa.array(self.keys[pos] == ids))
+
+    curated = (
+        ds.map_batches(DedupFilter, batch_format="pyarrow", concurrency=2)
+        .map_batches(QualityScore(), batch_format="pyarrow", batch_size=256)
+        .map_batches(lambda t: t.filter(pc.equal(t.column("quality_keep"), 1.0)),
+                     batch_format="pyarrow")
+        .map_batches(LangId(), batch_format="pyarrow", batch_size=256)
+    )
+    out_dir = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                           f"curated_{sf_of(sf_dir)}")
+    curated.select_columns(["doc_id", "lang_pred"]).write_parquet(out_dir)
+    import ray.data
+
+    summary = (
+        ray.data.read_parquet(out_dir)
+        .groupby("lang_pred").count()
+        .to_pandas().rename(columns={"count()": "n_docs"})
+    )
+    return summary.sort_values("lang_pred").reset_index(drop=True)
+
+
+QUERIES.update({
+    "events_sliding_window": events_sliding_window,
+    "multi_sketch_summary": multi_sketch_summary,
+    "curate_documents": curate_documents,
+})
+
+ORACLES.update({
+    "events_sliding_window": """
+        WITH w AS (
+          SELECT to_timestamp(floor(epoch(ts)/1800)*1800 - 1800) AS window_start,
+                 event_type, CAST(ROUND(value*100) AS BIGINT) AS vc
+          FROM events
+          UNION ALL
+          SELECT to_timestamp(floor(epoch(ts)/1800)*1800) AS window_start,
+                 event_type, CAST(ROUND(value*100) AS BIGINT) AS vc
+          FROM events
+        )
+        SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+               CAST(SUM(vc) AS BIGINT) AS sum_value_cents,
+               COUNT(*) AS n
+        FROM w GROUP BY 1, 2
+    """,
+})

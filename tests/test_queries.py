@@ -79,3 +79,23 @@ def test_entry_smoke(ray_session):
     assert set(df.columns) == {"metric", "key", "value"}
     g = df[df["metric"] == "distinct_convs_est"]["value"].iloc[0]
     assert g > 0
+
+
+def test_distinct_count_text_files(ray_session, tmp_path):
+    """hllcnt semantics over a file set: estimate equals the reference
+    binary's golden output for the same corpus."""
+    from raysketch.sources.textlines import distinct_count_files
+
+    lines = [str(i) for i in range(10000)]
+    for i in range(4):
+        (tmp_path / f"part{i}.txt").write_text("\n".join(lines[i::4]) + "\n")
+    n, est = distinct_count_files([str(tmp_path / f"part{i}.txt") for i in range(4)])
+    assert n == 10000
+    assert est == 9976  # tests/golden/estimates.json ints_10k
+
+
+def test_new_pipeline_queries_smoke(ray_session):
+    out = Q.multi_sketch_summary(SF_DIR)
+    assert out["distinct_convs"][0] > 0 and out["p99_len"][0] >= out["p50_len"][0]
+    cur = Q.curate_documents(SF_DIR)
+    assert cur["n_docs"].sum() > 0
