@@ -1,0 +1,72 @@
+"""Bucketed hash join / as-of join vs pandas ground truth."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def frames(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 200, size=2000).astype(str),
+        "lv": rng.integers(0, 1000, size=2000),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 300, size=1500).astype(str),
+        "rv": rng.integers(0, 1000, size=1500),
+    })
+    return (ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(4), left, right)
+
+
+def test_inner_join_matches_pandas(frames):
+    from raysketch.stages.joins import bucket_hash_join
+
+    lds, rds, left, right = frames
+    got = bucket_hash_join(lds, rds, on="k", num_buckets=16).to_pandas()
+    exp = left.merge(right, on="k", how="inner")
+    key = lambda df: sorted(map(tuple, df[["k", "lv", "rv"]].itertuples(index=False)))
+    assert key(got) == key(exp)
+
+
+def test_left_join_matches_pandas(frames):
+    from raysketch.stages.joins import bucket_hash_join
+
+    lds, rds, left, right = frames
+    got = bucket_hash_join(lds, rds, on="k", how="left", num_buckets=16).to_pandas()
+    exp = left.merge(right, on="k", how="left")
+    assert len(got) == len(exp)
+    assert got["rv"].isna().sum() == exp["rv"].isna().sum()
+
+
+def test_asof_join(ray_session):
+    import ray.data
+
+    from raysketch.stages.joins import asof_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 10, size=500).astype(str),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, size=500), unit="s"),
+        "lv": np.arange(500),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 10, size=300).astype(str),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, size=300), unit="s"),
+        "rv": np.arange(300),
+    })
+    got = asof_join(ray.data.from_pandas(left).repartition(3),
+                    ray.data.from_pandas(right).repartition(3),
+                    key="k", ts="ts", num_buckets=8).to_pandas()
+    exp = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                        on="ts", by="k")
+    assert len(got) == len(exp)
+    g = got.sort_values("lv").reset_index(drop=True)
+    e = exp.sort_values("lv").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        g["rv"].astype("float64"), e["rv"].astype("float64"), check_names=False
+    )
