@@ -742,3 +742,43 @@ ORACLES.update({
         FROM w GROUP BY 1, 2
     """,
 })
+
+
+def join_lineitem_orders(sf_dir: str) -> pd.DataFrame:
+    """Large×large bucketed hash join (both sides shuffle once into
+    hash-bucket pairs): revenue by order priority across lineitem⋈orders."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import bucket_hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    li = li.map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("l_orderkey"),
+                            "price_cents": _cents(t.column("l_extendedprice"))}),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("o_orderkey"),
+                            "o_orderpriority": t.column("o_orderpriority")}),
+        batch_format="pyarrow",
+    )
+    joined = bucket_hash_join(li, orders, on="l_orderkey", num_buckets=32)
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("price_cents", alias_name="sum_price_cents"),
+        Count(alias_name="n_items"),
+    ).to_pandas()
+    # empty bucket groups upcast the sum to float64; values are exact ints
+    out["sum_price_cents"] = out["sum_price_cents"].astype("int64")
+    return out
+
+
+QUERIES["join_lineitem_orders"] = join_lineitem_orders
+ORACLES["join_lineitem_orders"] = """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+"""

@@ -209,3 +209,19 @@ def test_hll_precision_range(ray_session, p):
     # cross-precision merges rejected
     with pytest.raises(ValueError):
         HLL(p=p).merge(HLL(p=14))
+
+
+def test_fold_with_empty_batches(ray_session):
+    """Batches that become empty after a filter must not break the fold."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    t = pa.table({"k": ["a"] * 100 + ["b"] * 100, "v": [str(i) for i in range(200)]})
+    ds = ray.data.from_arrow(t).repartition(4).map_batches(
+        lambda b: b.filter(pc.equal(b.column("k"), "a")), batch_format="pyarrow"
+    )
+    est = sketch_aggregate(ds, "hll", on="v", mode="estimate")
+    assert est == 100
+    out = sketch_aggregate(ds, "hll", on="v", by="k", mode="estimate",
+                           alias_name="n").to_pandas()
+    assert dict(zip(out["k"], out["n"])) == {"a": 100}
