@@ -41,6 +41,9 @@ def run_bench() -> dict:
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
+    # NOTE: ShuffleStrategy.HASH_SHUFFLE was evaluated: ~20% faster for
+    # the tiny grouped sketch merges but 5-8x slower for many-key
+    # groupbys (Q1, exact distinct) — the sort-based default wins overall
     DataContext.get_current().enable_progress_bars = False
 
     import glob
@@ -129,6 +132,9 @@ def run_scaling_workload() -> dict:
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
+    # NOTE: ShuffleStrategy.HASH_SHUFFLE was evaluated: ~20% faster for
+    # the tiny grouped sketch merges but 5-8x slower for many-key
+    # groupbys (Q1, exact distinct) — the sort-based default wins overall
     DataContext.get_current().enable_progress_bars = False
     import pyarrow as pa
     import pyarrow.compute as pc
