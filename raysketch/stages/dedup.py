@@ -141,12 +141,16 @@ class MinHasher:
 
 
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
-                        sig_col: str = "minhash"):
+                        sig_col: str = "minhash", max_bucket_size: int = 1000):
     """Signatures → LSH banding → candidate pairs with estimated Jaccard.
 
     Emits (band, band_hash, id) rows, groups by bucket, and yields pairs
-    within each bucket (buckets are tiny for sane thresholds). Pair
-    Jaccard is then estimated from full-signature agreement.
+    within each bucket. Buckets larger than ``max_bucket_size`` would
+    explode quadratically (a bucket of 100k identical docs = 5e9 pairs);
+    such a bucket is truncated to its ``max_bucket_size`` smallest ids
+    and an explicit ``truncated_bucket`` marker row is emitted so the
+    cap is never silent — downstream treats the surviving clique as one
+    duplicate group, which is semantically what a mega-bucket is.
     """
     import pandas as pd
 
@@ -175,17 +179,33 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "truncated_bucket": pd.Series([], dtype="int64")})
         ids = np.sort(g[id_col].to_numpy())
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+        truncated = len(ids) > max_bucket_size
+        if truncated:
+            ids = ids[:max_bucket_size]
+        # star pattern (min id ↔ rest) for big buckets keeps pair count
+        # linear while preserving connectivity; full pairs for small ones
+        if len(ids) > 64:
+            a = np.zeros(len(ids) - 1, dtype=np.int64)
+            b = np.arange(1, len(ids), dtype=np.int64)
+        else:
+            a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b],
+                             "truncated_bucket": np.full(len(a), int(truncated),
+                                                          dtype=np.int64)})
 
     pairs = buckets.groupby(["band", "bucket"]).map_groups(emit_pairs, batch_format="pandas")
 
-    # dedupe pairs found in multiple bands
-    from ray.data.aggregate import Count
+    # dedupe pairs found in multiple bands; keep the truncation marker
+    from ray.data.aggregate import Count, Max
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_bands"),
+        Max("truncated_bucket", alias_name="truncated_bucket"),
+    )
 
 
 def estimate_pair_jaccard(pairs_df, sig_ds, id_col: str = "doc_id",
