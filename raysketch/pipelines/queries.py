@@ -782,3 +782,62 @@ ORACLES["join_lineitem_orders"] = """
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
 """
+
+
+def bottomk_sample_convs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic mergeable uniform sample over distinct conv_ids
+    (bottom-k by hash) + its distinct estimate — 'show me 100 random
+    conversations' at any scale, reproducible across runs/partitions."""
+    from ..sketches.bottomk import BottomK
+
+    ds = transcripts_ds(sf_dir, columns=["conv_id"])
+    blob = sketch_aggregate(ds, "bottomk", on="conv_id", mode="bytes", k=100)
+    bk = BottomK.from_bytes(blob)
+    sample = sorted(e.decode() for e in bk.sample())
+    return pd.DataFrame({
+        "conv_id": sample,
+        "distinct_estimate": np.full(len(sample), round(bk.distinct_estimate())),
+    })
+
+
+def median_value_by_event_type(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group median (lower element) of value_cents — the
+    grouped order-statistic operator: groupby → sort inside map_groups →
+    pick the k-th element. All-integer so the oracle hash is exact."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"event_type": t.column("event_type"),
+                            "value_cents": _cents(t.column("value"))}),
+        batch_format="pyarrow",
+    )
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value_cents"].to_numpy())
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "median_cents": [int(v[(len(v) - 1) // 2])],
+            "n": [len(v)],
+        })
+
+    out = ds.groupby("event_type").map_groups(med, batch_format="pandas")
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES.update({
+    "bottomk_sample_convs": bottomk_sample_convs,
+    "median_value_by_event_type": median_value_by_event_type,
+})
+
+ORACLES["median_value_by_event_type"] = """
+    SELECT event_type,
+           CAST(vc AS BIGINT) AS median_cents,
+           CAST(cnt AS BIGINT) AS n
+    FROM (
+      SELECT event_type, vc,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vc) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events)
+    )
+    WHERE rn = (cnt + 1) // 2
+    ORDER BY event_type
+"""

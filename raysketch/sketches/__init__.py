@@ -1,5 +1,6 @@
 from .base import MergeableSketch, hash_column, hash_composite
 from .bloom import BloomFilter
+from .bottomk import BottomK
 from .cms import CountMin
 from .hll import HLL
 from .kll import KLL
@@ -8,6 +9,7 @@ from .tdigest import TDigest
 #: name → class registry used by the Ray aggregation layer and checkpoints
 SKETCHES = {
     "hll": HLL,
+    "bottomk": BottomK,
     "bloom": BloomFilter,
     "countmin": CountMin,
     "kll": KLL,
@@ -16,6 +18,7 @@ SKETCHES = {
 
 __all__ = [
     "HLL",
+    "BottomK",
     "BloomFilter",
     "CountMin",
     "KLL",

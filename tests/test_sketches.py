@@ -224,3 +224,58 @@ class TestTDigest:
         assert abs(t2.quantile(0.5) - td.quantile(0.5)) < 1e-9
         t3 = pickle.loads(pickle.dumps(td))
         assert t3.n == td.n
+
+
+# ------------------------------------------------------------- BottomK
+class TestBottomK:
+    def test_deterministic_sample_and_merge(self):
+        from raysketch.sketches.bottomk import BottomK
+
+        items = [f"doc-{i}" for i in range(5000)]
+        whole = BottomK(k=256)
+        whole.add_batch(items)
+        parts = [items[i::4] for i in range(4)]
+        sketches = []
+        for p in parts:
+            s = BottomK(k=256)
+            s.add_batch(p)
+            sketches.append(s)
+        merged = BottomK(k=256)
+        for s in sketches[::-1]:
+            merged.merge(s)
+        assert np.array_equal(merged.hashes, whole.hashes)
+        assert merged.sample() == whole.sample()
+        # idempotent
+        merged.merge(sketches[0])
+        assert np.array_equal(merged.hashes, whole.hashes)
+
+    def test_distinct_estimate(self):
+        from raysketch.sketches.bottomk import BottomK
+
+        s = BottomK(k=512)
+        s.add_batch([str(i) for i in range(50000)] * 2)  # dups collapse
+        est = s.distinct_estimate()
+        assert abs(est - 50000) / 50000 < 0.15  # ~1/sqrt(k) error
+        small = BottomK(k=512)
+        small.add_batch(["a", "b", "a"])
+        assert small.distinct_estimate() == 2.0  # exact below k
+
+    def test_roundtrip(self):
+        from raysketch.sketches.bottomk import BottomK
+
+        s = BottomK(k=64)
+        s.add_batch([f"x{i}" for i in range(1000)])
+        s2 = BottomK.from_bytes(s.to_bytes())
+        assert np.array_equal(s.hashes, s2.hashes)
+        assert s.sample() == s2.sample()
+        s3 = pickle.loads(pickle.dumps(s))
+        assert s3.sample() == s.sample()
+
+    def test_sample_uniform_over_distinct(self):
+        from raysketch.sketches.bottomk import BottomK
+
+        # heavy duplication must not bias the sample
+        s = BottomK(k=200)
+        s.add_batch(["hot"] * 100000 + [f"cold-{i}" for i in range(2000)])
+        samp = s.sample()
+        assert sum(1 for e in samp if e == b"hot") <= 1
