@@ -75,7 +75,6 @@ def make_fold_fn(
 
     def fold(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        out_keys: dict = {}
         sketches: list[bytes] = []
         counts: list[int] = []
 

@@ -160,7 +160,7 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
             zero_copy_only=False)).reshape(len(ids), -1).astype(np.uint64)
         P = sig.shape[1]
         r = P // num_bands
-        out_band, out_hash, out_id, out_sigrow = [], [], [], []
+        out_band, out_hash, out_id = [], [], []
         for b in range(num_bands):
             chunk = sig[:, b * r : (b + 1) * r]
             h = np.zeros(len(ids), dtype=np.uint64)

@@ -225,3 +225,34 @@ def test_fold_with_empty_batches(ray_session):
     out = sketch_aggregate(ds, "hll", on="v", by="k", mode="estimate",
                            alias_name="n").to_pandas()
     assert dict(zip(out["k"], out["n"])) == {"a": 100}
+
+
+def test_distributed_equals_reference_binary_golden(ray_session):
+    """End-to-end parity statement: the distributed Ray pipeline over the
+    words-like corpus produces EXACTLY the estimate the reference binary
+    printed for the same lines (tests/golden/estimates.json)."""
+    import json
+    import os
+    import random
+
+    import ray.data
+
+    gold = json.load(open(os.path.join(os.path.dirname(__file__), "golden", "estimates.json")))
+    rng2 = random.Random(7)
+    words = ["".join(rng2.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(4)) for _ in range(12238)]
+    corpus = [words[rng2.randrange(len(words))] for _ in range(72786)]
+    ds = ray.data.from_arrow(pa.table({"w": corpus})).repartition(16)
+    est = sketch_aggregate(ds, "hll", on="w", mode="estimate")
+    assert est == gold["words_like"]["estimate_dense"]
+
+
+def test_multi_key_grouped_aggregate(transcripts):
+    ds, tbl = transcripts
+    out = sketch_aggregate(ds, "hll", on="conv_id", by=["role", "tool"],
+                           mode="estimate", alias_name="n").to_pandas()
+    df = tbl.to_pandas()
+    exact = df.groupby(["role", "tool"])["conv_id"].nunique()
+    assert len(out) == len(exact)
+    for _, r in out.iterrows():
+        e = exact[(r["role"], r["tool"])]
+        assert abs(r["n"] - e) / max(e, 1) < 0.03
