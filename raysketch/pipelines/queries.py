@@ -225,11 +225,17 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     when one side's key set fits the object store)."""
     import ray
 
-    okeys = _read(sf_dir, "orders", columns=["o_custkey"])
-    keyset = set()
-    for b in okeys.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        keyset.update(pc.unique(b.column("o_custkey")).to_pylist())
-    keys_ref = ray.put(np.array(sorted(keyset), dtype=np.int64))
+    # build the semi-join key set distributed: per-batch unique shrinks
+    # each block to its distinct keys; only the deduped set reaches the
+    # driver (at scales where even that is too big, use the bucketed
+    # anti join in stages/joins.py instead)
+    okeys = (
+        _read(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(lambda t: pa.table({"o_custkey": pc.unique(t.column("o_custkey"))}),
+                     batch_format="pyarrow")
+        .to_pandas()["o_custkey"].unique()
+    )
+    keys_ref = ray.put(np.sort(okeys.astype(np.int64)))
 
     ds = _read(sf_dir, "customer", columns=["c_custkey"])
 

@@ -208,22 +208,49 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
     )
 
 
+def _gather_rows_by_id(ds, id_col: str, want_ids) -> "pa.Table":
+    """Distributed gather: broadcast the (small) candidate id set, filter
+    inside map_batches, collect only matching rows — the corpus itself
+    never reaches the driver."""
+    import ray
+
+    want = np.array(sorted(int(x) for x in set(want_ids)), dtype=np.int64)
+    want_ref = ray.put(want)
+
+    class Filter:
+        def __init__(self):
+            self.want = ray.get(want_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.want, ids)
+            pos = np.minimum(pos, len(self.want) - 1)
+            return t.filter(pa.array(self.want[pos] == ids)) if len(self.want) else t.slice(0, 0)
+
+    batches = ds.map_batches(Filter, batch_format="pyarrow", concurrency=2) \
+        .to_arrow_refs()
+    import pyarrow as _pa
+
+    tables = [ray.get(r) for r in batches]
+    tables = [t for t in tables if t.num_rows]
+    return _pa.concat_tables(tables) if tables else None
+
+
 def estimate_pair_jaccard(pairs_df, sig_ds, id_col: str = "doc_id",
                           sig_col: str = "minhash"):
     """Estimated Jaccard = fraction of agreeing minhash coordinates.
-    Signatures for the candidate ids are broadcast (candidates ≪ corpus)."""
-    import pandas as pd
-
+    Candidate signatures are gathered with a distributed broadcast-filter
+    (candidates ≪ corpus; the signature set itself never leaves the
+    object store)."""
     want = set(pairs_df["id_a"]).union(pairs_df["id_b"])
+    t = _gather_rows_by_id(sig_ds, id_col, want)
     sigs = {}
-    for t in sig_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+    if t is not None:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, list(want))
-        if mask.any():
-            arr = np.asarray(t.column(sig_col).combine_chunks().flatten().to_numpy(
-                zero_copy_only=False)).reshape(len(ids), -1)
-            for i in np.nonzero(mask)[0]:
-                sigs[int(ids[i])] = arr[i]
+        arr = np.asarray(t.column(sig_col).combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)).reshape(len(ids), -1)
+        for i, x in enumerate(ids):
+            sigs[int(x)] = arr[i]
     est = [
         float((sigs[int(a)] == sigs[int(b)]).mean()) if int(a) in sigs and int(b) in sigs else 0.0
         for a, b in zip(pairs_df["id_a"], pairs_df["id_b"])
@@ -497,18 +524,18 @@ def embedding_dedup(ds, vec_col="embedding", id_col="vec_id",
     if len(pairs) == 0:
         return pd.DataFrame({id_col: [], "component": []})
 
-    # exact cosine verify on candidates (vectors gathered once)
+    # exact cosine verify on candidates (distributed broadcast-filter
+    # gather — only candidate vectors reach the driver)
     want = set(pairs["id_a"]).union(pairs["id_b"])
+    t = _gather_rows_by_id(ds, id_col, want)
     vecs = {}
-    for t in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+    if t is not None:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, list(want))
-        if mask.any():
-            emb = np.asarray(
-                t.column(vec_col).combine_chunks().flatten().to_numpy(zero_copy_only=False)
-            ).reshape(t.num_rows, -1).astype(np.float64)
-            for i in np.nonzero(mask)[0]:
-                vecs[int(ids[i])] = emb[i]
+        emb = np.asarray(
+            t.column(vec_col).combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).reshape(t.num_rows, -1).astype(np.float64)
+        for i, x in enumerate(ids):
+            vecs[int(x)] = emb[i]
     cos = []
     for a, b in zip(pairs["id_a"], pairs["id_b"]):
         va, vb = vecs[int(a)], vecs[int(b)]
