@@ -847,3 +847,46 @@ ORACLES["median_value_by_event_type"] = """
     WHERE rn = (cnt + 1) // 2
     ORDER BY event_type
 """
+
+
+def top10_lineitems_by_revenue(sf_dir: str) -> pd.DataFrame:
+    """Global top-10 rows via the distributed sort operator
+    (``ds.sort(...).limit(k)``) — ties broken on the full key so the
+    result is deterministic."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_b = _cents(t.column("l_discount"))
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_b))
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_linenumber": t.column("l_linenumber"),
+            "revenue_e4": rev,
+        })
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .sort(["revenue_e4", "l_orderkey", "l_linenumber"],
+              descending=[True, False, False])
+        .limit(10)
+    )
+    df = out.to_pandas()
+    df["rank"] = np.arange(1, len(df) + 1)
+    return df[["rank", "l_orderkey", "l_linenumber", "revenue_e4"]]
+
+
+QUERIES["top10_lineitems_by_revenue"] = top10_lineitems_by_revenue
+ORACLES["top10_lineitems_by_revenue"] = """
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY rev DESC, l_orderkey ASC, l_linenumber ASC) AS BIGINT) AS rank,
+           l_orderkey, l_linenumber, rev AS revenue_e4
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS rev
+      FROM lineitem
+    )
+    ORDER BY rank LIMIT 10
+"""
