@@ -80,3 +80,30 @@ def test_non_idempotent_sketch_exactly_once(shards, tmp_path):
     blob = job.run(shards)  # second full run: all shards skipped
     cm = CountMin.from_bytes(blob)
     assert cm.total == 30000
+
+
+def test_sketch_service_actor(ray_session):
+    """Live sketch service: sharded actors, dump/load interop with the
+    batch engine's wire format."""
+    from raysketch import HLL
+    from raysketch.state.service import SketchService
+
+    svc = SketchService(sketch="hll", num_shards=3)
+    svc.add_sync("us", [f"user-{i}" for i in range(1000)])
+    svc.add_sync("us", [f"user-{i}" for i in range(500, 1500)])
+    svc.add_sync("eu", ["a", "b", "c"])
+    assert svc.count("eu") == 3
+    est = svc.count("us")
+    assert abs(est - 1500) / 1500 < 0.02
+    assert svc.count("missing") is None
+
+    # snapshot crosses into the batch world
+    snap = svc.snapshot()
+    h = HLL.from_bytes(snap["us"])
+    assert h.finalize() == est
+
+    # load merges external state in
+    ext = HLL()
+    ext.add_batch(["x", "y", "z"])
+    svc.load("eu", ext.to_bytes())
+    assert svc.count("eu") == 6
