@@ -177,27 +177,13 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
 
     buckets = sig_ds.map_batches(band_rows, batch_format="pyarrow")
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "truncated_bucket": pd.Series([], dtype="int64")})
-        ids = np.sort(g[id_col].to_numpy())
-        truncated = len(ids) > max_bucket_size
-        if truncated:
-            ids = ids[:max_bucket_size]
-        # star pattern (min id ↔ rest) for big buckets keeps pair count
-        # linear while preserving connectivity; full pairs for small ones
-        if len(ids) > 64:
-            a = np.zeros(len(ids) - 1, dtype=np.int64)
-            b = np.arange(1, len(ids), dtype=np.int64)
-        else:
-            a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b],
-                             "truncated_bucket": np.full(len(a), int(truncated),
-                                                          dtype=np.int64)})
-
-    pairs = buckets.groupby(["band", "bucket"]).map_groups(emit_pairs, batch_format="pandas")
+    # ONE group per band (not per bucket): per-(band,bucket) map_groups
+    # would spawn a Python call per bucket (≈ n_docs × bands tiny groups);
+    # instead each band task segments its sorted bucket column with numpy
+    # and emits pairs only for multi-member buckets.
+    pairs = buckets.groupby("band").map_groups(
+        _make_band_pair_emitter(id_col, max_bucket_size), batch_format="pandas"
+    )
 
     # dedupe pairs found in multiple bands; keep the truncation marker
     from ray.data.aggregate import Count, Max
@@ -206,6 +192,48 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
         Count(alias_name="n_bands"),
         Max("truncated_bucket", alias_name="truncated_bucket"),
     )
+
+
+def _make_band_pair_emitter(id_col: str, max_bucket_size: int):
+    """Vectorized within-band pair emission: sort by (bucket, id), find
+    bucket boundaries, loop only over multi-member buckets (≈ number of
+    duplicate groups, not corpus size)."""
+    import pandas as pd
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        b = g["bucket"].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, b))
+        b, ids = b[order], ids[order]
+        starts = np.nonzero(np.r_[True, b[1:] != b[:-1]])[0]
+        ends = np.r_[starts[1:], len(b)]
+        out_a, out_b, out_t = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sub = ids[s:e]
+            truncated = len(sub) > max_bucket_size
+            if truncated:
+                sub = sub[:max_bucket_size]
+            # star pattern (min id ↔ rest) for big buckets keeps pair
+            # count linear while preserving connectivity
+            if len(sub) > 64:
+                a = np.zeros(len(sub) - 1, dtype=np.int64)
+                bb = np.arange(1, len(sub), dtype=np.int64)
+            else:
+                a, bb = np.triu_indices(len(sub), k=1)
+            out_a.append(sub[a])
+            out_b.append(sub[bb])
+            out_t.append(np.full(len(a), int(truncated), dtype=np.int64))
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "truncated_bucket": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "truncated_bucket": np.concatenate(out_t)})
+
+    return emit
 
 
 def _gather_rows_by_id(ds, id_col: str, want_ids) -> "pa.Table":
@@ -321,22 +349,39 @@ def simhash_candidate_pairs(sim_ds, id_col: str = "doc_id", max_hamming: int = 3
 
     buckets = sim_ds.map_batches(band_rows, batch_format="pyarrow")
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values(id_col)
+    def emit_band(g: pd.DataFrame) -> pd.DataFrame:
+        # one task per band; buckets segmented vectorized (see
+        # _make_band_pair_emitter for the rationale)
+        b = g["bucket"].to_numpy()
         ids = g[id_col].to_numpy()
         sims = g["simhash"].to_numpy().astype(np.uint64)
-        a, b = np.triu_indices(len(ids), k=1)
-        x = sims[a] ^ sims[b]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for j in range(64):
-            ham += ((x >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[a][keep], "id_b": ids[b][keep],
-                             "hamming": ham[keep]})
+        order = np.lexsort((ids, b))
+        b, ids, sims = b[order], ids[order], sims[order]
+        starts = np.nonzero(np.r_[True, b[1:] != b[:-1]])[0]
+        ends = np.r_[starts[1:], len(b)]
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sub_i, sub_s = ids[s:e], sims[s:e]
+            a, bb = np.triu_indices(len(sub_i), k=1)
+            x = sub_s[a] ^ sub_s[bb]
+            ham = np.zeros(len(x), dtype=np.int64)
+            for j in range(64):
+                ham += ((x >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+            keep = ham <= max_hamming
+            out_a.append(sub_i[a][keep])
+            out_b.append(sub_i[bb][keep])
+            out_h.append(ham[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
 
-    pairs = buckets.groupby(["band", "bucket"]).map_groups(emit, batch_format="pandas")
+    pairs = buckets.groupby("band").map_groups(emit_band, batch_format="pandas")
     from ray.data.aggregate import Min
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
@@ -507,17 +552,13 @@ def embedding_dedup(ds, vec_col="embedding", id_col="vec_id",
 
     buckets = sigs.map_batches(band_rows, batch_format="pyarrow")
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ids = np.sort(g[id_col].to_numpy())
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
-
     from ray.data.aggregate import Count
 
     pairs = (
-        buckets.groupby(["band", "bucket"]).map_groups(emit, batch_format="pandas")
+        buckets.groupby("band").map_groups(
+            _make_band_pair_emitter(id_col, max_bucket_size=1000),
+            batch_format="pandas",
+        )
         .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n"))
         .to_pandas()
     )
