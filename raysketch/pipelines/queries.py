@@ -890,3 +890,39 @@ ORACLES["top10_lineitems_by_revenue"] = """
     )
     ORDER BY rank LIMIT 10
 """
+
+
+def user_activity_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-user activity profile: event count, active span, exact
+    distinct event types (two-level groupby: (user, type) → user)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    base = (
+        ds.groupby("user_id")
+        .aggregate(Count(alias_name="n_events"),
+                   Min("ts", alias_name="first_ts"),
+                   Max("ts", alias_name="last_ts"))
+    ).to_pandas()
+    ntypes = (
+        ds.groupby(["user_id", "event_type"]).count()
+        .groupby("user_id").count()
+        .rename_columns({"count()": "n_event_types"})
+    ).to_pandas()
+    out = base.merge(ntypes, on="user_id")
+    out["span_us"] = (
+        (out["last_ts"] - out["first_ts"]).dt.total_seconds().mul(1_000_000)
+        .round().astype("int64")
+    )
+    return out[["user_id", "n_events", "n_event_types", "span_us"]] \
+        .sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["user_activity_stats"] = user_activity_stats
+ORACLES["user_activity_stats"] = """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_event_types,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS span_us
+    FROM events GROUP BY user_id ORDER BY user_id
+"""
