@@ -926,3 +926,34 @@ ORACLES["user_activity_stats"] = """
            CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS span_us
     FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+def conv_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Turns-per-conversation distribution (the zipf skew the north rule
+    requires handling): per-conv counts via grouped aggregate, then KLL
+    quantiles + exact max over the (much smaller) per-conv table."""
+    from ray.data.aggregate import Max as AMax
+
+    ds = transcripts_ds(sf_dir, columns=["conv_id", "turn_idx"])
+    per_conv = ds.groupby("conv_id").aggregate(AMax("turn_idx", alias_name="max_turn"))
+    per_conv = per_conv.map_batches(
+        lambda t: pa.table({"n_turns": pc.add(pc.cast(t.column("max_turn"), pa.int64()), 1)}),
+        batch_format="pyarrow",
+    )
+    blob = sketch_aggregate(per_conv, "kll", on="n_turns", mode="bytes", k=256)
+    from ..sketches import KLL as _KLL
+
+    kll = _KLL.from_bytes(blob)
+    import ray.data  # noqa: F401
+
+    mx = per_conv.max("n_turns")
+    return _one_row(
+        n_convs=kll.n,
+        p50=float(kll.quantile(0.5)),
+        p90=float(kll.quantile(0.9)),
+        p99=float(kll.quantile(0.99)),
+        max_turns=int(mx),
+    )
+
+
+QUERIES["conv_length_quantiles"] = conv_length_quantiles

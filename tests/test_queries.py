@@ -99,3 +99,16 @@ def test_new_pipeline_queries_smoke(ray_session):
     assert out["distinct_convs"][0] > 0 and out["p99_len"][0] >= out["p50_len"][0]
     cur = Q.curate_documents(SF_DIR)
     assert cur["n_docs"].sum() > 0
+
+
+def test_conv_length_quantiles(truth):
+    out = Q.conv_length_quantiles(SF_DIR)
+    sizes = truth.groupby("conv_id").size().to_numpy()
+    assert out["n_convs"][0] == len(sizes)
+    assert out["max_turns"][0] == sizes.max()
+    s = np.sort(sizes)
+    for q in (0.5, 0.9, 0.99):
+        est = out[f"p{int(q*100)}"][0]
+        lo = np.searchsorted(s, est, side="left") / len(s)
+        hi = np.searchsorted(s, est, side="right") / len(s)
+        assert lo - 0.03 <= q <= hi + 0.03
