@@ -714,6 +714,9 @@ def curate_documents(sf_dir: str) -> pd.DataFrame:
     )
     out_dir = os.path.join(tempfile.gettempdir(), "raysketch_data",
                            f"curated_{sf_of(sf_dir)}")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)  # re-runs must not append
     curated.select_columns(["doc_id", "lang_pred"]).write_parquet(out_dir)
     import ray.data
 

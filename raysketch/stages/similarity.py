@@ -125,7 +125,6 @@ class IVFIndex:
             .flatten().to_numpy(zero_copy_only=False)
         ).reshape(-1, len(sample_tbl[self.vec_col][0])).astype(np.float64)
         self.centroids = self._train(sample, seed=seed)
-        np.save(os.path.join(self.index_dir, "centroids.npy"), self.centroids)
         cref = ray.put(self.centroids)
         vec_col, id_col = self.vec_col, self.id_col
 
@@ -139,10 +138,13 @@ class IVFIndex:
                 return t.append_column("bucket", pa.array(d.argmin(1).astype(np.int64)))
 
         assigned = ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
-        assigned.write_parquet(
-            os.path.join(self.index_dir, "buckets"),
-            partition_cols=["bucket"],
-        )
+        import shutil
+
+        bdir = os.path.join(self.index_dir, "buckets")
+        shutil.rmtree(bdir, ignore_errors=True)  # rebuilds must not append
+        assigned.write_parquet(bdir, partition_cols=["bucket"])
+        # centroids written LAST: their presence marks a complete index
+        np.save(os.path.join(self.index_dir, "centroids.npy"), self.centroids)
         return self
 
     @classmethod
