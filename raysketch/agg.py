@@ -276,6 +276,26 @@ def sketch_aggregate(
         return stage1.groupby(by_cols).aggregate(agg)
     if by_cols:
         return partials.groupby(by_cols).aggregate(agg)
+    if salt:
+        # global two-stage: combine the (possibly very many) partials in
+        # S distributed sub-merges, then merge the S survivors — keeps
+        # the final reduce O(S) regardless of partial count
+        def add_salt(t: pa.Table) -> pa.Table:
+            import zlib
+
+            first = t.column("sketch")[0].as_py() if t.num_rows else b""
+            ent = zlib.crc32(first[:64])
+            s = (np.arange(t.num_rows, dtype=np.int64) + ent) % salt
+            return t.append_column("__salt", pa.array(s))
+
+        stage1 = (
+            partials.map_batches(add_salt, batch_format="pyarrow")
+            .groupby("__salt")
+            .aggregate(SketchMerge(sketch, on="sketch", alias_name="sketch",
+                                   mode="bytes", **params))
+        )
+        result = stage1.aggregate(agg)
+        return result[agg.name]
     result = partials.aggregate(agg)
     return result[agg.name]
 

@@ -256,3 +256,10 @@ def test_multi_key_grouped_aggregate(transcripts):
     for _, r in out.iterrows():
         e = exact[(r["role"], r["tool"])]
         assert abs(r["n"] - e) / max(e, 1) < 0.03
+
+
+def test_salted_global_identical(transcripts):
+    ds, tbl = transcripts
+    direct = sketch_aggregate(ds, "hll", on="conv_id", mode="bytes")
+    salted = sketch_aggregate(ds, "hll", on="conv_id", mode="bytes", salt=8)
+    assert np.array_equal(HLL.from_bytes(direct).regs, HLL.from_bytes(salted).regs)
