@@ -31,6 +31,7 @@ __all__ = [
     "simhash_candidate_pairs",
     "union_find_components",
     "minhash_dedup",
+    "verify_pairs_exact_jaccard",
     "simhash_dedup",
     "embedding_dedup",
     "ngram_jaccard",
@@ -457,9 +458,33 @@ def propagate_components(pairs_ds, rounds: int = 5):
 
 
 # ------------------------------------------------------------ end-to-end
+def verify_pairs_exact_jaccard(pairs_df, ds, text_col="text", id_col="doc_id",
+                               k: int = 5):
+    """Exact character-k-gram Jaccard for candidate pairs: texts gathered
+    via the distributed broadcast-filter (only candidates reach the
+    driver), then set Jaccard per pair."""
+    want = set(pairs_df["id_a"]).union(pairs_df["id_b"])
+    t = _gather_rows_by_id(ds.select_columns([id_col, text_col]), id_col, want)
+    texts = {}
+    if t is not None:
+        for i, x in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+            texts[int(i)] = x or ""
+    out = pairs_df.copy()
+    out["jaccard"] = [
+        ngram_jaccard(texts.get(int(a), ""), texts.get(int(b), ""), k)
+        for a, b in zip(pairs_df["id_a"], pairs_df["id_b"])
+    ]
+    return out
+
+
 def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
-                  shingle_k=5, num_bands=32, threshold=0.7):
-    """Full near-dup pipeline → pandas {id, component} for verified dups."""
+                  shingle_k=5, num_bands=32, threshold=0.7,
+                  verify: str = "estimate"):
+    """Full near-dup pipeline → pandas {id, component} for verified dups.
+
+    ``verify="estimate"`` uses signature-agreement Jaccard (no re-read of
+    text); ``verify="exact"`` re-gathers candidate texts and computes
+    exact k-gram Jaccard (stronger, costs one broadcast-filter pass)."""
     sigs = ds.map_batches(
         MinHasher(text_col, id_col, num_perms, shingle_k),
         batch_format="pyarrow", concurrency=4,
@@ -469,8 +494,12 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
         import pandas as pd
 
         return pd.DataFrame({id_col: [], "component": []})
-    pairs = estimate_pair_jaccard(pairs, sigs, id_col)
-    verified = pairs[pairs["est_jaccard"] >= threshold]
+    if verify == "exact":
+        pairs = verify_pairs_exact_jaccard(pairs, ds, text_col, id_col, shingle_k)
+        verified = pairs[pairs["jaccard"] >= threshold]
+    else:
+        pairs = estimate_pair_jaccard(pairs, sigs, id_col)
+        verified = pairs[pairs["est_jaccard"] >= threshold]
     comp = union_find_components(verified)
     import pandas as pd
 

@@ -243,3 +243,12 @@ class TestMultimodal:
         ).to_pandas()
         assert len(out) == 20
         assert set(out.columns) == {"item_id", "frame_idx", "energy"}
+
+
+def test_minhash_exact_verify(docs_ds):
+    from raysketch.stages.dedup import minhash_dedup
+
+    ds, tbl, gold = docs_ds
+    out = minhash_dedup(ds, threshold=0.6, verify="exact")
+    comp = dict(zip(out["doc_id"], out["component"]))
+    assert comp.get(40) == comp.get(0) == 0 and comp.get(41) == 0
