@@ -27,14 +27,41 @@ from ..keys import canonical_flat_bytes
 __all__ = ["bucket_hash_join", "asof_join"]
 
 
-def _with_bucket(ds, key: str, num_buckets: int, side: str):
+def _with_bucket(ds, key: str, num_buckets: int, side: str, null_cols=None):
+    """Tag rows with a hash bucket + side marker, and append typed null
+    columns for the OTHER side's exclusive fields so the two tagged
+    datasets union with one schema (Ray blocks are not schema-aligned
+    across a union otherwise)."""
+    null_cols = list(null_cols or [])
+
     def add(t: pa.Table) -> pa.Table:
         data, offsets = canonical_flat_bytes(t.column(key))
         b = (murmur64a(data, offsets) % np.uint64(num_buckets)).astype(np.int64)
         t = t.append_column("__bucket", pa.array(b))
-        return t.append_column("__side", pa.array(np.full(t.num_rows, side == "r")))
+        t = t.append_column("__side", pa.array(np.full(t.num_rows, side == "r")))
+        for name, typ in null_cols:
+            t = t.append_column(name, pa.nulls(t.num_rows, type=typ))
+        return t
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+def _schema_fields(ray_schema) -> list[tuple[str, "pa.DataType"]]:
+    """(name, arrow type) pairs from a ray.data Schema (which may wrap an
+    Arrow schema or a pandas block schema with numpy dtypes)."""
+    out = []
+    for name, typ in zip(ray_schema.names, ray_schema.types):
+        if not isinstance(typ, pa.DataType):
+            dt = np.dtype(typ)
+            typ = pa.string() if dt == np.dtype("O") else pa.from_numpy_dtype(dt)
+        out.append((name, typ))
+    return out
+
+
+def _exclusive_cols(fields_self, fields_other, shared):
+    """(name, type) of the other side's columns this side lacks."""
+    mine = {n for n, _ in fields_self}
+    return [(n, t) for n, t in fields_other if n not in mine and n not in shared]
 
 
 def bucket_hash_join(
@@ -51,10 +78,12 @@ def bucket_hash_join(
     bucket, and joined pairwise with pandas inside each group — one
     shuffle total, work distributed across B independent bucket tasks.
     """
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names]
-    l_tagged = _with_bucket(left, on, num_buckets, "l")
-    r_tagged = _with_bucket(right, on, num_buckets, "r")
+    lfields, rfields = _schema_fields(left.schema()), _schema_fields(right.schema())
+    lcols, rcols = [n for n, _ in lfields], [n for n, _ in rfields]
+    l_tagged = _with_bucket(left, on, num_buckets, "l",
+                            _exclusive_cols(lfields, rfields, {on}))
+    r_tagged = _with_bucket(right, on, num_buckets, "r",
+                            _exclusive_cols(rfields, lfields, {on}))
     both = l_tagged.union(r_tagged)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -81,22 +110,29 @@ def asof_join(
     Same bucket-pair decomposition as bucket_hash_join; inside each
     bucket both sides sort by ts and use ``pd.merge_asof`` (per-key
     exact via ``by=key``)."""
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names]
-    l_tagged = _with_bucket(left, key, num_buckets, "l")
-    r_tagged = _with_bucket(right, key, num_buckets, "r")
+    lfields, rfields = _schema_fields(left.schema()), _schema_fields(right.schema())
+    lcols, rcols = [n for n, _ in lfields], [n for n, _ in rfields]
+    l_tagged = _with_bucket(left, key, num_buckets, "l",
+                            _exclusive_cols(lfields, rfields, {key, ts}))
+    r_tagged = _with_bucket(right, key, num_buckets, "r",
+                            _exclusive_cols(rfields, lfields, {key, ts}))
     both = l_tagged.union(r_tagged)
+    # the asof output schema: left columns + right's exclusive columns
+    r_extra = [c + (suffixes[1] if c in lcols else "")
+               for c in rcols if c not in (key, ts)]
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[~g["__side"]][lcols].sort_values(ts)
         rg = g[g["__side"]][rcols].sort_values(ts)
         if lg.empty:
-            return lg
+            out = lg.copy()
+            for name in r_extra:
+                out[name] = pd.Series([], dtype="object")
+            return out
         if rg.empty:
             out = lg.copy()
-            for c in rcols:
-                if c not in (key, ts):
-                    out[c + (suffixes[1] if c in lcols else "")] = pd.NA
+            for name in r_extra:
+                out[name] = pd.NA
             return out
         return pd.merge_asof(lg, rg, on=ts, by=key, direction=direction,
                              suffixes=suffixes)

@@ -70,3 +70,22 @@ def test_asof_join(ray_session):
     pd.testing.assert_series_equal(
         g["rv"].astype("float64"), e["rv"].astype("float64"), check_names=False
     )
+
+
+def test_asof_join_no_right_match(ray_session):
+    """Keys present only on the left must survive with null right values."""
+    import ray.data
+
+    from raysketch.stages.joins import asof_join
+
+    left = pd.DataFrame({"k": ["a", "b"], "ts": pd.to_datetime([1000, 2000], unit="s"),
+                         "lv": [1, 2]})
+    right = pd.DataFrame({"k": ["a"], "ts": pd.to_datetime([500], unit="s"),
+                          "rv": [7]})
+    got = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    key="k", ts="ts", num_buckets=4).to_pandas()
+    assert len(got) == 2
+    a = got[got["k"] == "a"].iloc[0]
+    b = got[got["k"] == "b"].iloc[0]
+    assert a["rv"] == 7
+    assert pd.isna(b["rv"])

@@ -252,3 +252,21 @@ def test_minhash_exact_verify(docs_ds):
     out = minhash_dedup(ds, threshold=0.6, verify="exact")
     comp = dict(zip(out["doc_id"], out["component"]))
     assert comp.get(40) == comp.get(0) == 0 and comp.get(41) == 0
+
+
+def test_propagate_components_matches_union_find(ray_session):
+    """Distributed min-label propagation agrees with driver union-find."""
+    import ray.data
+
+    from raysketch.stages.dedup import propagate_components, union_find_components
+
+    pairs = pd.DataFrame({
+        "id_a": [1, 2, 3, 10, 11, 20],
+        "id_b": [2, 3, 4, 11, 12, 21],
+    })
+    ds = ray.data.from_pandas(pairs)
+    labels = propagate_components(ds, rounds=6).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    exp = union_find_components(pairs)
+    for node, root in exp.items():
+        assert got[node] == root, (node, got[node], root)
