@@ -27,7 +27,6 @@ import numpy as np
 import pyarrow as pa
 
 from .sketches import SKETCHES
-from .sketches.base import hash_column, hash_composite
 
 __all__ = ["fold_partials", "SketchMerge", "sketch_aggregate", "multi_sketch_aggregate", "make_fold_fn"]
 

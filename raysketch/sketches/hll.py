@@ -35,7 +35,7 @@ import struct
 
 import numpy as np
 
-from ..hashing import hll_patlen, murmur64a, HLL_SEED
+from ..hashing import hll_patlen
 from .base import hash_column, hash_composite
 
 __all__ = ["HLL"]

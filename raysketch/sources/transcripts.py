@@ -30,8 +30,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..keys import ragged_copy
-
 __all__ = ["gen_transcripts", "write_transcripts", "transcripts_path", "text_for_rows"]
 
 ROLES = np.array(["user", "assistant", "system", "tool"])
