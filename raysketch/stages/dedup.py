@@ -92,7 +92,7 @@ def _window_hashes(data: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.nd
     w = np.ascontiguousarray(b).view(np.uint64).ravel()
     # murmur64a tail-only round
     m = np.uint64(0xC6A4A7935BD1E995)
-    h = np.uint64(0xADC83B19) ^ (np.uint64(k) * m)
+    h = np.uint64(0xADC83B19 ^ ((k * 0xC6A4A7935BD1E995) & 0xFFFFFFFFFFFFFFFF))
     h = (np.full(total, h, dtype=np.uint64) ^ w) * m
     h ^= h >> np.uint64(47)
     h *= m
@@ -113,14 +113,59 @@ class MinHasher:
     """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
-                 num_perms: int = 128, shingle_k: int = 5, seed: int = 1):
+                 num_perms: int = 128, shingle_k: int = 5, seed: int = 1,
+                 mode: str = "kperm"):
+        """``mode="kperm"``: classic k independent permutations — O(P·W)
+        work per doc, the accuracy baseline. ``mode="oph"``: one-
+        permutation hashing with rotation densification (Li, Owen &
+        Zhang NIPS'12; Shrivastava's densification) — O(W) work, one
+        pass over the shingles regardless of P; the scale default for
+        corpus-wide dedup (requires P a power of two)."""
         self.text_col = text_col
         self.id_col = id_col
         self.P = num_perms
         self.k = shingle_k
+        self.mode = mode
+        if mode == "oph" and num_perms & (num_perms - 1):
+            raise ValueError("oph mode requires num_perms to be a power of two")
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, 2**63, size=num_perms, dtype=np.uint64) | np.uint64(1)
         self.b = rng.integers(0, 2**63, size=num_perms, dtype=np.uint64)
+
+    def _sig_kperm(self, wh, woff, n):
+        sig = np.full((n, self.P), np.iinfo(np.uint64).max, dtype=np.uint64)
+        nonempty = np.nonzero(woff[1:] > woff[:-1])[0]
+        if len(wh):
+            red_off = woff[:-1][nonempty]
+            for p in range(self.P):
+                mixed = wh * self.a[p] + self.b[p]
+                sig[nonempty, p] = np.minimum.reduceat(mixed, red_off)
+        return sig
+
+    def _sig_oph(self, wh, woff, n):
+        MAX = np.iinfo(np.uint64).max
+        sig = np.full((n, self.P), MAX, dtype=np.uint64)
+        if len(wh):
+            pbits = int(np.log2(self.P))
+            bins = (wh >> np.uint64(64 - pbits)).astype(np.int64)
+            vals = wh * self.a[0] + self.b[0]  # decorrelate value from bin
+            doc_of = np.repeat(np.arange(n), woff[1:] - woff[:-1])
+            np.minimum.at(sig, (doc_of, bins), vals)
+        # rotation densification: an empty bin borrows from the nearest
+        # filled bin to its right (circular), offset by the distance so
+        # borrowed values stay distinct across bins
+        filled = sig != MAX
+        any_filled = filled.any(axis=1)
+        out = sig.copy()
+        for _ in range(self.P):
+            empty = out == MAX
+            if not empty.any():
+                break
+            rolled = np.roll(out, -1, axis=1)
+            borrow = np.where(rolled == MAX, MAX, rolled + np.uint64(0x9E37))
+            out = np.where(empty, borrow, out)
+        out[~any_filled] = MAX  # truly empty docs stay empty
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         txt = pc.utf8_lower(batch.column(self.text_col))
@@ -129,13 +174,7 @@ class MinHasher:
         )
         wh, woff = _window_hashes(data, offsets, self.k)
         n = len(offsets) - 1
-        sig = np.full((n, self.P), np.iinfo(np.uint64).max, dtype=np.uint64)
-        nonempty = np.nonzero(woff[1:] > woff[:-1])[0]
-        if len(wh):
-            red_off = woff[:-1][nonempty]
-            for p in range(self.P):
-                mixed = wh * self.a[p] + self.b[p]
-                sig[nonempty, p] = np.minimum.reduceat(mixed, red_off)
+        sig = self._sig_oph(wh, woff, n) if self.mode == "oph" else self._sig_kperm(wh, woff, n)
         flat = pa.array(sig.reshape(-1).astype(np.uint64))
         sig_col = pa.FixedSizeListArray.from_arrays(flat, self.P)
         return pa.table({self.id_col: batch.column(self.id_col), "minhash": sig_col})
@@ -479,14 +518,14 @@ def verify_pairs_exact_jaccard(pairs_df, ds, text_col="text", id_col="doc_id",
 
 def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
                   shingle_k=5, num_bands=32, threshold=0.7,
-                  verify: str = "estimate"):
+                  verify: str = "estimate", mode: str = "oph"):
     """Full near-dup pipeline → pandas {id, component} for verified dups.
 
     ``verify="estimate"`` uses signature-agreement Jaccard (no re-read of
     text); ``verify="exact"`` re-gathers candidate texts and computes
     exact k-gram Jaccard (stronger, costs one broadcast-filter pass)."""
     sigs = ds.map_batches(
-        MinHasher(text_col, id_col, num_perms, shingle_k),
+        MinHasher(text_col, id_col, num_perms, shingle_k, mode=mode),
         batch_format="pyarrow", concurrency=4,
     ).materialize()
     pairs = lsh_candidate_pairs(sigs, id_col, num_bands).to_pandas()

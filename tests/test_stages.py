@@ -270,3 +270,49 @@ def test_propagate_components_matches_union_find(ray_session):
     exp = union_find_components(pairs)
     for node, root in exp.items():
         assert got[node] == root, (node, got[node], root)
+
+
+def test_minhash_oph_mode(docs_ds, ray_session):
+    """OPH signatures: same LSH pipeline finds the gold near-dup cluster,
+    and identical texts get identical signatures."""
+    from raysketch.stages.dedup import MinHasher, lsh_candidate_pairs, union_find_components
+
+    ds, tbl, gold = docs_ds
+    sigs = ds.map_batches(MinHasher(num_perms=128, mode="oph"),
+                          batch_format="pyarrow", concurrency=2).materialize()
+    # identical texts (doc 5 == doc 42) → identical signatures
+    df = sigs.to_pandas().set_index("doc_id")
+    assert list(df.loc[5, "minhash"]) == list(df.loc[42, "minhash"])
+    pairs = lsh_candidate_pairs(sigs, num_bands=32).to_pandas()
+    comp = union_find_components(pairs)
+    assert comp.get(40) == comp.get(0) == 0  # near-dup cluster found
+    assert comp.get(42) == comp.get(5)
+
+
+def test_minhash_oph_jaccard_quality():
+    """OPH collision fraction tracks true Jaccard within densification
+    noise on synthetic shingle sets."""
+    import pyarrow as pa
+
+    from raysketch.stages.dedup import MinHasher, ngram_jaccard
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    base = " ".join(rng.choice(vocab, 120))
+    variants = [base]
+    for frac in (0.05, 0.2, 0.5):
+        n_edit = int(len(base) * frac)
+        pos = rng.choice(len(base) - 1, n_edit, replace=False)
+        chars = list(base)
+        for p in pos:
+            chars[p] = chr(97 + rng.integers(0, 26))
+        variants.append("".join(chars))
+    t = pa.table({"doc_id": pa.array(np.arange(len(variants), dtype=np.int64)),
+                  "text": pa.array(variants)})
+    out = MinHasher(num_perms=256, mode="oph")(t)
+    sigs = np.asarray(out.column("minhash").combine_chunks().flatten()
+                      .to_numpy(zero_copy_only=False)).reshape(len(variants), -1)
+    for i in range(1, len(variants)):
+        est = (sigs[0] == sigs[i]).mean()
+        true = ngram_jaccard(variants[0].lower(), variants[i].lower())
+        assert abs(est - true) < 0.15, (i, est, true)
