@@ -10,9 +10,11 @@ reports the fold throughput of the flagship HLL distinct-conv pipeline
 (compare BASELINE.md: the reference's C loop does 6.35M adds/s on one
 core).
 
-`bench.py --scaling` runs the same job in fresh processes at
-num_cpus=8 and num_cpus=32 and reports both throughputs plus scaling
-efficiency (the sandbox stand-in for the N vs 4N node criterion).
+`bench.py --scaling` runs the compute-bound single-pass multi-sketch
+job in fresh processes at num_cpus=4 and num_cpus=16 (N vs 4N inside
+the host's 16 physical cores; 32 logical CPUs are SMT) and reports both
+throughputs plus scaling efficiency — the sandbox stand-in for the
+N- vs 4N-node cluster criterion.
 """
 
 from __future__ import annotations
