@@ -960,3 +960,49 @@ def conv_length_quantiles(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["conv_length_quantiles"] = conv_length_quantiles
+
+
+def purchases_asof_last_view(sf_dir: str) -> pd.DataFrame:
+    """As-of join, SQL-checked against DuckDB's native ASOF JOIN: for
+    every purchase event, the most recent prior 'view' by the same user
+    (bucketed merge_asof — stages/joins.py)."""
+    from ..stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "event_id"])
+    purchases = ev.map_batches(
+        lambda t: pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "purchase_id": t.column("event_id"),
+        }).filter(pc.equal(t.column("event_type"), "purchase")),
+        batch_format="pyarrow",
+    )
+    views = ev.map_batches(
+        lambda t: pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "view_id": t.column("event_id"),
+        }).filter(pc.equal(t.column("event_type"), "view")),
+        batch_format="pyarrow",
+    )
+    out = asof_join(purchases, views, key="user_id", ts="ts",
+                    num_buckets=16).to_pandas()
+    out = out[["purchase_id", "view_id"]].copy()
+    # no-match sentinel -1 on both sides: null string forms differ
+    # between pandas and DuckDB and would break the value-hash compare;
+    # purchase_id needs the int cast back because the union's null
+    # padding upcasts it to float inside pandas bucket groups
+    out["purchase_id"] = out["purchase_id"].astype("int64")
+    out["view_id"] = out["view_id"].fillna(-1).astype("int64")
+    return out.sort_values("purchase_id").reset_index(drop=True)
+
+
+QUERIES["purchases_asof_last_view"] = purchases_asof_last_view
+ORACLES["purchases_asof_last_view"] = """
+    SELECT p.event_id AS purchase_id,
+           CAST(COALESCE(v.event_id, -1) AS BIGINT) AS view_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY purchase_id
+"""
