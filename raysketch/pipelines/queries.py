@@ -1006,3 +1006,30 @@ ORACLES["purchases_asof_last_view"] = """
       ON p.user_id = v.user_id AND p.ts >= v.ts
     ORDER BY purchase_id
 """
+
+
+def cms_value_by_event_type(sf_dir: str) -> pd.DataFrame:
+    """Weighted Count-Min: total value (cents) per event_type estimated
+    from a weighted sketch — the 'revenue heavy hitters' shape where the
+    per-key weight is folded, not the row count."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    prepped = ds.map_batches(
+        lambda t: pa.table({"event_type": t.column("event_type"),
+                            "w": _cents(t.column("value"))}),
+        batch_format="pyarrow",
+    )
+    blob = sketch_aggregate(prepped, "countmin", on="event_type", weight="w",
+                            mode="bytes", width=1 << 14, depth=5)
+    cm = CountMin.from_bytes(blob)
+    cand_df = prepped.map_batches(
+        lambda t: pa.table({"event_type": pc.unique(t.column("event_type"))}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    cand = sorted(cand_df["event_type"].unique())
+    return pd.DataFrame({
+        "event_type": cand,
+        "est_value_cents": cm.estimate_batch(cand),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["cms_value_by_event_type"] = cms_value_by_event_type

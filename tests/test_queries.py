@@ -112,3 +112,18 @@ def test_conv_length_quantiles(truth):
         lo = np.searchsorted(s, est, side="left") / len(s)
         hi = np.searchsorted(s, est, side="right") / len(s)
         assert lo - 0.03 <= q <= hi + 0.03
+
+
+def test_cms_weighted_value(ray_session):
+    import duckdb
+
+    out = Q.cms_value_by_event_type(SF_DIR)
+    con = duckdb.connect()
+    exact = dict(con.execute(
+        "SELECT event_type, SUM(CAST(ROUND(value*100) AS BIGINT)) "
+        f"FROM '{SF_DIR}/events.parquet' GROUP BY event_type").fetchall())
+    total = sum(exact.values())
+    for _, r in out.iterrows():
+        true = int(exact[r["event_type"]])
+        assert r["est_value_cents"] >= true  # CM never underestimates
+        assert r["est_value_cents"] <= true + np.e / (1 << 14) * total + 1
