@@ -88,6 +88,11 @@ class CheckpointedSketchJob:
             partials = fold_partials(ds, self.sketch, self.on, self.by, **self.params)
             out_file = os.path.join(self.ckpt_dir, "partials", shard_id)
             tmp_dir = out_file + ".tmp"
+            # a crash mid-write leaves a stale tmp dir; writing into it
+            # would APPEND duplicate partials — always start clean
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
             partials.write_parquet(tmp_dir)
             # atomic publish: parquet dir rename
             os.replace(tmp_dir, out_file)

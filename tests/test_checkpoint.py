@@ -107,3 +107,29 @@ def test_sketch_service_actor(ray_session):
     ext.add_batch(["x", "y", "z"])
     svc.load("eu", ext.to_bytes())
     assert svc.count("eu") == 6
+
+
+def test_crash_leftover_tmp_not_appended(shards, tmp_path):
+    """A stale .tmp dir from a crashed shard write must not leak stale
+    partials into the fresh write (CMS total proves exactly-once)."""
+    import pyarrow as pq_pa
+    import pyarrow.parquet as pq
+
+    from raysketch.sketches import CountMin
+
+    ck = str(tmp_path / "ck5")
+    job = CheckpointedSketchJob(ck, "countmin", on="tool",
+                                shard_files_per_task=6, width=1 << 12, depth=4)
+    # simulate a crashed prior attempt: garbage partial in the tmp dir
+    stale = os.path.join(ck, "partials", "shard-00000.tmp")
+    os.makedirs(stale, exist_ok=True)
+    garbage = CountMin(width=1 << 12, depth=4)
+    garbage.add_batch(["zzz"] * 5000)
+    pq.write_table(
+        pq_pa.table({"sketch": pq_pa.array([garbage.to_bytes()], type=pq_pa.binary()),
+                     "partial_n": pq_pa.array([5000])}),
+        os.path.join(stale, "stale.parquet"),
+    )
+    blob = job.run(shards)
+    cm = CountMin.from_bytes(blob)
+    assert cm.total == 30000  # the 5000 garbage folds did NOT leak in
