@@ -94,7 +94,11 @@ class CheckpointedSketchJob:
 
             shutil.rmtree(tmp_dir, ignore_errors=True)
             partials.write_parquet(tmp_dir)
-            # atomic publish: parquet dir rename
+            # atomic publish: parquet dir rename. A crash between publish
+            # and manifest append leaves out_file populated but
+            # unrecorded — the re-fold is authoritative, so clear it
+            # (rename onto a non-empty dir raises ENOTEMPTY otherwise).
+            shutil.rmtree(out_file, ignore_errors=True)
             os.replace(tmp_dir, out_file)
             wall = time.perf_counter() - t0
             n_rows = sum(

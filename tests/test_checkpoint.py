@@ -133,3 +133,23 @@ def test_crash_leftover_tmp_not_appended(shards, tmp_path):
     blob = job.run(shards)
     cm = CountMin.from_bytes(blob)
     assert cm.total == 30000  # the 5000 garbage folds did NOT leak in
+
+
+def test_crash_published_but_unrecorded_shard(shards, tmp_path):
+    """Shard dir published but manifest append crashed → re-run refolds
+    and REPLACES the orphan dir (no ENOTEMPTY, no double-count)."""
+    from raysketch.sketches import CountMin
+
+    ck = str(tmp_path / "ck6")
+    job = CheckpointedSketchJob(ck, "countmin", on="tool",
+                                shard_files_per_task=6, width=1 << 12, depth=4)
+    blob1 = job.run(shards)
+    # simulate: wipe the manifest (as if the append never happened) but
+    # keep the published partial dirs
+    os.remove(job.manifest_path)
+    blob2 = job.run(shards)
+    a, b = CountMin.from_bytes(blob1), CountMin.from_bytes(blob2)
+    assert a.total == b.total == 30000
+    import numpy as np
+
+    assert np.array_equal(a.table, b.table)
