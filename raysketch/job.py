@@ -81,6 +81,9 @@ def run(spec: dict) -> dict:
     if hasattr(result, "write_parquet"):
         out = spec.get("output")
         if out:
+            import shutil
+
+            shutil.rmtree(out, ignore_errors=True)  # reruns must not append
             result.write_parquet(out)
             summary["output"] = out
         else:
