@@ -89,3 +89,14 @@ def test_asof_join_no_right_match(ray_session):
     b = got[got["k"] == "b"].iloc[0]
     assert a["rv"] == 7
     assert pd.isna(b["rv"])
+
+
+def test_outer_join(frames):
+    from raysketch.stages.joins import bucket_hash_join
+
+    lds, rds, left, right = frames
+    got = bucket_hash_join(lds, rds, on="k", how="outer", num_buckets=16).to_pandas()
+    exp = left.merge(right, on="k", how="outer")
+    assert len(got) == len(exp)
+    assert got["lv"].isna().sum() == exp["lv"].isna().sum()
+    assert got["rv"].isna().sum() == exp["rv"].isna().sum()
