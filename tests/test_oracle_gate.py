@@ -1,0 +1,59 @@
+"""In-pytest replica of the driver's correctness gate for a fast subset
+of the SQL-checked queries: row count + schema + order-insensitive
+value equality against DuckDB at sf0.001.
+
+(The full gate over every query runs via scripts/check_correctness.py;
+this keeps the core contract enforced by `python -m pytest -x -q`.)
+"""
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+FAST_SUBSET = [
+    "q1_pricing_summary",
+    "topk_event_types",
+    "events_hourly",
+    "events_sliding_window",
+    "sessionize_events",
+    "median_value_by_event_type",
+    "orders_priority_stats",
+    "doc_token_stats",
+    "knn_cosine_top10",
+    "dedup_docs_exact",
+    "hll_distinct_nation",
+    "hll_distinct_event_type",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm(df):
+    cols = sorted(df.columns)
+    return sorted(map(tuple, df[cols].astype(str).itertuples(index=False, name=None)))
+
+
+@pytest.mark.parametrize("name", FAST_SUBSET)
+def test_query_matches_oracle(ray_session, duck, name):
+    import __ray_entry__ as entry
+
+    res = entry.queries()[name](SF_DIR)
+    if not hasattr(res, "columns"):
+        res = res.to_pandas()
+    exp = duck.execute(entry.oracle_sql()[name]).fetchdf()
+    assert len(res) == len(exp), f"{name}: rows {len(res)} != {len(exp)}"
+    assert sorted(res.columns) == sorted(exp.columns)
+    assert _norm(res) == _norm(exp), f"{name}: value mismatch"
