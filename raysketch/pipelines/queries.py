@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 from ..agg import sketch_aggregate
 from ..sketches import HLL, BloomFilter, CountMin
 from ..sources.transcripts import write_transcripts
+from ..util import auto_concurrency
 
 # sf dir name → transcript turns (deterministic, cached under /tmp)
 _TURNS_PER_SF = 20_000_000  # sf0.001 → 20k turns, sf0.01 → 200k, sf0.1 → 2M
@@ -212,7 +213,8 @@ def mktsegment_revenue(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Sum
 
     out = (
-        ds.map_batches(JoinSegment, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(JoinSegment, batch_format="pyarrow",
+                       concurrency=auto_concurrency())
         .groupby("c_mktsegment")
         .aggregate(Sum("price_cents", alias_name="revenue_cents"),
                    Count(alias_name="n_orders"))
@@ -250,7 +252,8 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
             absent = self.keys[pos] != ck if len(self.keys) else np.ones(len(ck), bool)
             return pa.table({"c_custkey": pa.array(ck[absent])})
 
-    out = ds.map_batches(AntiJoin, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(AntiJoin, batch_format="pyarrow",
+                         concurrency=auto_concurrency())
     df = out.to_pandas()
     if df.empty:
         df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
@@ -706,7 +709,8 @@ def curate_documents(sf_dir: str) -> pd.DataFrame:
             return t.filter(pa.array(self.keys[pos] == ids))
 
     curated = (
-        ds.map_batches(DedupFilter, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(DedupFilter, batch_format="pyarrow",
+                       concurrency=auto_concurrency())
         .map_batches(QualityScore(), batch_format="pyarrow", batch_size=256)
         .map_batches(lambda t: t.filter(pc.equal(t.column("quality_keep"), 1.0)),
                      batch_format="pyarrow")

@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..hashing import arrow_to_flat_bytes, murmur64a
+from ..util import auto_concurrency
 from ..keys import canonical_flat_bytes
 
 __all__ = [
@@ -181,7 +182,8 @@ class MinHasher:
 
 
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
-                        sig_col: str = "minhash", max_bucket_size: int = 1000):
+                        sig_col: str = "minhash", max_bucket_size: int = 1000,
+                        num_salts: int = 256):
     """Signatures → LSH banding → candidate pairs with estimated Jaccard.
 
     Emits (band, band_hash, id) rows, groups by bucket, and yields pairs
@@ -191,8 +193,40 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
     and an explicit ``truncated_bucket`` marker row is emitted so the
     cap is never silent — downstream treats the surviving clique as one
     duplicate group, which is semantically what a mega-bucket is.
+
+    Pair emission groups on the salted key ``(band, bucket % num_salts)``
+    — the salt is a pure function of the bucket, so a bucket never spans
+    two salt cells and the emitted pair set is identical to a plain
+    per-band grouping, but parallelism is ``num_bands × num_salts``
+    (scales with data) and no single ``map_groups`` task ever holds more
+    than ~``1/num_salts`` of the corpus's bucket rows.
     """
-    import pandas as pd
+    buckets = sig_ds.map_batches(
+        _make_minhash_band_rows(id_col, sig_col, num_bands, num_salts),
+        batch_format="pyarrow",
+    )
+
+    # Groups are (band, salt) cells, not individual buckets: per-(band,
+    # bucket) map_groups would spawn a Python call per bucket (≈ n_docs ×
+    # bands tiny groups); instead each cell task segments its sorted
+    # bucket column with numpy and emits pairs only for multi-member
+    # buckets.
+    pairs = buckets.groupby(["band", "salt"]).map_groups(
+        _make_band_pair_emitter(id_col, max_bucket_size), batch_format="pandas"
+    )
+
+    # dedupe pairs found in multiple bands; keep the truncation marker
+    from ray.data.aggregate import Count, Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_bands"),
+        Max("truncated_bucket", alias_name="truncated_bucket"),
+    )
+
+
+def _make_minhash_band_rows(id_col: str, sig_col: str, num_bands: int,
+                            num_salts: int):
+    """Vectorized signature → (band, bucket, salt, id) explosion."""
 
     def band_rows(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -209,29 +243,15 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
             out_band.append(np.full(len(ids), b, dtype=np.int32))
             out_hash.append(h.astype(np.int64))
             out_id.append(ids)
+        bucket = np.concatenate(out_hash)
         return pa.table({
             "band": pa.array(np.concatenate(out_band)),
-            "bucket": pa.array(np.concatenate(out_hash)),
+            "bucket": pa.array(bucket),
+            "salt": pa.array((bucket % num_salts).astype(np.int32)),
             id_col: pa.array(np.concatenate(out_id)),
         })
 
-    buckets = sig_ds.map_batches(band_rows, batch_format="pyarrow")
-
-    # ONE group per band (not per bucket): per-(band,bucket) map_groups
-    # would spawn a Python call per bucket (≈ n_docs × bands tiny groups);
-    # instead each band task segments its sorted bucket column with numpy
-    # and emits pairs only for multi-member buckets.
-    pairs = buckets.groupby("band").map_groups(
-        _make_band_pair_emitter(id_col, max_bucket_size), batch_format="pandas"
-    )
-
-    # dedupe pairs found in multiple bands; keep the truncation marker
-    from ray.data.aggregate import Count, Max
-
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Count(alias_name="n_bands"),
-        Max("truncated_bucket", alias_name="truncated_bucket"),
-    )
+    return band_rows
 
 
 def _make_band_pair_emitter(id_col: str, max_bucket_size: int):
@@ -295,7 +315,8 @@ def _gather_rows_by_id(ds, id_col: str, want_ids) -> "pa.Table":
             pos = np.minimum(pos, len(self.want) - 1)
             return t.filter(pa.array(self.want[pos] == ids)) if len(self.want) else t.slice(0, 0)
 
-    batches = ds.map_batches(Filter, batch_format="pyarrow", concurrency=2) \
+    batches = ds.map_batches(Filter, batch_format="pyarrow",
+                             concurrency=auto_concurrency()) \
         .to_arrow_refs()
     import pyarrow as _pa
 
@@ -366,9 +387,15 @@ class SimHasher:
         })
 
 
-def simhash_candidate_pairs(sim_ds, id_col: str = "doc_id", max_hamming: int = 3):
+def simhash_candidate_pairs(sim_ds, id_col: str = "doc_id", max_hamming: int = 3,
+                            num_salts: int = 256):
     """Bucket by 4 × 16-bit bands (pigeonhole: any pair within hamming
-    ≤ 3 shares at least one intact band), then verify exact hamming."""
+    ≤ 3 shares at least one intact band), then verify exact hamming.
+
+    Grouped on the salted ``(band, salt)`` key (salt = bucket %
+    num_salts, a pure function of the bucket) so pair emission
+    parallelism is 4 × num_salts, not 4 — see ``lsh_candidate_pairs``.
+    """
     import pandas as pd
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -380,9 +407,11 @@ def simhash_candidate_pairs(sim_ds, id_col: str = "doc_id", max_hamming: int = 3
             buckets.append(((sim >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
             oids.append(ids)
             sims.append(sim.astype(np.int64))
+        bucket = np.concatenate(buckets)
         return pa.table({
             "band": pa.array(np.concatenate(bands)),
-            "bucket": pa.array(np.concatenate(buckets)),
+            "bucket": pa.array(bucket),
+            "salt": pa.array((bucket % num_salts).astype(np.int32)),
             id_col: pa.array(np.concatenate(oids)),
             "simhash": pa.array(np.concatenate(sims)),
         })
@@ -390,8 +419,8 @@ def simhash_candidate_pairs(sim_ds, id_col: str = "doc_id", max_hamming: int = 3
     buckets = sim_ds.map_batches(band_rows, batch_format="pyarrow")
 
     def emit_band(g: pd.DataFrame) -> pd.DataFrame:
-        # one task per band; buckets segmented vectorized (see
-        # _make_band_pair_emitter for the rationale)
+        # one task per (band, salt) cell; buckets segmented vectorized
+        # (see _make_band_pair_emitter for the rationale)
         b = g["bucket"].to_numpy()
         ids = g[id_col].to_numpy()
         sims = g["simhash"].to_numpy().astype(np.uint64)
@@ -421,7 +450,7 @@ def simhash_candidate_pairs(sim_ds, id_col: str = "doc_id", max_hamming: int = 3
                              "id_b": np.concatenate(out_b),
                              "hamming": np.concatenate(out_h)})
 
-    pairs = buckets.groupby("band").map_groups(emit_band, batch_format="pandas")
+    pairs = buckets.groupby(["band", "salt"]).map_groups(emit_band, batch_format="pandas")
     from ray.data.aggregate import Min
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
@@ -450,49 +479,94 @@ def union_find_components(pairs_df, ids=None) -> dict[int, int]:
     return out
 
 
-def propagate_components(pairs_ds, rounds: int = 5):
-    """Distributed alternative: iterative min-label propagation via
-    groupby (for candidate sets too large for the driver). Each round
-    sends every node its neighbours' current minimum label."""
+def propagate_components(pairs_ds, rounds: int = 16, num_buckets: int = 64):
+    """Distributed min-label propagation for candidate-pair sets too
+    large for driver-side union-find.
+
+    Each round joins the (node, peer) edge set against the current
+    (node, label) table with a bucketed integer hash join — both sides
+    get ``bucket = key % num_buckets``, bucket groups relabel peers via
+    a vectorized ``np.searchsorted`` lookup — then takes the per-node
+    min. Labels never touch the driver; convergence is detected with a
+    scalar ``sum(label)`` aggregate (labels are monotone non-increasing,
+    so an unchanged sum means a fixed point). O(diameter) rounds; LSH
+    duplicate clusters are near-cliques so diameter is tiny.
+    """
     import pandas as pd
     from ray.data.aggregate import Min
 
-    edges = pairs_ds.map_batches(
-        lambda t: pa.table({
+    def symmetrize(t: pa.Table) -> pa.Table:
+        return pa.table({
             "node": pa.concat_arrays([t.column("id_a").combine_chunks().cast(pa.int64()),
                                       t.column("id_b").combine_chunks().cast(pa.int64())]),
             "peer": pa.concat_arrays([t.column("id_b").combine_chunks().cast(pa.int64()),
                                       t.column("id_a").combine_chunks().cast(pa.int64())]),
-        }),
-        batch_format="pyarrow",
-    ).materialize()
+        })
+
+    def edge_bucket(t: pa.Table) -> pa.Table:
+        peer = t.column("peer").to_numpy(zero_copy_only=False)
+        b = (peer.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({
+            "node": t.column("node"), "peer": t.column("peer"),
+            "label": pa.nulls(t.num_rows, type=pa.int64()),
+            "__b": pa.array(b),
+            "__side": pa.array(np.zeros(t.num_rows, dtype=bool)),
+        })
+
+    def label_bucket(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        b = (node.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({
+            "node": pa.nulls(t.num_rows, type=pa.int64()),
+            "peer": t.column("node"),  # join key: label's node == edge's peer
+            "label": t.column("label"),
+            "__b": pa.array(b),
+            "__side": pa.array(np.ones(t.num_rows, dtype=bool)),
+        })
+
+    def relabel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["__side"]]
+        ed = g[~g["__side"]]
+        keys = lab["peer"].to_numpy(dtype=np.int64)
+        vals = lab["label"].to_numpy(dtype=np.int64)
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+        peer = ed["peer"].to_numpy(dtype=np.int64)
+        out = peer.copy()  # default: unknown peer labels itself
+        if len(keys):
+            pos = np.searchsorted(keys, peer)
+            pos = np.minimum(pos, len(keys) - 1)
+            hit = keys[pos] == peer
+            out[hit] = vals[pos[hit]]
+        return pd.DataFrame({"node": ed["node"].to_numpy(dtype=np.int64),
+                             "label": out})
+
+    edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow") \
+        .map_batches(edge_bucket, batch_format="pyarrow").materialize()
     labels = edges.groupby("node").aggregate(Min("peer", alias_name="label"))
     labels = labels.map_batches(
         lambda t: pa.table({"node": t.column("node"),
                             "label": pc.min_element_wise(t.column("node"), t.column("label"))}),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    prev_sum = labels.sum("label")
     for _ in range(rounds):
-        lab_df = labels.to_pandas()
-        lookup = dict(zip(lab_df["node"], lab_df["label"]))
-
-        def relabel(t: pa.Table, lookup=lookup) -> pa.Table:
-            node = t.column("node").to_numpy(zero_copy_only=False)
-            peer = t.column("peer").to_numpy(zero_copy_only=False)
-            peer_lab = np.array([lookup.get(int(p), int(p)) for p in peer])
-            return pa.table({"node": pa.array(node), "label": pa.array(peer_lab)})
-
-        nxt = edges.map_batches(relabel, batch_format="pyarrow") \
+        tagged = labels.map_batches(label_bucket, batch_format="pyarrow")
+        nxt = (
+            edges.union(tagged)
+            .groupby("__b").map_groups(relabel_bucket, batch_format="pandas")
             .groupby("node").aggregate(Min("label", alias_name="label"))
+        )
         nxt = nxt.map_batches(
             lambda t: pa.table({"node": t.column("node"),
                                 "label": pc.min_element_wise(t.column("node"), t.column("label"))}),
             batch_format="pyarrow",
-        )
-        new_df = nxt.to_pandas()
-        if dict(zip(new_df["node"], new_df["label"])) == lookup:
-            break
+        ).materialize()
+        new_sum = nxt.sum("label")
         labels = nxt
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
     return labels
 
 
@@ -604,7 +678,10 @@ def embedding_dedup(ds, vec_col="embedding", id_col="vec_id",
                 "sig": pa.array(sig.astype(np.int64)),
             })
 
-    sigs = ds.map_batches(SignSketch, batch_format="pyarrow", concurrency=2)
+    sigs = ds.map_batches(SignSketch, batch_format="pyarrow",
+                          concurrency=auto_concurrency())
+
+    num_salts = 256
 
     def band_rows(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -614,8 +691,10 @@ def embedding_dedup(ds, vec_col="embedding", id_col="vec_id",
             bands.append(np.full(len(ids), b, dtype=np.int32))
             buckets.append(((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
             oids.append(ids)
+        bucket = np.concatenate(buckets)
         return pa.table({"band": pa.array(np.concatenate(bands)),
-                         "bucket": pa.array(np.concatenate(buckets)),
+                         "bucket": pa.array(bucket),
+                         "salt": pa.array((bucket % num_salts).astype(np.int32)),
                          id_col: pa.array(np.concatenate(oids))})
 
     buckets = sigs.map_batches(band_rows, batch_format="pyarrow")
@@ -623,7 +702,7 @@ def embedding_dedup(ds, vec_col="embedding", id_col="vec_id",
     from ray.data.aggregate import Count
 
     pairs = (
-        buckets.groupby("band").map_groups(
+        buckets.groupby(["band", "salt"]).map_groups(
             _make_band_pair_emitter(id_col, max_bucket_size=1000),
             batch_format="pandas",
         )

@@ -20,6 +20,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from ..util import auto_concurrency
 
 __all__ = ["brute_force_topk", "IVFIndex"]
 
@@ -72,7 +73,8 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                 "score": pa.array(scores[cand, out_q]),
             })
 
-    cand = ds.map_batches(Score, batch_format="pyarrow", concurrency=2).to_pandas()
+    cand = ds.map_batches(Score, batch_format="pyarrow",
+                          concurrency=auto_concurrency()).to_pandas()
     cand = cand.sort_values(["query_idx", "score", id_col],
                             ascending=[True, False, True])
     top = cand.groupby("query_idx").head(k).reset_index(drop=True)
@@ -137,7 +139,8 @@ class IVFIndex:
                 d = (emb**2).sum(1, keepdims=True) - 2 * emb @ self.cent.T + (self.cent**2).sum(1)
                 return t.append_column("bucket", pa.array(d.argmin(1).astype(np.int64)))
 
-        assigned = ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+        assigned = ds.map_batches(Assign, batch_format="pyarrow",
+                                  concurrency=auto_concurrency())
         import shutil
 
         bdir = os.path.join(self.index_dir, "buckets")

@@ -2,10 +2,12 @@
 language ID, quality scoring, token counting, document fingerprinting.
 
 Each stage is a callable CLASS for ``map_batches(Cls, concurrency=N)``
-— expensive setup (compiled regexes, n-gram profiles) happens once per
-actor in ``__init__``, per-batch work is vectorized (pyarrow.compute /
-numpy); nothing iterates Python rows in the hot path except the
-bounded-size per-document aggregation steps.
+— expensive setup (compiled regexes, n-gram profiles, packed stopword
+tables) happens once per actor in ``__init__``; per-batch work is fully
+vectorized (pyarrow.compute regex-count kernels + numpy over the flat
+byte buffer). Nothing iterates Python rows in the hot path; the per-row
+reference implementations are kept (``*_ref``) only for equivalence
+tests.
 """
 
 from __future__ import annotations
@@ -21,27 +23,59 @@ from ..hashing import arrow_to_flat_bytes, murmur64a
 __all__ = ["TokenCount", "LangId", "QualityScore", "Fingerprint"]
 
 
+def _flat(txt) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    return arrow_to_flat_bytes(txt)
+
+
 class TokenCount:
     """Whitespace tokens + a BPE-ish regex token count (GPT-2-style
-    pattern: word pieces, numbers, punctuation runs)."""
+    pattern: word pieces, numbers, punctuation runs).
+
+    The BPE count is computed with four vectorized RE2 counts instead of
+    a per-row Python ``findall``. Decomposition of the GPT-2-ish pattern
+    ``'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|``
+    ``\\s+(?!\\S)|\\s+`` (whose lookahead RE2 cannot express):
+
+    - non-whitespace tokens: scanning with just the first four
+      alternatives yields the same token spans (a single space before a
+      token is absorbed by its ``' ?'``; inside longer whitespace runs
+      every start position fails until the final space);
+    - each non-trailing whitespace run contributes ``[len >= 2]`` +
+      ``[last char != ' ']`` matches (len-1 spaces via the backtracked
+      lookahead branch, plus a bare ``\\s+`` match when the char before
+      the next token is not a literal space), and a trailing run
+      contributes exactly 1.
+
+    RE2's ``\\s`` is ASCII (Python's is Unicode): documents containing
+    non-ASCII whitespace count those code points as punctuation runs.
+    """
+
+    _PAT = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        # public GPT-2 pre-tokenizer shape (contractions, letter runs,
-        # digit runs, punctuation runs, whitespace)
-        self.bpe = re.compile(
-            r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
-        )
+        self.bpe = re.compile(self._PAT)  # per-row reference (tests only)
+        self.nonws = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+    def bpe_count_ref(self, s: str) -> int:
+        """Per-row reference of the vectorized count (tests only)."""
+        return len(self.bpe.findall(s)) if s else 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         txt = batch.column(self.text_col)
         n_chars = pc.cast(pc.utf8_length(txt), pa.int64())
         n_ws = pc.cast(pc.count_substring_regex(txt, r"\S+"), pa.int64())
-        bpe = self.bpe
-        n_bpe = pa.array(
-            [len(bpe.findall(s)) if s else 0 for s in txt.to_pylist()],
-            type=pa.int64(),
-        )
+
+        def cnt(pattern):
+            return pc.cast(pc.count_substring_regex(txt, pattern), pa.int64())
+
+        n_tok = cnt(self.nonws)
+        n_multi = cnt(r"\s\s+\S")        # non-trailing runs of len >= 2
+        n_tabnl = cnt(r"[^\S ]\S")       # runs whose last char isn't ' '
+        n_trail = cnt(r"\s+$")           # the trailing run (0 or 1)
+        n_bpe = pc.add(pc.add(n_tok, n_multi), pc.add(n_tabnl, n_trail))
         return (
             batch.append_column("n_chars", n_chars)
             .append_column("n_tokens_ws", n_ws)
@@ -61,16 +95,32 @@ _PROFILES = {
            "eur", "ons", "men", "ais", "son", "par", "ure", "con", "est", "eme"],
     "es": ["que", "ent", "ion", "los", "ado", "con", "res", "cio", "del", "est",
            "nte", "aci", "par", "era", "las", "ien", "sta", "una", "ara", "des"],
-    "it": ["che", "ent", "ion", "della", "con", "per", "ato", "are", "lla", "zio",
+    # "ndo" replaces the former 5-char entry "della", which a character
+    # trigram can never match (ADVICE r01): gerund suffix, not already
+    # present in the list.
+    "it": ["che", "ent", "ion", "ndo", "con", "per", "ato", "are", "lla", "zio",
            "one", "ell", "nte", "gli", "ere", "anc", "del", "ver", "ita", "men"],
 }
+
+
+def _letter_mask(data: np.ndarray) -> np.ndarray:
+    return (data >= 0x61) & (data <= 0x7A)  # a-z on lowered bytes
 
 
 class LangId:
     """n-gram-heuristic language ID: inverse-rank trigram overlap against
     built-in profiles. Returns the best language and a confidence margin
     (0 = tie). ~Latin scripts only; "und" (undetermined) for empty or
-    out-of-profile text."""
+    out-of-profile text.
+
+    Vectorized: profile trigrams are pure ASCII, so occurrences inside
+    word tokens equal 3-byte all-letter windows of the lowered flat
+    buffer (multi-byte UTF-8 code points never contain ASCII-letter
+    bytes and act as word breaks on both paths). Each window packs to a
+    24-bit code, matched against the profile table via searchsorted; a
+    (n_docs × n_langs) score matrix accumulates the inverse-rank
+    weights.
+    """
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         self.text_col = text_col
@@ -80,8 +130,26 @@ class LangId:
             {t: 1.0 / (i + 1) for i, t in enumerate(_PROFILES[l])} for l in self.langs
         ]
         self.word = re.compile(r"[a-zà-ÿ]+")
+        # code -> per-language weight row, plus a 2^24 direct-lookup
+        # table (16 MB int8, built once per actor) mapping a packed
+        # trigram code to its weight-row index (-1 = not a profile
+        # trigram) — O(1) per window vs a searchsorted per window
+        weights: dict[int, np.ndarray] = {}
+        for li, l in enumerate(self.langs):
+            for i, t in enumerate(_PROFILES[l]):
+                b = t.encode()
+                code = (b[0] << 16) | (b[1] << 8) | b[2]
+                row = weights.setdefault(code, np.zeros(len(self.langs)))
+                row[li] += 1.0 / (i + 1)
+        codes = np.array(sorted(weights), dtype=np.int64)
+        self.codes = codes
+        self.weights = np.stack([weights[int(c)] for c in codes])
+        assert len(codes) < 128  # int8 LUT indices
+        self.lut = np.full(1 << 24, -1, dtype=np.int8)
+        self.lut[codes] = np.arange(len(codes), dtype=np.int8)
 
-    def _score_one(self, s: str) -> tuple[str, float]:
+    def score_one_ref(self, s: str) -> tuple[str, float]:
+        """Per-row reference of the vectorized scorer (tests only)."""
         s = s.lower()
         tris: dict[str, int] = {}
         for w in self.word.findall(s):
@@ -99,12 +167,50 @@ class LangId:
             return "und", 0.0
         return self.langs[order[0]], float((best - second) / best)
 
+    def _scores(self, data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        n = len(offsets) - 1
+        scores = np.zeros((n, len(self.langs)))
+        if len(data) < 3:
+            return scores
+        m = _letter_mask(data)
+        win = m[:-2] & m[1:-1] & m[2:]
+        starts = np.nonzero(win)[0]
+        if not len(starts):
+            return scores
+        code = (
+            (data[starts].astype(np.int32) << 16)
+            | (data[starts + 1].astype(np.int32) << 8)
+            | data[starts + 2]
+        )
+        widx = self.lut[code]
+        # doc-boundary filtering only for the (few) profile-hit windows
+        hit = np.nonzero(widx >= 0)[0]
+        if not len(hit):
+            return scores
+        starts_h, widx_h = starts[hit], widx[hit]
+        doc_of = np.searchsorted(offsets, starts_h, side="right") - 1
+        keep = starts_h + 3 <= offsets[doc_of + 1]  # window within one doc
+        docs, widx_k = doc_of[keep], widx_h[keep]
+        for li in range(len(self.langs)):
+            scores[:, li] = np.bincount(
+                docs, weights=self.weights[widx_k, li], minlength=n
+            )
+        return scores
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, margins = [], []
-        for s in batch.column(self.text_col).to_pylist():
-            p, m = self._score_one(s or "")
-            preds.append(p)
-            margins.append(m)
+        txt = pc.utf8_lower(batch.column(self.text_col))
+        txt = pc.fill_null(txt, "")
+        data, offsets = _flat(txt)
+        scores = self._scores(data, offsets)
+        # same tie-breaking as score_one_ref: argsort ascending, reversed
+        order = np.argsort(scores, axis=1)[:, ::-1]
+        best = np.take_along_axis(scores, order[:, :1], axis=1)[:, 0]
+        second = np.take_along_axis(scores, order[:, 1:2], axis=1)[:, 0]
+        has = best > 0
+        margins = np.where(has, (best - second) / np.where(best > 0, best, 1.0), 0.0)
+        lang_arr = np.array(self.langs + ["und"])
+        pred_idx = np.where(has, order[:, 0], len(self.langs))
+        preds = lang_arr[pred_idx]
         return batch.append_column(
             self.out_col, pa.array(preds, type=pa.string())
         ).append_column("lang_margin", pa.array(margins, type=pa.float64()))
@@ -115,38 +221,137 @@ _STOPWORDS = (
 ).split()
 
 
+def _word_runs(data: np.ndarray, offsets: np.ndarray):
+    """(starts, lens, doc_of) of maximal ASCII-letter runs in the lowered
+    flat buffer, never crossing document boundaries."""
+    m = _letter_mask(data)
+    prev = np.zeros_like(m)
+    prev[1:] = m[:-1]
+    prev[offsets[:-1][offsets[:-1] < len(m)]] = False  # break at doc starts
+    nxt = np.zeros_like(m)
+    nxt[:-1] = m[1:]
+    ends_break = offsets[1:] - 1  # last byte of each doc ends its run
+    nxt[ends_break[(ends_break >= 0) & (ends_break < len(m))]] = False
+    starts = np.nonzero(m & ~prev)[0]
+    ends = np.nonzero(m & ~nxt)[0]
+    lens = ends - starts + 1
+    doc_of = np.searchsorted(offsets, starts, side="right") - 1
+    return starts, lens, doc_of
+
+
+def _pack8(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Pack the first min(len, 8) bytes of each run into a uint64
+    (zero-padded little-endian) — an exact identity for runs of
+    length <= 8. The (n, 8) uint8 gather is reinterpreted as uint64
+    directly (no per-byte shifts)."""
+    idx = starts[:, None] + np.arange(8)
+    np.minimum(idx, len(data) - 1, out=idx)
+    w = np.ascontiguousarray(data[idx]).view(np.uint64).ravel()
+    mask = np.full(len(w), np.uint64(0xFFFFFFFFFFFFFFFF))
+    part = lens < 8
+    mask[part] = (np.uint64(1) << (lens[part].astype(np.uint64) * np.uint64(8))) - np.uint64(1)
+    return w & mask
+
+
 class QualityScore:
     """Heuristic document-quality signals (Gopher/C4-style filters):
     length, mean word length, alpha ratio, punctuation ratio, stopword
-    ratio, max word-repetition fraction — plus a composite keep-score."""
+    ratio, max word-repetition fraction — plus a composite keep-score.
+
+    Vectorized: words are ASCII-letter byte runs of the lowered flat
+    buffer (identical to ``[A-Za-z]+`` over ``str.lower()`` — multi-byte
+    code points break runs on both paths). Stopword membership packs
+    each <=8-byte word into a uint64 and uses ``np.isin`` (exact);
+    repetition groups (doc, word-key) pairs with a lexsort, where the
+    key is exact for words up to 16 bytes (two zero-padded uint64 packs)
+    and words beyond 16 bytes add a murmur64 of the remainder (a
+    collision needs equal first-16 bytes AND a 64-bit hash collision —
+    negligible).
+    """
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.word = re.compile(r"[A-Za-z]+")
         self.stop = set(_STOPWORDS)
+        packed = []
+        for w in _STOPWORDS:
+            b = w.encode()
+            packed.append(int.from_bytes(b + b"\0" * (8 - len(b)), "little"))
+        self.stop_packed = np.array(sorted(packed), dtype=np.uint64)
+
+    # Byte-class tables replicating RE2 rune counts over UTF-8 text:
+    # `[A-Za-z]` = ASCII letter bytes; `[^\w\s]` = ASCII bytes outside
+    # [A-Za-z0-9_] and RE2's ASCII \s = [\t\n\f\r ], plus one count per
+    # non-ASCII rune (its UTF-8 lead byte, 0xC0-0xFF).
+    _ALPHA_LUT = np.zeros(256)
+    _ALPHA_LUT[ord("A"):ord("Z") + 1] = 1.0
+    _ALPHA_LUT[ord("a"):ord("z") + 1] = 1.0
+    _PUNCT_LUT = np.ones(256)
+    _PUNCT_LUT[128:192] = 0.0  # UTF-8 continuation bytes
+    for _b in (b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+               b"0123456789_ \t\n\f\r"):
+        _PUNCT_LUT[_b] = 0.0
+    del _b
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        txt = batch.column(self.text_col)
+        txt = pc.fill_null(batch.column(self.text_col), "")
         n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.float64)
-        alpha = pc.count_substring_regex(txt, r"[A-Za-z]").to_numpy(zero_copy_only=False)
-        punct = pc.count_substring_regex(txt, r"[^\w\s]").to_numpy(zero_copy_only=False)
+        n = len(txt)
+        raw, roff = _flat(txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt)
+        # per-doc byte-class sums via prefix sums (robust to empty docs)
+        alpha = np.zeros(n)
+        punct = np.zeros(n)
+        if len(raw):
+            cs_a = np.concatenate([[0.0], np.cumsum(self._ALPHA_LUT[raw])])
+            cs_p = np.concatenate([[0.0], np.cumsum(self._PUNCT_LUT[raw])])
+            alpha = cs_a[roff[1:]] - cs_a[roff[:-1]]
+            punct = cs_p[roff[1:]] - cs_p[roff[:-1]]
         nz = np.maximum(n_chars, 1)
         alpha_ratio = alpha / nz
         punct_ratio = punct / nz
 
-        stop_ratio = np.zeros(len(txt))
-        mean_wlen = np.zeros(len(txt))
-        rep_frac = np.zeros(len(txt))
-        for i, s in enumerate(txt.to_pylist()):
-            ws = self.word.findall((s or "").lower())
-            if not ws:
-                continue
-            stop_ratio[i] = sum(w in self.stop for w in ws) / len(ws)
-            mean_wlen[i] = sum(map(len, ws)) / len(ws)
-            counts: dict[str, int] = {}
-            for w in ws:
-                counts[w] = counts.get(w, 0) + 1
-            rep_frac[i] = max(counts.values()) / len(ws)
+        stop_ratio = np.zeros(n)
+        mean_wlen = np.zeros(n)
+        rep_frac = np.zeros(n)
+        low = pc.utf8_lower(txt)
+        data, offsets = _flat(low)
+        starts, lens, doc_of = _word_runs(data, offsets)
+        if len(starts):
+            n_words = np.bincount(doc_of, minlength=n).astype(np.float64)
+            nw_nz = np.maximum(n_words, 1)
+            mean_wlen = np.bincount(doc_of, weights=lens, minlength=n) / nw_nz
+            # word keys: first-8 / next-8 byte packs are an exact
+            # identity up to 16 bytes (0x00 never occurs in a letter
+            # run); only the rare longer words hash their remainder
+            k1 = _pack8(data, starts, np.minimum(lens, 8))
+            is_stop = (lens <= 8) & np.isin(k1, self.stop_packed)
+            stop_ratio = np.bincount(doc_of, weights=is_stop, minlength=n) / nw_nz
+            k2 = np.zeros(len(starts), dtype=np.uint64)
+            mid = lens > 8
+            if mid.any():
+                k2[mid] = _pack8(data, starts[mid] + 8, np.minimum(lens[mid] - 8, 8))
+            k3 = np.zeros(len(starts), dtype=np.uint64)
+            long = lens > 16
+            if long.any():
+                ls, ll = starts[long] + 16, lens[long] - 16
+                total = int(ll.sum())
+                gather = np.repeat(ls, ll) + (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(ll) - ll, ll)
+                )
+                woff = np.zeros(len(ll) + 1, dtype=np.int64)
+                np.cumsum(ll, out=woff[1:])
+                k3[long] = murmur64a(data[gather], woff)
+            order = np.lexsort((k3, k2, k1, doc_of))
+            a1, a2, a3, ds_ = k1[order], k2[order], k3[order], doc_of[order]
+            new_grp = np.r_[True, (a1[1:] != a1[:-1]) | (a2[1:] != a2[:-1])
+                            | (a3[1:] != a3[:-1]) | (ds_[1:] != ds_[:-1])]
+            gstarts = np.nonzero(new_grp)[0]
+            gcounts = np.diff(np.r_[gstarts, len(ds_)])
+            doc_grp = ds_[gstarts]  # nondecreasing: reduceat per doc segment
+            dstarts = np.nonzero(np.r_[True, doc_grp[1:] != doc_grp[:-1]])[0]
+            rep_frac[doc_grp[dstarts]] = np.maximum.reduceat(gcounts, dstarts)
+            rep_frac = rep_frac / nw_nz
 
         score = (
             (n_chars >= 20)
@@ -181,8 +386,6 @@ class Fingerprint:
         txt = pc.utf8_lower(batch.column(self.text_col))
         norm = pc.replace_substring_regex(txt, r"\s+", " ")
         norm = pc.utf8_trim_whitespace(norm)
-        data, offsets = arrow_to_flat_bytes(
-            norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
-        )
+        data, offsets = _flat(norm)
         h = murmur64a(data, offsets).astype(np.int64)
         return batch.append_column(self.out_col, pa.array(h, type=pa.int64()))

@@ -188,6 +188,57 @@ class TestTextStats:
         assert keep[2] == 0.0
         assert keep[3] == 0.0
 
+    def test_vectorized_matches_row_reference(self):
+        """The vectorized TokenCount/LangId/QualityScore paths must agree
+        exactly with the per-row reference implementations (VERDICT r01
+        item 3: outputs unchanged after vectorization)."""
+        import random
+        import re as _re
+        import string
+
+        from raysketch.stages.textstats import _STOPWORDS
+
+        rng = random.Random(42)
+        chars = string.ascii_letters + string.digits + " \t\n.,!?'-éàöü  "
+        texts = ["", " ", "   ", "a", " a", "  a", "\t a", "a  ", "it's 42 ok!",
+                 "hello   world\t", "don't stop me now", "a\tb", "a\t\tb",
+                 "x \t y", "the the the cat", "aaa aaa aaa", "ererere here",
+                 "schönen Tag noch", "café déjà vu", "word\n\nnext", "end  "]
+        for _ in range(200):
+            n = rng.randint(0, 60)
+            texts.append("".join(rng.choice(chars) for _ in range(n)))
+        t = pa.table({"text": texts})
+
+        tc = TokenCount()
+        got = tc(t).column("n_tokens_bpe").to_pylist()
+        assert got == [tc.bpe_count_ref(s) for s in texts]
+
+        li = LangId()
+        out = li(t)
+        for s, p, m in zip(texts, out.column("lang_pred").to_pylist(),
+                           out.column("lang_margin").to_pylist()):
+            ep, em = li.score_one_ref(s)
+            assert p == ep and abs(m - em) < 1e-12, s
+
+        word = _re.compile(r"[A-Za-z]+")
+        stop = set(_STOPWORDS)
+        out = QualityScore()(t)
+        cols = {c: out.column(c).to_pylist()
+                for c in ["stopword_ratio", "mean_word_len", "max_word_rep"]}
+        for i, s in enumerate(texts):
+            ws = word.findall(s.lower())
+            if not ws:
+                exp = {"stopword_ratio": 0.0, "mean_word_len": 0.0, "max_word_rep": 0.0}
+            else:
+                counts: dict[str, int] = {}
+                for w in ws:
+                    counts[w] = counts.get(w, 0) + 1
+                exp = {"stopword_ratio": sum(w in stop for w in ws) / len(ws),
+                       "mean_word_len": sum(map(len, ws)) / len(ws),
+                       "max_word_rep": max(counts.values()) / len(ws)}
+            for name, e in exp.items():
+                assert abs(cols[name][i] - e) < 1e-12, (s, name)
+
     def test_fingerprint_normalized(self):
         t = pa.table({"text": ["Hello   World", "hello world", "different"]})
         out = Fingerprint()(t)
@@ -268,6 +319,37 @@ def test_propagate_components_matches_union_find(ray_session):
     labels = propagate_components(ds, rounds=6).to_pandas()
     got = dict(zip(labels["node"], labels["label"]))
     exp = union_find_components(pairs)
+    for node, root in exp.items():
+        assert got[node] == root, (node, got[node], root)
+
+
+def test_propagate_components_large(ray_session):
+    """Distributed propagation on a pair set big enough that per-row
+    driver relabeling would be the bottleneck: 3000 components of mixed
+    shapes (chains up to 6 hops, stars) ≈ 12k edges across many blocks.
+    Must match union-find exactly (VERDICT r01 item 2)."""
+    import ray.data
+
+    from raysketch.stages.dedup import propagate_components, union_find_components
+
+    rng = np.random.default_rng(7)
+    id_a, id_b = [], []
+    base = 0
+    for c in range(3000):
+        size = int(rng.integers(2, 7))
+        nodes = base + rng.permutation(size)
+        if c % 2:  # chain
+            id_a.extend(nodes[:-1]); id_b.extend(nodes[1:])
+        else:  # star
+            id_a.extend([nodes[0]] * (size - 1)); id_b.extend(nodes[1:])
+        base += size
+    pairs = pd.DataFrame({"id_a": np.array(id_a, dtype=np.int64),
+                          "id_b": np.array(id_b, dtype=np.int64)})
+    ds = ray.data.from_pandas(pairs).repartition(8)
+    labels = propagate_components(ds).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    exp = union_find_components(pairs)
+    assert len(got) == len(exp)
     for node, root in exp.items():
         assert got[node] == root, (node, got[node], root)
 
