@@ -39,6 +39,28 @@ __all__ = [
 HyperLogLog = HLL
 
 
+def _php_float_str(x: float) -> str:
+    """PHP float→string coercion (precision=14, zend smart_str %.*H):
+    ``%.14G`` with PHP's exponent form — mantissa always carries a
+    decimal point ("1.0E-5", not "1E-05") and the exponent drops leading
+    zeros. repr() diverges for floats needing >14 significant digits
+    (ADVICE r01: 1/3 → '0.3333333333333333' vs PHP '0.33333333333333'),
+    which would hash as a different element cross-language."""
+    if x != x:
+        return "NAN"
+    if x == float("inf"):
+        return "INF"
+    if x == float("-inf"):
+        return "-INF"
+    s = "%.14G" % x
+    if "E" in s:
+        mant, exp = s.split("E")
+        if "." not in mant:
+            mant += ".0"
+        s = f"{mant}E{exp[0]}{exp[1:].lstrip('0') or '0'}"
+    return s
+
+
 def _coerce_scalar(x) -> bytes:
     """php/hll.c:273-298 semantics."""
     if x is None:
@@ -50,9 +72,7 @@ def _coerce_scalar(x) -> bytes:
     if isinstance(x, (int, str)):
         return str(x).encode()
     if isinstance(x, float):
-        # PHP %.14G default precision; repr matches for short decimals
-        s = repr(x)
-        return s.encode()
+        return _php_float_str(x).encode()
     if hasattr(x, "__str__") and type(x).__str__ is not object.__str__:
         return str(x).encode()  # stringable object (hll_add_object_stringable)
     raise TypeError(f"cannot coerce {type(x).__name__} to a sketch element")

@@ -37,7 +37,27 @@ def canonical_string_array(arr):
         return arr
     elif pa.types.is_boolean(t):
         out = pc.if_else(arr, "1", "")
-    elif pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t):
+    elif pa.types.is_floating(t):
+        # PHP precision=14 form, not Arrow's shortest-roundtrip repr —
+        # 1/3 must hash as "0.33333333333333" for cross-language parity
+        # (ADVICE r01). Floats-as-elements are rare; the subset needing
+        # E-notation fixup is rarer still.
+        vals = arr.to_numpy(zero_copy_only=False)
+        s = np.char.mod("%.14G", vals)
+        has_e = np.char.find(s, "E") >= 0
+        if has_e.any():
+            fix = []
+            for v in s[has_e]:
+                mant, _, exp = v.partition("E")
+                if "." not in mant:
+                    mant += ".0"
+                fix.append(f"{mant}E{exp[0]}{exp[1:].lstrip('0') or '0'}")
+            s[has_e] = fix
+        out = pa.array(s.tolist(), type=pa.string())
+        if arr.null_count:
+            out = pc.if_else(pc.is_null(arr), pa.scalar("", pa.string()), out)
+        return out
+    elif pa.types.is_integer(t) or pa.types.is_decimal(t):
         out = pc.cast(arr, pa.string())
     elif pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
         out = pc.cast(arr, pa.string())

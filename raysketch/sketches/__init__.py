@@ -3,6 +3,7 @@ from .bloom import BloomFilter
 from .bottomk import BottomK
 from .cms import CountMin
 from .hll import HLL
+from .setsketch import ExactSet
 from .kll import KLL
 from .tdigest import TDigest
 
@@ -14,6 +15,7 @@ SKETCHES = {
     "countmin": CountMin,
     "kll": KLL,
     "tdigest": TDigest,
+    "set": ExactSet,
 }
 
 __all__ = [
@@ -23,6 +25,7 @@ __all__ = [
     "CountMin",
     "KLL",
     "TDigest",
+    "ExactSet",
     "MergeableSketch",
     "SKETCHES",
     "hash_column",

@@ -50,18 +50,27 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------------------ exact
 def exact_dedup_keep_ids(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep the smallest id per identical content (64-bit content hash;
-    the shuffle carries only (hash, id) rows)."""
+    """Keep the smallest id per identical content; the shuffle carries
+    only (hash, length, id) rows, never bodies.
+
+    Grouping key is (64-bit content murmur, byte length) — a false merge
+    (silently dropping a distinct doc) needs two different texts of
+    EQUAL length with colliding 64-bit hashes: P ≈ n²/2⁶⁵ per length
+    class, ~3·10⁻⁸ even at 10⁹ same-length docs (ADVICE r01: the
+    documented bound; group on the composite rather than the bare hash
+    so unequal-length texts can never merge at all)."""
     from ray.data.aggregate import Min
 
     def add_hash(t: pa.Table) -> pa.Table:
         data, offsets = canonical_flat_bytes(t.column(text_col))
         h = murmur64a(data, offsets).astype(np.int64)
-        return pa.table({id_col: t.column(id_col), "content_hash": pa.array(h)})
+        ln = offsets[1:] - offsets[:-1]
+        return pa.table({id_col: t.column(id_col), "content_hash": pa.array(h),
+                         "content_len": pa.array(ln)})
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("content_hash")
+        .groupby(["content_hash", "content_len"])
         .aggregate(Min(id_col, alias_name=id_col))
         .select_columns([id_col])
     )

@@ -24,7 +24,7 @@ import pyarrow as pa
 from ..hashing import murmur64a
 from ..keys import canonical_flat_bytes
 
-__all__ = ["bucket_hash_join", "asof_join"]
+__all__ = ["bucket_hash_join", "bucket_anti_join", "bucket_semi_join", "asof_join"]
 
 
 def _with_bucket(ds, key: str, num_buckets: int, side: str, null_cols=None):
@@ -93,6 +93,66 @@ def bucket_hash_join(
         return out
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def bucket_anti_join(left, right, on: str, num_buckets: int = 64):
+    """Rows of ``left`` whose ``on`` key never appears in ``right`` —
+    the shuffle-based anti join for when the right key set is too large
+    to broadcast (the fallback path behind the broadcast anti joins in
+    pipelines/queries.py). Right side is pre-shrunk to per-batch
+    distinct keys so the exchange moves keys, not rows."""
+    import pyarrow.compute as pc
+
+    lfields = _schema_fields(left.schema())
+    lcols = [n for n, _ in lfields]
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        return pa.table({on: pc.unique(t.column(on).combine_chunks())})
+
+    r_keys = right.map_batches(keys_only, batch_format="pyarrow")
+    l_tagged = _with_bucket(left, on, num_buckets, "l", [])
+    r_tagged = _with_bucket(
+        r_keys, on, num_buckets, "r",
+        [(n, t) for n, t in lfields if n != on],
+    )
+
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[~g["__side"]][lcols]
+        rk = g[g["__side"]][on]
+        return lg[~lg[on].isin(rk)]
+
+    return l_tagged.union(r_tagged).groupby("__bucket").map_groups(
+        anti_bucket, batch_format="pandas"
+    )
+
+
+def bucket_semi_join(left, right, on: str, num_buckets: int = 64):
+    """Rows of ``left`` whose ``on`` key appears in ``right`` (each left
+    row at most once) — the shuffle-based fallback for broadcast
+    keep-set filters whose key set outgrows the object store."""
+    import pyarrow.compute as pc
+
+    lfields = _schema_fields(left.schema())
+    lcols = [n for n, _ in lfields]
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        return pa.table({on: pc.unique(t.column(on).combine_chunks())})
+
+    r_keys = right.map_batches(keys_only, batch_format="pyarrow")
+    l_tagged = _with_bucket(left, on, num_buckets, "l", [])
+    r_tagged = _with_bucket(
+        r_keys, on, num_buckets, "r",
+        [(n, t) for n, t in lfields if n != on],
+    )
+
+    def semi_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[~g["__side"]][lcols]
+        rk = g[g["__side"]][on]
+        return lg[lg[on].isin(rk)]
+
+    return l_tagged.union(r_tagged).groupby("__bucket").map_groups(
+        semi_bucket, batch_format="pandas"
+    )
 
 
 def asof_join(

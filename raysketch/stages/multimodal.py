@@ -1,11 +1,11 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
-The decode kernels themselves are STUBBED (this container ships no
-image/audio codecs — install pillow/av in production and swap the
-``_decode_*_real`` bodies), but everything Ray-side is real and tested:
-schemas, actor-pool stage signatures, batch sizing for wide binary rows,
-and the output layout. ``deterministic_fake=True`` (default) substitutes
-a seeded hash-derived decode so pipelines are runnable end-to-end in CI.
+Image decode is REAL for PNG: pillow when importable, else the built-in
+pure-numpy codec (:mod:`.pngcodec`) — real bytes in, real pixels out,
+exercised end-to-end in CI (``image_features_stats`` query + tests).
+Other formats (jpeg/webp, audio) stay gated behind absent codecs with an
+explicit NotImplementedError; ``deterministic_fake=True`` substitutes a
+seeded hash-derived decode for pipelines that only need plumbing.
 
 Batch-size guidance (ray_guide.md "Memory-aware"): a 4 MB-image batch of
 256 rows is ~1 GB in flight per actor — callers should pass
@@ -22,6 +22,7 @@ __all__ = [
     "image_schema",
     "audio_schema",
     "make_fake_image_table",
+    "make_real_png_table",
     "ImageDecode",
     "ImageResize",
     "ImageFeatures",
@@ -61,6 +62,36 @@ def make_fake_image_table(n: int, seed: int = 0, payload_bytes: int = 4096) -> p
     })
 
 
+def make_real_png_table(n: int, seed: int = 0) -> pa.Table:
+    """Rows whose payloads are REAL PNG bytes (gradient + seeded noise,
+    varying sizes, scanline filters cycling 0/1/2) — the fixture for the
+    real decode path."""
+    from .pngcodec import encode_png
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, ws, hs = [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(16, 65))
+        h = int(rng.integers(16, 65))
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([
+            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+            rng.integers(0, 256, size=(h, w), dtype=np.uint8),
+        ], axis=2)
+        ids.append(i)
+        payloads.append(encode_png(img, filter_type=i % 3))
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "item_id": pa.array(np.array(ids, dtype=np.int64)),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array(np.array(ws, dtype=np.int32)),
+        "height": pa.array(np.array(hs, dtype=np.int32)),
+        "format": pa.array(["png"] * n),
+    })
+
+
 def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
     """Deterministic stand-in decode: payload hash seeds the pixels."""
     seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
@@ -84,11 +115,27 @@ class ImageDecode:
                 import PIL.Image  # noqa: F401
 
                 self.codec = "pillow"
-            except ImportError as e:
-                raise NotImplementedError(
-                    "image codec not available in this environment; "
-                    "use deterministic_fake=True or install pillow"
-                ) from e
+            except ImportError:
+                # real PNG path without pillow: the built-in codec
+                self.codec = "pngcodec"
+
+    def _decode(self, payload: bytes, fmt: str) -> np.ndarray:
+        if self.codec == "pillow":  # pragma: no cover - not in container
+            import io
+
+            import PIL.Image
+
+            return np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))
+        if fmt == "png":
+            from .pngcodec import decode_png
+
+            img = decode_png(payload)
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            return img[:, :, :3]  # drop alpha for the RGB contract
+        raise NotImplementedError(
+            f"no codec for format {fmt!r} in this environment (install pillow)"
+        )
 
     def __call__(self, batch: pa.Table) -> dict:
         payloads = batch.column("payload").to_pylist()
@@ -96,8 +143,9 @@ class ImageDecode:
         hs = batch.column("height").to_numpy(zero_copy_only=False)
         if self.fake:
             images = [_fake_pixels(p, int(w), int(h)) for p, w, h in zip(payloads, ws, hs)]
-        else:  # pragma: no cover - codec not in this container
-            raise NotImplementedError("real decode path requires pillow")
+        else:
+            fmts = batch.column("format").to_pylist()
+            images = [self._decode(p, f) for p, f in zip(payloads, fmts)]
         return {
             "item_id": batch.column("item_id").to_numpy(zero_copy_only=False),
             "image": np.array(images, dtype=object),

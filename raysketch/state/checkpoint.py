@@ -82,7 +82,13 @@ class CheckpointedSketchJob:
         done = self._load_manifest()
         for shard_id, files in self._shards(input_files):
             if shard_id in done:
-                continue
+                # shard ids are positional (sorted-file chunks): if the
+                # input file set changed between runs, a stale entry
+                # would silently stand in for a shard now covering
+                # DIFFERENT files. Validate lineage; on mismatch re-fold
+                # this shard (replacing the entry) instead of skipping.
+                if done[shard_id].get("input_files") == files:
+                    continue
             t0 = time.perf_counter()
             ds = ray.data.read_parquet(files)
             partials = fold_partials(ds, self.sketch, self.on, self.by, **self.params)
@@ -120,8 +126,13 @@ class CheckpointedSketchJob:
 
         import glob as _glob
 
+        # merge only the partials of the CURRENT input's shards — a
+        # manifest from a previously-larger input may hold extra entries
+        current_ids = {sid for sid, _ in self._shards(input_files)}
         partial_files = []
-        for e in self._load_manifest().values():
+        for sid, e in self._load_manifest().items():
+            if sid not in current_ids:
+                continue
             partial_files.extend(sorted(_glob.glob(os.path.join(e["output"], "*.parquet"))))
         merged_ds = ray.data.read_parquet(partial_files)
         agg = SketchMerge(self.sketch, on="sketch", mode=merge_mode, **self.params)

@@ -70,10 +70,13 @@ def _make_actor_cls():
 class SketchService:
     """Client handle; routes each key to ``hash(key) % num_shards``."""
 
-    def __init__(self, sketch: str = "hll", num_shards: int = 4, **params):
+    def __init__(self, sketch: str = "hll", num_shards: int = 4,
+                 max_in_flight: int = 256, **params):
         shard_cls = _make_actor_cls()
         self.sketch = sketch
         self.shards = [shard_cls.remote(sketch, params) for _ in range(num_shards)]
+        self.max_in_flight = max_in_flight
+        self._pending: list = []
 
     def _shard(self, key: str):
         from ..hashing import murmur64a_scalar
@@ -81,8 +84,29 @@ class SketchService:
         return self.shards[murmur64a_scalar(key.encode()) % len(self.shards)]
 
     def add(self, key: str, elements) -> None:
-        """Fire-and-forget batched update (callers may ray.get for sync)."""
-        self._shard(key).add.remote(key, list(elements))
+        """Async batched update with bounded in-flight submissions.
+
+        Refs are retained and drained once ``max_in_flight`` accumulate
+        (ADVICE r01: a discarded ref swallows actor-side exceptions —
+        bad element types, incompatible merges — and unbounded fire-and-
+        forget has no backpressure). Draining surfaces any actor error
+        on the caller; :meth:`flush` forces a full drain."""
+        self._pending.append(self._shard(key).add.remote(key, list(elements)))
+        if len(self._pending) >= self.max_in_flight:
+            self._drain(keep=self.max_in_flight // 2)
+
+    def _drain(self, keep: int = 0) -> None:
+        import ray
+
+        while len(self._pending) > keep:
+            done, self._pending = ray.wait(self._pending,
+                                           num_returns=len(self._pending) - keep)
+            ray.get(done)  # re-raises actor-side exceptions
+
+    def flush(self) -> None:
+        """Block until every queued :meth:`add` has been applied (raises
+        if any failed)."""
+        self._drain(keep=0)
 
     def add_sync(self, key: str, elements) -> int:
         import ray
@@ -92,12 +116,16 @@ class SketchService:
     def finalize(self, key: str):
         import ray
 
+        self.flush()  # read-your-writes after async adds
+
         return ray.get(self._shard(key).finalize.remote(key))
 
     count = finalize
 
     def dump(self, key: str) -> Optional[bytes]:
         import ray
+
+        self.flush()  # read-your-writes after async adds
 
         return ray.get(self._shard(key).dump.remote(key))
 
@@ -109,6 +137,8 @@ class SketchService:
     def snapshot(self) -> dict[str, bytes]:
         """Merged {key: serialized sketch} across all shards."""
         import ray
+
+        self.flush()  # read-your-writes after async adds
 
         out: dict[str, bytes] = {}
         from ..sketches import SKETCHES

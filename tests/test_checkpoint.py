@@ -153,3 +153,48 @@ def test_crash_published_but_unrecorded_shard(shards, tmp_path):
     import numpy as np
 
     assert np.array_equal(a.table, b.table)
+
+
+def test_changed_input_set_invalidates_stale_shards(shards, tmp_path):
+    """ADVICE r01 (medium): shard ids are positional, so a changed input
+    file set shifts chunk membership — resume must re-fold shards whose
+    recorded input_files no longer match, and the merge must ignore
+    manifest entries beyond the current input's shards."""
+    from raysketch.sketches import CountMin
+
+    ck = str(tmp_path / "ck7")
+    job = CheckpointedSketchJob(ck, "countmin", on="tool",
+                                shard_files_per_task=2, width=1 << 12, depth=4)
+    job.run(shards)  # 6 files → 3 shards, 30000 rows
+    # drop the first file: every chunk shifts; stale entries cover wrong files
+    new_files = shards[1:]
+    blob = job.run(new_files)
+    cm = CountMin.from_bytes(blob)
+    assert cm.total == 25000  # exactly the 5 remaining files, no stale rows
+    man = {e["shard_id"]: e for e in job.manifest()}
+    # every surviving shard's lineage matches the new chunking
+    for i in range(0, len(new_files), 2):
+        sid = f"shard-{i // 2:05d}"
+        assert man[sid]["input_files"] == sorted(new_files)[i:i + 2]
+
+
+def test_sketch_service_async_add_backpressure(ray_session):
+    """Async adds surface actor-side errors on drain and flush gives
+    read-your-writes (ADVICE r01: no silent fire-and-forget)."""
+    import pytest as _pytest
+
+    from raysketch.state.service import SketchService
+
+    svc = SketchService(sketch="hll", num_shards=2, max_in_flight=8)
+    for i in range(40):
+        svc.add("k", [f"u{i}-{j}" for j in range(10)])
+    est = svc.count("k")  # flush happened before the read
+    assert abs(est - 400) / 400 < 0.05  # HLL estimate of the 400 adds
+
+    bad = SketchService(sketch="countmin", num_shards=1, max_in_flight=4,
+                        width=1 << 10, depth=3)
+    bad.load_error = None
+    bad.add("k", ["ok"])
+    bad.add("k", [object()])  # non-coercible element → actor-side TypeError
+    with _pytest.raises(Exception):
+        bad.flush()

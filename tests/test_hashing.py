@@ -113,3 +113,32 @@ def test_patlen_range():
     idx, count = hll_patlen(h)
     assert idx.min() >= 0 and idx.max() < 16384
     assert count.min() >= 1 and count.max() <= 51
+
+
+def test_float_canonicalization_php_precision14():
+    """PHP precision=14 float→string parity (ADVICE r01): both the scalar
+    compat coercion and the Arrow column path must emit %.14G with PHP's
+    exponent form, not repr / shortest-roundtrip."""
+    from raysketch.compat import _php_float_str
+    from raysketch.keys import canonical_string_array
+
+    cases = {
+        1 / 3: "0.33333333333333",
+        100.1: "100.1",
+        1.5: "1.5",
+        5.0: "5",
+        -0.0: "-0",
+        1e-5: "1.0E-5",
+        1.23e20: "1.23E+20",
+        -4.5e-7: "-4.5E-7",
+        float("nan"): "NAN",
+        float("inf"): "INF",
+        float("-inf"): "-INF",
+    }
+    for x, want in cases.items():
+        assert _php_float_str(x) == want, (x, _php_float_str(x))
+    col = canonical_string_array(pa.array(list(cases), type=pa.float64()))
+    assert col.to_pylist() == list(cases.values())
+    # null → "" (PHP null cast), distinct from actual NaN → "NAN"
+    col2 = canonical_string_array(pa.array([None, float("nan")], type=pa.float64()))
+    assert col2.to_pylist() == ["", "NAN"]

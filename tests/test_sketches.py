@@ -279,3 +279,56 @@ class TestBottomK:
         s.add_batch(["hot"] * 100000 + [f"cold-{i}" for i in range(2000)])
         samp = s.sample()
         assert sum(1 for e in samp if e == b"hot") <= 1
+
+
+class TestExactSet:
+    def test_collect_merge_roundtrip(self):
+        import pyarrow as pa
+
+        from raysketch.sketches import ExactSet
+
+        a = ExactSet.empty(max_items=100)
+        a.add_batch(pa.array(["x", "y", "x", "z"]))
+        b = ExactSet.empty(max_items=100)
+        b.add_batch(pa.array(["y", "w"]))
+        m = ExactSet.from_bytes(a.to_bytes()).merge(ExactSet.from_bytes(b.to_bytes()))
+        assert m.values_str() == ["w", "x", "y", "z"]
+        assert not m.truncated
+        rt = ExactSet.from_bytes(m.to_bytes())
+        assert rt.values() == m.values() and rt.max_items == 100
+
+    def test_cap_is_deterministic_and_associative(self):
+        import pyarrow as pa
+
+        from raysketch.sketches import ExactSet
+
+        vals = [f"v{i:03d}" for i in range(50)]
+        import random
+
+        rng = random.Random(0)
+        states = []
+        for _ in range(4):
+            sh = vals[:]
+            rng.shuffle(sh)
+            s = ExactSet.empty(max_items=10)
+            s.add_batch(pa.array(sh))
+            states.append(s)
+        # any merge order → smallest 10 of the union, truncated flag set
+        import functools
+
+        m1 = functools.reduce(lambda x, y: x.merge(y),
+                              [ExactSet.from_bytes(s.to_bytes()) for s in states])
+        m2 = functools.reduce(lambda x, y: x.merge(y),
+                              [ExactSet.from_bytes(s.to_bytes()) for s in states[::-1]])
+        assert m1.values() == m2.values() == [v.encode() for v in sorted(vals)[:10]]
+        assert m1.truncated and m2.truncated
+
+    def test_int_str_coercion(self):
+        import pyarrow as pa
+
+        from raysketch.sketches import ExactSet
+
+        s = ExactSet.empty()
+        s.add_batch(pa.array([5, 6]))
+        s.add_batch(pa.array(["5"]))
+        assert s.finalize()["n_distinct"] == 2  # int 5 ≡ "5" canonical bytes

@@ -398,3 +398,86 @@ def test_minhash_oph_jaccard_quality():
         est = (sigs[0] == sigs[i]).mean()
         true = ngram_jaccard(variants[0].lower(), variants[i].lower())
         assert abs(est - true) < 0.15, (i, est, true)
+
+
+class TestPngCodec:
+    def test_roundtrip_all_shapes_and_filters(self):
+        from raysketch.stages.pngcodec import decode_png, encode_png
+
+        rng = np.random.default_rng(3)
+        for shape in [(5, 7), (5, 7, 1), (9, 4, 3), (6, 6, 4)]:
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            want = img[:, :, None] if img.ndim == 2 else img
+            for ft in (0, 1, 2):
+                got = decode_png(encode_png(img, filter_type=ft))
+                assert got.shape == want.shape and np.array_equal(got, want), (shape, ft)
+
+    def test_decode_paeth_and_average_filters(self):
+        """Filters 3/4 aren't emitted by our encoder — craft scanlines by
+        hand (forward-filtering with the spec formulas) and check the
+        decoder inverts them."""
+        import struct
+        import zlib
+
+        from raysketch.stages.pngcodec import _SIG, _chunk, decode_png
+
+        rng = np.random.default_rng(4)
+        h, w, ch = 6, 5, 3
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+        def paeth(a, b, c):
+            p = int(a) + int(b) - int(c)
+            pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa_ <= pb and pa_ <= pc_ else (b if pb <= pc_ else c)
+
+        lines = []
+        prev = np.zeros((w, ch), dtype=np.uint8)
+        for y in range(h):
+            row = img[y]
+            ft = 3 if y % 2 == 0 else 4
+            out = np.zeros((w, ch), dtype=np.uint8)
+            for x in range(w):
+                for c in range(ch):
+                    left = int(row[x - 1, c]) if x else 0
+                    up = int(prev[x, c])
+                    ul = int(prev[x - 1, c]) if x else 0
+                    if ft == 3:
+                        pred = (left + up) // 2
+                    else:
+                        pred = paeth(left, up, ul)
+                    out[x, c] = (int(row[x, c]) - pred) % 256
+            lines.append(bytes([ft]) + out.tobytes())
+            prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (_SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + _chunk(b"IEND", b""))
+        assert np.array_equal(decode_png(data), img)
+
+    def test_corrupt_rejected(self):
+        import pytest as _pytest
+
+        from raysketch.stages.pngcodec import decode_png, encode_png
+
+        with _pytest.raises(ValueError):
+            decode_png(b"nope")
+        good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+        with _pytest.raises(ValueError):
+            decode_png(good[:8] + good[20:])  # IHDR stripped
+
+    def test_real_decode_stage(self, ray_session):
+        """ImageDecode(deterministic_fake=False) really decodes PNG bytes
+        through the actor-pool stage — pixels match the source images."""
+        import ray.data
+
+        from raysketch.stages.multimodal import ImageDecode, make_real_png_table
+        from raysketch.stages.pngcodec import decode_png
+
+        tbl = make_real_png_table(8, seed=11)
+        out = ray.data.from_arrow(tbl).map_batches(
+            ImageDecode(deterministic_fake=False), batch_format="pyarrow",
+            batch_size=4, concurrency=1,
+        ).to_pandas().sort_values("item_id")
+        for i, img in zip(out["item_id"], out["image"]):
+            want = decode_png(tbl.column("payload")[int(i)].as_py())
+            assert np.array_equal(np.asarray(img), want)
