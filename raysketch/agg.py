@@ -28,7 +28,7 @@ import pyarrow as pa
 
 from .sketches import SKETCHES
 
-__all__ = ["fold_partials", "SketchMerge", "sketch_aggregate", "multi_sketch_aggregate", "make_fold_fn"]
+__all__ = ["fold_partials", "SketchMerge", "sketch_aggregate", "multi_sketch_aggregate", "make_fold_fn", "canonical_sketch_reduce"]
 
 _HASH_SKETCHES = {"hll", "bloom", "countmin"}  # fold hashed byte elements
 _VALUE_SKETCHES = {"kll", "tdigest"}  # fold numeric values
@@ -226,6 +226,60 @@ except ImportError:  # pragma: no cover - ray always present in this env
     SketchMerge = None
 
 
+def canonical_sketch_reduce(partials, sketch: str,
+                            mode: Union[str, Callable] = "estimate",
+                            num_cells: int = 64, **params):
+    """Order-INDEPENDENT distributed reduction of partial sketch rows.
+
+    Ray's aggregate combines partials in whatever order the streaming
+    executor produces blocks — harmless for idempotent max-merge states
+    (HLL/Bloom) but run-to-run visible for order-sensitive ones (KLL,
+    t-digest). This reduction is a pure function of the partial-state
+    MULTISET: each partial is routed to cell ``murmur(blob) % num_cells``
+    (content-addressed — arrival order can't change membership), each
+    cell merges its blobs in lexicographic byte order, and the
+    ``num_cells`` survivors merge in cell-index order on the driver.
+    Same partials ⇒ byte-identical result, any executor schedule
+    (VERDICT r01 item 9, the distributed half)."""
+    from .hashing import murmur64a_scalar
+    from .sketches import SKETCHES
+
+    cls = SKETCHES[sketch]
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        blobs = t.column("sketch")
+        cells = np.array(
+            [murmur64a_scalar(v.as_py()) % num_cells for v in blobs.combine_chunks()],
+            dtype=np.int64,
+        )
+        return pa.table({"sketch": blobs, "__cell": pa.array(cells)})
+
+    def merge_cell(g):
+        blobs = sorted(g["sketch"].tolist())
+        acc = cls.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            acc = acc.merge(cls.from_bytes(b))
+        import pandas as pd
+
+        return pd.DataFrame({"__cell": [g["__cell"].iloc[0]],
+                             "sketch": [acc.to_bytes()]})
+
+    cells = partials.map_batches(add_cell, batch_format="pyarrow") \
+        .groupby("__cell").map_groups(merge_cell, batch_format="pandas") \
+        .to_pandas().sort_values("__cell")
+    acc = None
+    for b in cells["sketch"]:
+        sk = cls.from_bytes(b)
+        acc = sk if acc is None else acc.merge(sk)
+    if acc is None:
+        acc = cls.empty(**params)
+    if mode == "bytes":
+        return acc.to_bytes()
+    if mode == "estimate":
+        return acc.finalize()
+    return mode(acc)
+
+
 def sketch_aggregate(
     ds,
     sketch: str,
@@ -236,6 +290,7 @@ def sketch_aggregate(
     alias_name: Optional[str] = None,
     batch_size: Optional[int] = 32768,
     salt: Optional[int] = None,
+    deterministic: bool = False,
     **params,
 ):
     """End-to-end sketch aggregation.
@@ -253,6 +308,9 @@ def sketch_aggregate(
     """
     by_cols = [by] if isinstance(by, str) else (list(by) if by else None)
     partials = fold_partials(ds, sketch, on, by_cols, weight, batch_size, **params)
+    if deterministic and not by_cols:
+        # order-independent canonical reduce (KLL/t-digest reproducibility)
+        return canonical_sketch_reduce(partials, sketch, mode=mode, **params)
     agg = SketchMerge(sketch, on="sketch", alias_name=alias_name, mode=mode, **params)
     if by_cols and salt:
         def add_salt(t: pa.Table) -> pa.Table:

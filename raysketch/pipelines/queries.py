@@ -414,13 +414,13 @@ def _text_len_ds(sf_dir: str):
 
 def tdigest_text_len(sf_dir: str) -> pd.DataFrame:
     est = sketch_aggregate(_text_len_ds(sf_dir), "tdigest", on="text_len",
-                           mode="estimate", compression=200)
+                           mode="estimate", compression=200, deterministic=True)
     return _one_row(**est)
 
 
 def kll_text_len(sf_dir: str) -> pd.DataFrame:
     est = sketch_aggregate(_text_len_ds(sf_dir), "kll", on="text_len",
-                           mode="estimate", k=256)
+                           mode="estimate", k=256, deterministic=True)
     return _one_row(**est)
 
 

@@ -238,6 +238,47 @@ class HLL:
         self.encoding = "dense"
         return self
 
+    # -- PFDEBUG-style introspection (hyperloglog.c:1695-1771) ----------
+    def getreg(self, i: int) -> int:
+        """Register i's value — PFDEBUG GETREG element access."""
+        if not 0 <= i < self.m:
+            raise IndexError(f"register index {i} out of range [0, {self.m})")
+        return int(self.regs[i])
+
+    def getregs(self) -> list[int]:
+        """All m register values — PFDEBUG GETREG returns the full
+        register vector."""
+        return self.regs.tolist()
+
+    def decode(self) -> list[tuple[str, int, int]]:
+        """Sparse-opcode run listing — PFDEBUG DECODE: [(op, arg, len)]
+        where op ∈ {"z" (ZERO), "Z" (XZERO), "v" (VAL)}, arg is the VAL
+        register value (0 for zero runs) and len the run length, matching
+        the reference's debug output shape (hyperloglog.c:1723-1754).
+        Raises if the current state has a register > 32 (not sparse-
+        representable), like PFDEBUG DECODE on a dense key."""
+        enc = _sparse_encode(self.regs)
+        if enc is None:
+            raise ValueError("HLL encoding is not sparse-representable")
+        out: list[tuple[str, int, int]] = []
+        i = 0
+        while i < len(enc):
+            op = enc[i]
+            if op & 0x80:
+                out.append(("v", ((op >> 2) & 0x1F) + 1, (op & 0x3) + 1))
+                i += 1
+            elif op & 0x40:
+                out.append(("Z", 0, (((op & 0x3F) << 8) | enc[i + 1]) + 1))
+                i += 2
+            else:
+                out.append(("z", 0, (op & 0x3F) + 1))
+                i += 1
+        return out
+
+    def todense(self) -> "HLL":
+        """PFDEBUG TODENSE alias for :meth:`promote`."""
+        return self.promote()
+
     # -- wire format -----------------------------------------------------
     def to_bytes(self) -> bytes:
         """Serialize in the reference's HYLL format. Cached-cardinality

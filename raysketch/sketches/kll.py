@@ -13,12 +13,26 @@ rank error ε ≈ O(1/k) with high probability.
 Merge = concatenate levels pairwise then re-compact: associative in
 distribution (rank-error guarantees compose), NOT idempotent —
 exactly-once fold per partition required on resume.
+
+Determinism (VERDICT r01 item 9): the compaction coin is derived from a
+hash of the full level's contents (bottom-k-style deterministic coin)
+instead of an RNG, and every level is kept SORTED as an invariant — so
+a sketch state is a pure function of the level multisets, serialization
+is canonical, and ``merge(a, b)`` is byte-identical to ``merge(b, a)``.
+Same folds + same reduce structure ⇒ byte-identical distributed
+results (reruns of ``kll_text_len`` reproduce exactly). The trade,
+documented: coins are data-derived rather than independent randomness,
+so the FOCS'16 probabilistic error analysis no longer formally applies
+(adversarial inputs could correlate with the coin); measured error on
+real/benchmark data is indistinguishable, and the determinism sweep now
+covers every sketch family.
 """
 
 from __future__ import annotations
 
 import math
 import struct
+import zlib
 
 import numpy as np
 
@@ -30,15 +44,14 @@ _C = 2.0 / 3.0
 
 class KLL:
     IDEMPOTENT_MERGE = False
-    __slots__ = ("k", "levels", "n", "_rng")
+    __slots__ = ("k", "levels", "n")
 
     def __init__(self, k: int = 200, seed: int = 0x5EED):
+        # ``seed`` retained for API compatibility; compaction coins are
+        # content-derived (see module docstring), not RNG-driven
         self.k = k
         self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
         self.n = 0
-        # randomness only affects error distribution, never correctness;
-        # a fixed seed keeps tests deterministic
-        self._rng = np.random.default_rng(seed)
 
     @classmethod
     def empty(cls, **params) -> "KLL":
@@ -58,18 +71,30 @@ class KLL:
         while self._size() > self._total_capacity():
             for h in range(len(self.levels)):
                 if len(self.levels[h]) > self._capacity(h):
-                    lvl = np.sort(self.levels[h])
-                    # promote every other item from a random offset; the
-                    # dropped half's weight is preserved in expectation
-                    off = int(self._rng.integers(0, 2))
+                    lvl = self.levels[h]  # sorted invariant
+                    # promote every other item; the even/odd offset is a
+                    # deterministic coin hashed from the level's contents
+                    # (order-free since the level is sorted), so the
+                    # compaction outcome is a pure function of the state
+                    off = zlib.crc32(lvl.tobytes()) & 1
                     promoted = lvl[off::2]
                     self.levels[h] = np.empty(0, dtype=np.float64)
                     if h + 1 == len(self.levels):
                         self.levels.append(np.empty(0, dtype=np.float64))
-                    self.levels[h + 1] = np.concatenate([self.levels[h + 1], promoted])
+                    self._extend_sorted(h + 1, promoted)
                     break
             else:
                 break
+
+    def _extend_sorted(self, h: int, sorted_vals: np.ndarray) -> None:
+        """Merge already-sorted values into (sorted) level h."""
+        cur = self.levels[h]
+        if not len(cur):
+            self.levels[h] = sorted_vals.copy()
+            return
+        merged = np.concatenate([cur, sorted_vals])
+        merged.sort(kind="stable")
+        self.levels[h] = merged
 
     def add_batch(self, values) -> None:
         v = _as_float_values(values)
@@ -79,7 +104,7 @@ class KLL:
         # feed level 0 in capacity-sized chunks so compaction cascades
         chunk = max(self.k, 1024)
         for i in range(0, len(v), chunk):
-            self.levels[0] = np.concatenate([self.levels[0], v[i : i + chunk]])
+            self._extend_sorted(0, np.sort(v[i : i + chunk]))
             self._compact()
 
     def merge(self, other: "KLL") -> "KLL":
@@ -89,7 +114,7 @@ class KLL:
             self.levels.append(np.empty(0, dtype=np.float64))
         for h, lvl in enumerate(other.levels):
             if len(lvl):
-                self.levels[h] = np.concatenate([self.levels[h], lvl])
+                self._extend_sorted(h, lvl)
         self.n += other.n
         self._compact()
         return self
@@ -153,7 +178,9 @@ class KLL:
         for _ in range(nlev):
             (cnt,) = struct.unpack_from("<I", data, off)
             off += 4
-            out.levels.append(np.frombuffer(data, dtype=np.float64, count=cnt, offset=off).copy())
+            lvl = np.frombuffer(data, dtype=np.float64, count=cnt, offset=off).copy()
+            lvl.sort()  # restore the sorted-level invariant (old dumps)
+            out.levels.append(lvl)
             off += 8 * cnt
         if not out.levels:
             out.levels = [np.empty(0, dtype=np.float64)]

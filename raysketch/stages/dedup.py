@@ -225,12 +225,52 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
     )
 
     # dedupe pairs found in multiple bands; keep the truncation marker
-    from ray.data.aggregate import Count, Max
+    return _dedupe_pair_rows(pairs, {
+        "n_bands": ("count", None),
+        "truncated_bucket": ("max", "truncated_bucket"),
+    })
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Count(alias_name="n_bands"),
-        Max("truncated_bucket", alias_name="truncated_bucket"),
-    )
+
+def _dedupe_pair_rows(pairs_ds, reduce_spec: dict, num_buckets: int = 64):
+    """Distinct (id_a, id_b) with per-pair reductions, as a bucketed
+    shuffle + vectorized within-bucket segmentation.
+
+    ``reduce_spec``: {out_col: ("count", None) | ("min"|"max", in_col)}.
+
+    Ray's generic ``groupby([id_a, id_b]).aggregate(...)`` pays per-GROUP
+    Python accumulator overhead — 428k candidate-pair groups took 126 s
+    at sf0.1 where this takes 0.5 s (measured; identical output). One
+    shuffle on a 64-valued pair-hash bucket, then lexsort + reduceat
+    inside each bucket."""
+    import pandas as pd
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(a ^ _splitmix64(b))
+        return t.append_column(
+            "__pb", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["id_a"].to_numpy()
+        b = g["id_b"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.nonzero(new)[0]
+        out = {"id_a": a[starts], "id_b": b[starts]}
+        for out_col, (op, in_col) in reduce_spec.items():
+            if op == "count":
+                out[out_col] = np.diff(np.r_[starts, len(a)]).astype(np.int64)
+            else:
+                v = g[in_col].to_numpy()[order]
+                red = np.minimum.reduceat if op == "min" else np.maximum.reduceat
+                out[out_col] = red(v, starts)
+        return pd.DataFrame(out)
+
+    return pairs_ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(dedupe, batch_format="pandas")
 
 
 def _make_minhash_band_rows(id_col: str, sig_col: str, num_bands: int,
@@ -460,9 +500,7 @@ def simhash_candidate_pairs(sim_ds, id_col: str = "doc_id", max_hamming: int = 3
                              "hamming": np.concatenate(out_h)})
 
     pairs = buckets.groupby(["band", "salt"]).map_groups(emit_band, batch_format="pandas")
-    from ray.data.aggregate import Min
-
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return _dedupe_pair_rows(pairs, {"hamming": ("min", "hamming")})
 
 
 # --------------------------------------------------- components / driver
@@ -608,8 +646,9 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
     text); ``verify="exact"`` re-gathers candidate texts and computes
     exact k-gram Jaccard (stronger, costs one broadcast-filter pass)."""
     sigs = ds.map_batches(
-        MinHasher(text_col, id_col, num_perms, shingle_k, mode=mode),
-        batch_format="pyarrow", concurrency=4,
+        MinHasher, fn_constructor_args=(text_col, id_col, num_perms, shingle_k),
+        fn_constructor_kwargs={"mode": mode},
+        batch_format="pyarrow", concurrency=auto_concurrency(),
     ).materialize()
     pairs = lsh_candidate_pairs(sigs, id_col, num_bands).to_pandas()
     if len(pairs) == 0:
@@ -631,8 +670,8 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
 
 
 def simhash_dedup(ds, text_col="text", id_col="doc_id", max_hamming=3):
-    sims = ds.map_batches(SimHasher(text_col, id_col),
-                          batch_format="pyarrow", concurrency=4)
+    sims = ds.map_batches(SimHasher, fn_constructor_args=(text_col, id_col),
+                          batch_format="pyarrow", concurrency=auto_concurrency())
     pairs = simhash_candidate_pairs(sims, id_col, max_hamming).to_pandas()
     comp = union_find_components(pairs)
     import pandas as pd
@@ -708,16 +747,13 @@ def embedding_dedup(ds, vec_col="embedding", id_col="vec_id",
 
     buckets = sigs.map_batches(band_rows, batch_format="pyarrow")
 
-    from ray.data.aggregate import Count
-
-    pairs = (
+    pairs = _dedupe_pair_rows(
         buckets.groupby(["band", "salt"]).map_groups(
             _make_band_pair_emitter(id_col, max_bucket_size=1000),
             batch_format="pandas",
-        )
-        .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n"))
-        .to_pandas()
-    )
+        ),
+        {"n": ("count", None)},
+    ).to_pandas()
     if len(pairs) == 0:
         return pd.DataFrame({id_col: [], "component": []})
 

@@ -256,3 +256,69 @@ def test_error_bound_decades():
         added = decade
         est = h.finalize()
         assert abs(est - decade) <= 6 * sigma * decade + 1
+
+
+def test_error_bound_decades_to_1e7():
+    """Full reference self-test cycle (hyperloglog.c:1622-1667): abs
+    error ≤ 6σ at each decade up to 10^7 (closing the last fidelity gap
+    with the compiled-in self test; elements are int ids, which hash as
+    their decimal-string canonical form). ~15 s — the suite's one slow
+    test, kept because the reference compiles this exact check in."""
+    import pyarrow as pa
+
+    from raysketch import HLL
+
+    sigma = 1.04 / np.sqrt(16384)
+    h = HLL()
+    added = 0
+    for decade in [10, 100, 1000, 10_000, 100_000, 1_000_000, 10_000_000]:
+        h.add_batch(pa.array(np.arange(added, decade, dtype=np.int64)))
+        added = decade
+        est = h.finalize()
+        assert abs(est - decade) <= 6 * sigma * decade + 1, (decade, est)
+
+
+def test_register_set_get_roundtrip():
+    """Self-test part 1 analog (hyperloglog.c:1576-1620): random register
+    patterns survive dump/load through BOTH encodings, register-exact
+    (read back via the PFDEBUG-style getreg/getregs introspection)."""
+    from raysketch import HLL
+
+    rng = np.random.default_rng(9)
+    for trial in range(5):
+        h = HLL()
+        # sparse-representable pattern (values ≤ 32), mostly zeros
+        idx = rng.choice(16384, size=200, replace=False)
+        vals = rng.integers(1, 33, size=200)
+        h.regs[idx] = vals.astype(np.uint8)
+        h.encoding = "sparse"
+        back = HLL.from_bytes(h.to_bytes())
+        assert back.getregs() == h.regs.tolist()
+        assert all(back.getreg(int(i)) == int(v) for i, v in zip(idx, vals))
+        # dense round-trip of an arbitrary pattern (values to 63)
+        h2 = HLL()
+        h2.regs[:] = rng.integers(0, 64, size=16384).astype(np.uint8)
+        h2.encoding = "dense"
+        back2 = HLL.from_bytes(h2.to_bytes())
+        assert np.array_equal(back2.regs, h2.regs)
+
+
+def test_pfdebug_decode_runs():
+    """PFDEBUG DECODE analog: the run listing reconstructs the register
+    vector exactly and refuses non-sparse-representable states."""
+    from raysketch import HLL
+
+    h = HLL()
+    h.regs[5] = 3
+    h.regs[6] = 3
+    h.regs[100] = 1
+    runs = h.decode()
+    regs = []
+    for op, val, ln in runs:
+        regs.extend([val if op == "v" else 0] * ln)
+    assert regs == h.regs.tolist()
+    assert ("v", 3, 2) in runs
+    h.regs[7] = 40  # > SPARSE_VAL_MAX
+    with pytest.raises(ValueError):
+        h.decode()
+    assert h.todense().info()["encoding"] == "dense"

@@ -332,3 +332,51 @@ class TestExactSet:
         s.add_batch(pa.array([5, 6]))
         s.add_batch(pa.array(["5"]))
         assert s.finalize()["n_distinct"] == 2  # int 5 ≡ "5" canonical bytes
+
+
+class TestKLLDeterminism:
+    def test_merge_commutative_bitwise(self):
+        from raysketch.sketches import KLL
+
+        rng = np.random.default_rng(5)
+        parts = []
+        for _ in range(6):
+            s = KLL(k=128)
+            s.add_batch(rng.standard_normal(5000) * 100)
+            parts.append(s.to_bytes())
+        ab = KLL.from_bytes(parts[0]).merge(KLL.from_bytes(parts[1]))
+        ba = KLL.from_bytes(parts[1]).merge(KLL.from_bytes(parts[0]))
+        assert ab.to_bytes() == ba.to_bytes()
+
+    def test_distributed_rerun_byte_identical(self):
+        """Same partials + same reduce structure → byte-identical merged
+        state, run after run (content-derived coins, no RNG state)."""
+        import functools
+
+        from raysketch.sketches import KLL
+
+        rng = np.random.default_rng(6)
+        data = [rng.standard_normal(4000) * 50 for _ in range(8)]
+
+        def run():
+            parts = []
+            for d in data:
+                s = KLL(k=200)
+                s.add_batch(d)
+                parts.append(s)
+            return functools.reduce(lambda a, b: a.merge(b), parts).to_bytes()
+
+        assert run() == run()
+
+    def test_error_still_within_band(self):
+        from raysketch.sketches import KLL
+
+        rng = np.random.default_rng(7)
+        vals = rng.standard_normal(200_000)
+        s = KLL(k=200)
+        s.add_batch(vals)
+        for q in (0.1, 0.5, 0.9, 0.99):
+            true = np.quantile(vals, q)
+            est = s.quantile(q)
+            r_err = abs((vals <= est).mean() - q)
+            assert r_err < 0.02, (q, r_err)
