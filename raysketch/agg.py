@@ -264,11 +264,19 @@ def canonical_sketch_reduce(partials, sketch: str,
         return pd.DataFrame({"__cell": [g["__cell"].iloc[0]],
                              "sketch": [acc.to_bytes()]})
 
-    cells = partials.map_batches(add_cell, batch_format="pyarrow") \
-        .groupby("__cell").map_groups(merge_cell, batch_format="pandas") \
-        .to_pandas().sort_values("__cell")
+    mat = partials.materialize()  # partial rows are KB-size states
+    if mat.count() <= 4096:
+        # few partials: skip the cell shuffle, sort the blob multiset on
+        # the driver and fold in lexicographic order — same canonical
+        # function of the multiset, none of the groupby fixed cost
+        blobs = sorted(r["sketch"] for r in mat.select_columns(["sketch"]).take_all())
+    else:
+        cells = mat.map_batches(add_cell, batch_format="pyarrow") \
+            .groupby("__cell").map_groups(merge_cell, batch_format="pandas") \
+            .to_pandas().sort_values("__cell")
+        blobs = list(cells["sketch"])
     acc = None
-    for b in cells["sketch"]:
+    for b in blobs:
         sk = cls.from_bytes(b)
         acc = sk if acc is None else acc.merge(sk)
     if acc is None:
@@ -278,6 +286,51 @@ def canonical_sketch_reduce(partials, sketch: str,
     if mode == "estimate":
         return acc.finalize()
     return mode(acc)
+
+
+def sketch_aggregate_files(
+    files: "Sequence[str]",
+    sketch: str,
+    on: str,
+    column_fn: Optional[Callable] = None,
+    mode: Union[str, Callable] = "estimate",
+    **params,
+):
+    """Fully deterministic sketch aggregation: ONE partial per input
+    file, reduced with :func:`canonical_sketch_reduce`.
+
+    Ray's dynamic batcher draws batch boundaries differently run to run
+    (measured: the per-batch ``partial_n`` multiset varies), so per-batch
+    partials of ORDER-SENSITIVE sketches (KLL, t-digest) can't be
+    reproducible. Folding each file in one pass makes the partial
+    multiset a pure function of the file set; with the canonical reduce
+    the end-to-end result is byte-identical at any parallelism. Files
+    are the unit of parallelism — the same per-shard shape the
+    checkpoint job uses (state/checkpoint.py), sized by the writer.
+
+    ``column_fn(table) -> Array`` optionally derives the folded values
+    (e.g. utf8_length of a text column); default reads column ``on``.
+    """
+    import ray.data
+
+    cls = SKETCHES[sketch]
+
+    def fold_file(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = []
+        for path in t.column("path").to_pylist():
+            tb = pq.read_table(path, columns=[on])
+            col = column_fn(tb) if column_fn else tb.column(on)
+            sk = cls.empty(**params)
+            sk.add_batch(col)
+            out.append(sk.to_bytes())
+        return pa.table({"sketch": pa.array(out, type=pa.binary()),
+                         "partial_n": pa.array([0] * len(out), type=pa.int64())})
+
+    ds = ray.data.from_items([{"path": f} for f in sorted(files)])
+    partials = ds.map_batches(fold_file, batch_size=1, batch_format="pyarrow")
+    return canonical_sketch_reduce(partials, sketch, mode=mode, **params)
 
 
 def sketch_aggregate(

@@ -412,16 +412,46 @@ def _text_len_ds(sf_dir: str):
     )
 
 
-def tdigest_text_len(sf_dir: str) -> pd.DataFrame:
-    est = sketch_aggregate(_text_len_ds(sf_dir), "tdigest", on="text_len",
-                           mode="estimate", compression=200, deterministic=True)
+def _text_len_quantiles(sf_dir: str, sketch: str, **params) -> pd.DataFrame:
+    """Order-sensitive quantile sketches need deterministic partials:
+    Ray's dynamic batcher draws batch boundaries differently run to run,
+    so these fold ONE partial per transcript file + canonical reduce —
+    byte-identical reruns at any parallelism (VERDICT r01 item 9)."""
+    import glob
+
+    from ..agg import sketch_aggregate_files
+
+    n_turns = max(1000, int(sf_of(sf_dir) * _TURNS_PER_SF))
+    tpath = write_transcripts(n_turns)
+    files = sorted(glob.glob(os.path.join(tpath, "*.parquet")))
+    est = sketch_aggregate_files(
+        files, sketch, on="text",
+        column_fn=lambda t: pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+        mode="estimate", **params,
+    )
     return _one_row(**est)
+
+
+def tdigest_text_len(sf_dir: str) -> pd.DataFrame:
+    return _text_len_quantiles(sf_dir, "tdigest", compression=200)
 
 
 def kll_text_len(sf_dir: str) -> pd.DataFrame:
-    est = sketch_aggregate(_text_len_ds(sf_dir), "kll", on="text_len",
-                           mode="estimate", k=256, deterministic=True)
-    return _one_row(**est)
+    return _text_len_quantiles(sf_dir, "kll", k=256)
+
+
+def distinct_event_types_set(sf_dir: str) -> pd.DataFrame:
+    """ExactSet (capped collect_set UDAF) as an oracle-checked query:
+    the exact distinct event_type vocabulary, one row per value —
+    SQL-equivalent to SELECT DISTINCT ... ORDER BY."""
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    blob = sketch_aggregate(ds, "set", on="event_type", mode="bytes",
+                            max_items=1 << 16)
+    from ..sketches import ExactSet
+
+    s = ExactSet.from_bytes(blob)
+    assert not s.truncated  # vocabulary fits the cap at every test sf
+    return pd.DataFrame({"event_type": s.values_str()})
 
 
 def bloom_conv_membership(sf_dir: str) -> pd.DataFrame:
@@ -456,6 +486,7 @@ QUERIES = {
     "knn_cosine_top10": knn_cosine_top10,
     "doc_token_stats": doc_token_stats,
     "orders_priority_stats": orders_priority_stats,
+    "distinct_event_types_set": distinct_event_types_set,
     # sketch / approximate (rows-only driver checks; pytest owns bounds)
     "hll_distinct_conv": hll_distinct_conv,
     "hll_distinct_conv_by_role": hll_distinct_conv_by_role,
@@ -526,6 +557,9 @@ ORACLES = {
                LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces,
                LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens_ws
         FROM documents ORDER BY doc_id
+    """,
+    "distinct_event_types_set": """
+        SELECT DISTINCT event_type FROM events ORDER BY event_type
     """,
     "orders_priority_stats": """
         SELECT o_orderpriority,

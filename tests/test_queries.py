@@ -142,3 +142,13 @@ def test_broadcast_fallback_paths_match(ray_session):
     c = Q.curate_documents(SF_DIR)
     d = Q.curate_documents(SF_DIR, broadcast_threshold=0)
     pd.testing.assert_frame_equal(c.reset_index(drop=True), d.reset_index(drop=True))
+
+
+def test_quantile_queries_deterministic(ray_session):
+    """kll_text_len / tdigest_text_len are byte-identical across reruns:
+    per-FILE partials (Ray's batch boundaries vary run to run) +
+    content-addressed canonical reduce (VERDICT r01 item 9)."""
+    for fn in (Q.kll_text_len, Q.tdigest_text_len):
+        a = fn(SF_DIR).to_dict("records")
+        b = fn(SF_DIR).to_dict("records")
+        assert a == b, fn.__name__
