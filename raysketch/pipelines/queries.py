@@ -109,7 +109,12 @@ def hll_distinct_event_type(sf_dir: str) -> pd.DataFrame:
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q1 shape in exact integer arithmetic (cents / basis points)."""
+    """TPC-H Q1 shape in exact integer arithmetic (cents / basis points).
+
+    Combiner pattern: each batch pre-aggregates to ≤ 6 partial rows with
+    Arrow's C++ hash grouper, so the all-to-all exchange moves a handful
+    of int64 partials per batch instead of every lineitem row — the
+    shape that survives 100 TB (integer sums re-associate exactly)."""
     ds = _read(
         sf_dir, "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -123,7 +128,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         tax_b = _cents(t.column("l_tax"))
         disc_price = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_b))
         charge = pc.multiply(disc_price, pc.add(pa.scalar(100, pa.int64()), tax_b))
-        return pa.table({
+        rows = pa.table({
             "l_returnflag": t.column("l_returnflag"),
             "l_linestatus": t.column("l_linestatus"),
             "qty": pc.cast(t.column("l_quantity"), pa.int64()),
@@ -131,18 +136,23 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
             "disc_price_e4": disc_price,
             "charge_e6": charge,
         })
+        part = rows.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("qty", "sum"), ("base_cents", "sum"),
+            ("disc_price_e4", "sum"), ("charge_e6", "sum"), ("qty", "count"),
+        ])
+        return part
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="sum_base_cents"),
-            Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
-            Sum("charge_e6", alias_name="sum_charge_e6"),
-            Count(alias_name="count_order"),
+            Sum("qty_sum", alias_name="sum_qty"),
+            Sum("base_cents_sum", alias_name="sum_base_cents"),
+            Sum("disc_price_e4_sum", alias_name="sum_disc_price_e4"),
+            Sum("charge_e6_sum", alias_name="sum_charge_e6"),
+            Sum("qty_count", alias_name="count_order"),
         )
     )
     return out.to_pandas()
@@ -440,6 +450,37 @@ def kll_text_len(sf_dir: str) -> pd.DataFrame:
     return _text_len_quantiles(sf_dir, "kll", k=256)
 
 
+def distinct_users_per_window(sf_dir: str) -> pd.DataFrame:
+    """Windowed GROUPED mergeable-state aggregation with a full SQL
+    oracle: distinct users per tumbling 15-minute window via a
+    per-window ExactSet merge (exact by construction, so the driver
+    value-hash check applies to a grouped sketch-layer query, not just
+    global ones). A per-window HLL was tried first: with thousands of
+    windows, LinearCounting's ~n²/2m per-window register-collision
+    probability guarantees a few off-by-one windows somewhere (measured
+    at sf0.1) — an exact-equality oracle over MANY small groups needs
+    an exact state."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        win = pc.multiply(pc.divide(us, 900_000_000), 900_000_000)
+        return pa.table({
+            "window_start": pc.cast(win, pa.timestamp("us")),
+            "user_id": t.column("user_id"),
+        })
+
+    out = sketch_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "set", on="user_id", by="window_start",
+        mode=lambda sk: sk.finalize()["n_distinct"],
+        alias_name="distinct_users", max_items=1 << 16,
+    )
+    df = out.to_pandas()
+    df["distinct_users"] = df["distinct_users"].astype("int64")
+    return df.sort_values("window_start").reset_index(drop=True)
+
+
 def distinct_event_types_set(sf_dir: str) -> pd.DataFrame:
     """ExactSet (capped collect_set UDAF) as an oracle-checked query:
     the exact distinct event_type vocabulary, one row per value —
@@ -487,6 +528,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "orders_priority_stats": orders_priority_stats,
     "distinct_event_types_set": distinct_event_types_set,
+    "distinct_users_per_window": distinct_users_per_window,
     # sketch / approximate (rows-only driver checks; pytest owns bounds)
     "hll_distinct_conv": hll_distinct_conv,
     "hll_distinct_conv_by_role": hll_distinct_conv_by_role,
@@ -560,6 +602,11 @@ ORACLES = {
     """,
     "distinct_event_types_set": """
         SELECT DISTINCT event_type FROM events ORDER BY event_type
+    """,
+    "distinct_users_per_window": """
+        SELECT CAST(to_timestamp(floor(epoch(ts)/900)*900) AS TIMESTAMP) AS window_start,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+        FROM events GROUP BY 1 ORDER BY 1
     """,
     "orders_priority_stats": """
         SELECT o_orderpriority,

@@ -382,18 +382,26 @@ def estimate_pair_jaccard(pairs_df, sig_ds, id_col: str = "doc_id",
     object store)."""
     want = set(pairs_df["id_a"]).union(pairs_df["id_b"])
     t = _gather_rows_by_id(sig_ds, id_col, want)
-    sigs = {}
-    if t is not None:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        arr = np.asarray(t.column(sig_col).combine_chunks().flatten().to_numpy(
-            zero_copy_only=False)).reshape(len(ids), -1)
-        for i, x in enumerate(ids):
-            sigs[int(x)] = arr[i]
-    est = [
-        float((sigs[int(a)] == sigs[int(b)]).mean()) if int(a) in sigs and int(b) in sigs else 0.0
-        for a, b in zip(pairs_df["id_a"], pairs_df["id_b"])
-    ]
     out = pairs_df.copy()
+    if t is None or not len(pairs_df):
+        out["est_jaccard"] = 0.0
+        return out
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    arr = np.asarray(t.column(sig_col).combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)).reshape(len(ids), -1)
+    order = np.argsort(ids)
+    ids_s, arr = ids[order], arr[order]
+
+    def rows_of(col):
+        v = pairs_df[col].to_numpy(dtype=np.int64)
+        pos = np.minimum(np.searchsorted(ids_s, v), len(ids_s) - 1)
+        return pos, ids_s[pos] == v
+
+    ia, oka = rows_of("id_a")
+    ib, okb = rows_of("id_b")
+    # one matrix comparison for every pair at once (was a per-pair loop)
+    est = (arr[ia] == arr[ib]).mean(axis=1)
+    est[~(oka & okb)] = 0.0
     out["est_jaccard"] = est
     return out
 

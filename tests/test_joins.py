@@ -100,3 +100,26 @@ def test_outer_join(frames):
     assert len(got) == len(exp)
     assert got["lv"].isna().sum() == exp["lv"].isna().sum()
     assert got["rv"].isna().sum() == exp["rv"].isna().sum()
+
+
+def test_anti_join_matches_pandas(frames):
+    from raysketch.stages.joins import bucket_anti_join
+
+    lds, rds, left, right = frames
+    got = bucket_anti_join(lds, rds, on="k", num_buckets=16).to_pandas()
+    exp = left[~left["k"].isin(set(right["k"]))]
+    key = lambda df: sorted(map(tuple, df[["k", "lv"]].itertuples(index=False)))
+    assert key(got) == key(exp)
+    assert len(got) > 0  # fixture guarantees some keys only on the left
+
+
+def test_semi_join_matches_pandas(frames):
+    from raysketch.stages.joins import bucket_semi_join
+
+    lds, rds, left, right = frames
+    got = bucket_semi_join(lds, rds, on="k", num_buckets=16).to_pandas()
+    exp = left[left["k"].isin(set(right["k"]))]
+    key = lambda df: sorted(map(tuple, df[["k", "lv"]].itertuples(index=False)))
+    assert key(got) == key(exp)
+    # each left row appears at most once even with duplicate right keys
+    assert len(got) == len(exp)
