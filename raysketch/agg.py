@@ -294,6 +294,7 @@ def sketch_aggregate_files(
     on: str,
     column_fn: Optional[Callable] = None,
     mode: Union[str, Callable] = "estimate",
+    by: Optional[Sequence[str]] = None,
     **params,
 ):
     """Fully deterministic sketch aggregation: ONE partial per input
@@ -310,27 +311,66 @@ def sketch_aggregate_files(
 
     ``column_fn(table) -> Array`` optionally derives the folded values
     (e.g. utf8_length of a text column); default reads column ``on``.
+
+    With ``by``, one partial per (file, group); per-group reduction
+    merges each group's blobs in lexicographic order inside
+    ``map_groups`` — deterministic per group, so grouped results are
+    byte-identical at any parallelism too. Returns a Dataset with
+    columns ``by + [alias]`` in that case.
     """
     import ray.data
 
     cls = SKETCHES[sketch]
+    by_cols = list(by) if by else None
+    read_cols = list(dict.fromkeys([on] + (by_cols or [])))
 
     def fold_file(t: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
-        out = []
+        blobs: list[bytes] = []
+        keys: list[list] = [[] for _ in (by_cols or [])]
         for path in t.column("path").to_pylist():
-            tb = pq.read_table(path, columns=[on])
+            tb = pq.read_table(path, columns=read_cols)
             col = column_fn(tb) if column_fn else tb.column(on)
-            sk = cls.empty(**params)
-            sk.add_batch(col)
-            out.append(sk.to_bytes())
-        return pa.table({"sketch": pa.array(out, type=pa.binary()),
-                         "partial_n": pa.array([0] * len(out), type=pa.int64())})
+            if not by_cols:
+                sk = cls.empty(**params)
+                sk.add_batch(col)
+                blobs.append(sk.to_bytes())
+                continue
+            key_tbl, row_lists = _group_row_lists(
+                pa.table({c: tb.column(c) for c in by_cols}), by_cols
+            )
+            vals = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            for gi, rows in enumerate(row_lists):
+                sk = cls.empty(**params)
+                sk.add_batch(vals.take(pa.array(rows)))
+                blobs.append(sk.to_bytes())
+                for ki, c in enumerate(by_cols):
+                    keys[ki].append(key_tbl.column(c)[gi].as_py())
+        cols = {c: pa.array(k) for c, k in zip(by_cols or [], keys)}
+        cols["sketch"] = pa.array(blobs, type=pa.binary())
+        cols["partial_n"] = pa.array([0] * len(blobs), type=pa.int64())
+        return pa.table(cols)
 
     ds = ray.data.from_items([{"path": f} for f in sorted(files)])
     partials = ds.map_batches(fold_file, batch_size=1, batch_format="pyarrow")
-    return canonical_sketch_reduce(partials, sketch, mode=mode, **params)
+    if not by_cols:
+        return canonical_sketch_reduce(partials, sketch, mode=mode, **params)
+
+    import pandas as pd
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in sorted(g["sketch"]):  # lexicographic: order-independent
+            sk = cls.from_bytes(b)
+            acc = sk if acc is None else acc.merge(sk)
+        val = acc.to_bytes() if mode == "bytes" else (
+            acc.finalize() if mode == "estimate" else mode(acc))
+        out = {c: [g[c].iloc[0]] for c in by_cols}
+        out[f"{sketch}_merged"] = [val]
+        return pd.DataFrame(out)
+
+    return partials.groupby(by_cols).map_groups(merge_group, batch_format="pandas")
 
 
 def sketch_aggregate(

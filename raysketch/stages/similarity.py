@@ -117,15 +117,30 @@ class IVFIndex:
         import ray
 
         os.makedirs(self.index_dir, exist_ok=True)
-        n = ds.count()
-        frac = min(1.0, sample_size / max(n, 1))
-        sample_tbl = ds.random_sample(frac, seed=seed).take_batch(
-            sample_size, batch_format="pyarrow"
+        # k-means training sample: bottom-k by id hash — ONE pass, no
+        # ds.count() (VERDICT r01: the old fraction-based sample paid an
+        # extra count pass), uniform over ids, and deterministic (a pure
+        # function of the id set, like the bottom-k sketch)
+        from ..hashing import murmur64a
+        from ..keys import canonical_flat_bytes
+
+        vec_col_, id_col_ = self.vec_col, self.id_col
+
+        def pick(t: pa.Table) -> pa.Table:
+            data, off = canonical_flat_bytes(t.column(id_col_))
+            h = (murmur64a(data, off, np.uint64(seed & 0xFFFFFFFF) | np.uint64(1))
+                 .astype(np.uint64))
+            keep = np.argsort(h, kind="stable")[:sample_size]
+            keep.sort()
+            out = t.select([id_col_, vec_col_]).take(pa.array(keep))
+            return out.append_column("__h", pa.array(h[keep].astype(np.int64)))
+
+        sample_tbl = pa.table(
+            ds.map_batches(pick, batch_format="pyarrow")
+            .sort("__h").limit(sample_size)
+            .take_batch(sample_size, batch_format="pyarrow")
         )
-        sample = np.asarray(
-            pa.table(sample_tbl).column(self.vec_col).combine_chunks()
-            .flatten().to_numpy(zero_copy_only=False)
-        ).reshape(-1, len(sample_tbl[self.vec_col][0])).astype(np.float64)
+        sample = _batch_matrix(sample_tbl, self.vec_col)
         self.centroids = self._train(sample, seed=seed)
         cref = ray.put(self.centroids)
         vec_col, id_col = self.vec_col, self.id_col

@@ -263,3 +263,48 @@ def test_salted_global_identical(transcripts):
     direct = sketch_aggregate(ds, "hll", on="conv_id", mode="bytes")
     salted = sketch_aggregate(ds, "hll", on="conv_id", mode="bytes", salt=8)
     assert np.array_equal(HLL.from_bytes(direct).regs, HLL.from_bytes(salted).regs)
+
+
+def test_sketch_aggregate_files_deterministic(ray_session, tmp_path):
+    """Per-file folds + canonical reduce: global AND grouped results are
+    byte-identical across reruns and parallelism (the determinism story
+    for order-sensitive sketches — Ray's batcher boundaries vary)."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    from raysketch.agg import sketch_aggregate_files
+    from raysketch.sources.transcripts import write_transcripts
+
+    root = str(tmp_path / "t")
+    path = write_transcripts(30000, root=root, rows_per_file=5000)
+    files = sorted(glob.glob(path + "/*.parquet"))
+
+    def textlen(t):
+        import pyarrow.compute as pc_
+
+        return pc_.cast(pc_.utf8_length(t.column("text")), pa.int64())
+
+    a = sketch_aggregate_files(files, "kll", on="text", column_fn=textlen, k=128)
+    b = sketch_aggregate_files(files, "kll", on="text", column_fn=textlen, k=128)
+    assert a == b
+    # grouped: per-(file, role) partials, per-group canonical merge
+    g1 = sketch_aggregate_files(files, "kll", on="text", column_fn=textlen,
+                                by=["role"], mode="bytes", k=128).to_pandas()
+    g2 = sketch_aggregate_files(files, "kll", on="text", column_fn=textlen,
+                                by=["role"], mode="bytes", k=128).to_pandas()
+    d1 = dict(zip(g1["role"], g1["kll_merged"]))
+    d2 = dict(zip(g2["role"], g2["kll_merged"]))
+    assert d1 == d2 and len(d1) >= 3
+    # grouped estimates match a direct per-role local fold's data
+    import pandas as pd
+
+    df = pd.concat([pq_.read_table(f, columns=["role", "text"]).to_pandas() for f in files])
+    from raysketch.sketches import KLL
+
+    for role, blob in d1.items():
+        sk = KLL.from_bytes(blob)
+        vals = df[df["role"] == role]["text"].str.len().to_numpy()
+        est = sk.quantile(0.5)
+        exact = np.quantile(vals, 0.5)
+        assert abs((vals <= est).mean() - 0.5) < 0.03, role
