@@ -373,6 +373,74 @@ def sketch_aggregate_files(
     return partials.groupby(by_cols).map_groups(merge_group, batch_format="pandas")
 
 
+def multi_sketch_aggregate_files(
+    files: "Sequence[str]",
+    specs: "dict[str, dict]",
+    derive: Optional[dict] = None,
+    derive_inputs: Optional[Sequence[str]] = None,
+    **_,
+):
+    """One pass per input FILE updating many sketches, with the
+    canonical order-independent reduce per spec — the deterministic
+    twin of :func:`multi_sketch_aggregate` (same motivation as
+    :func:`sketch_aggregate_files`: per-batch partials of
+    order-sensitive sketches inherit Ray's nondeterministic batch
+    boundaries). ``derive``: {column_name: fn(table) -> Array} for
+    computed columns (e.g. text_len); ``derive_inputs`` lists the raw
+    columns those fns read."""
+    import ray.data
+
+    fold_fns = {}
+    need: list[str] = []
+    for name, spec in specs.items():
+        spec = dict(spec)
+        sketch = spec.pop("sketch")
+        on = spec.pop("on")
+        spec.pop("mode", None)
+        weight = spec.pop("weight", None)
+        fold_fns[name] = (sketch, make_fold_fn(sketch, on, None, weight, **spec))
+        on_cols = [on] if isinstance(on, str) else list(on)
+        need.extend(on_cols + ([weight] if weight else []))
+    derive = derive or {}
+    read_cols = [c for c in dict.fromkeys(need + list(derive_inputs or []))
+                 if c not in derive]
+
+    def fold_file(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        cols: dict[str, list] = {f"sk_{n}": [] for n in specs}
+        n_rows = []
+        for path in t.column("path").to_pylist():
+            tb = pq.read_table(path, columns=read_cols)
+            for cname, fn in derive.items():
+                tb = tb.append_column(cname, fn(tb))
+            for name, (_, fold) in fold_fns.items():
+                part = fold(tb)  # whole file = one batch = one partial
+                cols[f"sk_{name}"].append(part.column("sketch")[0].as_py())
+            n_rows.append(tb.num_rows)
+        out = {k: pa.array(v, type=pa.binary()) for k, v in cols.items()}
+        out["partial_n"] = pa.array(n_rows, type=pa.int64())
+        return pa.table(out)
+
+    ds = ray.data.from_items([{"path": f} for f in sorted(files)])
+    partials = ds.map_batches(fold_file, batch_size=1,
+                              batch_format="pyarrow").materialize()
+    results = {}
+    for name, spec in specs.items():
+        spec = dict(spec)
+        sketch = spec.pop("sketch")
+        spec.pop("on")
+        mode = spec.pop("mode", "estimate")
+        spec.pop("weight", None)
+        one = partials.map_batches(
+            lambda t, c=f"sk_{name}": pa.table({
+                "sketch": t.column(c), "partial_n": t.column("partial_n")}),
+            batch_format="pyarrow",
+        )
+        results[name] = canonical_sketch_reduce(one, sketch, mode=mode, **spec)
+    return results
+
+
 def sketch_aggregate(
     ds,
     sketch: str,

@@ -709,6 +709,23 @@ def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas()[["doc_id", "fingerprint"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def winnow_fingerprint_docs(sf_dir: str) -> pd.DataFrame:
+    """Rolling-hash winnowing fingerprints (SIGMOD'03) per document:
+    n_fingerprints + their xor digest (stable scalar summary of the
+    set) — the partial-overlap detector behind plagiarism/contamination
+    checks."""
+    from ..stages.textstats import WinnowingFingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(WinnowingFingerprint(), batch_format="pyarrow").to_pandas()
+    out["n_fingerprints"] = out["fingerprints"].map(len)
+    out["fp_digest"] = out["fingerprints"].map(
+        lambda v: int(np.bitwise_xor.reduce(np.asarray(v, dtype=np.int64))) if len(v) else 0
+    )
+    return out[["doc_id", "n_fingerprints", "fp_digest"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def token_count_docs(sf_dir: str) -> pd.DataFrame:
     from ..stages.textstats import TokenCount
 
@@ -728,6 +745,7 @@ QUERIES.update({
     "lang_id_docs": lang_id_docs,
     "quality_docs": quality_docs,
     "fingerprint_docs": fingerprint_docs,
+    "winnow_fingerprint_docs": winnow_fingerprint_docs,
     "token_count_docs": token_count_docs,
 })
 
@@ -780,24 +798,26 @@ def events_sliding_window(sf_dir: str) -> pd.DataFrame:
 
 def multi_sketch_summary(sf_dir: str) -> pd.DataFrame:
     """All north-rule sketches in ONE pass over the transcript table
-    (single read/decode; the merge stage combines every family)."""
-    from ..agg import multi_sketch_aggregate
+    (single read/decode per file; the merge stage combines every
+    family). Uses the per-FILE deterministic variant so the
+    order-sensitive quantile outputs are byte-identical across reruns
+    (the per-batch variant inherits Ray's nondeterministic batch
+    boundaries — caught by scripts/determinism_sweep.py)."""
+    import glob
 
-    ds = transcripts_ds(sf_dir, columns=["conv_id", "role", "tool", "text"])
-    ds = ds.map_batches(
-        lambda t: t.append_column(
-            "text_len", pc.cast(pc.utf8_length(t.column("text")), pa.int64())
-        ),
-        batch_format="pyarrow",
-    )
-    out = multi_sketch_aggregate(ds, {
+    from ..agg import multi_sketch_aggregate_files
+
+    n_turns = max(1000, int(sf_of(sf_dir) * _TURNS_PER_SF))
+    files = sorted(glob.glob(os.path.join(write_transcripts(n_turns), "*.parquet")))
+    out = multi_sketch_aggregate_files(files, {
         "distinct_convs": {"sketch": "hll", "on": "conv_id"},
         "distinct_pairs": {"sketch": "hll", "on": ["role", "tool"]},
         "p50_len": {"sketch": "tdigest", "on": "text_len",
                     "mode": lambda sk: float(sk.quantile(0.5))},
         "p99_len": {"sketch": "kll", "on": "text_len",
                     "mode": lambda sk: float(sk.quantile(0.99))},
-    })
+    }, derive={"text_len": lambda t: pc.cast(pc.utf8_length(t.column("text")), pa.int64())},
+       derive_inputs=["text"])
     return _one_row(**{k: float(v) for k, v in out.items()})
 
 

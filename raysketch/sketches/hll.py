@@ -238,6 +238,25 @@ class HLL:
         self.encoding = "dense"
         return self
 
+    @classmethod
+    def intersection_estimate(cls, a: "HLL", b: "HLL") -> float:
+        """Inclusion-exclusion |A∩B| ≈ |A| + |B| − |A∪B| (clipped at 0).
+
+        Standard HLL set-operation estimate: the error is additive in
+        the union's error (≈1.04/√m · |A∪B|), so small intersections of
+        large sets are noisy — callers needing tight small-intersection
+        bounds should use MinHash signatures instead."""
+        u = cls.union([a, b]).finalize()
+        return float(max(0, a.finalize() + b.finalize() - u))
+
+    @classmethod
+    def jaccard_estimate(cls, a: "HLL", b: "HLL") -> float:
+        """|A∩B| / |A∪B| via inclusion-exclusion (same caveat)."""
+        u = cls.union([a, b]).finalize()
+        if u <= 0:
+            return 1.0
+        return float(max(0, a.finalize() + b.finalize() - u)) / u
+
     # -- PFDEBUG-style introspection (hyperloglog.c:1695-1771) ----------
     def getreg(self, i: int) -> int:
         """Register i's value — PFDEBUG GETREG element access."""

@@ -20,7 +20,8 @@ import pyarrow.compute as pc
 
 from ..hashing import arrow_to_flat_bytes, murmur64a
 
-__all__ = ["TokenCount", "LangId", "QualityScore", "Fingerprint"]
+__all__ = ["TokenCount", "LangId", "QualityScore", "Fingerprint",
+           "WinnowingFingerprint"]
 
 
 def _flat(txt) -> tuple[np.ndarray, np.ndarray]:
@@ -389,3 +390,63 @@ class Fingerprint:
         data, offsets = _flat(norm)
         h = murmur64a(data, offsets).astype(np.int64)
         return batch.append_column(self.out_col, pa.array(h, type=pa.int64()))
+
+
+class WinnowingFingerprint:
+    """Rolling-hash document fingerprints via winnowing (Schleimer,
+    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003): hash every k-byte window of the
+    normalized text, slide a width-``w`` window over those hashes and
+    keep each window's minimum — any shared substring of length
+    ≥ w + k − 1 between two documents is GUARANTEED to share a
+    fingerprint. Output column is list<int64> of the selected hashes
+    (sorted, deduped) — the robust partial-overlap detector the
+    whole-doc :class:`Fingerprint` cannot be.
+
+    Fully vectorized: one `_window_hashes` pass over the flat buffer,
+    sliding-window minima via a stride view, per-doc segmentation by
+    offsets.
+    """
+
+    def __init__(self, text_col: str = "text", out_col: str = "fingerprints",
+                 k: int = 5, window: int = 8):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.k = k
+        self.w = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.dedup import _window_hashes
+
+        txt = pc.utf8_lower(pc.fill_null(batch.column(self.text_col), ""))
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(txt, r"\s+", " ")
+        )
+        data, offsets = _flat(norm)
+        wh, woff = _window_hashes(data, offsets, self.k)
+        n = len(offsets) - 1
+        out_vals: list[np.ndarray] = []
+        lengths = np.zeros(n, dtype=np.int32)
+        if len(wh):
+            sel_all = []
+            for d in range(n):
+                h = wh[woff[d]: woff[d + 1]]
+                if not len(h):
+                    sel_all.append(np.empty(0, dtype=np.int64))
+                    continue
+                if len(h) <= self.w:
+                    sel = np.array([h.min()], dtype=np.uint64)
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(h, self.w)
+                    sel = win.min(axis=1)
+                sel = np.unique(sel.astype(np.int64))
+                sel_all.append(sel)
+                lengths[d] = len(sel)
+            out_vals = sel_all
+        else:
+            out_vals = [np.empty(0, dtype=np.int64)] * n
+        flat = np.concatenate(out_vals) if out_vals else np.empty(0, dtype=np.int64)
+        offs = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum([len(v) for v in out_vals], out=offs[1:])
+        col = pa.ListArray.from_arrays(pa.array(offs), pa.array(flat, type=pa.int64()))
+        return batch.append_column(self.out_col, col)

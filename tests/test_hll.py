@@ -322,3 +322,24 @@ def test_pfdebug_decode_runs():
     with pytest.raises(ValueError):
         h.decode()
     assert h.todense().info()["encoding"] == "dense"
+
+
+def test_intersection_and_jaccard_estimates():
+    """Inclusion-exclusion set-operation estimates: 30k ∩ 30k with 10k
+    overlap → both estimates within the compounded HLL error band."""
+    from raysketch import HLL
+
+    a, b = HLL(), HLL()
+    a.add_batch([f"x{i}" for i in range(30_000)])          # 0..30k
+    b.add_batch([f"x{i}" for i in range(20_000, 50_000)])  # 20k..50k
+    inter = HLL.intersection_estimate(a, b)
+    jac = HLL.jaccard_estimate(a, b)
+    assert abs(inter - 10_000) < 0.04 * 50_000  # ≈ union-scale error
+    assert abs(jac - 10_000 / 50_000) < 0.04
+    # disjoint sets → clipped at 0
+    c = HLL()
+    c.add_batch([f"y{i}" for i in range(1000)])
+    d = HLL()
+    d.add_batch([f"z{i}" for i in range(1000)])
+    assert HLL.intersection_estimate(c, d) < 0.03 * 2000
+    assert HLL.jaccard_estimate(HLL(), HLL()) == 1.0  # empty∩empty convention

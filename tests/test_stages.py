@@ -481,3 +481,37 @@ class TestPngCodec:
         for i, img in zip(out["item_id"], out["image"]):
             want = decode_png(tbl.column("payload")[int(i)].as_py())
             assert np.array_equal(np.asarray(img), want)
+
+
+class TestWinnowing:
+    def test_shared_substring_guarantee(self):
+        """Winnowing guarantee (SIGMOD'03): any shared substring of
+        length >= window + k - 1 produces a shared fingerprint."""
+        from raysketch.stages.textstats import WinnowingFingerprint
+
+        import random
+        rng = random.Random(11)
+        shared = "this exact passage appears verbatim in both documents here"
+        mk = lambda: " ".join(
+            "".join(rng.choice("abcdefghij") for _ in range(5)) for _ in range(40)
+        )
+        t = pa.table({"text": [mk() + " " + shared + " " + mk(),
+                               mk() + " " + shared + " " + mk(),
+                               mk()]})
+        wf = WinnowingFingerprint(k=5, window=8)
+        fps = wf(t).column("fingerprints").to_pylist()
+        a, b, c = set(fps[0]), set(fps[1]), set(fps[2])
+        assert len(shared) >= wf.w + wf.k - 1
+        assert a & b  # shared passage ⇒ shared fingerprints
+        assert len(a & c) <= 1  # unrelated docs ~disjoint
+
+    def test_deterministic_and_case_whitespace_normalized(self):
+        from raysketch.stages.textstats import WinnowingFingerprint
+
+        wf = WinnowingFingerprint()
+        t = pa.table({"text": ["The Quick   Brown Fox goes somewhere else",
+                               "the quick brown fox goes somewhere else", ""]})
+        fps = wf(t).column("fingerprints").to_pylist()
+        assert fps[0] == fps[1]
+        assert fps[2] == []
+        assert fps[0] == wf(t).column("fingerprints").to_pylist()[0]
