@@ -158,6 +158,66 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas()
 
 
+def props_k_stats(sf_dir: str) -> pd.DataFrame:
+    """JSON field extraction, vectorized: pull ``k`` out of the events
+    ``props`` JSON string with one RE2 ``extract_regex`` kernel (no
+    per-row json.loads), then an exact grouped sum/count — the string-
+    processing operator family, SQL-checked against DuckDB's
+    json_extract."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "k": k})
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+    )
+    df = out.to_pandas()
+    df["sum_k"] = df["sum_k"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+def suppliers_per_region(sf_dir: str) -> pd.DataFrame:
+    """Three-table join region ⋈ nation ⋈ supplier as chained broadcast
+    lookups (both dimension sides are tiny — no shuffle)."""
+    import ray
+
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    rname = dict(zip(region["r_regionkey"], region["r_name"]))
+    nk = np.array(sorted(n2r), dtype=np.int64)
+    rk = np.array([n2r[k] for k in nk], dtype=np.int64)
+    lookup_ref = ray.put((nk, rk, rname))
+
+    class RegionOf:
+        def __init__(self):
+            self.nk, self.rk, self.rname = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            s = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(self.nk, s), len(self.nk) - 1)
+            names = [self.rname[int(r)] for r in self.rk[pos]]
+            return pa.table({"r_name": pa.array(names, type=pa.string())})
+
+    from ray.data.aggregate import Count
+
+    out = (
+        _read(sf_dir, "supplier", columns=["s_nationkey"])
+        .map_batches(RegionOf, batch_format="pyarrow",
+                     concurrency=auto_concurrency())
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"))
+    )
+    return out.to_pandas().sort_values("r_name").reset_index(drop=True)
+
+
 def topk_event_types(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", columns=["event_type"])
     out = ds.groupby("event_type").count().rename_columns({"count()": "n"})
@@ -529,6 +589,8 @@ QUERIES = {
     "orders_priority_stats": orders_priority_stats,
     "distinct_event_types_set": distinct_event_types_set,
     "distinct_users_per_window": distinct_users_per_window,
+    "props_k_stats": props_k_stats,
+    "suppliers_per_region": suppliers_per_region,
     # sketch / approximate (rows-only driver checks; pytest owns bounds)
     "hll_distinct_conv": hll_distinct_conv,
     "hll_distinct_conv_by_role": hll_distinct_conv_by_role,
@@ -602,6 +664,18 @@ ORACLES = {
     """,
     "distinct_event_types_set": """
         SELECT DISTINCT event_type FROM events ORDER BY event_type
+    """,
+    "props_k_stats": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "suppliers_per_region": """
+        SELECT r_name, COUNT(*) AS n_suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
     """,
     "distinct_users_per_window": """
         SELECT CAST(to_timestamp(floor(epoch(ts)/900)*900) AS TIMESTAMP) AS window_start,
