@@ -1006,11 +1006,45 @@ def image_features_stats(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def audio_frame_energy(sf_dir: str) -> pd.DataFrame:
+    """REAL audio decode end-to-end: a cached parquet table of real PCM
+    WAV payloads → actor-pool frame sampling (built-in RIFF codec) →
+    per-item frame RMS energies. Deterministic, driver rows-only
+    check."""
+    import tempfile
+
+    import ray.data
+
+    from ..stages.multimodal import AudioFrameSample, make_real_wav_table
+
+    n = max(32, int(2048 * sf_of(sf_dir)))
+    cache = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                         f"wavs_n{n}_s9")
+    if not os.path.isdir(cache) or not os.listdir(cache):
+        import pyarrow.parquet as pq
+
+        os.makedirs(cache, exist_ok=True)
+        tmp = os.path.join(cache, "_part0.tmp")
+        pq.write_table(make_real_wav_table(n, seed=9), tmp,
+                       row_group_size=max(16, n // 4))
+        os.replace(tmp, os.path.join(cache, "part0.parquet"))
+    out = (
+        ray.data.read_parquet(cache)
+        .map_batches(AudioFrameSample, fn_constructor_kwargs={"deterministic_fake": False},
+                     batch_format="pyarrow", batch_size=32,
+                     concurrency=auto_concurrency())
+        .to_pandas()
+    )
+    out["energy"] = out["energy"].round(6)
+    return out.sort_values(["item_id", "frame_idx"]).reset_index(drop=True)
+
+
 QUERIES.update({
     "events_sliding_window": events_sliding_window,
     "multi_sketch_summary": multi_sketch_summary,
     "curate_documents": curate_documents,
     "image_features_stats": image_features_stats,
+    "audio_frame_energy": audio_frame_energy,
 })
 
 ORACLES.update({

@@ -23,6 +23,7 @@ __all__ = [
     "audio_schema",
     "make_fake_image_table",
     "make_real_png_table",
+    "make_real_wav_table",
     "ImageDecode",
     "ImageResize",
     "ImageFeatures",
@@ -191,27 +192,81 @@ class ImageFeatures:
         }
 
 
-class AudioFrameSample:
-    """Audio frame sampling stub: every payload → ``n_frames`` fixed
-    offsets with deterministic fake PCM stats. Real path gated behind an
-    (absent) codec import, mirroring ImageDecode."""
+def make_real_wav_table(n: int, seed: int = 0) -> pa.Table:
+    """Rows whose payloads are REAL PCM WAV bytes (seeded sine + noise
+    mixes, varying length/rate/bit-depth) — the fixture for the real
+    audio decode path."""
+    from .wavcodec import encode_wav
 
-    def __init__(self, n_frames: int = 4, deterministic_fake: bool = True):
-        if not deterministic_fake:
-            raise NotImplementedError("audio codec not available in this container")
+    rng = np.random.default_rng(seed)
+    ids, payloads, rates = [], [], []
+    for i in range(n):
+        rate = int(rng.choice([8000, 16000]))
+        dur = int(rng.integers(rate // 4, rate))  # 0.25-1 s
+        t = np.arange(dur) / rate
+        f0 = float(rng.uniform(100, 1000))
+        sig = (0.6 * np.sin(2 * np.pi * f0 * t)
+               + 0.1 * rng.standard_normal(dur))
+        bits = int(rng.choice([16, 32]))
+        ids.append(i)
+        payloads.append(encode_wav(sig, rate, bits=bits))
+        rates.append(rate)
+    return pa.table({
+        "item_id": pa.array(np.array(ids, dtype=np.int64)),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "sample_rate": pa.array(np.array(rates, dtype=np.int32)),
+        "n_channels": pa.array(np.ones(n, dtype=np.int32)),
+        "format": pa.array(["wav"] * n),
+    })
+
+
+class AudioFrameSample:
+    """Audio frame sampling: every payload → ``n_frames`` evenly-spaced
+    frames with RMS energy. Real path decodes PCM WAV with the built-in
+    codec (:mod:`.wavcodec`); other formats need a real audio library.
+    ``deterministic_fake=True`` keeps the hash-seeded stand-in for
+    plumbing-only pipelines."""
+
+    def __init__(self, n_frames: int = 4, deterministic_fake: bool = True,
+                 frame_len: int = 1024):
         self.n_frames = n_frames
+        self.fake = deterministic_fake
+        self.frame_len = frame_len
+
+    def _frames_real(self, payload: bytes, fmt: str):
+        if fmt != "wav":
+            raise NotImplementedError(
+                f"no audio codec for format {fmt!r} in this environment"
+            )
+        from .wavcodec import decode_wav
+
+        samples, _rate = decode_wav(payload)
+        mono = samples.mean(axis=1)
+        out = []
+        for f in range(self.n_frames):
+            start = (f * max(len(mono) - self.frame_len, 0)) // max(self.n_frames - 1, 1)
+            fr = mono[start: start + self.frame_len]
+            out.append(float(np.sqrt(np.mean(fr**2))) if len(fr) else 0.0)
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("item_id").to_numpy(zero_copy_only=False)
         payloads = batch.column("payload").to_pylist()
+        fmts = (batch.column("format").to_pylist()
+                if not self.fake and "format" in batch.column_names
+                else [None] * len(ids))
         rows_id, rows_frame, rows_energy = [], [], []
-        for i, p in zip(ids, payloads):
-            seed = int.from_bytes(p[:8].ljust(8, b"\0"), "little")
-            rng = np.random.default_rng(seed)
-            for f in range(self.n_frames):
+        for i, p, fmt in zip(ids, payloads, fmts):
+            if self.fake:
+                seed = int.from_bytes(p[:8].ljust(8, b"\0"), "little")
+                rng = np.random.default_rng(seed)
+                energies = [float(rng.random()) for _ in range(self.n_frames)]
+            else:
+                energies = self._frames_real(p, fmt)
+            for f, e in enumerate(energies):
                 rows_id.append(int(i))
                 rows_frame.append(f)
-                rows_energy.append(float(rng.random()))
+                rows_energy.append(e)
         return pa.table({
             "item_id": pa.array(rows_id, type=pa.int64()),
             "frame_idx": pa.array(rows_frame, type=pa.int32()),
