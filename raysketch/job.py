@@ -11,6 +11,9 @@ Spec format (JSON):
       "by": ["role"],                            #   multi_sketch_aggregate
       "mode": "estimate",
       "params": {"p": 14},
+      "deterministic": true,                      # per-FILE folds + canonical
+                                                  #   reduce (byte-reproducible
+                                                  #   results for KLL/t-digest)
       "output": "/out/estimates"                  # parquet sink (grouped)
     }
 
@@ -62,6 +65,17 @@ def run(spec: dict) -> dict:
         )
         result = job.run(files, merge_mode=spec.get("mode", "bytes"))
         lineage = job.manifest()
+    elif spec.get("deterministic"):
+        from .agg import multi_sketch_aggregate_files, sketch_aggregate_files
+
+        if "specs" in spec:
+            result = multi_sketch_aggregate_files(files, spec["specs"])
+        else:
+            result = sketch_aggregate_files(
+                files, spec["sketch"], spec["on"], by=spec.get("by"),
+                mode=spec.get("mode", "estimate"), **spec.get("params", {}),
+            )
+        lineage = [{"input_files": files, "deterministic": True}]
     else:
         from .agg import multi_sketch_aggregate, sketch_aggregate
 

@@ -198,3 +198,16 @@ def test_sketch_service_async_add_backpressure(ray_session):
     bad.add("k", [object()])  # non-coercible element → actor-side TypeError
     with _pytest.raises(Exception):
         bad.flush()
+
+
+def test_job_spec_deterministic_path(shards, ray_session):
+    """job spec {"deterministic": true} routes to per-file folds +
+    canonical reduce: identical results across runs."""
+    from raysketch.job import run
+
+    spec = {"input": shards, "sketch": "kll", "on": "turn_idx",
+            "deterministic": True, "mode": "estimate", "params": {"k": 128}}
+    a = run(spec)
+    b = run(spec)
+    assert a["result"] == b["result"]
+    assert a["result"]["n"] == 30000
