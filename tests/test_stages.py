@@ -575,3 +575,35 @@ class TestWavCodec:
         e = AudioFrameSample(deterministic_fake=False)(pure)
         vals = e.column("energy").to_pylist()
         assert all(abs(v - 0.5 / np.sqrt(2)) < 0.01 for v in vals), vals
+
+
+from hypothesis import given, settings, strategies as st
+
+
+class TestCodecProperties:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 24), w=st.integers(1, 24),
+        ch=st.sampled_from([1, 3, 4]), ft=st.sampled_from([0, 1, 2]),
+        seed=st.integers(0, 2**16),
+    )
+    def test_png_roundtrip_property(self, h, w, ch, ft, seed):
+        from raysketch.stages.pngcodec import decode_png, encode_png
+
+        img = np.random.default_rng(seed).integers(0, 256, size=(h, w, ch),
+                                                   dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img, filter_type=ft)), img)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 400), ch=st.integers(1, 3),
+        bits=st.sampled_from([16, 32]), rate=st.sampled_from([8000, 44100]),
+        seed=st.integers(0, 2**16),
+    )
+    def test_wav_roundtrip_property(self, n, ch, bits, rate, seed):
+        from raysketch.stages.wavcodec import decode_wav, encode_wav
+
+        sig = np.random.default_rng(seed).uniform(-1, 1, size=(n, ch))
+        out, r = decode_wav(encode_wav(sig, rate, bits=bits))
+        assert r == rate and out.shape == (n, ch)
+        assert np.abs(out - sig).max() < (1e-4 if bits == 16 else 1e-6)
