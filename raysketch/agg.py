@@ -193,6 +193,13 @@ try:
                 zero_factory=lambda: None,
             )
 
+        # The accumulator is the serialized wire format (bytes), not the
+        # sketch object: bytes are Arrow-native, so the partial-state
+        # column shuffled between aggregation stages stays a real binary
+        # column instead of tripping Ray's pickle fallback (which logs a
+        # full ArrowConversionError traceback per block). Merge cost is
+        # one from_bytes/to_bytes pair per combine — numpy pack, cheap.
+
         def aggregate_block(self, block):
             t = BlockAccessor.for_block(block).to_arrow()
             col = t.column(self._target_col_name)
@@ -203,23 +210,23 @@ try:
                         continue
                     sk = self._cls.from_bytes(v.as_py())
                     acc = sk if acc is None else acc.merge(sk)
-            return acc
+            return None if acc is None else acc.to_bytes()
 
         def combine(self, current, new):
             if current is None:
                 return new
             if new is None:
                 return current
-            return current.merge(new)
+            merged = self._cls.from_bytes(current).merge(self._cls.from_bytes(new))
+            return merged.to_bytes()
 
         def finalize(self, acc):
-            if acc is None:
-                acc = self._cls.empty(**self._params)
+            acc = (self._cls.empty(**self._params) if acc is None
+                   else self._cls.from_bytes(acc))
             if self._mode == "bytes":
                 return acc.to_bytes()
             if self._mode == "estimate":
-                out = acc.finalize()
-                return out
+                return acc.finalize()
             return self._mode(acc)
 
 except ImportError:  # pragma: no cover - ray always present in this env
