@@ -520,9 +520,16 @@ def sketch_aggregate(
                                    mode="bytes", **params))
         )
         result = stage1.aggregate(agg)
-        return result[agg.name]
+        val = None if result is None else result.get(agg.name)
+        # SketchMerge.finalize: the base class shadows .finalize with a
+        # null-safe instance wrapper that short-circuits None (empty
+        # input) — call the class method to finalize the identity state
+        return SketchMerge.finalize(agg, None) if val is None else val
     result = partials.aggregate(agg)
-    return result[agg.name]
+    # empty input: Ray's aggregate yields no row — finalize the identity
+    # state (estimate 0 / empty wire bytes) instead of returning None
+    val = None if result is None else result.get(agg.name)
+    return SketchMerge.finalize(agg, None) if val is None else val
 
 
 def multi_sketch_aggregate(

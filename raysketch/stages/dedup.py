@@ -678,12 +678,14 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
 
 
 def simhash_dedup(ds, text_col="text", id_col="doc_id", max_hamming=3):
+    import pandas as pd
+
     sims = ds.map_batches(SimHasher, fn_constructor_args=(text_col, id_col),
                           batch_format="pyarrow", concurrency=auto_concurrency())
     pairs = simhash_candidate_pairs(sims, id_col, max_hamming).to_pandas()
+    if len(pairs) == 0:  # empty corpus / no candidates: no columns either
+        return pd.DataFrame({id_col: [], "component": []})
     comp = union_find_components(pairs)
-    import pandas as pd
-
     return pd.DataFrame(
         {id_col: list(comp), "component": [comp[k] for k in comp]}
     ).sort_values(id_col).reset_index(drop=True)

@@ -607,3 +607,26 @@ class TestCodecProperties:
         out, r = decode_wav(encode_wav(sig, rate, bits=bits))
         assert r == rate and out.shape == (n, ch)
         assert np.abs(out - sig).max() < (1e-4 if bits == 16 else 1e-6)
+
+
+def test_empty_input_sweep(ray_session):
+    """Every dedup/textstats entry point handles an empty table without
+    raising (found: simhash_dedup KeyError'd on the empty pair frame)."""
+    import ray.data
+
+    from raysketch.agg import sketch_aggregate
+    from raysketch.stages.dedup import (exact_dedup_keep_ids, minhash_dedup,
+                                        simhash_dedup)
+    from raysketch.stages.textstats import WinnowingFingerprint
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string()),
+    }))
+    assert sketch_aggregate(empty, "hll", on="text", mode="estimate") == 0
+    assert exact_dedup_keep_ids(empty).to_pandas().empty
+    assert minhash_dedup(empty).empty
+    assert simhash_dedup(empty).empty
+    t = pa.table({"text": pa.array([], type=pa.string())})
+    for cls in (TokenCount, LangId, QualityScore, Fingerprint, WinnowingFingerprint):
+        assert cls()(t).num_rows == 0
