@@ -1006,6 +1006,37 @@ def image_features_stats(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    """Conversation-level near-dup detection: reconstruct each
+    conversation's full text in stable (conv_id, turn_idx) order —
+    the per-row ordering invariant the north rule names — via
+    ``groupby(conv_id).map_groups`` (sort by turn_idx, join turns),
+    then MinHash+LSH over the conversation documents. Returns one row
+    per conversation in a duplicate component."""
+    from ..hashing import murmur64a_scalar
+    from ..stages.dedup import minhash_dedup
+
+    ds = transcripts_ds(sf_dir, columns=["conv_id", "turn_idx", "text"])
+
+    def concat_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        cid = g["conv_id"].iloc[0]
+        return pd.DataFrame({
+            "doc_id": [murmur64a_scalar(cid.encode()) & 0x7FFFFFFFFFFFFFFF],
+            "conv_id": [cid],
+            "text": ["\n".join(g["text"])],
+        })
+
+    import ray.data
+
+    convs = ds.groupby("conv_id").map_groups(concat_conv, batch_format="pandas")
+    out = minhash_dedup(convs, threshold=0.9)
+    # map hashed ids back to conv ids (conv count ≪ turn count)
+    lookup = convs.select_columns(["doc_id", "conv_id"]).to_pandas()
+    m = out.merge(lookup, on="doc_id")
+    return m[["conv_id", "component"]].sort_values("conv_id").reset_index(drop=True)
+
+
 def audio_frame_energy(sf_dir: str) -> pd.DataFrame:
     """REAL audio decode end-to-end: a cached parquet table of real PCM
     WAV payloads → actor-pool frame sampling (built-in RIFF codec) →
@@ -1045,6 +1076,7 @@ QUERIES.update({
     "curate_documents": curate_documents,
     "image_features_stats": image_features_stats,
     "audio_frame_energy": audio_frame_energy,
+    "conv_dedup_minhash": conv_dedup_minhash,
 })
 
 ORACLES.update({

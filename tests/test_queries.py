@@ -152,3 +152,46 @@ def test_quantile_queries_deterministic(ray_session):
         a = fn(SF_DIR).to_dict("records")
         b = fn(SF_DIR).to_dict("records")
         assert a == b, fn.__name__
+
+
+def test_conv_dedup_order_invariant(ray_session):
+    """Conversation reconstruction is a pure function of the row SET:
+    shuffled input rows reconstruct identical conversation documents
+    (stable (conv_id, turn_idx) ordering — the north-rule invariant),
+    so conv-level dedup results don't depend on block order."""
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for c in range(30):
+        for t in range(8):
+            rows.append({"conv_id": f"c{c:03d}", "turn_idx": t,
+                         "text": f"conv {c % 10} turn {t} body"})  # convs repeat mod 10
+    df = pd.DataFrame(rows)
+    shuffled = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+
+    def run(frame):
+        from raysketch.hashing import murmur64a_scalar
+        from raysketch.stages.dedup import minhash_dedup
+
+        ds = ray.data.from_pandas(frame).repartition(5)
+
+        def concat_conv(g):
+            g = g.sort_values("turn_idx")
+            cid = g["conv_id"].iloc[0]
+            return pd.DataFrame({
+                "doc_id": [murmur64a_scalar(cid.encode()) & 0x7FFFFFFFFFFFFFFF],
+                "conv_id": [cid],
+                "text": ["\n".join(g["text"])],
+            })
+
+        convs = ds.groupby("conv_id").map_groups(concat_conv, batch_format="pandas")
+        texts = convs.to_pandas().set_index("conv_id")["text"].to_dict()
+        dups = minhash_dedup(convs, threshold=0.9)
+        return texts, set(map(tuple, dups[["doc_id", "component"]].itertuples(index=False)))
+
+    t1, d1 = run(df)
+    t2, d2 = run(shuffled)
+    assert t1 == t2          # identical reconstructed documents
+    assert d1 == d2          # identical dedup components
+    assert len(d1) == 30     # 10 distinct conv texts × 3 copies → all dups
