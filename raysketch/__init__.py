@@ -19,10 +19,13 @@ __all__ = [
     "KLL",
     "TDigest",
     "BottomK",
+    "ExactSet",
     "sketch_aggregate",
     "multi_sketch_aggregate",
     "fold_partials",
     "SketchMerge",
+    "sketch_aggregate_files",
+    "canonical_sketch_reduce",
 ]
 __version__ = "0.1.0"
 
@@ -32,10 +35,13 @@ _LAZY = {
     "KLL": ("raysketch.sketches.kll", "KLL"),
     "TDigest": ("raysketch.sketches.tdigest", "TDigest"),
     "BottomK": ("raysketch.sketches.bottomk", "BottomK"),
+    "ExactSet": ("raysketch.sketches.setsketch", "ExactSet"),
     "sketch_aggregate": ("raysketch.agg", "sketch_aggregate"),
     "multi_sketch_aggregate": ("raysketch.agg", "multi_sketch_aggregate"),
     "fold_partials": ("raysketch.agg", "fold_partials"),
     "SketchMerge": ("raysketch.agg", "SketchMerge"),
+    "sketch_aggregate_files": ("raysketch.agg", "sketch_aggregate_files"),
+    "canonical_sketch_reduce": ("raysketch.agg", "canonical_sketch_reduce"),
 }
 
 
