@@ -28,7 +28,7 @@ import pyarrow as pa
 
 from .sketches import SKETCHES
 
-__all__ = ["fold_partials", "SketchMerge", "sketch_aggregate", "multi_sketch_aggregate", "make_fold_fn", "canonical_sketch_reduce"]
+__all__ = ["fold_partials", "SketchMerge", "sketch_aggregate", "multi_sketch_aggregate", "make_fold_fn", "canonical_sketch_reduce", "actor_pool_fold"]
 
 _HASH_SKETCHES = {"hll", "bloom", "countmin"}  # fold hashed byte elements
 _VALUE_SKETCHES = {"kll", "tdigest"}  # fold numeric values
@@ -378,6 +378,64 @@ def sketch_aggregate_files(
         return pd.DataFrame(out)
 
     return partials.groupby(by_cols).map_groups(merge_group, batch_format="pandas")
+
+
+def actor_pool_fold(
+    ds,
+    sketch: str,
+    on: Union[str, Sequence[str]],
+    num_actors: Optional[int] = None,
+    mode: Union[str, Callable] = "estimate",
+    batch_size: Optional[int] = 32768,
+    **params,
+):
+    """Actor-pool fold: per-partition sketch state held IN the actors.
+
+    ``ds.streaming_split(n)`` hands each of ``n`` long-lived actors a
+    stream of blocks; every actor folds its entire stream into ONE
+    in-memory sketch and ships a single state at the end — the
+    "actor pools holding per-partition sketch state" execution shape.
+    Versus the per-batch fold + groupby-aggregate path, the merge fans
+    in from ``n_actors`` states instead of ``n_batches`` partials (at
+    10^12 rows: dozens, not millions), at the cost of determinism
+    (split assignment is dynamic) — equivalent results only for
+    order-insensitive merges (HLL/Bloom/CMS/bottom-k/set; exact for the
+    idempotent ones by merge algebra).
+    """
+    import ray
+
+    cls = SKETCHES[sketch]
+    if sketch == "hll":
+        params.setdefault("sparse", True)
+    n = num_actors or max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    fold_fn = make_fold_fn(sketch, on, None, None, **params)
+
+    @ray.remote
+    class FoldActor:
+        def __init__(self):
+            self.sk = cls.empty(**params)
+
+        def consume(self, split) -> bytes:
+            for batch in split.iter_batches(batch_format="pyarrow",
+                                            batch_size=batch_size):
+                part = fold_fn(batch)  # one partial row for this batch
+                for v in part.column("sketch"):
+                    self.sk.merge(cls.from_bytes(v.as_py()))
+            return self.sk.to_bytes()
+
+    on_cols = [on] if isinstance(on, str) else list(on)
+    splits = ds.select_columns(list(dict.fromkeys(on_cols))) \
+        .streaming_split(n, equal=False)
+    actors = [FoldActor.remote() for _ in range(n)]
+    blobs = ray.get([a.consume.remote(s) for a, s in zip(actors, splits)])
+    acc = cls.empty(**params)
+    for b in blobs:
+        acc.merge(cls.from_bytes(b))
+    if mode == "bytes":
+        return acc.to_bytes()
+    if mode == "estimate":
+        return acc.finalize()
+    return mode(acc)
 
 
 def multi_sketch_aggregate_files(

@@ -308,3 +308,29 @@ def test_sketch_aggregate_files_deterministic(ray_session, tmp_path):
         est = sk.quantile(0.5)
         exact = np.quantile(vals, 0.5)
         assert abs((vals <= est).mean() - 0.5) < 0.03, role
+
+
+def test_actor_pool_fold_matches_aggregate(ray_session):
+    """Actor-pool fold (streaming_split, one sketch held per actor)
+    produces register-identical HLL state to the per-batch fold +
+    groupby-aggregate path (idempotent max-merge algebra), and CMS
+    totals match exactly (add-merge, every row folded exactly once)."""
+    import ray.data
+
+    from raysketch.agg import actor_pool_fold, sketch_aggregate
+    from raysketch.sketches import HLL, CountMin
+    from raysketch.sources.transcripts import gen_transcripts
+
+    tbl = gen_transcripts(40000)
+    ds = lambda: ray.data.from_arrow(tbl).repartition(8)
+    b1 = actor_pool_fold(ds(), "hll", on="conv_id", mode="bytes", num_actors=3)
+    b2 = sketch_aggregate(ds(), "hll", on="conv_id", mode="bytes")
+    assert np.array_equal(HLL.from_bytes(b1).regs, HLL.from_bytes(b2).regs)
+    c1 = actor_pool_fold(ds(), "countmin", on="tool", mode="bytes",
+                         num_actors=3, width=1 << 12, depth=4)
+    cm = CountMin.from_bytes(c1)
+    assert cm.total == 40000
+    c2 = CountMin.from_bytes(
+        sketch_aggregate(ds(), "countmin", on="tool", mode="bytes",
+                         width=1 << 12, depth=4))
+    assert np.array_equal(cm.table, c2.table)
