@@ -235,7 +235,8 @@ except ImportError:  # pragma: no cover - ray always present in this env
 
 def canonical_sketch_reduce(partials, sketch: str,
                             mode: Union[str, Callable] = "estimate",
-                            num_cells: int = 64, **params):
+                            num_cells: int = 64,
+                            driver_merge_max: int = 4096, **params):
     """Order-INDEPENDENT distributed reduction of partial sketch rows.
 
     Ray's aggregate combines partials in whatever order the streaming
@@ -272,7 +273,7 @@ def canonical_sketch_reduce(partials, sketch: str,
                              "sketch": [acc.to_bytes()]})
 
     mat = partials.materialize()  # partial rows are KB-size states
-    if mat.count() <= 4096:
+    if mat.count() <= driver_merge_max:
         # few partials: skip the cell shuffle, sort the blob multiset on
         # the driver and fold in lexicographic order — same canonical
         # function of the multiset, none of the groupby fixed cost

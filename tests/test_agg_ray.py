@@ -334,3 +334,33 @@ def test_actor_pool_fold_matches_aggregate(ray_session):
         sketch_aggregate(ds(), "countmin", on="tool", mode="bytes",
                          width=1 << 12, depth=4))
     assert np.array_equal(cm.table, c2.table)
+
+
+def test_canonical_reduce_cells_path(ray_session):
+    """The content-addressed cells path (taken when the partial count
+    exceeds driver_merge_max) is deterministic across reruns and, for
+    idempotent HLL, register-identical to the driver-sort path."""
+    import ray.data
+
+    from raysketch.agg import canonical_sketch_reduce, fold_partials
+    from raysketch.sketches import HLL
+    from raysketch.sources.transcripts import gen_transcripts
+
+    tbl = gen_transcripts(40000)
+    parts = fold_partials(ray.data.from_arrow(tbl).repartition(8),
+                          "hll", "conv_id", None, None, 2048).materialize()
+    assert parts.count() > 10  # many partials
+    cells1 = canonical_sketch_reduce(parts, "hll", mode="bytes",
+                                     driver_merge_max=0)
+    cells2 = canonical_sketch_reduce(parts, "hll", mode="bytes",
+                                     driver_merge_max=0)
+    driver = canonical_sketch_reduce(parts, "hll", mode="bytes")
+    assert cells1 == cells2  # deterministic
+    assert np.array_equal(HLL.from_bytes(cells1).regs, HLL.from_bytes(driver).regs)
+
+    # order-sensitive KLL: each path is deterministic with itself
+    pk = fold_partials(ray.data.from_arrow(tbl).repartition(8),
+                       "kll", "turn_idx", None, None, 2048, k=128).materialize()
+    k1 = canonical_sketch_reduce(pk, "kll", mode="bytes", driver_merge_max=0)
+    k2 = canonical_sketch_reduce(pk, "kll", mode="bytes", driver_merge_max=0)
+    assert k1 == k2
