@@ -26,6 +26,8 @@ __all__ = [
     "SketchMerge",
     "sketch_aggregate_files",
     "canonical_sketch_reduce",
+    "actor_pool_fold",
+    "multi_sketch_aggregate_files",
 ]
 __version__ = "0.1.0"
 
@@ -42,6 +44,8 @@ _LAZY = {
     "SketchMerge": ("raysketch.agg", "SketchMerge"),
     "sketch_aggregate_files": ("raysketch.agg", "sketch_aggregate_files"),
     "canonical_sketch_reduce": ("raysketch.agg", "canonical_sketch_reduce"),
+    "actor_pool_fold": ("raysketch.agg", "actor_pool_fold"),
+    "multi_sketch_aggregate_files": ("raysketch.agg", "multi_sketch_aggregate_files"),
 }
 
 

@@ -69,6 +69,12 @@ def run(spec: dict) -> dict:
         from .agg import multi_sketch_aggregate_files, sketch_aggregate_files
 
         if "specs" in spec:
+            if spec.get("by"):
+                raise ValueError(
+                    "deterministic multi-sketch jobs do not support 'by' "
+                    "grouping yet — drop 'deterministic' or use a single-"
+                    "sketch spec (sketch_aggregate_files supports 'by')"
+                )
             result = multi_sketch_aggregate_files(files, spec["specs"])
         else:
             result = sketch_aggregate_files(

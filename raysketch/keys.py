@@ -46,14 +46,19 @@ def canonical_string_array(arr):
         s = np.char.mod("%.14G", vals)
         has_e = np.char.find(s, "E") >= 0
         if has_e.any():
-            fix = []
-            for v in s[has_e]:
-                mant, _, exp = v.partition("E")
+            # NOTE: do NOT assign the fixups back into `s` — numpy's
+            # fixed-width string dtype would silently truncate them
+            # (e.g. '1.0E-5' → '1.0E-' in a <U5 array), colliding
+            # distinct floats; build a Python list instead
+            out_list = s.tolist()
+            for i in np.nonzero(has_e)[0]:
+                mant, _, exp = out_list[i].partition("E")
                 if "." not in mant:
                     mant += ".0"
-                fix.append(f"{mant}E{exp[0]}{exp[1:].lstrip('0') or '0'}")
-            s[has_e] = fix
-        out = pa.array(s.tolist(), type=pa.string())
+                out_list[i] = f"{mant}E{exp[0]}{exp[1:].lstrip('0') or '0'}"
+            out = pa.array(out_list, type=pa.string())
+        else:
+            out = pa.array(s.tolist(), type=pa.string())
         if arr.null_count:
             out = pc.if_else(pc.is_null(arr), pa.scalar("", pa.string()), out)
         return out

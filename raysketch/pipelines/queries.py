@@ -203,7 +203,8 @@ def suppliers_per_region(sf_dir: str) -> pd.DataFrame:
         def __call__(self, t: pa.Table) -> pa.Table:
             s = t.column("s_nationkey").to_numpy(zero_copy_only=False)
             pos = np.minimum(np.searchsorted(self.nk, s), len(self.nk) - 1)
-            names = [self.rname[int(r)] for r in self.rk[pos]]
+            hit = self.nk[pos] == s  # inner-join semantics: drop unmatched
+            names = [self.rname[int(r)] for r in self.rk[pos[hit]]]
             return pa.table({"r_name": pa.array(names, type=pa.string())})
 
     from ray.data.aggregate import Count
@@ -976,9 +977,14 @@ def image_features_stats(sf_dir: str) -> pd.DataFrame:
     )
 
     n = max(32, int(4096 * sf_of(sf_dir)))
+    import glob as _glob
+
     cache = os.path.join(tempfile.gettempdir(), "raysketch_data",
                          f"pngs_n{n}_s7")
-    if not os.path.isdir(cache) or not os.listdir(cache):
+    # guard on *.parquet, not mere non-emptiness: a crash between the
+    # tmp write and os.replace leaves only _part0.tmp, which
+    # read_parquet ignores — the cache must self-heal
+    if not _glob.glob(os.path.join(cache, "*.parquet")):
         import pyarrow.parquet as pq
 
         os.makedirs(cache, exist_ok=True)
@@ -1029,7 +1035,10 @@ def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
 
     import ray.data
 
-    convs = ds.groupby("conv_id").map_groups(concat_conv, batch_format="pandas")
+    # materialize: the reconstruction groupby is the heaviest stage and
+    # convs is consumed twice (signatures + the id->conv lookup below)
+    convs = ds.groupby("conv_id").map_groups(
+        concat_conv, batch_format="pandas").materialize()
     out = minhash_dedup(convs, threshold=0.9)
     # map hashed ids back to conv ids (conv count ≪ turn count)
     lookup = convs.select_columns(["doc_id", "conv_id"]).to_pandas()
@@ -1049,9 +1058,12 @@ def audio_frame_energy(sf_dir: str) -> pd.DataFrame:
     from ..stages.multimodal import AudioFrameSample, make_real_wav_table
 
     n = max(32, int(2048 * sf_of(sf_dir)))
+    import glob as _glob
+
     cache = os.path.join(tempfile.gettempdir(), "raysketch_data",
                          f"wavs_n{n}_s9")
-    if not os.path.isdir(cache) or not os.listdir(cache):
+    if not _glob.glob(os.path.join(cache, "*.parquet")):  # self-healing guard
+
         import pyarrow.parquet as pq
 
         os.makedirs(cache, exist_ok=True)

@@ -558,12 +558,17 @@ def propagate_components(pairs_ds, rounds: int = 16, num_buckets: int = 64):
                                       t.column("id_a").combine_chunks().cast(pa.int64())]),
         })
 
+    # the other side's unused field is padded with ZEROS, not nulls:
+    # an int64 column containing nulls becomes float64 in the pandas
+    # map_groups frame, silently corrupting ids above 2^53 (e.g. the
+    # 63-bit hashed doc ids conv-level dedup produces); the padded
+    # fields are never read on their padded side
     def edge_bucket(t: pa.Table) -> pa.Table:
         peer = t.column("peer").to_numpy(zero_copy_only=False)
         b = (peer.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
         return pa.table({
             "node": t.column("node"), "peer": t.column("peer"),
-            "label": pa.nulls(t.num_rows, type=pa.int64()),
+            "label": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
             "__b": pa.array(b),
             "__side": pa.array(np.zeros(t.num_rows, dtype=bool)),
         })
@@ -572,7 +577,7 @@ def propagate_components(pairs_ds, rounds: int = 16, num_buckets: int = 64):
         node = t.column("node").to_numpy(zero_copy_only=False)
         b = (node.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
         return pa.table({
-            "node": pa.nulls(t.num_rows, type=pa.int64()),
+            "node": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
             "peer": t.column("node"),  # join key: label's node == edge's peer
             "label": t.column("label"),
             "__b": pa.array(b),

@@ -28,10 +28,16 @@ __all__ = ["bucket_hash_join", "bucket_anti_join", "bucket_semi_join", "asof_joi
 
 
 def _with_bucket(ds, key: str, num_buckets: int, side: str, null_cols=None):
-    """Tag rows with a hash bucket + side marker, and append typed null
-    columns for the OTHER side's exclusive fields so the two tagged
-    datasets union with one schema (Ray blocks are not schema-aligned
-    across a union otherwise)."""
+    """Tag rows with a hash bucket + side marker, and append typed
+    padding columns for the OTHER side's exclusive fields so the two
+    tagged datasets union with one schema (Ray blocks are not
+    schema-aligned across a union otherwise).
+
+    Integer/float padding uses typed ZEROS, not nulls: a padded value is
+    never read (each side's own columns are selected before any output),
+    but an int64 column containing nulls converts to float64 in the
+    pandas group frame — silently rounding ids beyond 2^53 on the REAL
+    side's rows too (the upcast hits the whole column)."""
     null_cols = list(null_cols or [])
 
     def add(t: pa.Table) -> pa.Table:
@@ -40,7 +46,11 @@ def _with_bucket(ds, key: str, num_buckets: int, side: str, null_cols=None):
         t = t.append_column("__bucket", pa.array(b))
         t = t.append_column("__side", pa.array(np.full(t.num_rows, side == "r")))
         for name, typ in null_cols:
-            t = t.append_column(name, pa.nulls(t.num_rows, type=typ))
+            if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+                pad = pa.array(np.zeros(t.num_rows), type=typ)
+            else:
+                pad = pa.nulls(t.num_rows, type=typ)
+            t = t.append_column(name, pad)
         return t
 
     return ds.map_batches(add, batch_format="pyarrow")
@@ -95,16 +105,19 @@ def bucket_hash_join(
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
-def bucket_anti_join(left, right, on: str, num_buckets: int = 64):
-    """Rows of ``left`` whose ``on`` key never appears in ``right`` —
-    the shuffle-based anti join for when the right key set is too large
-    to broadcast (the fallback path behind the broadcast anti joins in
-    pipelines/queries.py). Right side is pre-shrunk to per-batch
-    distinct keys so the exchange moves keys, not rows."""
+def _bucket_filter_join(left, right, on: str, num_buckets: int,
+                        keep_matches: bool):
+    """Shared semi/anti plumbing: right side shrunk to per-batch distinct
+    keys, both sides bucket-tagged, per-bucket membership filter. Output
+    dtypes are restored from the left schema — the union pads the right
+    side's missing columns with nulls, which upcasts int64 columns to
+    float64 in the pandas group frame (silently corrupting ids beyond
+    2^53 if left as-is)."""
     import pyarrow.compute as pc
 
     lfields = _schema_fields(left.schema())
     lcols = [n for n, _ in lfields]
+    l_dtypes = {n: t.to_pandas_dtype() for n, t in lfields}
 
     def keys_only(t: pa.Table) -> pa.Table:
         return pa.table({on: pc.unique(t.column(on).combine_chunks())})
@@ -116,43 +129,34 @@ def bucket_anti_join(left, right, on: str, num_buckets: int = 64):
         [(n, t) for n, t in lfields if n != on],
     )
 
-    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[~g["__side"]][lcols]
         rk = g[g["__side"]][on]
-        return lg[~lg[on].isin(rk)]
+        mask = lg[on].isin(rk)
+        out = lg[mask if keep_matches else ~mask]
+        for c, dt in l_dtypes.items():  # undo the null-union upcast
+            if out[c].dtype != dt:
+                out = out.astype({c: dt})
+        return out
 
     return l_tagged.union(r_tagged).groupby("__bucket").map_groups(
-        anti_bucket, batch_format="pandas"
+        filter_bucket, batch_format="pandas"
     )
+
+
+def bucket_anti_join(left, right, on: str, num_buckets: int = 64):
+    """Rows of ``left`` whose ``on`` key never appears in ``right`` —
+    the shuffle-based anti join for when the right key set is too large
+    to broadcast (the fallback path behind the broadcast anti joins in
+    pipelines/queries.py)."""
+    return _bucket_filter_join(left, right, on, num_buckets, keep_matches=False)
 
 
 def bucket_semi_join(left, right, on: str, num_buckets: int = 64):
     """Rows of ``left`` whose ``on`` key appears in ``right`` (each left
     row at most once) — the shuffle-based fallback for broadcast
     keep-set filters whose key set outgrows the object store."""
-    import pyarrow.compute as pc
-
-    lfields = _schema_fields(left.schema())
-    lcols = [n for n, _ in lfields]
-
-    def keys_only(t: pa.Table) -> pa.Table:
-        return pa.table({on: pc.unique(t.column(on).combine_chunks())})
-
-    r_keys = right.map_batches(keys_only, batch_format="pyarrow")
-    l_tagged = _with_bucket(left, on, num_buckets, "l", [])
-    r_tagged = _with_bucket(
-        r_keys, on, num_buckets, "r",
-        [(n, t) for n, t in lfields if n != on],
-    )
-
-    def semi_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[~g["__side"]][lcols]
-        rk = g[g["__side"]][on]
-        return lg[lg[on].isin(rk)]
-
-    return l_tagged.union(r_tagged).groupby("__bucket").map_groups(
-        semi_bucket, batch_format="pandas"
-    )
+    return _bucket_filter_join(left, right, on, num_buckets, keep_matches=True)
 
 
 def asof_join(

@@ -130,10 +130,14 @@ class IVFIndex:
             data, off = canonical_flat_bytes(t.column(id_col_))
             h = (murmur64a(data, off, np.uint64(seed & 0xFFFFFFFF) | np.uint64(1))
                  .astype(np.uint64))
+            # drop to 63 bits so the per-batch (unsigned) and global
+            # Dataset sort (int64, signed) agree on the ordering —
+            # otherwise hashes >= 2^63 go negative and jump the queue
+            h = (h >> np.uint64(1)).astype(np.int64)
             keep = np.argsort(h, kind="stable")[:sample_size]
             keep.sort()
             out = t.select([id_col_, vec_col_]).take(pa.array(keep))
-            return out.append_column("__h", pa.array(h[keep].astype(np.int64)))
+            return out.append_column("__h", pa.array(h[keep]))
 
         sample_tbl = pa.table(
             ds.map_batches(pick, batch_format="pyarrow")

@@ -142,3 +142,17 @@ def test_float_canonicalization_php_precision14():
     # null → "" (PHP null cast), distinct from actual NaN → "NAN"
     col2 = canonical_string_array(pa.array([None, float("nan")], type=pa.float64()))
     assert col2.to_pylist() == ["", "NAN"]
+
+
+def test_float_e_notation_no_truncation():
+    """Code-review r02: assigning E-notation fixups into a fixed-width
+    numpy string array truncated them ('1.0E-5' → '1.0E-'), colliding
+    DISTINCT floats. The column path must match the scalar path even
+    when every value in the batch is short E-notation."""
+    from raysketch.compat import _php_float_str
+    from raysketch.keys import canonical_string_array
+
+    vals = [1e-5, 1e-55, 2.5e-300, 1e20]
+    got = canonical_string_array(pa.array(vals, type=pa.float64())).to_pylist()
+    assert got == [_php_float_str(v) for v in vals]
+    assert len(set(got)) == len(vals)  # all distinct

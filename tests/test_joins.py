@@ -123,3 +123,23 @@ def test_semi_join_matches_pandas(frames):
     assert key(got) == key(exp)
     # each left row appears at most once even with duplicate right keys
     assert len(got) == len(exp)
+
+
+def test_anti_semi_preserve_int64_and_63bit_ids(ray_session):
+    """Code-review r02: the null-padded union upcast left int64 columns
+    to float64 inside bucket groups, corrupting ids beyond 2^53. Output
+    dtypes and exact 63-bit values must survive."""
+    import ray.data
+
+    from raysketch.stages.joins import bucket_anti_join, bucket_semi_join
+
+    big = np.array([2**62 + 3, 2**62 + 5, 2**53 + 11, 7], dtype=np.int64)
+    left = pd.DataFrame({"k": ["a", "b", "c", "d"], "big_id": big})
+    right = pd.DataFrame({"k": ["b", "d"]})
+    lds = ray.data.from_pandas(left).repartition(2)
+    rds = ray.data.from_pandas(right)
+    anti = bucket_anti_join(lds, rds, on="k").to_pandas()
+    semi = bucket_semi_join(lds, rds, on="k").to_pandas()
+    assert anti["big_id"].dtype == np.int64 and semi["big_id"].dtype == np.int64
+    assert sorted(anti["big_id"]) == sorted([2**62 + 3, 2**53 + 11])
+    assert sorted(semi["big_id"]) == sorted([2**62 + 5, 7])

@@ -630,3 +630,20 @@ def test_empty_input_sweep(ray_session):
     t = pa.table({"text": pa.array([], type=pa.string())})
     for cls in (TokenCount, LangId, QualityScore, Fingerprint, WinnowingFingerprint):
         assert cls()(t).num_rows == 0
+
+
+def test_propagate_components_63bit_ids(ray_session):
+    """Code-review r02: null-padded int64 columns became float64 in
+    pandas groups, corrupting ids beyond 2^53 (e.g. the hashed 63-bit
+    doc ids conv-level dedup produces). Must match union-find exactly."""
+    import ray.data
+
+    from raysketch.stages.dedup import propagate_components, union_find_components
+
+    big = np.array([2**62 + 3, 2**62 + 5, 2**62 + 7, 2**53 + 11, 2**53 + 13],
+                   dtype=np.int64)
+    pairs = pd.DataFrame({"id_a": big[[0, 1, 3]], "id_b": big[[1, 2, 4]]})
+    lab = propagate_components(ray.data.from_pandas(pairs)).to_pandas()
+    got = dict(zip(lab["node"], lab["label"]))
+    exp = {int(k): int(v) for k, v in union_find_components(pairs).items()}
+    assert got == exp
