@@ -534,6 +534,13 @@ def sketch_aggregate(
       two-stage result identical to the direct one.
     """
     by_cols = [by] if isinstance(by, str) else (list(by) if by else None)
+    if deterministic and by_cols:
+        raise ValueError(
+            "deterministic=True with by-grouping is not supported on the "
+            "Dataset path (Ray's batch boundaries vary run to run) — use "
+            "sketch_aggregate_files(files, ..., by=...) for grouped "
+            "byte-reproducible results"
+        )
     partials = fold_partials(ds, sketch, on, by_cols, weight, batch_size, **params)
     if deterministic and not by_cols:
         # order-independent canonical reduce (KLL/t-digest reproducibility)
@@ -659,4 +666,9 @@ def multi_sketch_aggregate(
     if by_cols:
         return partials.groupby(by_cols).aggregate(*aggs)
     result = partials.aggregate(*aggs)
-    return {name: result[name] for name in specs}
+    if result is None:  # empty input: identity state per spec
+        return {name: SketchMerge.finalize(agg, None)
+                for name, agg in zip(specs, aggs)}
+    return {name: (SketchMerge.finalize(agg, None) if result.get(name) is None
+                   else result[name])
+            for name, agg in zip(specs, aggs)}

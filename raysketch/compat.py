@@ -40,25 +40,11 @@ HyperLogLog = HLL
 
 
 def _php_float_str(x: float) -> str:
-    """PHP float→string coercion (precision=14, zend smart_str %.*H):
-    ``%.14G`` with PHP's exponent form — mantissa always carries a
-    decimal point ("1.0E-5", not "1E-05") and the exponent drops leading
-    zeros. repr() diverges for floats needing >14 significant digits
-    (ADVICE r01: 1/3 → '0.3333333333333333' vs PHP '0.33333333333333'),
-    which would hash as a different element cross-language."""
-    if x != x:
-        return "NAN"
-    if x == float("inf"):
-        return "INF"
-    if x == float("-inf"):
-        return "-INF"
-    s = "%.14G" % x
-    if "E" in s:
-        mant, exp = s.split("E")
-        if "." not in mant:
-            mant += ".0"
-        s = f"{mant}E{exp[0]}{exp[1:].lstrip('0') or '0'}"
-    return s
+    """Alias of the single implementation in keys.py (ADVICE r01 /
+    code-review r02: one copy, so scalar and column paths can't drift)."""
+    from .keys import php_float_str
+
+    return php_float_str(x)
 
 
 def _coerce_scalar(x) -> bytes:

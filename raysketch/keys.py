@@ -16,7 +16,31 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["canonical_string_array", "canonical_flat_bytes", "composite_flat_bytes"]
+__all__ = ["canonical_string_array", "canonical_flat_bytes",
+           "composite_flat_bytes", "php_float_str"]
+
+
+def php_float_str(x: float) -> str:
+    """PHP float→string coercion (precision=14, zend smart_str %.*H):
+    ``%.14G`` with PHP's exponent form — mantissa always carries a
+    decimal point ("1.0E-5", not "1E-05") and the exponent drops
+    leading zeros. THE single implementation: the scalar compat path
+    and the vectorized column path below both call this, so they can
+    never drift apart (a drift would make HLL.add(x) and a column fold
+    hash the same float as different elements)."""
+    if x != x:
+        return "NAN"
+    if x == float("inf"):
+        return "INF"
+    if x == float("-inf"):
+        return "-INF"
+    s = "%.14G" % x
+    if "E" in s:
+        mant, exp = s.split("E")
+        if "." not in mant:
+            mant += ".0"
+        s = f"{mant}E{exp[0]}{exp[1:].lstrip('0') or '0'}"
+    return s
 
 
 def canonical_string_array(arr):
@@ -49,13 +73,10 @@ def canonical_string_array(arr):
             # NOTE: do NOT assign the fixups back into `s` — numpy's
             # fixed-width string dtype would silently truncate them
             # (e.g. '1.0E-5' → '1.0E-' in a <U5 array), colliding
-            # distinct floats; build a Python list instead
+            # distinct floats; build a Python list via the shared helper
             out_list = s.tolist()
             for i in np.nonzero(has_e)[0]:
-                mant, _, exp = out_list[i].partition("E")
-                if "." not in mant:
-                    mant += ".0"
-                out_list[i] = f"{mant}E{exp[0]}{exp[1:].lstrip('0') or '0'}"
+                out_list[i] = php_float_str(float(vals[i]))
             out = pa.array(out_list, type=pa.string())
         else:
             out = pa.array(s.tolist(), type=pa.string())

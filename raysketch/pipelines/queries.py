@@ -202,6 +202,8 @@ def suppliers_per_region(sf_dir: str) -> pd.DataFrame:
 
         def __call__(self, t: pa.Table) -> pa.Table:
             s = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+            if not len(self.nk):  # empty dimension table: inner join is empty
+                return pa.table({"r_name": pa.array([], type=pa.string())})
             pos = np.minimum(np.searchsorted(self.nk, s), len(self.nk) - 1)
             hit = self.nk[pos] == s  # inner-join semantics: drop unmatched
             names = [self.rname[int(r)] for r in self.rk[pos[hit]]]
@@ -292,6 +294,12 @@ def mktsegment_revenue(sf_dir: str) -> pd.DataFrame:
 
         def __call__(self, t: pa.Table) -> pa.Table:
             keys = t.column("o_custkey").to_numpy()
+            if not len(self.keys):  # empty dimension table: all unmatched
+                seg = np.full(len(keys), None, dtype=object)
+                return pa.table({
+                    "c_mktsegment": pa.array(seg, type=pa.string()),
+                    "price_cents": _cents(t.column("o_totalprice")),
+                })
             pos = np.searchsorted(self.keys, keys)
             pos = np.minimum(pos, len(self.keys) - 1)
             seg = self.vals[pos]
@@ -461,11 +469,21 @@ def cms_tool_top10(sf_dir: str) -> pd.DataFrame:
     the input is read and decoded once (VERDICT r01 item 6; previously
     a second vocabulary pass re-read the table)."""
     ds = transcripts_ds(sf_dir, columns=["tool"])
+    def vocab_or_raise(sk):
+        # never let the cap silently hide heavy hitters: a truncated
+        # vocabulary would drop any tool sorting above the cap
+        if sk.truncated:
+            raise RuntimeError(
+                "tool vocabulary exceeded ExactSet max_items — raise the "
+                "cap or switch candidate discovery to a bottom-k sample"
+            )
+        return sk.values_str()
+
     out = multi_sketch_aggregate(ds, {
         "cm": {"sketch": "countmin", "on": "tool", "mode": "bytes",
                "width": 1 << 15, "depth": 5},
         "vocab": {"sketch": "set", "on": "tool",
-                  "mode": lambda sk: sk.values_str(), "max_items": 1 << 16},
+                  "mode": vocab_or_raise, "max_items": 1 << 20},
     })
     cm = CountMin.from_bytes(out["cm"])
     cand = sorted(c for c in out["vocab"] if c)  # drop non-tool ""
@@ -531,10 +549,16 @@ def distinct_users_per_window(sf_dir: str) -> pd.DataFrame:
             "user_id": t.column("user_id"),
         })
 
+    def exact_or_raise(sk):
+        fin = sk.finalize()
+        if fin["truncated"]:  # the exact-by-construction claim must hold
+            raise RuntimeError("window cardinality exceeded ExactSet cap")
+        return fin["n_distinct"]
+
     out = sketch_aggregate(
         ds.map_batches(prep, batch_format="pyarrow"),
         "set", on="user_id", by="window_start",
-        mode=lambda sk: sk.finalize()["n_distinct"],
+        mode=exact_or_raise,
         alias_name="distinct_users", max_items=1 << 16,
     )
     df = out.to_pandas()

@@ -65,7 +65,9 @@ class TokenCount:
         return len(self.bpe.findall(s)) if s else 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        txt = batch.column(self.text_col)
+        # null text counts as "" (0 everywhere) like every other stage —
+        # the regex-count kernels would otherwise propagate null
+        txt = pc.fill_null(batch.column(self.text_col), "")
         n_chars = pc.cast(pc.utf8_length(txt), pa.int64())
         n_ws = pc.cast(pc.count_substring_regex(txt, r"\S+"), pa.int64())
 
