@@ -782,6 +782,18 @@ def embedding_dedup_vecs(sf_dir: str) -> pd.DataFrame:
     return embedding_dedup(ds, threshold=0.95)
 
 
+def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact character-5-gram Jaccard similarity self-join over the
+    documents table: every pair with Jaccard ≥ 0.8 plus the exact
+    similarity. Candidates via distributed prefix filtering (provably
+    complete — this is the one near-dup family with a full SQL oracle,
+    since there is no LSH recall loss to forgive)."""
+    from ..stages.dedup import ngram_jaccard_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_join(ds, k=5, threshold=0.8)
+
+
 def lang_id_docs(sf_dir: str) -> pd.DataFrame:
     from ..stages.textstats import LangId
 
@@ -841,6 +853,7 @@ QUERIES.update({
     "minhash_dedup_docs": minhash_dedup_docs,
     "simhash_dedup_docs": simhash_dedup_docs,
     "embedding_dedup_vecs": embedding_dedup_vecs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "lang_id_docs": lang_id_docs,
     "quality_docs": quality_docs,
     "fingerprint_docs": fingerprint_docs,
@@ -860,6 +873,35 @@ ORACLES.update({
         GROUP BY user_id ORDER BY user_id
     """,
     "ivf_ann_top10": ORACLES["knn_cosine_top10"],
+    # exact char-5-gram Jaccard: grams via substr over every start
+    # position (1-based, positions 1..len-4 ⇒ only full-length grams,
+    # matching the Python k-window definition); intersection by
+    # gram-equality self-join, |A∪B| = na + nb − i. Same integer
+    # division both sides ⇒ bit-identical doubles.
+    "ngram_jaccard_pairs": """
+        WITH pos AS (
+          SELECT doc_id, text,
+                 unnest(range(1, greatest(length(text) - 3, 1))) AS p
+          FROM documents
+        ),
+        g AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), 5) AS gram
+          FROM pos
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        ORDER BY id_a, id_b
+    """,
 })
 
 

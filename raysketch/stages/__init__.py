@@ -6,6 +6,8 @@ from .dedup import (
     lsh_candidate_pairs,
     minhash_dedup,
     ngram_jaccard,
+    ngram_jaccard_join,
+    prefix_filter_candidates,
     simhash_candidate_pairs,
     simhash_dedup,
     union_find_components,
@@ -17,6 +19,7 @@ from .textstats import Fingerprint, LangId, QualityScore, TokenCount
 __all__ = [
     "MinHasher", "SimHasher", "embedding_dedup", "exact_dedup_keep_ids",
     "lsh_candidate_pairs", "minhash_dedup", "ngram_jaccard",
+    "ngram_jaccard_join", "prefix_filter_candidates",
     "simhash_candidate_pairs", "simhash_dedup", "union_find_components",
     "AudioFrameSample", "ImageDecode", "ImageFeatures", "ImageResize",
     "IVFIndex", "brute_force_topk",

@@ -794,3 +794,184 @@ def embedding_dedup(ds, vec_col="embedding", id_col="vec_id",
     return pd.DataFrame(
         {id_col: list(comp), "component": [comp[k] for k in comp]}
     ).sort_values(id_col).reset_index(drop=True)
+
+
+# ---------------------------------------------- n-gram Jaccard similarity join
+def _char_gram_rows(text_col: str, id_col: str, k: int):
+    """map_batches fn: doc → one row per DISTINCT character-k-gram.
+
+    Grams are CHARACTER windows (UTF-32 codepoints, matching Python
+    slicing and SQL ``substr`` semantics), hashed to 63-bit tokens
+    (63 so downstream Ray sorts — signed int64 — agree with numpy
+    unsigned orderings, see CLAUDE.md). Output columns: ``token``
+    (int64), id_col, ``n`` (the doc's distinct-gram count — carried on
+    every row so prefix selection and length filtering never need a
+    second lookup)."""
+
+    def rows(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t.column(text_col), "").to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = "".join(texts)
+        cps = np.frombuffer(flat.encode("utf-32-le"), dtype=np.uint32)
+        lens = np.fromiter((len(s) for s in texts), dtype=np.int64,
+                           count=len(texts))
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        wcounts = np.maximum(lens - k + 1, 0)
+        woff = np.zeros(len(wcounts) + 1, dtype=np.int64)
+        np.cumsum(wcounts, out=woff[1:])
+        total = int(woff[-1])
+        empty = pa.table({"token": pa.array([], type=pa.int64()),
+                          id_col: pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        if total == 0:
+            return empty
+        base = np.repeat(offsets[:-1], wcounts) + (
+            np.arange(total, dtype=np.int64) - np.repeat(woff[:-1], wcounts)
+        )
+        # polynomial rolling hash over the k codepoints of each window
+        h = np.zeros(total, dtype=np.uint64)
+        for j in range(k):
+            h = h * _MIX + cps[base + j].astype(np.uint64)
+        h = _splitmix64(h) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        # per-doc distinct: sort (doc, hash), drop within-doc repeats
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), wcounts)
+        order = np.lexsort((h, doc_idx))
+        hs, ds_ = h[order], doc_idx[order]
+        keep = np.r_[True, (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])]
+        hs, ds_ = hs[keep], ds_[keep]
+        sizes = np.bincount(ds_, minlength=len(lens))
+        return pa.table({
+            "token": pa.array(hs.astype(np.int64)),
+            id_col: pa.array(ids[ds_]),
+            "n": pa.array(sizes[ds_].astype(np.int64)),
+        })
+
+    return rows
+
+
+def prefix_filter_candidates(tok_ds, id_col: str, threshold: float,
+                             num_buckets: int = 64):
+    """Complete candidate-pair generation for Jaccard ≥ ``threshold``
+    over per-doc token sets, via df-ordered prefix filtering
+    (AllPairs / PPJoin family — Bayardo et al. WWW'07; distributed
+    shape after Vernica et al. SIGMOD'10).
+
+    Tokens are globally ordered by (document-frequency, token) — rarest
+    first — and each doc emits only its first ``n - floor(t·n) + 1``
+    tokens. Theorem (same-α prefix lemma, α = ceil(t·max(na, nb)) ≤
+    |A∩B|): any pair with Jaccard ≥ t shares at least one emitted
+    token, so grouping emitted rows by token yields a candidate
+    SUPERSET — no false negatives; an exact verify pass decides.
+    ``floor`` (not ceil) guards against float roundoff ever shortening
+    a prefix below the proven bound.
+
+    Three bucket shuffles, each carrying ≤ the (token, id, n) row set:
+    (1) by token — attach global df (all rows of a token share a
+    bucket, so the in-group segment length IS the global df);
+    (2) by id — order each doc's tokens by (df, token), keep the
+    prefix (~(1-t)·n rows survive);
+    (3) by token — emit within-segment pairs (rarest-first ordering
+    keeps segments tiny), then distinct via the bucketed pair dedupe.
+    """
+    import pandas as pd
+
+    B = np.uint64(num_buckets)
+
+    def tb(t: pa.Table) -> pa.Table:
+        tok = t.column("token").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__tb", pa.array((_splitmix64(tok) % B).astype(np.int64)))
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        tok = g["token"].to_numpy()
+        ids = g[id_col].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((ids, tok))
+        tok, ids, n = tok[order], ids[order], n[order]
+        starts = np.nonzero(np.r_[True, tok[1:] != tok[:-1]])[0]
+        seg = np.diff(np.r_[starts, len(tok)])
+        df = np.repeat(seg, seg).astype(np.int64)
+        return pd.DataFrame({"token": tok, id_col: ids, "n": n, "df": df})
+
+    def ib(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__ib", pa.array((_splitmix64(ids) % B).astype(np.int64)))
+
+    def keep_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        df = g["df"].to_numpy()
+        tok = g["token"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((tok, df, ids))
+        ids, df, tok, n = ids[order], df[order], tok[order], n[order]
+        starts = np.nonzero(np.r_[True, ids[1:] != ids[:-1]])[0]
+        seg = np.diff(np.r_[starts, len(ids)])
+        rank = np.arange(len(ids)) - np.repeat(starts, seg)
+        plen = n - np.floor(threshold * n).astype(np.int64) + 1
+        m = rank < plen
+        return pd.DataFrame({"token": tok[m], id_col: ids[m], "n": n[m]})
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        tok = g["token"].to_numpy()
+        ids = g[id_col].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((ids, tok))
+        tok, ids, n = tok[order], ids[order], n[order]
+        starts = np.nonzero(np.r_[True, tok[1:] != tok[:-1]])[0]
+        ends = np.r_[starts[1:], len(tok)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ii, jj = np.triu_indices(e - s, k=1)
+            na, nb = n[s:e][ii], n[s:e][jj]
+            # J ≥ t ⇒ min(na,nb) ≥ t·max(na,nb); ε guards float roundoff
+            ok = np.minimum(na, nb) >= threshold * np.maximum(na, nb) - 1e-9
+            out_a.append(ids[s:e][ii[ok]])
+            out_b.append(ids[s:e][jj[ok]])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    with_df = tok_ds.map_batches(tb, batch_format="pyarrow") \
+        .groupby("__tb").map_groups(attach_df, batch_format="pandas")
+    prefix = with_df.map_batches(ib, batch_format="pyarrow") \
+        .groupby("__ib").map_groups(keep_prefix, batch_format="pandas")
+    raw = prefix.map_batches(tb, batch_format="pyarrow") \
+        .groupby("__tb").map_groups(emit_pairs, batch_format="pandas")
+    return _dedupe_pair_rows(raw, {}, num_buckets=num_buckets)
+
+
+def ngram_jaccard_join(ds, text_col: str = "text", id_col: str = "doc_id",
+                       k: int = 5, threshold: float = 0.8,
+                       num_buckets: int = 64):
+    """EXACT character-k-gram Jaccard similarity self-join: every doc
+    pair with Jaccard ≥ ``threshold``, with the exact similarity.
+
+    Candidates via :func:`prefix_filter_candidates` (provably complete
+    — no LSH recall loss, unlike minhash_dedup), then an exact verify
+    on the candidate set only (texts gathered by broadcast-filter;
+    character grams, so results match SQL ``substr`` semantics
+    bit-for-bit). Collision caveat as dedup_docs_exact: candidate
+    tokens are 63-bit hashes, so a gram collision (~n²/2⁶³) could in
+    principle perturb candidate generation; the verify pass uses true
+    text grams, so reported pairs and similarities are always exact.
+
+    Returns pandas (id_a, id_b, jaccard) sorted by (id_a, id_b)."""
+    import pandas as pd
+
+    tok = ds.map_batches(_char_gram_rows(text_col, id_col, k),
+                         batch_format="pyarrow")
+    pairs = prefix_filter_candidates(
+        tok, id_col, threshold, num_buckets).to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    pairs = verify_pairs_exact_jaccard(pairs, ds, text_col, id_col, k)
+    out = pairs[pairs["jaccard"] >= threshold]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -647,3 +647,64 @@ def test_propagate_components_63bit_ids(ray_session):
     got = dict(zip(lab["node"], lab["label"]))
     exp = {int(k): int(v) for k, v in union_find_components(pairs).items()}
     assert got == exp
+
+
+class TestNgramJaccardJoin:
+    """Prefix-filter set-similarity join: candidates must be COMPLETE
+    (the whole point vs LSH), output exactly the brute-force pair set."""
+
+    def _brute(self, tbl, t, k=5):
+        import itertools
+
+        ids = tbl.column("doc_id").to_pylist()
+        texts = tbl.column("text").to_pylist()
+        out = []
+        for (ia, ta), (ib, tb) in itertools.combinations(zip(ids, texts), 2):
+            j = ngram_jaccard(ta or "", tb or "", k)
+            # pairs where both sides have ≥1 gram (shorter docs emit none)
+            if j >= t and len(ta or "") >= k and len(tb or "") >= k:
+                out.append((min(ia, ib), max(ia, ib), j))
+        return sorted(out)
+
+    @pytest.mark.parametrize("thresh", [0.5, 0.8])
+    def test_matches_brute_force(self, docs_ds, thresh):
+        from raysketch.stages.dedup import ngram_jaccard_join
+
+        ds, tbl, _ = docs_ds
+        got = ngram_jaccard_join(ds, threshold=thresh)
+        got_t = sorted(zip(got["id_a"], got["id_b"], got["jaccard"]))
+        assert got_t == self._brute(tbl, thresh)
+
+    def test_short_null_and_dup_docs(self, ray_session):
+        import ray.data
+
+        from raysketch.stages.dedup import ngram_jaccard_join
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "text": pa.array(["abc", None, "the same long document text",
+                              "the same long document text", "", "tiny"]),
+        })
+        out = ngram_jaccard_join(ray.data.from_arrow(tbl), threshold=0.8)
+        # only the exact-dup pair survives; <k-char and null docs emit no grams
+        assert list(zip(out["id_a"], out["id_b"])) == [(3, 4)]
+        assert out["jaccard"].tolist() == [1.0]
+
+    def test_deterministic(self, docs_ds):
+        from raysketch.stages.dedup import ngram_jaccard_join
+
+        ds, _, _ = docs_ds
+        a = ngram_jaccard_join(ds, threshold=0.6)
+        b = ngram_jaccard_join(ds.repartition(7), threshold=0.6)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty(self, ray_session):
+        import ray.data
+
+        from raysketch.stages.dedup import ngram_jaccard_join
+
+        empty = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+        }))
+        assert ngram_jaccard_join(empty).empty
