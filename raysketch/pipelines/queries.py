@@ -1456,3 +1456,49 @@ def cms_value_by_event_type(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["cms_value_by_event_type"] = cms_value_by_event_type
+
+
+def views_before_purchase(sf_dir: str) -> pd.DataFrame:
+    """Keyed range join, SQL-checked: for every purchase event, how many
+    'view' events the same user produced in the hour before it
+    ([ts-1h, ts) — the classic attribution-window shape). Bucketed
+    rank-encoded searchsorted interval join (stages/joins.py
+    range_join), no per-row loop and no pairwise blowup."""
+    from ..stages.joins import range_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "event_id"])
+    purchases = ev.map_batches(
+        lambda t: pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "purchase_id": t.column("event_id"),
+        }).filter(pc.equal(t.column("event_type"), "purchase")),
+        batch_format="pyarrow",
+    )
+    views = ev.map_batches(
+        lambda t: pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+        }).filter(pc.equal(t.column("event_type"), "view")),
+        batch_format="pyarrow",
+    )
+    out = range_join(purchases, views, key="user_id", left_ts="ts",
+                     right_ts="ts", lo=pd.Timedelta(hours=-1),
+                     hi=pd.Timedelta(0), how="count",
+                     count_col="n_views_1h", num_buckets=16).to_pandas()
+    out = out[["purchase_id", "n_views_1h"]].copy()
+    out["purchase_id"] = out["purchase_id"].astype("int64")
+    return out.sort_values("purchase_id").reset_index(drop=True)
+
+
+QUERIES["views_before_purchase"] = views_before_purchase
+ORACLES["views_before_purchase"] = """
+    SELECT p.event_id AS purchase_id,
+           CAST(COUNT(v.event_id) AS BIGINT) AS n_views_1h
+    FROM events p
+    LEFT JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id ORDER BY purchase_id
+"""

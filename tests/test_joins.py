@@ -143,3 +143,87 @@ def test_anti_semi_preserve_int64_and_63bit_ids(ray_session):
     assert anti["big_id"].dtype == np.int64 and semi["big_id"].dtype == np.int64
     assert sorted(anti["big_id"]) == sorted([2**62 + 3, 2**53 + 11])
     assert sorted(semi["big_id"]) == sorted([2**62 + 5, 7])
+
+
+class TestRangeJoin:
+    """range_join vs a brute-force pandas interval match."""
+
+    def _data(self, seed=9, n_l=400, n_r=900, numeric=False):
+        rng = np.random.default_rng(seed)
+        mk_ts = (lambda v: v.astype(np.int64)) if numeric else (
+            lambda v: pd.Timestamp("2026-01-01").to_numpy()
+            + v.astype("timedelta64[s]"))
+        left = pd.DataFrame({
+            "k": rng.integers(0, 40, size=n_l),
+            "ts": mk_ts(rng.integers(0, 100_000, size=n_l)),
+            "lid": np.arange(n_l, dtype=np.int64),
+        })
+        right = pd.DataFrame({
+            "k": rng.integers(0, 50, size=n_r),
+            "rts": mk_ts(rng.integers(0, 100_000, size=n_r)),
+            "rid": np.arange(n_r, dtype=np.int64),
+        })
+        return left, right
+
+    def _brute(self, left, right, lo, hi):
+        out = []
+        for _, lrow in left.iterrows():
+            m = right[(right["k"] == lrow["k"])
+                      & (right["rts"] >= lrow["ts"] + lo)
+                      & (right["rts"] < lrow["ts"] + hi)]
+            out.append((int(lrow["lid"]), sorted(m["rid"].tolist())))
+        return dict(out)
+
+    @pytest.mark.parametrize("numeric", [False, True])
+    def test_count_and_inner_match_brute(self, ray_session, numeric):
+        import ray.data
+
+        from raysketch.stages.joins import range_join
+
+        left, right = self._data(numeric=numeric)
+        lo, hi = ((-3600, 0) if numeric
+                  else (pd.Timedelta(hours=-1), pd.Timedelta(0)))
+        exp = self._brute(left, right, lo, hi)
+        lds = ray.data.from_pandas(left).repartition(3)
+        rds = ray.data.from_pandas(right).repartition(5)
+        cnt = range_join(lds, rds, key="k", left_ts="ts", right_ts="rts",
+                         lo=lo, hi=hi, how="count", num_buckets=8).to_pandas()
+        assert len(cnt) == len(left)
+        got_counts = dict(zip(cnt["lid"].astype(int), cnt["n_matches"].astype(int)))
+        assert got_counts == {k: len(v) for k, v in exp.items()}
+        inner = range_join(lds, rds, key="k", left_ts="ts", right_ts="rts",
+                           lo=lo, hi=hi, how="inner", num_buckets=8).to_pandas()
+        got_pairs = {}
+        for lid, rid in zip(inner["lid"].astype(int), inner["rid"].astype(int)):
+            got_pairs.setdefault(lid, []).append(rid)
+        assert {k: sorted(v) for k, v in got_pairs.items()} == \
+               {k: v for k, v in exp.items() if v}
+
+    def test_boundary_inclusive_exclusive(self, ray_session):
+        import ray.data
+
+        from raysketch.stages.joins import range_join
+
+        left = pd.DataFrame({"k": [1], "ts": [100], "lid": [0]})
+        right = pd.DataFrame({"k": [1, 1, 1, 1], "rts": [89, 90, 99, 100],
+                              "rid": [0, 1, 2, 3]})
+        out = range_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                         key="k", left_ts="ts", right_ts="rts",
+                         lo=-10, hi=0, how="inner", num_buckets=4).to_pandas()
+        # [90, 100): rts 90 and 99 in; 89 and 100 out
+        assert sorted(out["rid"].tolist()) == [1, 2]
+
+    def test_empty_right(self, ray_session):
+        import ray.data
+
+        from raysketch.stages.joins import range_join
+
+        left = pd.DataFrame({"k": [1, 2], "ts": [5, 6], "lid": [0, 1]})
+        right = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                              "rts": pd.Series([], dtype="int64"),
+                              "rid": pd.Series([], dtype="int64")})
+        out = range_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                         key="k", left_ts="ts", right_ts="rts",
+                         lo=-10, hi=10, how="count", num_buckets=4).to_pandas()
+        assert out["n_matches"].tolist() == [0, 0]
+        assert out["lid"].dtype == np.int64
