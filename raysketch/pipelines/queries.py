@@ -1148,12 +1148,49 @@ def audio_frame_energy(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["item_id", "frame_idx"]).reset_index(drop=True)
 
 
+def video_frame_stats(sf_dir: str) -> pd.DataFrame:
+    """REAL video decode end-to-end: a cached parquet table of real Y4M
+    clips → actor-pool frame sampling (built-in YUV4MPEG2 codec) →
+    per-sample mean luma + motion proxy. Deterministic, driver
+    rows-only check."""
+    import glob as _glob
+    import tempfile
+
+    import ray.data
+
+    from ..stages.multimodal import VideoFrameSample, make_real_y4m_table
+
+    n = max(32, int(2048 * sf_of(sf_dir)))
+    cache = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                         f"y4ms_n{n}_s11")
+    if not _glob.glob(os.path.join(cache, "*.parquet")):  # self-healing guard
+        import pyarrow.parquet as pq
+
+        os.makedirs(cache, exist_ok=True)
+        tmp = os.path.join(cache, "_part0.tmp")
+        pq.write_table(make_real_y4m_table(n, seed=11), tmp,
+                       row_group_size=max(16, n // 4))
+        os.replace(tmp, os.path.join(cache, "part0.parquet"))
+    out = (
+        ray.data.read_parquet(cache)
+        .map_batches(VideoFrameSample,
+                     fn_constructor_kwargs={"deterministic_fake": False},
+                     batch_format="pyarrow", batch_size=32,
+                     concurrency=auto_concurrency())
+        .to_pandas()
+    )
+    out["mean_luma"] = out["mean_luma"].round(6)
+    out["motion"] = out["motion"].round(6)
+    return out.sort_values(["item_id", "sample_idx"]).reset_index(drop=True)
+
+
 QUERIES.update({
     "events_sliding_window": events_sliding_window,
     "multi_sketch_summary": multi_sketch_summary,
     "curate_documents": curate_documents,
     "image_features_stats": image_features_stats,
     "audio_frame_energy": audio_frame_energy,
+    "video_frame_stats": video_frame_stats,
     "conv_dedup_minhash": conv_dedup_minhash,
 })
 

@@ -12,7 +12,8 @@ from .dedup import (
     simhash_dedup,
     union_find_components,
 )
-from .multimodal import AudioFrameSample, ImageDecode, ImageFeatures, ImageResize
+from .multimodal import (AudioFrameSample, ImageDecode, ImageFeatures,
+                         ImageResize, VideoFrameSample)
 from .similarity import IVFIndex, brute_force_topk
 from .textstats import Fingerprint, LangId, QualityScore, TokenCount
 
@@ -22,6 +23,7 @@ __all__ = [
     "ngram_jaccard_join", "prefix_filter_candidates",
     "simhash_candidate_pairs", "simhash_dedup", "union_find_components",
     "AudioFrameSample", "ImageDecode", "ImageFeatures", "ImageResize",
+    "VideoFrameSample",
     "IVFIndex", "brute_force_topk",
     "Fingerprint", "LangId", "QualityScore", "TokenCount",
 ]

@@ -272,3 +272,101 @@ class AudioFrameSample:
             "frame_idx": pa.array(rows_frame, type=pa.int32()),
             "energy": pa.array(rows_energy, type=pa.float64()),
         })
+
+
+def make_real_y4m_table(n: int, seed: int = 0) -> pa.Table:
+    """Rows whose payloads are REAL Y4M video bytes (moving-gradient
+    clips with seeded noise, varying frame counts/sizes, mono and C444
+    colourspaces alternating) — the fixture for the real video decode
+    path."""
+    from .y4mcodec import encode_y4m
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, nframes, ws, hs = [], [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(8, 25)) * 2
+        h = int(rng.integers(8, 25)) * 2
+        nf = int(rng.integers(6, 25))
+        yy, xx = np.mgrid[0:h, 0:w]
+        shift = rng.integers(0, w, size=nf)
+        luma = ((xx[None] + shift[:, None, None]) * 255
+                // max(w - 1, 1)) % 256
+        luma = (luma + rng.integers(0, 8, size=(nf, h, w))).astype(np.uint8)
+        if i % 2:  # C444: luma + flat chroma planes
+            frames = np.stack(
+                [luma, np.full_like(luma, 128), np.full_like(luma, 128)],
+                axis=3)
+        else:
+            frames = luma
+        ids.append(i)
+        payloads.append(encode_y4m(frames, fps=(25, 1)))
+        nframes.append(nf)
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "item_id": pa.array(np.array(ids, dtype=np.int64)),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "n_frames": pa.array(np.array(nframes, dtype=np.int32)),
+        "width": pa.array(np.array(ws, dtype=np.int32)),
+        "height": pa.array(np.array(hs, dtype=np.int32)),
+        "format": pa.array(["y4m"] * n),
+    })
+
+
+class VideoFrameSample:
+    """Video frame sampling: every payload → ``n_samples`` evenly-spaced
+    frames with luma statistics (mean luma + mean |Δ| vs the previous
+    SAMPLED frame — a cheap motion proxy). Real path decodes Y4M with
+    the built-in codec (:mod:`.y4mcodec`); compressed containers need a
+    real video library (gate mirrors AudioFrameSample).
+    ``deterministic_fake=True`` keeps the hash-seeded stand-in for
+    plumbing-only pipelines."""
+
+    def __init__(self, n_samples: int = 4, deterministic_fake: bool = True):
+        self.n_samples = n_samples
+        self.fake = deterministic_fake
+
+    def _stats_real(self, payload: bytes, fmt: str):
+        if fmt != "y4m":
+            raise NotImplementedError(
+                f"no video codec for format {fmt!r} in this environment"
+            )
+        from .y4mcodec import decode_y4m
+
+        frames, _meta = decode_y4m(payload)
+        if not len(frames):
+            return [(0.0, 0.0)] * self.n_samples
+        # evenly-spaced sample indices across the clip (dup-safe at ends)
+        idx = ((np.arange(self.n_samples) * max(len(frames) - 1, 0))
+               // max(self.n_samples - 1, 1)).astype(np.int64)
+        picked = frames[idx].astype(np.float64)
+        luma = picked.mean(axis=(1, 2))
+        motion = np.abs(np.diff(picked, axis=0)).mean(axis=(1, 2))
+        return list(zip(luma, np.r_[0.0, motion]))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("item_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        fmts = (batch.column("format").to_pylist()
+                if not self.fake and "format" in batch.column_names
+                else [None] * len(ids))
+        rows_id, rows_frame, rows_luma, rows_motion = [], [], [], []
+        for i, p, fmt in zip(ids, payloads, fmts):
+            if self.fake:
+                seed = int.from_bytes(p[:8].ljust(8, b"\0"), "little")
+                rng = np.random.default_rng(seed)
+                stats = [(float(rng.random() * 255), float(rng.random()))
+                         for _ in range(self.n_samples)]
+            else:
+                stats = self._stats_real(p, fmt)
+            for f, (lu, mo) in enumerate(stats):
+                rows_id.append(int(i))
+                rows_frame.append(f)
+                rows_luma.append(float(lu))
+                rows_motion.append(float(mo))
+        return pa.table({
+            "item_id": pa.array(rows_id, type=pa.int64()),
+            "sample_idx": pa.array(rows_frame, type=pa.int32()),
+            "mean_luma": pa.array(rows_luma, type=pa.float64()),
+            "motion": pa.array(rows_motion, type=pa.float64()),
+        })

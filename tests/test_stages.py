@@ -708,3 +708,96 @@ class TestNgramJaccardJoin:
             "text": pa.array([], type=pa.string()),
         }))
         assert ngram_jaccard_join(empty).empty
+
+
+class TestY4MCodec:
+    def test_roundtrip_mono_and_444(self):
+        from raysketch.stages.y4mcodec import decode_y4m, encode_y4m
+
+        rng = np.random.default_rng(5)
+        luma = rng.integers(0, 256, size=(7, 12, 18), dtype=np.uint8)
+        got, meta = decode_y4m(encode_y4m(luma))
+        assert np.array_equal(got, luma)
+        assert meta["colourspace"] == "mono" and meta["n_frames"] == 7
+        yuv = rng.integers(0, 256, size=(3, 8, 10, 3), dtype=np.uint8)
+        got, meta = decode_y4m(encode_y4m(yuv))
+        assert np.array_equal(got, yuv[..., 0])  # luma plane returned
+        assert meta["colourspace"] == "444"
+
+    def test_420_layout(self):
+        """Hand-built C420 stream (the ffmpeg default layout): luma plane
+        + two quarter-size chroma planes per frame."""
+        from raysketch.stages.y4mcodec import decode_y4m
+
+        h, w = 4, 6
+        luma = np.arange(2 * h * w, dtype=np.uint8).reshape(2, h, w)
+        body = b""
+        for f in luma:
+            body += b"FRAME\n" + f.tobytes() + bytes((h // 2) * (w // 2)) * 2
+        data = f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 C420jpeg\n".encode() + body
+        got, meta = decode_y4m(data)
+        assert np.array_equal(got, luma)
+        assert meta["fps"] == "30:1"
+
+    def test_corrupt_rejected(self):
+        from raysketch.stages.y4mcodec import decode_y4m, encode_y4m
+
+        with pytest.raises(ValueError):
+            decode_y4m(b"RIFF not a y4m")
+        good = encode_y4m(np.zeros((2, 4, 4), dtype=np.uint8))
+        with pytest.raises(ValueError):
+            decode_y4m(good[:-5])  # truncated frame payload
+        with pytest.raises(ValueError):
+            decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C999\n")
+
+    @settings(max_examples=25, deadline=None)
+    @given(n=st.integers(1, 10), h=st.integers(1, 16), w=st.integers(1, 16),
+           seed=st.integers(0, 2**16))
+    def test_roundtrip_property(self, n, h, w, seed):
+        from raysketch.stages.y4mcodec import decode_y4m, encode_y4m
+
+        luma = np.random.default_rng(seed).integers(
+            0, 256, size=(n, h, w), dtype=np.uint8)
+        got, _ = decode_y4m(encode_y4m(luma))
+        assert np.array_equal(got, luma)
+
+
+def test_real_video_stage(ray_session):
+    """VideoFrameSample(deterministic_fake=False) decodes real Y4M clips
+    through the actor stage: constant-luma clip → mean_luma exact and
+    motion 0; alternating black/white frames → motion 255."""
+    import ray.data
+
+    from raysketch.stages.multimodal import VideoFrameSample, make_real_y4m_table
+    from raysketch.stages.y4mcodec import encode_y4m
+
+    tbl = make_real_y4m_table(6, seed=4)
+    out = ray.data.from_arrow(tbl).map_batches(
+        VideoFrameSample(deterministic_fake=False), batch_format="pyarrow",
+        batch_size=3, concurrency=1,
+    ).to_pandas()
+    assert len(out) == 24
+    assert (out["mean_luma"] > 0).all()
+    # analytic: flat gray clip and a strobing clip
+    flat = np.full((5, 8, 8), 77, dtype=np.uint8)
+    strobe = np.zeros((4, 8, 8), dtype=np.uint8)
+    strobe[1::2] = 255
+    probe = pa.table({
+        "item_id": pa.array([0, 1], type=pa.int64()),
+        "payload": pa.array([encode_y4m(flat), encode_y4m(strobe)],
+                            type=pa.binary()),
+        "format": pa.array(["y4m", "y4m"]),
+    })
+    st_out = VideoFrameSample(n_samples=4, deterministic_fake=False)(probe).to_pandas()
+    g0 = st_out[st_out.item_id == 0]
+    assert (g0["mean_luma"] == 77.0).all() and (g0["motion"] == 0.0).all()
+    g1 = st_out[st_out.item_id == 1]
+    # samples hit frames 0,1,2,3 → luma alternates 0/255, motion jumps 255
+    assert g1["mean_luma"].tolist() == [0.0, 255.0, 0.0, 255.0]
+    assert g1["motion"].tolist() == [0.0, 255.0, 255.0, 255.0]
+    with pytest.raises(NotImplementedError):
+        VideoFrameSample(deterministic_fake=False)(pa.table({
+            "item_id": pa.array([0], type=pa.int64()),
+            "payload": pa.array([b"x"], type=pa.binary()),
+            "format": pa.array(["mp4"]),
+        }))
