@@ -851,7 +851,8 @@ def _char_gram_rows(text_col: str, id_col: str, k: int):
 
 
 def prefix_filter_candidates(tok_ds, id_col: str, threshold: float,
-                             num_buckets: int = 64):
+                             num_buckets: int = 64,
+                             dedupe: str = "bucketed"):
     """Complete candidate-pair generation for Jaccard ≥ ``threshold``
     over per-doc token sets, via df-ordered prefix filtering
     (AllPairs / PPJoin family — Bayardo et al. WWW'07; distributed
@@ -872,7 +873,10 @@ def prefix_filter_candidates(tok_ds, id_col: str, threshold: float,
     (2) by id — order each doc's tokens by (df, token), keep the
     prefix (~(1-t)·n rows survive);
     (3) by token — emit within-segment pairs (rarest-first ordering
-    keeps segments tiny), then distinct via the bucketed pair dedupe.
+    keeps segments tiny), then distinct via the bucketed pair dedupe
+    (``dedupe="bucketed"``, the scale path) or a driver-side
+    ``drop_duplicates`` (``dedupe="driver"`` — right when the caller
+    materializes the pair set next anyway, e.g. for exact verify).
     """
     import pandas as pd
 
@@ -943,6 +947,19 @@ def prefix_filter_candidates(tok_ds, id_col: str, threshold: float,
         .groupby("__ib").map_groups(keep_prefix, batch_format="pandas")
     raw = prefix.map_batches(tb, batch_format="pyarrow") \
         .groupby("__tb").map_groups(emit_pairs, batch_format="pandas")
+    if dedupe == "driver":
+        # one pair row per shared prefix token reaches the driver; the
+        # caller materializes pairs for verification anyway, so a
+        # fourth shuffle just to distinct them is pure overhead there
+        import ray.data
+
+        df_pairs = raw.to_pandas()
+        if "id_a" not in df_pairs.columns:  # empty dataset loses its schema
+            df_pairs = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                     "id_b": pd.Series([], dtype="int64")})
+        df_pairs = df_pairs.drop_duplicates() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return ray.data.from_pandas(df_pairs)
     return _dedupe_pair_rows(raw, {}, num_buckets=num_buckets)
 
 
@@ -967,7 +984,7 @@ def ngram_jaccard_join(ds, text_col: str = "text", id_col: str = "doc_id",
     tok = ds.map_batches(_char_gram_rows(text_col, id_col, k),
                          batch_format="pyarrow")
     pairs = prefix_filter_candidates(
-        tok, id_col, threshold, num_buckets).to_pandas()
+        tok, id_col, threshold, num_buckets, dedupe="driver").to_pandas()
     if len(pairs) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
