@@ -794,6 +794,32 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     return ngram_jaccard_join(ds, k=5, threshold=0.8)
 
 
+def explode_words(sf_dir: str) -> pd.DataFrame:
+    """flat_map / explode surface, SQL-checked: documents → one row per
+    word with its position. Fully vectorized inside map_batches
+    (Arrow split_pattern + list_flatten + repeat-encoded parents) —
+    the canonical 'unnest' shape with zero per-row Python."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        parent = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False), counts)
+        starts = np.cumsum(counts) - counts
+        idx = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, counts)
+        return pa.table({
+            "doc_id": pa.array(parent),
+            "word_idx": pa.array(idx),
+            "word": flat,
+        })
+
+    out = ds.map_batches(explode, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "word_idx"]).reset_index(drop=True)
+
+
 def lang_id_docs(sf_dir: str) -> pd.DataFrame:
     from ..stages.textstats import LangId
 
@@ -854,6 +880,7 @@ QUERIES.update({
     "simhash_dedup_docs": simhash_dedup_docs,
     "embedding_dedup_vecs": embedding_dedup_vecs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "explode_words": explode_words,
     "lang_id_docs": lang_id_docs,
     "quality_docs": quality_docs,
     "fingerprint_docs": fingerprint_docs,
@@ -901,6 +928,13 @@ ORACLES.update({
         JOIN sz sb ON sb.doc_id = id_b
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         ORDER BY id_a, id_b
+    """,
+    "explode_words": """
+        SELECT doc_id,
+               CAST(generate_subscripts(string_split(text, ' '), 1)
+                    AS BIGINT) - 1 AS word_idx,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents ORDER BY doc_id, word_idx
     """,
 })
 

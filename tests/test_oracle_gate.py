@@ -22,6 +22,7 @@ FAST_SUBSET = [
     "median_value_by_event_type",
     "orders_priority_stats",
     "doc_token_stats",
+    "explode_words",
     "knn_cosine_top10",
     "dedup_docs_exact",
     "hll_distinct_nation",
