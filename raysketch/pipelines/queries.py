@@ -794,6 +794,26 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     return ngram_jaccard_join(ds, k=5, threshold=0.8)
 
 
+def centroid_by_label(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroid (vector mean), SQL-checked: the
+    combiner-pattern vector aggregate (stages/similarity.py
+    vector_centroids — one partial sum-vector per (batch, label), the
+    embedding table itself never shuffles). Centroids exploded to
+    (label, dim, micro-units) rows and rounded to 1e-6 so both sides
+    hash identically despite summation-order float noise."""
+    from ..stages.similarity import vector_centroids
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    cent = vector_centroids(ds, vec_col="embedding", by="label")
+    rows = []
+    for _, r in cent.iterrows():
+        for d, v in enumerate(r["centroid"]):
+            rows.append((int(r["label"]), d,
+                         int(np.floor(v * 1_000_000 + 0.5)), int(r["n"])))
+    out = pd.DataFrame(rows, columns=["label", "dim", "centroid_micro", "n"])
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
 def explode_words(sf_dir: str) -> pd.DataFrame:
     """flat_map / explode surface, SQL-checked: documents → one row per
     word with its position. Fully vectorized inside map_batches
@@ -881,6 +901,7 @@ QUERIES.update({
     "embedding_dedup_vecs": embedding_dedup_vecs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "explode_words": explode_words,
+    "centroid_by_label": centroid_by_label,
     "lang_id_docs": lang_id_docs,
     "quality_docs": quality_docs,
     "fingerprint_docs": fingerprint_docs,
@@ -935,6 +956,22 @@ ORACLES.update({
                     AS BIGINT) - 1 AS word_idx,
                unnest(string_split(text, ' ')) AS word
         FROM documents ORDER BY doc_id, word_idx
+    """,
+    # per-(label,dim) mean of the unnested embedding: both sides
+    # accumulate float64 over identical float32 values and round to
+    # 1e-6 (DuckDB ROUND half-away ≡ floor(x*1e6+0.5) away from exact
+    # negative .5 boundaries, unreachable with float noise)
+    "centroid_by_label": """
+        WITH e AS (
+          SELECT label,
+                 CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS val
+          FROM embeddings
+        )
+        SELECT CAST(label AS BIGINT) AS label, dim,
+               CAST(ROUND(AVG(val) * 1000000) AS BIGINT) AS centroid_micro,
+               COUNT(*) AS n
+        FROM e GROUP BY 1, 2 ORDER BY 1, 2
     """,
 })
 

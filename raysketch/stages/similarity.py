@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 from ..util import auto_concurrency
 
-__all__ = ["brute_force_topk", "IVFIndex"]
+__all__ = ["brute_force_topk", "IVFIndex", "vector_centroids"]
 
 
 def _batch_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
@@ -195,3 +195,50 @@ class IVFIndex:
         out = brute_force_topk(sub, q[None, :], k=k,
                                vec_col=self.vec_col, id_col=self.id_col)
         return out[["rank", self.id_col, "score"]]
+
+
+def vector_centroids(ds, vec_col: str = "embedding", by: str = "label"):
+    """Per-group mean vector (cluster centroids) over a ``list<float>``
+    column — the classic combiner-pattern vector aggregate: each batch
+    emits ONE (group, float64 sum-vector, count) partial row per group
+    it sees, so the exchange carries n_batches × n_groups tiny rows
+    instead of the embedding table; partials combine on the driver
+    (groups ≪ data — for >10k groups switch to a bucket shuffle).
+
+    Returns pandas (by, n, centroid) with ``centroid`` a float64
+    np.ndarray per row, sorted by group key."""
+    dcol = "__csum"
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        mat = _batch_matrix(t, vec_col)
+        uk, inv = np.unique(keys, return_inverse=True)
+        d = mat.shape[1] if len(mat) else 0
+        sums = np.zeros((len(uk), d), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        return pa.table({
+            by: pa.array(uk),
+            "n": pa.array(np.bincount(inv, minlength=len(uk)).astype(np.int64)),
+            dcol: pa.FixedSizeListArray.from_arrays(
+                pa.array(sums.ravel(), type=pa.float64()), d) if d
+            else pa.nulls(len(uk), pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    import ray
+
+    tables = [t for t in map(ray.get, parts) if t.num_rows]
+    if not tables:
+        return pd.DataFrame({by: [], "n": pd.Series([], dtype="int64"),
+                             "centroid": []})
+    t = pa.concat_tables(tables, promote_options="default")
+    keys = t.column(by).to_numpy(zero_copy_only=False)
+    ns = t.column("n").to_numpy(zero_copy_only=False)
+    sums = np.asarray(t.column(dcol).combine_chunks().flatten()
+                      .to_numpy(zero_copy_only=False)).reshape(t.num_rows, -1)
+    uk, inv = np.unique(keys, return_inverse=True)
+    agg = np.zeros((len(uk), sums.shape[1]), dtype=np.float64)
+    np.add.at(agg, inv, sums)
+    n = np.bincount(inv, weights=ns).astype(np.int64)
+    return pd.DataFrame({by: uk, "n": n,
+                         "centroid": list(agg / n[:, None])})

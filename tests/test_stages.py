@@ -801,3 +801,31 @@ def test_real_video_stage(ray_session):
             "payload": pa.array([b"x"], type=pa.binary()),
             "format": pa.array(["mp4"]),
         }))
+
+
+def test_vector_centroids(ray_session):
+    """Combiner-pattern vector mean vs plain numpy ground truth, incl.
+    multi-batch partial merging and the empty edge."""
+    import ray.data
+
+    from raysketch.stages.similarity import vector_centroids
+
+    rng = np.random.default_rng(12)
+    n, d = 500, 16
+    labels = rng.integers(0, 7, size=n)
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    tbl = pa.table({
+        "label": pa.array(labels.astype(np.int32)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel(), type=pa.float32()), d),
+    })
+    out = vector_centroids(ray.data.from_arrow(tbl).repartition(6),
+                           by="label")
+    assert out["label"].tolist() == sorted(set(labels.tolist()))
+    for _, r in out.iterrows():
+        sel = mat[labels == r["label"]].astype(np.float64)
+        assert r["n"] == len(sel)
+        np.testing.assert_allclose(r["centroid"], sel.mean(axis=0),
+                                   rtol=0, atol=1e-12)
+    empty = ray.data.from_arrow(tbl.slice(0, 0))
+    assert vector_centroids(empty, by="label").empty
