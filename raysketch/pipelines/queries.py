@@ -783,15 +783,18 @@ def embedding_dedup_vecs(sf_dir: str) -> pd.DataFrame:
 
 
 def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
-    """Exact character-5-gram Jaccard similarity self-join over the
-    documents table: every pair with Jaccard ≥ 0.8 plus the exact
+    """Exact word-3-gram (shingle) Jaccard similarity self-join over
+    the documents table: every pair with Jaccard ≥ 0.8 plus the exact
     similarity. Candidates via distributed prefix filtering (provably
     complete — this is the one near-dup family with a full SQL oracle,
-    since there is no LSH recall loss to forgive)."""
+    since there is no LSH recall loss to forgive). Word shingles keep
+    the token universe diverse, so prefix groups stay small at any
+    corpus scale (char-5-grams measured degenerate on this corpus:
+    2k-gram vocabulary at sf0.1 → candidate blowup)."""
     from ..stages.dedup import ngram_jaccard_join
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ngram_jaccard_join(ds, k=5, threshold=0.8)
+    return ngram_jaccard_join(ds, k=3, threshold=0.8, unit="word")
 
 
 def centroid_by_label(sf_dir: str) -> pd.DataFrame:
@@ -921,19 +924,27 @@ ORACLES.update({
         GROUP BY user_id ORDER BY user_id
     """,
     "ivf_ann_top10": ORACLES["knn_cosine_top10"],
-    # exact char-5-gram Jaccard: grams via substr over every start
-    # position (1-based, positions 1..len-4 ⇒ only full-length grams,
-    # matching the Python k-window definition); intersection by
-    # gram-equality self-join, |A∪B| = na + nb − i. Same integer
-    # division both sides ⇒ bit-identical doubles.
+    # exact word-3-gram Jaccard: shingles via list_extract over every
+    # start position (1-based, positions 1..len(words)-2 ⇒ only
+    # full-length shingles, matching the Python window definition;
+    # space-joined words are unambiguous since words contain no
+    # spaces); intersection by shingle-equality self-join,
+    # |A∪B| = na + nb − i. Same integer division both sides ⇒
+    # bit-identical doubles.
     "ngram_jaccard_pairs": """
-        WITH pos AS (
-          SELECT doc_id, text,
-                 unnest(range(1, greatest(length(text) - 3, 1))) AS p
-          FROM documents
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, words,
+                 unnest(range(1, greatest(len(words) - 1, 1))) AS p
+          FROM w
         ),
         g AS (
-          SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), 5) AS gram
+          SELECT DISTINCT doc_id,
+                 list_extract(words, CAST(p AS INT)) || ' ' ||
+                 list_extract(words, CAST(p AS INT) + 1) || ' ' ||
+                 list_extract(words, CAST(p AS INT) + 2) AS gram
           FROM pos
         ),
         sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
@@ -1609,4 +1620,90 @@ ORACLES["views_before_purchase"] = """
      AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
     WHERE p.event_type = 'purchase'
     GROUP BY p.event_id ORDER BY purchase_id
+"""
+
+
+def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Composed-join flagship, SQL-checked: lineitem ⋈ orders (bucketed
+    large×large hash join — both sides pre-projected to 2-3 columns and
+    lineitem pre-reduced to integer revenue cents, so the shuffle
+    carries 16 bytes/row) → customer→nation chained broadcast lookup
+    (two `ray.put` dims, searchsorted per batch) → groupby(n_name).
+
+    Revenue = extendedprice·(1−discount), rounded to cents per row
+    before any aggregation (both sides integer from there)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import bucket_hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"okey": t.column("l_orderkey"),
+                         "rev_cents": pa.array(cents)})
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda t: pa.table({"okey": t.column("o_orderkey"),
+                                         "o_custkey": t.column("o_custkey")}),
+                     batch_format="pyarrow")
+    joined = bucket_hash_join(li.map_batches(prep_li, batch_format="pyarrow"),
+                              orders, on="okey", num_buckets=32)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    ck = np.argsort(cust["c_custkey"].to_numpy())
+    nk = np.argsort(nat["n_nationkey"].to_numpy())
+    dims_ref = ray.put((cust["c_custkey"].to_numpy()[ck],
+                        cust["c_nationkey"].to_numpy()[ck],
+                        nat["n_nationkey"].to_numpy()[nk],
+                        nat["n_name"].to_numpy()[nk]))
+
+    class NationName:
+        def __init__(self):
+            (self.ck, self.cn, self.nk, self.nn) = ray.get(dims_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keys = df["o_custkey"].to_numpy()
+            if not (len(self.ck) and len(self.nk)):  # empty dims: inner → drop all
+                return pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                                     "rev_cents": pd.Series([], dtype="int64")})
+            pos = np.minimum(np.searchsorted(self.ck, keys), len(self.ck) - 1)
+            m1 = self.ck[pos] == keys
+            natk = self.cn[pos]
+            npos = np.minimum(np.searchsorted(self.nk, natk), len(self.nk) - 1)
+            m = m1 & (self.nk[npos] == natk)
+            return pd.DataFrame({
+                "n_name": self.nn[npos][m],
+                "rev_cents": df["rev_cents"].to_numpy()[m],
+            })  # inner-join semantics on the dims
+
+    out = (
+        joined.map_batches(NationName, batch_format="pandas",
+                           concurrency=auto_concurrency())
+        .groupby("n_name")
+        .aggregate(Sum("rev_cents", alias_name="revenue_cents"),
+                   Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+QUERIES["revenue_by_nation"] = revenue_by_nation
+ORACLES["revenue_by_nation"] = """
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
 """

@@ -11,6 +11,7 @@ from .dedup import (
     simhash_candidate_pairs,
     simhash_dedup,
     union_find_components,
+    word_ngram_jaccard,
 )
 from .multimodal import (AudioFrameSample, ImageDecode, ImageFeatures,
                          ImageResize, VideoFrameSample)
@@ -22,6 +23,7 @@ __all__ = [
     "lsh_candidate_pairs", "minhash_dedup", "ngram_jaccard",
     "ngram_jaccard_join", "prefix_filter_candidates",
     "simhash_candidate_pairs", "simhash_dedup", "union_find_components",
+    "word_ngram_jaccard",
     "AudioFrameSample", "ImageDecode", "ImageFeatures", "ImageResize",
     "VideoFrameSample",
     "IVFIndex", "brute_force_topk",

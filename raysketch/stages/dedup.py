@@ -850,6 +850,71 @@ def _char_gram_rows(text_col: str, id_col: str, k: int):
     return rows
 
 
+
+def _word_gram_rows(text_col: str, id_col: str, n: int):
+    """map_batches fn: doc → one row per DISTINCT word-``n``-gram
+    (shingle). Words split on a single space (SQL ``string_split``
+    parity — consecutive spaces yield empty words on both sides); each
+    word murmur-hashed over its UTF-8 bytes, shingles combined with an
+    order-sensitive polynomial, masked to 63 bits. Word shingles keep
+    the token universe combinatorially diverse — document-frequencies
+    stay small even on low-entropy corpora, where character k-grams
+    degenerate (measured: 2k distinct char-5-grams over 1M token rows
+    on the word-soup test corpus → prefix groups of hundreds; 27k
+    distinct word-3-grams → mean df ≈ 10)."""
+
+    def rows(t: pa.Table) -> pa.Table:
+        words_list = pc.split_pattern(
+            pc.fill_null(t.column(text_col), ""), " ").combine_chunks()
+        wcounts = pc.list_value_length(words_list) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        data, offsets = arrow_to_flat_bytes(pc.list_flatten(words_list))
+        wh = murmur64a(data, offsets)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        woff = np.zeros(len(wcounts) + 1, dtype=np.int64)
+        np.cumsum(wcounts, out=woff[1:])
+        scounts = np.maximum(wcounts - n + 1, 0)
+        soff = np.zeros(len(scounts) + 1, dtype=np.int64)
+        np.cumsum(scounts, out=soff[1:])
+        total = int(soff[-1])
+        if total == 0:
+            return pa.table({"token": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        base = np.repeat(woff[:-1], scounts) + (
+            np.arange(total, dtype=np.int64) - np.repeat(soff[:-1], scounts)
+        )
+        h = wh[base].copy()
+        for j in range(1, n):
+            h = h * _MIX + wh[base + j]
+        h = _splitmix64(h) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        doc_idx = np.repeat(np.arange(len(wcounts), dtype=np.int64), scounts)
+        order = np.lexsort((h, doc_idx))
+        hs, ds_ = h[order], doc_idx[order]
+        keep = np.r_[True, (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])]
+        hs, ds_ = hs[keep], ds_[keep]
+        sizes = np.bincount(ds_, minlength=len(wcounts))
+        return pa.table({
+            "token": pa.array(hs.astype(np.int64)),
+            id_col: pa.array(ids[ds_]),
+            "n": pa.array(sizes[ds_].astype(np.int64)),
+        })
+
+    return rows
+
+
+def word_ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """Exact word-n-gram (shingle) Jaccard — the verifier twin of
+    :func:`ngram_jaccard` for ``unit="word"``. Split on single spaces
+    for SQL string_split parity."""
+    wa, wb = text_a.split(" "), text_b.split(" ")
+    sa = {tuple(wa[i: i + n]) for i in range(max(0, len(wa) - n + 1))}
+    sb = {tuple(wb[i: i + n]) for i in range(max(0, len(wb) - n + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
 def prefix_filter_candidates(tok_ds, id_col: str, threshold: float,
                              num_buckets: int = 64,
                              dedupe: str = "bucketed"):
@@ -964,31 +1029,59 @@ def prefix_filter_candidates(tok_ds, id_col: str, threshold: float,
 
 
 def ngram_jaccard_join(ds, text_col: str = "text", id_col: str = "doc_id",
-                       k: int = 5, threshold: float = 0.8,
-                       num_buckets: int = 64):
-    """EXACT character-k-gram Jaccard similarity self-join: every doc
-    pair with Jaccard ≥ ``threshold``, with the exact similarity.
+                       k: int = 3, threshold: float = 0.8,
+                       num_buckets: int = 64, unit: str = "word"):
+    """EXACT n-gram Jaccard similarity self-join: every doc pair with
+    Jaccard ≥ ``threshold``, with the exact similarity.
+
+    ``unit="word"`` (default): word-``k``-gram shingles — the standard
+    document-dedup definition, and the one that SCALES: the shingle
+    universe grows combinatorially with the vocabulary, so document
+    frequencies (→ prefix-group sizes → candidate volume) stay small
+    on any corpus. ``unit="char"``: character-``k``-gram sets; exact
+    too, but on low-entropy corpora the char-gram vocabulary saturates
+    (measured: 2k distinct 5-grams over 1M token rows → prefix groups
+    of hundreds → candidate blowup) — use it only for short/diverse
+    strings.
 
     Candidates via :func:`prefix_filter_candidates` (provably complete
     — no LSH recall loss, unlike minhash_dedup), then an exact verify
-    on the candidate set only (texts gathered by broadcast-filter;
-    character grams, so results match SQL ``substr`` semantics
-    bit-for-bit). Collision caveat as dedup_docs_exact: candidate
-    tokens are 63-bit hashes, so a gram collision (~n²/2⁶³) could in
-    principle perturb candidate generation; the verify pass uses true
-    text grams, so reported pairs and similarities are always exact.
+    on the candidate set only (texts gathered by broadcast-filter, so
+    results match SQL substr/string_split semantics bit-for-bit).
+    Collision caveat as dedup_docs_exact: candidate tokens are 63-bit
+    hashes, so a gram collision (~n²/2⁶³) could in principle perturb
+    candidate generation; the verify pass uses true text grams, so
+    reported pairs and similarities are always exact.
 
     Returns pandas (id_a, id_b, jaccard) sorted by (id_a, id_b)."""
     import pandas as pd
 
-    tok = ds.map_batches(_char_gram_rows(text_col, id_col, k),
-                         batch_format="pyarrow")
+    if unit == "word":
+        rows_fn = _word_gram_rows(text_col, id_col, k)
+        scorer = word_ngram_jaccard
+    elif unit == "char":
+        rows_fn = _char_gram_rows(text_col, id_col, k)
+        scorer = ngram_jaccard
+    else:
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    tok = ds.map_batches(rows_fn, batch_format="pyarrow")
     pairs = prefix_filter_candidates(
         tok, id_col, threshold, num_buckets, dedupe="driver").to_pandas()
     if len(pairs) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
-    pairs = verify_pairs_exact_jaccard(pairs, ds, text_col, id_col, k)
+    want = set(pairs["id_a"]).union(pairs["id_b"])
+    t = _gather_rows_by_id(ds.select_columns([id_col, text_col]), id_col, want)
+    texts = {}
+    if t is not None:
+        for i, x in zip(t.column(id_col).to_pylist(),
+                        t.column(text_col).to_pylist()):
+            texts[int(i)] = x or ""
+    pairs = pairs.copy()
+    pairs["jaccard"] = [
+        scorer(texts.get(int(a), ""), texts.get(int(b), ""), k)
+        for a, b in zip(pairs["id_a"], pairs["id_b"])
+    ]
     out = pairs[pairs["jaccard"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

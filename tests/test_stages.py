@@ -667,13 +667,32 @@ class TestNgramJaccardJoin:
         return sorted(out)
 
     @pytest.mark.parametrize("thresh", [0.5, 0.8])
-    def test_matches_brute_force(self, docs_ds, thresh):
+    def test_matches_brute_force_char(self, docs_ds, thresh):
         from raysketch.stages.dedup import ngram_jaccard_join
 
         ds, tbl, _ = docs_ds
-        got = ngram_jaccard_join(ds, threshold=thresh)
+        got = ngram_jaccard_join(ds, k=5, threshold=thresh, unit="char")
         got_t = sorted(zip(got["id_a"], got["id_b"], got["jaccard"]))
         assert got_t == self._brute(tbl, thresh)
+
+    @pytest.mark.parametrize("thresh", [0.5, 0.8])
+    def test_matches_brute_force_word(self, docs_ds, thresh):
+        import itertools
+
+        from raysketch.stages.dedup import ngram_jaccard_join, word_ngram_jaccard
+
+        ds, tbl, _ = docs_ds
+        got = ngram_jaccard_join(ds, k=3, threshold=thresh, unit="word")
+        got_t = sorted(zip(got["id_a"], got["id_b"], got["jaccard"]))
+        ids = tbl.column("doc_id").to_pylist()
+        texts = tbl.column("text").to_pylist()
+        exp = []
+        for (ia, ta), (ib, tb) in itertools.combinations(zip(ids, texts), 2):
+            j = word_ngram_jaccard(ta or "", tb or "", 3)
+            if j >= thresh and len((ta or "").split(" ")) >= 3 \
+                    and len((tb or "").split(" ")) >= 3:
+                exp.append((min(ia, ib), max(ia, ib), j))
+        assert got_t == sorted(exp)
 
     def test_short_null_and_dup_docs(self, ray_session):
         import ray.data
@@ -686,7 +705,7 @@ class TestNgramJaccardJoin:
                               "the same long document text", "", "tiny"]),
         })
         out = ngram_jaccard_join(ray.data.from_arrow(tbl), threshold=0.8)
-        # only the exact-dup pair survives; <k-char and null docs emit no grams
+        # only the exact-dup pair survives; <k-word and null docs emit no shingles
         assert list(zip(out["id_a"], out["id_b"])) == [(3, 4)]
         assert out["jaccard"].tolist() == [1.0]
 
