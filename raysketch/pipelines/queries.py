@@ -255,22 +255,12 @@ def dedup_docs_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup keeping the smallest doc_id per identical text.
     Scale path: group on a 64-bit content hash (computed vectorized per
     batch) so the shuffle carries 8-byte keys, never document bodies."""
-    from ..sketches.base import hash_column
-    from ray.data.aggregate import Min
+    from ..stages.dedup import exact_dedup_keep_ids
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def add_hash(t: pa.Table) -> pa.Table:
-        h = hash_column(t.column("text"))
-        return pa.table({"doc_id": t.column("doc_id"),
-                         "text_hash": pa.array(h.astype(np.int64))})
-
-    out = (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id"])
-    )
+    out = exact_dedup_keep_ids(ds)  # bucketed lexsort/reduceat min —
+    # Ray's per-group aggregate costs ~40 µs/group; groups scale with
+    # corpus size here (see stages/dedup.py)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 

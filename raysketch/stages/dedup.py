@@ -49,7 +49,8 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 # ------------------------------------------------------------------ exact
-def exact_dedup_keep_ids(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup_keep_ids(ds, text_col: str = "text", id_col: str = "doc_id",
+                         num_buckets: int = 64):
     """Keep the smallest id per identical content; the shuffle carries
     only (hash, length, id) rows, never bodies.
 
@@ -58,21 +59,40 @@ def exact_dedup_keep_ids(ds, text_col: str = "text", id_col: str = "doc_id"):
     EQUAL length with colliding 64-bit hashes: P ≈ n²/2⁶⁵ per length
     class, ~3·10⁻⁸ even at 10⁹ same-length docs (ADVICE r01: the
     documented bound; group on the composite rather than the bare hash
-    so unequal-length texts can never merge at all)."""
-    from ray.data.aggregate import Min
+    so unequal-length texts can never merge at all).
+
+    Reduction is ONE hash-bucket shuffle + per-bucket lexsort/reduceat
+    min — Ray's per-group aggregate costs ~40 µs/group even for the
+    built-in Min (measured 29.8 s vs 1.3 s for 2M rows / 1.26M groups
+    at 16 cpus); group counts here scale with corpus size, so the
+    vectorized path is the only one that survives 100×."""
+    import pandas as pd
 
     def add_hash(t: pa.Table) -> pa.Table:
         data, offsets = canonical_flat_bytes(t.column(text_col))
-        h = murmur64a(data, offsets).astype(np.int64)
+        h = murmur64a(data, offsets)
         ln = offsets[1:] - offsets[:-1]
-        return pa.table({id_col: t.column(id_col), "content_hash": pa.array(h),
-                         "content_len": pa.array(ln)})
+        b = (_splitmix64(h) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({id_col: t.column(id_col),
+                         "content_hash": pa.array(h.astype(np.int64)),
+                         "content_len": pa.array(ln),
+                         "__b": pa.array(b)})
+
+    def min_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ch = g["content_hash"].to_numpy()
+        cl = g["content_len"].to_numpy()
+        di = g[id_col].to_numpy()
+        order = np.lexsort((di, cl, ch))
+        ch, cl, di = ch[order], cl[order], di[order]
+        new_grp = np.r_[True, (ch[1:] != ch[:-1]) | (cl[1:] != cl[:-1])]
+        starts = np.nonzero(new_grp)[0]
+        return pd.DataFrame({id_col: np.minimum.reduceat(di, starts)
+                             if len(di) else di})
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby(["content_hash", "content_len"])
-        .aggregate(Min(id_col, alias_name=id_col))
-        .select_columns([id_col])
+        .groupby("__b")
+        .map_groups(min_in_bucket, batch_format="pandas")
     )
 
 
