@@ -1157,26 +1157,37 @@ def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     ``groupby(conv_id).map_groups`` (sort by turn_idx, join turns),
     then MinHash+LSH over the conversation documents. Returns one row
     per conversation in a duplicate component."""
-    from ..hashing import murmur64a_scalar
+    from ..hashing import arrow_to_flat_bytes, murmur64a
     from ..stages.dedup import minhash_dedup
 
     ds = transcripts_ds(sf_dir, columns=["conv_id", "turn_idx", "text"])
 
-    def concat_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx")
-        cid = g["conv_id"].iloc[0]
-        return pd.DataFrame({
-            "doc_id": [murmur64a_scalar(cid.encode()) & 0x7FFFFFFFFFFFFFFF],
-            "conv_id": [cid],
-            "text": ["\n".join(g["text"])],
-        })
+    # bucket-shuffle + within-bucket vectorized reconstruction: a
+    # groupby(conv_id).map_groups pays Ray's per-GROUP call cost ×
+    # n_convs (measured 237 s at sf0.1's ~80k convs); per-bucket pandas
+    # agg-join is one call per bucket (237 → ~25 s)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        data, offsets = arrow_to_flat_bytes(t.column("conv_id"))
+        b = (murmur64a(data, offsets) % np.uint64(64)).astype(np.int64)
+        return t.append_column("__b", pa.array(b))
+
+    def concat_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])  # the stable order invariant
+        j = g.groupby("conv_id", sort=True)["text"].agg("\n".join)
+        cids = j.index.to_numpy()
+        data, offsets = arrow_to_flat_bytes(pa.array(cids, type=pa.string()))
+        ids = (murmur64a(data, offsets)
+               & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        return pd.DataFrame({"doc_id": ids, "conv_id": cids,
+                             "text": j.to_numpy()})
 
     import ray.data
 
-    # materialize: the reconstruction groupby is the heaviest stage and
+    # materialize: the reconstruction shuffle is the heaviest stage and
     # convs is consumed twice (signatures + the id->conv lookup below)
-    convs = ds.groupby("conv_id").map_groups(
-        concat_conv, batch_format="pandas").materialize()
+    convs = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(
+            concat_bucket, batch_format="pandas").materialize()
     out = minhash_dedup(convs, threshold=0.9)
     # map hashed ids back to conv ids (conv count ≪ turn count)
     lookup = convs.select_columns(["doc_id", "conv_id"]).to_pandas()
@@ -1486,14 +1497,25 @@ def conv_length_quantiles(sf_dir: str) -> pd.DataFrame:
     """Turns-per-conversation distribution (the zipf skew the north rule
     requires handling): per-conv counts via grouped aggregate, then KLL
     quantiles + exact max over the (much smaller) per-conv table."""
-    from ray.data.aggregate import Max as AMax
+    from ..hashing import arrow_to_flat_bytes, murmur64a
 
     ds = transcripts_ds(sf_dir, columns=["conv_id", "turn_idx"])
-    per_conv = ds.groupby("conv_id").aggregate(AMax("turn_idx", alias_name="max_turn"))
-    per_conv = per_conv.map_batches(
-        lambda t: pa.table({"n_turns": pc.add(pc.cast(t.column("max_turn"), pa.int64()), 1)}),
-        batch_format="pyarrow",
-    )
+
+    # bucketed per-conv max (built-in Max still pays ~40 µs/GROUP at
+    # ~80k conv groups, and the unmaterialized result was consumed
+    # twice — the whole shuffle re-executed for the max() below)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        data, offsets = arrow_to_flat_bytes(t.column("conv_id"))
+        b = (murmur64a(data, offsets) % np.uint64(64)).astype(np.int64)
+        return t.append_column("__b", pa.array(b))
+
+    def max_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("conv_id", sort=True)["turn_idx"].max()
+        return pd.DataFrame({"n_turns": m.to_numpy().astype(np.int64) + 1})
+
+    per_conv = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(max_in_bucket, batch_format="pandas") \
+        .materialize()
     blob = sketch_aggregate(per_conv, "kll", on="n_turns", mode="bytes", k=256)
     from ..sketches import KLL as _KLL
 
