@@ -713,18 +713,34 @@ ORACLES = {
 
 def sessionize_events(sf_dir: str) -> pd.DataFrame:
     """Session windows per user (gap > 30 min ⇒ new session): the
-    stream-shaped operator — partition by key, order by ts within the
-    group, window with pandas inside map_groups (ray_guide.md
-    "Streaming-shaped workloads")."""
+    stream-shaped operator — partition by user-hash BUCKET (user count
+    scales with data, and Ray pays a per-GROUP call cost), then fully
+    vectorized inside each bucket: one sort by (user, ts), session
+    starts = new-user OR gap>30min boolean, per-user counts via a
+    pandas C groupby-sum."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        new = (ts.diff() > pd.Timedelta(minutes=30)).sum() + 1
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [int(new)]})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (_mix64(u) % np.uint64(64)).astype(np.int64)
+        return t.append_column("__b", pa.array(b))
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap = np.r_[True, (ts[1:] - ts[:-1]) > np.timedelta64(30, "m")]
+        df = pd.DataFrame({"user_id": uid,
+                           "s": (new_user | gap).astype(np.int64)})
+        out = df.groupby("user_id", sort=True, as_index=False)["s"].sum()
+        return out.rename(columns={"s": "n_sessions"}).astype(
+            {"user_id": "int64", "n_sessions": "int64"})
+
+    out = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(sessions_bucket, batch_format="pandas")
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 

@@ -554,6 +554,36 @@ def union_find_components(pairs_df, ids=None) -> dict[int, int]:
     return out
 
 
+
+def _bucket_min_by_node(ds_in, key_col: str, val_col: str, num_buckets: int):
+    """(key, val) rows → one (node=key, label=min val) row per key, via
+    a hash-bucket shuffle + per-bucket lexsort/reduceat — Ray's
+    per-group aggregate pays ~40 µs/GROUP even for the built-in Min,
+    and node counts here scale with the pair set."""
+    import pandas as pd
+
+    def ab(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (_splitmix64(k) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({key_col: t.column(key_col),
+                         val_col: t.column(val_col),
+                         "__mb": pa.array(b)})
+
+    def mb(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy(dtype=np.int64)
+        v = g[val_col].to_numpy(dtype=np.int64)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        starts = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
+        return pd.DataFrame({
+            "node": k[starts],
+            "label": np.minimum.reduceat(v, starts) if len(v)
+            else v})
+
+    return ds_in.map_batches(ab, batch_format="pyarrow") \
+        .groupby("__mb").map_groups(mb, batch_format="pandas")
+
+
 def propagate_components(pairs_ds, rounds: int = 16, num_buckets: int = 64):
     """Distributed min-label propagation for candidate-pair sets too
     large for driver-side union-find.
@@ -568,7 +598,6 @@ def propagate_components(pairs_ds, rounds: int = 16, num_buckets: int = 64):
     duplicate clusters are near-cliques so diameter is tiny.
     """
     import pandas as pd
-    from ray.data.aggregate import Min
 
     def symmetrize(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -623,7 +652,7 @@ def propagate_components(pairs_ds, rounds: int = 16, num_buckets: int = 64):
 
     edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow") \
         .map_batches(edge_bucket, batch_format="pyarrow").materialize()
-    labels = edges.groupby("node").aggregate(Min("peer", alias_name="label"))
+    labels = _bucket_min_by_node(edges, "node", "peer", num_buckets)
     labels = labels.map_batches(
         lambda t: pa.table({"node": t.column("node"),
                             "label": pc.min_element_wise(t.column("node"), t.column("label"))}),
@@ -632,10 +661,10 @@ def propagate_components(pairs_ds, rounds: int = 16, num_buckets: int = 64):
     prev_sum = labels.sum("label")
     for _ in range(rounds):
         tagged = labels.map_batches(label_bucket, batch_format="pyarrow")
-        nxt = (
+        nxt = _bucket_min_by_node(
             edges.union(tagged)
-            .groupby("__b").map_groups(relabel_bucket, batch_format="pandas")
-            .groupby("node").aggregate(Min("label", alias_name="label"))
+            .groupby("__b").map_groups(relabel_bucket, batch_format="pandas"),
+            "node", "label", num_buckets,
         )
         nxt = nxt.map_batches(
             lambda t: pa.table({"node": t.column("node"),
