@@ -1476,27 +1476,41 @@ ORACLES["top10_lineitems_by_revenue"] = """
 def user_activity_stats(sf_dir: str) -> pd.DataFrame:
     """Per-user activity profile: event count, active span, exact
     distinct event types (two-level groupby: (user, type) → user)."""
-    from ray.data.aggregate import Count, Max, Min
+    from ..stages.dedup import _splitmix64 as _mix64
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
-    base = (
-        ds.groupby("user_id")
-        .aggregate(Count(alias_name="n_events"),
-                   Min("ts", alias_name="first_ts"),
-                   Max("ts", alias_name="last_ts"))
-    ).to_pandas()
-    ntypes = (
-        ds.groupby(["user_id", "event_type"]).count()
-        .groupby("user_id").count()
-        .rename_columns({"count()": "n_event_types"})
-    ).to_pandas()
-    out = base.merge(ntypes, on="user_id")
-    out["span_us"] = (
-        (out["last_ts"] - out["first_ts"]).dt.total_seconds().mul(1_000_000)
-        .round().astype("int64")
-    )
-    return out[["user_id", "n_events", "n_event_types", "span_us"]] \
-        .sort_values("user_id").reset_index(drop=True)
+
+    # ONE bucketed shuffle instead of two user-keyed groupby chains:
+    # user counts scale with data, and Ray's aggregate pays per-group;
+    # inside a bucket everything reduces with sort + reduceat
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (_mix64(u) % np.uint64(64)).astype(np.int64)
+        return t.append_column("__b", pa.array(b))
+
+    def stats_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type"])
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new_u = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.nonzero(new_u)[0]
+        counts = np.diff(np.r_[starts, len(uid)]).astype(np.int64)
+        new_t = new_u | np.r_[True, et[1:] != et[:-1]]
+        ntypes = np.add.reduceat(new_t.astype(np.int64), starts)
+        first = np.minimum.reduceat(ts, starts)
+        last = np.maximum.reduceat(ts, starts)
+        span = np.round(
+            (last - first) / np.timedelta64(1, "us")).astype(np.int64)
+        return pd.DataFrame({"user_id": uid[starts].astype(np.int64),
+                             "n_events": counts,
+                             "n_event_types": ntypes,
+                             "span_us": span})
+
+    out = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(stats_bucket, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
 
 
 QUERIES["user_activity_stats"] = user_activity_stats
