@@ -4,6 +4,10 @@
 
 Spec format (JSON):
 
+    {"query": "q1_pricing_summary",              # OR: any queries() entry
+     "sf_dir": "/root/testdata/sf0.01",           #   over a table directory
+     "output": "/out/q1.parquet"}
+
     {
       "input": ["/data/shard-*.parquet"],        # files / dirs / globs
       "ckpt_dir": "/ckpt/distinct-convs",         # enables resume
@@ -53,8 +57,34 @@ def run(spec: dict) -> dict:
     DataContext.get_current().enable_progress_bars = False
     import ray.data
 
-    files = expand_inputs(spec["input"])
     t0 = time.perf_counter()
+
+    if spec.get("query"):
+        # full-engine submission path: run any registered queries()
+        # pipeline by name over a testdata-shaped table directory
+        from .pipelines.queries import QUERIES
+
+        name = spec["query"]
+        if name not in QUERIES:
+            raise ValueError(f"unknown query {name!r}; known: "
+                             f"{sorted(QUERIES)[:8]}... ({len(QUERIES)} total)")
+        result = QUERIES[name](spec["sf_dir"])
+        wall = time.perf_counter() - t0
+        summary = {"wall_sec": round(wall, 3), "query": name,
+                   "rows": int(len(result))}
+        out = spec.get("output")
+        if out:
+            os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = (result if isinstance(result, pa.Table)
+                   else pa.Table.from_pandas(result, preserve_index=False))
+            pq.write_table(tbl, out)
+            summary["output"] = out
+        return summary
+
+    files = expand_inputs(spec["input"])
 
     if spec.get("ckpt_dir"):
         from .state.checkpoint import CheckpointedSketchJob

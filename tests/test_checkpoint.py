@@ -211,3 +211,20 @@ def test_job_spec_deterministic_path(shards, ray_session):
     b = run(spec)
     assert a["result"] == b["result"]
     assert a["result"]["n"] == 30000
+
+
+def test_job_spec_query_mode(ray_session, tmp_path):
+    """spec {"query": name, "sf_dir": ..., "output": ...} runs any
+    registered queries() pipeline and writes one parquet file."""
+    import pyarrow.parquet as pq
+
+    from raysketch.job import run
+
+    out = str(tmp_path / "topk.parquet")
+    summary = run({"query": "topk_event_types",
+                   "sf_dir": "/root/testdata/sf0.001", "output": out})
+    assert summary["rows"] == 5 and summary["output"] == out
+    t = pq.read_table(out)
+    assert t.num_rows == 5 and set(t.column_names) == {"event_type", "n"}
+    with pytest.raises(ValueError, match="unknown query"):
+        run({"query": "nope", "sf_dir": "/root/testdata/sf0.001"})
