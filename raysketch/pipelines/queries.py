@@ -1052,9 +1052,10 @@ def multi_sketch_summary(sf_dir: str) -> pd.DataFrame:
 
 def curate_documents(sf_dir: str,
                      broadcast_threshold: int = 1_000_000_000) -> pd.DataFrame:
-    """End-to-end training-data curation: quality filter → exact dedup →
-    per-language counts; curated rows stream to partitioned parquet
-    (resumable layout), only the summary is materialized.
+    """End-to-end training-data curation: exact dedup → MinHash+LSH
+    near-dup (keep the min id per component) → quality filter →
+    lang-ID → per-language counts; curated rows stream to partitioned
+    parquet (resumable layout), only the summary is materialized.
 
     The dedup keep-set broadcasts as a sorted int64 array (8 bytes/id —
     fine to ~1e9 ids); past ``broadcast_threshold`` input rows the query
@@ -1089,6 +1090,38 @@ def curate_documents(sf_dir: str,
 
         deduped = ds.map_batches(DedupFilter, batch_format="pyarrow",
                                  concurrency=auto_concurrency())
+
+    # near-dup stage (the full textbook pipeline): MinHash+LSH
+    # components over the exact-deduped set, keep each component's min
+    # doc_id. materialize() so the exact-dedup filter runs once for
+    # both the signature pass and the downstream quality/lang stages.
+    import ray
+
+    from ..stages.dedup import minhash_dedup
+
+    deduped = deduped.materialize()
+    dup = minhash_dedup(deduped, threshold=0.8)
+    if len(dup):
+        comp_min = dup.groupby("component")["doc_id"].transform("min")
+        drop_ids = np.sort(
+            dup.loc[dup["doc_id"] != comp_min, "doc_id"]
+            .to_numpy().astype(np.int64))
+        drop_ref = ray.put(drop_ids)
+
+        class NearDupFilter:
+            def __init__(self):
+                self.drop = ray.get(drop_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                if not len(self.drop):
+                    return t
+                pos = np.minimum(np.searchsorted(self.drop, ids),
+                                 len(self.drop) - 1)
+                return t.filter(pa.array(self.drop[pos] != ids))
+
+        deduped = deduped.map_batches(NearDupFilter, batch_format="pyarrow",
+                                      concurrency=auto_concurrency())
 
     curated = (
         deduped

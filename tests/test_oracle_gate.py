@@ -23,6 +23,8 @@ FAST_SUBSET = [
     "orders_priority_stats",
     "doc_token_stats",
     "explode_words",
+    "views_before_purchase",
+    "centroid_by_label",
     "knn_cosine_top10",
     "dedup_docs_exact",
     "hll_distinct_nation",
