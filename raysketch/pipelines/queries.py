@@ -1813,3 +1813,53 @@ ORACLES["revenue_by_nation"] = """
     JOIN nation   ON c_nationkey = n_nationkey
     GROUP BY n_name ORDER BY n_name
 """
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape, SQL-checked: filtered revenue aggregate with the
+    predicate pushed INTO the parquet read (`ray.data.read_parquet`'s
+    Arrow dataset ``filter`` prunes row groups before rows leave
+    storage, and ``columns`` prunes to the 4 needed) — the demonstrator
+    for read-side pruning; the surviving rows reduce with a per-batch
+    integer-cents combiner."""
+    import datetime
+
+    import ray.data
+    import pyarrow.dataset as pads
+
+    expr = (
+        (pads.field("l_shipdate") >= datetime.datetime(1995, 1, 1))
+        & (pads.field("l_shipdate") < datetime.datetime(1996, 1, 1))
+        & (pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24.0)
+    )
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=expr,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * disc * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"revenue_cents": pa.array([int(cents.sum())]),
+                         "n": pa.array([t.num_rows])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue_cents": [int(parts["revenue_cents"].sum())],
+        "n": [int(parts["n"].sum())],
+    })
+
+
+QUERIES["q6_forecast_revenue"] = q6_forecast_revenue
+ORACLES["q6_forecast_revenue"] = """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""

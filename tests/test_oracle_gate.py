@@ -15,6 +15,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 FAST_SUBSET = [
     "q1_pricing_summary",
+    "q6_forecast_revenue",
     "topk_event_types",
     "events_hourly",
     "events_sliding_window",
