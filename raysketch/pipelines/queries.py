@@ -1863,3 +1863,45 @@ ORACLES["q6_forecast_revenue"] = """
     WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """
+
+
+def sample_k_per_lang(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Deterministic per-group sample (k smallest doc_id per lang),
+    SQL-checked: the distributed grouped top-k as a PURE COMBINER — each
+    batch emits its own per-lang top-k (≤ langs×k rows), partials
+    reduce on the driver; the document table itself never shuffles.
+    top-k-by-id is the reproducible 'show me k docs per language'
+    sample (same rows at any parallelism)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, lang))
+        lang, ids = lang[order], ids[order]
+        starts = np.nonzero(np.r_[True, lang[1:] != lang[:-1]])[0]
+        ends = np.r_[starts[1:], len(lang)]
+        if not len(starts):
+            keep = np.empty(0, dtype=np.int64)
+        else:
+            keep = np.concatenate([np.arange(s, min(s + k, e))
+                                   for s, e in zip(starts, ends)])
+        return pa.table({"lang": pa.array(lang[keep]),
+                         "doc_id": pa.array(ids[keep])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["lang", "doc_id"]).groupby("lang").head(k)
+    out = out.reset_index(drop=True)
+    out["rank"] = out.groupby("lang").cumcount() + 1
+    out["rank"] = out["rank"].astype("int64")
+    return out[["lang", "doc_id", "rank"]]
+
+
+QUERIES["sample_k_per_lang"] = sample_k_per_lang
+ORACLES["sample_k_per_lang"] = """
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 10 ORDER BY lang, doc_id
+"""
