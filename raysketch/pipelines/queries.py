@@ -1207,43 +1207,57 @@ def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     then MinHash+LSH over the conversation documents. Returns one row
     per conversation in a duplicate component."""
     from ..hashing import arrow_to_flat_bytes, murmur64a
-    from ..stages.dedup import minhash_dedup
+    from ..stages.dedup import (MinHasher, estimate_pair_jaccard,
+                                lsh_candidate_pairs, union_find_components)
 
     ds = transcripts_ds(sf_dir, columns=["conv_id", "turn_idx", "text"])
 
     # bucket-shuffle + within-bucket vectorized reconstruction: a
     # groupby(conv_id).map_groups pays Ray's per-GROUP call cost ×
     # n_convs (measured 237 s at sf0.1's ~80k convs); per-bucket pandas
-    # agg-join is one call per bucket (237 → ~25 s)
+    # agg-join is one call per bucket. MinHash signatures are computed
+    # IN the same bucket task — the reconstructed conversation text
+    # never materializes or re-reads (one pass over the corpus total).
     def add_bucket(t: pa.Table) -> pa.Table:
         data, offsets = arrow_to_flat_bytes(t.column("conv_id"))
         b = (murmur64a(data, offsets) % np.uint64(64)).astype(np.int64)
         return t.append_column("__b", pa.array(b))
 
-    def concat_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    hasher = MinHasher("text", "doc_id", 128, 5, mode="oph")  # tiny state,
+    # fixed by seed — signatures independent of batching/placement
+
+    def concat_and_sign(g: pd.DataFrame):
         g = g.sort_values(["conv_id", "turn_idx"])  # the stable order invariant
         j = g.groupby("conv_id", sort=True)["text"].agg("\n".join)
         cids = j.index.to_numpy()
         data, offsets = arrow_to_flat_bytes(pa.array(cids, type=pa.string()))
         ids = (murmur64a(data, offsets)
                & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
-        return pd.DataFrame({"doc_id": ids, "conv_id": cids,
-                             "text": j.to_numpy()})
+        sig_t = hasher(pa.table({
+            "doc_id": pa.array(ids),
+            "text": pa.array(j.to_numpy(), type=pa.string()),
+        }))
+        return sig_t.append_column("conv_id",
+                                   pa.array(cids, type=pa.string()))
 
     import ray.data
 
-    # materialize: the reconstruction shuffle is the heaviest stage and
-    # convs is consumed twice (signatures + the id->conv lookup below)
-    convs = ds.map_batches(add_bucket, batch_format="pyarrow") \
+    sigs = ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("__b").map_groups(
-            concat_bucket, batch_format="pandas").materialize()
+            concat_and_sign, batch_format="pandas").materialize()
     # 16 bands × 8 rows: banding matched to the 0.9 verify threshold —
     # per-pair recall at J=0.9 is 1−(1−0.9⁸)¹⁶ ≈ 99.97% while mid-
     # similarity false candidates drop ~10× (the 32×4 default is tuned
     # for t≈0.5 and emitted 764k candidates for 60k convs at sf0.1)
-    out = minhash_dedup(convs, threshold=0.9, num_bands=16)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", num_bands=16).to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({"conv_id": [], "component": []})
+    pairs = estimate_pair_jaccard(pairs, sigs, "doc_id")
+    comp = union_find_components(pairs[pairs["est_jaccard"] >= 0.9])
+    out = pd.DataFrame({"doc_id": list(comp),
+                        "component": [comp[k] for k in comp]})
     # map hashed ids back to conv ids (conv count ≪ turn count)
-    lookup = convs.select_columns(["doc_id", "conv_id"]).to_pandas()
+    lookup = sigs.select_columns(["doc_id", "conv_id"]).to_pandas()
     m = out.merge(lookup, on="doc_id")
     return m[["conv_id", "component"]].sort_values("conv_id").reset_index(drop=True)
 
