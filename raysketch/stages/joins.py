@@ -78,6 +78,23 @@ def _exclusive_cols(fields_self, fields_other, shared):
     return [(n, t) for n, t in fields_other if n not in mine and n not in shared]
 
 
+def _build_key_bloom(ds_in, on: str, num_bits: int):
+    """Fold a mergeable Bloom filter over a key column: per-batch
+    partial filters (vectorized add_batch), OR-merged on the driver
+    (n_batches × num_bits/8 bytes — MBs, not rows)."""
+    from ..sketches import BloomFilter
+
+    def part(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(num_bits=num_bits)
+        bf.add_batch(t.column(on))
+        return pa.table({"state": pa.array([bf.to_bytes()], type=pa.binary())})
+
+    out = BloomFilter(num_bits=num_bits)
+    for blob in ds_in.map_batches(part, batch_format="pyarrow")             .to_pandas()["state"]:
+        out = out.merge(BloomFilter.from_bytes(blob))
+    return out
+
+
 def bucket_hash_join(
     left,
     right,
@@ -85,13 +102,42 @@ def bucket_hash_join(
     how: str = "inner",
     num_buckets: int = 64,
     suffixes: tuple[str, str] = ("", "_r"),
+    bloom_prefilter: bool = False,
+    bloom_bits: int = 1 << 23,
 ):
     """Partitioned hash join of two Datasets on one key column.
 
     Both sides are tagged with the same hash bucket, unioned, grouped by
     bucket, and joined pairwise with pandas inside each group — one
     shuffle total, work distributed across B independent bucket tasks.
+
+    ``bloom_prefilter=True`` (inner joins only) first folds a Bloom
+    filter over the RIGHT side's keys and drops left rows that cannot
+    match BEFORE they enter the shuffle — the classic shuffle-volume
+    reducer when the left side is much larger than the join hit rate.
+    False positives just ride through and fall out of the pandas merge,
+    so the result is identical; left/outer joins must keep unmatched
+    left rows and reject the option.
     """
+    if bloom_prefilter:
+        if how != "inner":
+            raise ValueError("bloom_prefilter requires how='inner' "
+                             "(other joins keep unmatched left rows)")
+        import ray
+
+        bloom_ref = ray.put(_build_key_bloom(right, on, bloom_bits))
+
+        class BloomPrune:
+            def __init__(self):
+                self.bf = ray.get(bloom_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return t.filter(pa.array(self.bf.contains_batch(t.column(on))))
+
+        from ..util import auto_concurrency
+
+        left = left.map_batches(BloomPrune, batch_format="pyarrow",
+                                concurrency=auto_concurrency())
     lfields, rfields = _schema_fields(left.schema()), _schema_fields(right.schema())
     lcols, rcols = [n for n, _ in lfields], [n for n, _ in rfields]
     l_tagged = _with_bucket(left, on, num_buckets, "l",

@@ -227,3 +227,31 @@ class TestRangeJoin:
                          lo=-10, hi=10, how="count", num_buckets=4).to_pandas()
         assert out["n_matches"].tolist() == [0, 0]
         assert out["lid"].dtype == np.int64
+
+
+def test_bloom_prefilter_join(ray_session):
+    """bloom_prefilter=True prunes non-matching left rows before the
+    shuffle but the join result is IDENTICAL (false positives fall out
+    of the merge); non-inner joins reject the option."""
+    import ray.data
+
+    from raysketch.stages.joins import _build_key_bloom, bucket_hash_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({"k": rng.integers(0, 10_000, size=5000),
+                         "lv": np.arange(5000)})
+    right = pd.DataFrame({"k": rng.integers(0, 100, size=300),
+                          "rv": np.arange(300)})
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+    plain = bucket_hash_join(lds, rds, on="k", num_buckets=8).to_pandas()
+    pref = bucket_hash_join(lds, rds, on="k", num_buckets=8,
+                            bloom_prefilter=True).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["k", "lv", "rv"]].itertuples(index=False)))
+    assert key(pref) == key(plain)
+    # the filter really prunes: ~99% of left keys cannot match
+    bf = _build_key_bloom(rds, "k", 1 << 23)
+    kept = bf.contains_batch(left["k"].tolist()).sum()
+    assert kept < len(left) * 0.05
+    with pytest.raises(ValueError, match="inner"):
+        bucket_hash_join(lds, rds, on="k", how="left", bloom_prefilter=True)
