@@ -1919,3 +1919,50 @@ ORACLES["sample_k_per_lang"] = """
           FROM documents)
     WHERE rn <= 10 ORDER BY lang, doc_id
 """
+
+
+def user_overlap_view_purchase(sf_dir: str, k: int = 4096) -> pd.DataFrame:
+    """Set-operation estimates between two user populations, SQL-checked:
+    distinct viewers vs distinct purchasers via two bottom-k sketches +
+    KMV combined-threshold set ops (Beyer et al. SIGMOD'07 — direct
+    intersection, error ∝ union/√k, unlike HLL inclusion-exclusion).
+    Below k distinct users the KMV sample IS the distinct set, so at
+    test scales every output is EXACT and the SQL oracle hash-matches;
+    at 100× the same pipeline degrades gracefully to the estimator."""
+    from ..sketches.bottomk import BottomK, set_op_estimates
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def parts_for(ev: str):
+        def part(t: pa.Table) -> pa.Table:
+            bk = BottomK(k)
+            sel = t.filter(pc.equal(t.column("event_type"), ev))
+            bk.add_batch(sel.column("user_id"))
+            return pa.table({"state": pa.array([bk.to_bytes()],
+                                               type=pa.binary())})
+
+        out = BottomK(k)
+        for blob in ds.map_batches(part, batch_format="pyarrow") \
+                .to_pandas()["state"]:
+            out.merge(BottomK.from_bytes(blob))
+        return out
+
+    est = set_op_estimates(parts_for("view"), parts_for("purchase"))
+    return pd.DataFrame({
+        "n_union": [int(round(est["union"]))],
+        "n_intersection": [int(round(est["intersection"]))],
+        "jaccard": [est["jaccard"]],
+    })
+
+
+QUERIES["user_overlap_view_purchase"] = user_overlap_view_purchase
+ORACLES["user_overlap_view_purchase"] = """
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         u AS (SELECT user_id FROM a UNION SELECT user_id FROM b),
+         i AS (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)
+    SELECT (SELECT COUNT(*) FROM u) AS n_union,
+           (SELECT COUNT(*) FROM i) AS n_intersection,
+           CAST((SELECT COUNT(*) FROM i) AS DOUBLE)
+             / (SELECT COUNT(*) FROM u) AS jaccard
+"""

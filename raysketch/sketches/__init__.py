@@ -1,6 +1,6 @@
 from .base import MergeableSketch, hash_column, hash_composite
 from .bloom import BloomFilter
-from .bottomk import BottomK
+from .bottomk import BottomK, set_op_estimates
 from .cms import CountMin
 from .hll import HLL
 from .setsketch import ExactSet
@@ -20,7 +20,7 @@ SKETCHES = {
 
 __all__ = [
     "HLL",
-    "BottomK",
+    "BottomK", "set_op_estimates",
     "BloomFilter",
     "CountMin",
     "KLL",

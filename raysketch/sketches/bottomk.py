@@ -26,7 +26,7 @@ import numpy as np
 from ..keys import canonical_flat_bytes
 from ..hashing import murmur64a
 
-__all__ = ["BottomK"]
+__all__ = ["BottomK", "set_op_estimates"]
 
 _MAGIC = b"RSBK"
 _MAX64 = float(2**64)
@@ -124,3 +124,42 @@ class BottomK:
 
     def __reduce__(self):
         return (BottomK.from_bytes, (self.to_bytes(),))
+
+
+def set_op_estimates(a: "BottomK", b: "BottomK") -> dict:
+    """KMV set-operation estimates from two bottom-k sketches
+    (Beyer et al., "On synopses for distinct-value estimation under
+    multiset operations", SIGMOD 2007).
+
+    Uses the COMBINED sketch trick: let τ be the k-th smallest hash of
+    the union sample; restricted to hashes < τ both sketches hold their
+    side's complete distinct sample, so Jaccard ≈ |A∩B below τ| / k and
+    |A∩B| ≈ J · |A∪B|. Direct (not inclusion-exclusion), so the error
+    stays proportional to the UNION estimate — tighter than HLL's
+    |A|+|B|−|A∪B| when the overlap is small.
+
+    Returns {union, intersection, jaccard, difference_a} estimates
+    (difference_a = |A \\ B|)."""
+    if a.k != b.k:
+        raise ValueError("set_op_estimates requires equal k")
+    u = BottomK(a.k)
+    u.merge(a).merge(b)  # u now holds the union's bottom-k
+    union_est = u.distinct_estimate()
+    if not len(u.hashes):
+        return {"union": 0.0, "intersection": 0.0, "jaccard": 0.0,
+                "difference_a": 0.0}
+    ha = np.sort(np.asarray(a.hashes, dtype=np.uint64))
+    hb = np.sort(np.asarray(b.hashes, dtype=np.uint64))
+    uh = np.sort(np.asarray(u.hashes, dtype=np.uint64))
+    tau = uh[-1]
+    # union sample = hashes ≤ τ; count those present in BOTH sketches
+    both = np.intersect1d(ha, hb, assume_unique=True)
+    inter_in_sample = int((both <= tau).sum())
+    jacc = inter_in_sample / len(uh)
+    inter_est = jacc * union_est
+    return {
+        "union": union_est,
+        "intersection": inter_est,
+        "jaccard": jacc,
+        "difference_a": max(a.distinct_estimate() - inter_est, 0.0),
+    }

@@ -380,3 +380,53 @@ class TestKLLDeterminism:
             est = s.quantile(q)
             r_err = abs((vals <= est).mean() - q)
             assert r_err < 0.02, (q, r_err)
+
+
+class TestBottomKSetOps:
+    """KMV combined-sketch set-operation estimates (Beyer et al.
+    SIGMOD'07): direct intersection via the union's k-th-smallest
+    threshold — error scales with the UNION estimate, unlike HLL
+    inclusion-exclusion."""
+
+    def _sketch(self, items, k=2048):
+        from raysketch.sketches.bottomk import BottomK
+
+        s = BottomK(k)
+        s.add_batch(list(items))
+        return s
+
+    @pytest.mark.parametrize("na,nb,nc", [(20000, 10000, 5000),
+                                          (5000, 5000, 4500),
+                                          (10000, 10000, 0)])
+    def test_accuracy(self, na, nb, nc):
+        from raysketch.sketches.bottomk import set_op_estimates
+
+        A = [f"a{i}" for i in range(na)] + [f"c{i}" for i in range(nc)]
+        B = [f"b{i}" for i in range(nb)] + [f"c{i}" for i in range(nc)]
+        est = set_op_estimates(self._sketch(A), self._sketch(B))
+        true_union = na + nb + nc
+        sigma = true_union / np.sqrt(2048)
+        assert abs(est["union"] - true_union) < 6 * sigma
+        assert abs(est["intersection"] - nc) < 6 * sigma
+        assert abs(est["difference_a"] - na) < 8 * sigma
+
+    def test_exact_below_k_and_inputs_unchanged(self):
+        from raysketch.sketches.bottomk import set_op_estimates
+
+        sa = self._sketch([f"x{i}" for i in range(100)] + ["s1", "s2"])
+        sb = self._sketch([f"y{i}" for i in range(50)] + ["s1", "s2"])
+        na, nb = len(sa.hashes), len(sb.hashes)
+        est = set_op_estimates(sa, sb)
+        # everything fits below k → exact
+        assert est["union"] == 152 and est["intersection"] == 2
+        assert est["jaccard"] == 2 / 152
+        assert len(sa.hashes) == na and len(sb.hashes) == nb  # inputs untouched
+        with pytest.raises(ValueError):
+            set_op_estimates(sa, self._sketch(["z"], k=64))
+
+    def test_empty(self):
+        from raysketch.sketches.bottomk import set_op_estimates
+
+        est = set_op_estimates(self._sketch([]), self._sketch([]))
+        assert est == {"union": 0.0, "intersection": 0.0, "jaccard": 0.0,
+                       "difference_a": 0.0}
