@@ -1933,21 +1933,26 @@ def user_overlap_view_purchase(sf_dir: str, k: int = 4096) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
-    def parts_for(ev: str):
-        def part(t: pa.Table) -> pa.Table:
+    # ONE pass: each batch emits both sides' partial sketches (the read
+    # is the expensive part at scale, the states are KBs)
+    def part(t: pa.Table) -> pa.Table:
+        out = []
+        for ev in ("view", "purchase"):
             bk = BottomK(k)
-            sel = t.filter(pc.equal(t.column("event_type"), ev))
-            bk.add_batch(sel.column("user_id"))
-            return pa.table({"state": pa.array([bk.to_bytes()],
-                                               type=pa.binary())})
+            bk.add_batch(
+                t.filter(pc.equal(t.column("event_type"), ev)).column("user_id"))
+            out.append(bk.to_bytes())
+        return pa.table({"view": pa.array([out[0]], type=pa.binary()),
+                         "purchase": pa.array([out[1]], type=pa.binary())})
 
-        out = BottomK(k)
-        for blob in ds.map_batches(part, batch_format="pyarrow") \
-                .to_pandas()["state"]:
-            out.merge(BottomK.from_bytes(blob))
-        return out
-
-    est = set_op_estimates(parts_for("view"), parts_for("purchase"))
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    sides = {}
+    for ev in ("view", "purchase"):
+        bk = BottomK(k)
+        for blob in parts[ev]:
+            bk.merge(BottomK.from_bytes(blob))
+        sides[ev] = bk
+    est = set_op_estimates(sides["view"], sides["purchase"])
     return pd.DataFrame({
         "n_union": [int(round(est["union"]))],
         "n_intersection": [int(round(est["intersection"]))],
