@@ -215,6 +215,11 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
                         num_salts: int = 256):
     """Signatures → LSH banding → candidate pairs with estimated Jaccard.
 
+    The distributed shape follows the bucket-exchange LSH join of
+    "Implementing Distributed Similarity Joins using Locality Sensitive
+    Hashing" (EDBT 2022): band buckets are the exchange key, pairs are
+    emitted within buckets only, never all-pairs.
+
     Emits (band, band_hash, id) rows, groups by bucket, and yields pairs
     within each bucket. Buckets larger than ``max_bucket_size`` would
     explode quadratically (a bucket of 100k identical docs = 5e9 pairs);
