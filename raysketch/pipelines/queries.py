@@ -1971,3 +1971,59 @@ ORACLES["user_overlap_view_purchase"] = """
            CAST((SELECT COUNT(*) FROM i) AS DOUBLE)
              / (SELECT COUNT(*) FROM u) AS jaccard
 """
+
+
+def dedup_rate_by_source(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Per-source duplication stats, SQL-checked: total docs vs exact
+    distinct texts per source. The shuffle carries only (source, 64-bit
+    content hash, length) rows; per-bucket lexsort/boundary counting
+    gives exact grouped distincts without a per-group aggregate
+    (content-hash collision bound as dedup_docs_exact)."""
+    from ..stages.dedup import _splitmix64
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        from ..keys import canonical_flat_bytes
+        from ..hashing import murmur64a
+
+        data, offsets = canonical_flat_bytes(t.column("text"))
+        h = murmur64a(data, offsets)
+        ln = offsets[1:] - offsets[:-1]
+        b = (_splitmix64(h) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"source": t.column("source"),
+                         "h": pa.array(h.astype(np.int64)),
+                         "ln": pa.array(ln), "__b": pa.array(b)})
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["source"].to_numpy()
+        h = g["h"].to_numpy()
+        ln = g["ln"].to_numpy()
+        order = np.lexsort((ln, h, src))
+        src, h, ln = src[order], h[order], ln[order]
+        new_s = np.r_[True, src[1:] != src[:-1]]
+        new_d = new_s | np.r_[True, (h[1:] != h[:-1]) | (ln[1:] != ln[:-1])]
+        starts = np.nonzero(new_s)[0]
+        return pd.DataFrame({
+            "source": src[starts],
+            "part_docs": np.diff(np.r_[starts, len(src)]).astype(np.int64),
+            "part_distinct": np.add.reduceat(new_d.astype(np.int64), starts),
+        })
+
+    # a text can only appear under ONE bucket, but the same source spans
+    # buckets — final per-source sums over ≤ buckets×sources tiny rows
+    parts = ds.map_batches(add_hash, batch_format="pyarrow") \
+        .groupby("__b").map_groups(count_bucket, batch_format="pandas") \
+        .to_pandas()
+    out = parts.groupby("source", as_index=False).agg(
+        n_docs=("part_docs", "sum"), n_distinct=("part_distinct", "sum"))
+    out = out.astype({"n_docs": "int64", "n_distinct": "int64"})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+QUERIES["dedup_rate_by_source"] = dedup_rate_by_source
+ORACLES["dedup_rate_by_source"] = """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
+    FROM documents GROUP BY source ORDER BY source
+"""
