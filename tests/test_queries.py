@@ -195,3 +195,31 @@ def test_conv_dedup_order_invariant(ray_session):
     assert t1 == t2          # identical reconstructed documents
     assert d1 == d2          # identical dedup components
     assert len(d1) == 30     # 10 distinct conv texts × 3 copies → all dups
+
+
+def test_read_table_formats_equivalent(ray_session, tmp_path):
+    """CSV and JSONL copies of a parquet table read through read_table
+    produce the same rows (schema-cast makes them bit-comparable), and
+    the same query result as the parquet path."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from raysketch.sources.tables import read_table
+
+    src = "/root/testdata/sf0.001/nation.parquet"
+    schema = pq.read_schema(src)
+    con = duckdb.connect()
+    con.execute(f"COPY (SELECT * FROM '{src}') TO '{tmp_path}/nation.csv' (HEADER)")
+    con.execute(f"COPY (SELECT * FROM '{src}') TO '{tmp_path}/nation.jsonl'")
+    base = read_table(src).to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+    for fmt, p in [("csv", f"{tmp_path}/nation.csv"),
+                   ("json", f"{tmp_path}/nation.jsonl")]:
+        got = read_table(p, fmt=fmt, schema=schema).to_pandas() \
+            .sort_values("n_nationkey").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[base.columns], base, check_like=True)
+    with pytest.raises(ValueError, match="fmt"):
+        read_table(src, fmt="orc")
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        read_table(str(empty), fmt="csv")
