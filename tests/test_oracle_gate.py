@@ -26,6 +26,8 @@ FAST_SUBSET = [
     "explode_words",
     "views_before_purchase",
     "centroid_by_label",
+    "dedup_rate_by_source",
+    "user_overlap_view_purchase",
     "knn_cosine_top10",
     "dedup_docs_exact",
     "hll_distinct_nation",
