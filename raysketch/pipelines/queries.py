@@ -1135,7 +1135,11 @@ def curate_documents(sf_dir: str,
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)  # re-runs must not append
-    curated.select_columns(["doc_id", "lang_pred"]).write_parquet(out_dir)
+    # hive-partitioned by language: one directory per key range, so a
+    # failed downstream consumer (or resumed run) can skip finished
+    # partitions and language-targeted reads touch one subtree
+    curated.select_columns(["doc_id", "lang_pred"]).write_parquet(
+        out_dir, partition_cols=["lang_pred"])
     import ray.data
 
     summary = (
