@@ -2031,3 +2031,51 @@ ORACLES["dedup_rate_by_source"] = """
            CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
     FROM documents GROUP BY source ORDER BY source
 """
+
+
+def top10_words(sf_dir: str) -> pd.DataFrame:
+    """Scale-true heavy hitters, SQL-checked: exact top-10 words over
+    the exploded documents via the textbook two-pass — pass 1 folds a
+    Misra–Gries summary (k=256 counters; any word with freq > n/257 is
+    GUARANTEED in the candidates, any stream order/partitioning —
+    PODS'12 mergeable summaries), pass 2 exactly recounts ONLY the
+    candidates (broadcast `pc.is_in` filter + per-batch value_counts).
+    Unlike an ExactSet vocabulary pass this never holds the vocabulary,
+    so it survives unbounded vocabularies at 100 TB."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def words_of(t: pa.Table) -> pa.Table:
+        w = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        return pa.table({"word": pc.list_flatten(w)})
+
+    words = ds.map_batches(words_of, batch_format="pyarrow")
+    blob = sketch_aggregate(words, "misragries", on="word", mode="bytes",
+                            k=256)
+    from ..sketches import MisraGries
+
+    cands = [e.decode() for e, _ in MisraGries.from_bytes(blob).candidates()]
+    if not cands:
+        return pd.DataFrame({"word": [], "n": pd.Series([], dtype="int64")})
+    cand_arr = pa.array(cands, type=pa.string())
+
+    def recount(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.is_in(t.column("word"), value_set=cand_arr))
+        vc = pc.value_counts(sel.column("word").combine_chunks())
+        return pa.table({"word": vc.field("values"),
+                         "part_n": vc.field("counts")})
+
+    parts = words.map_batches(recount, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("word", as_index=False)["part_n"].sum() \
+        .rename(columns={"part_n": "n"})
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "word"], ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
+QUERIES["top10_words"] = top10_words
+ORACLES["top10_words"] = """
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word ORDER BY n DESC, word LIMIT 10
+"""

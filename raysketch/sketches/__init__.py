@@ -5,6 +5,7 @@ from .cms import CountMin
 from .hll import HLL
 from .setsketch import ExactSet
 from .kll import KLL
+from .misragries import MisraGries
 from .tdigest import TDigest
 
 #: name → class registry used by the Ray aggregation layer and checkpoints
@@ -16,6 +17,7 @@ SKETCHES = {
     "kll": KLL,
     "tdigest": TDigest,
     "set": ExactSet,
+    "misragries": MisraGries,
 }
 
 __all__ = [
@@ -26,6 +28,7 @@ __all__ = [
     "KLL",
     "TDigest",
     "ExactSet",
+    "MisraGries",
     "MergeableSketch",
     "SKETCHES",
     "hash_column",

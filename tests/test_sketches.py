@@ -430,3 +430,78 @@ class TestBottomKSetOps:
         est = set_op_estimates(self._sketch([]), self._sketch([]))
         assert est == {"union": 0.0, "intersection": 0.0, "jaccard": 0.0,
                        "difference_a": 0.0}
+
+
+class TestMisraGries:
+    """Misra–Gries heavy-hitter summary: under-estimate-only, exact
+    error-bound tracking, PODS'12 mergeability, coverage guarantee."""
+
+    def _zipf_col(self, n=200_000, seed=1):
+        import pyarrow as pa
+
+        rng = np.random.default_rng(seed)
+        z = np.clip(rng.zipf(1.3, size=n), 1, 400)
+        return pa.array([f"w{int(v):03d}" for v in z])
+
+    def test_guarantees_single_pass(self):
+        import collections
+
+        from raysketch.sketches import MisraGries
+
+        col = self._zipf_col()
+        mg = MisraGries(k=64)
+        mg.add_batch(col)
+        true = collections.Counter(col.to_pylist())
+        n = len(col)
+        assert mg.n == n and mg.decr <= n // 65
+        for e, c in true.items():
+            est = mg.counters.get(e.encode(), 0)
+            assert est <= c  # never over-counts
+            if e.encode() in mg.counters:
+                assert c - est <= mg.decr  # exact per-element bound
+            if c > n / 65:  # coverage: heavy items always tracked
+                assert e.encode() in mg.counters
+
+    def test_merge_keeps_coverage_and_counts(self):
+        import collections
+
+        from raysketch.sketches import MisraGries
+
+        col = self._zipf_col()
+        true = collections.Counter(col.to_pylist())
+        n = len(col)
+        merged = MisraGries(k=64)
+        for i in range(7):
+            p = MisraGries(k=64)
+            p.add_batch(col.slice(i * 30_000, 30_000))
+            merged.merge(p)
+        assert merged.n == n
+        for e, c in true.items():
+            if c > n / 65:
+                assert e.encode() in merged.counters
+            est = merged.counters.get(e.encode(), 0)
+            assert est <= c and (est == 0 or c - est <= merged.decr)
+
+    def test_bytes_roundtrip_and_k_mismatch(self):
+        from raysketch.sketches import MisraGries
+
+        mg = MisraGries(k=8)
+        mg.add_batch(self._zipf_col(n=5000))
+        rt = MisraGries.from_bytes(mg.to_bytes())
+        assert (rt.counters, rt.n, rt.decr, rt.k) == \
+               (mg.counters, mg.n, mg.decr, mg.k)
+        with pytest.raises(ValueError):
+            mg.merge(MisraGries(k=16))
+        with pytest.raises(ValueError):
+            MisraGries.from_bytes(b"nope")
+
+    def test_exact_below_k(self):
+        import pyarrow as pa
+
+        from raysketch.sketches import MisraGries
+
+        mg = MisraGries(k=64)
+        mg.add_batch(pa.array(["a", "b", "a", "c", "a", "b"]))
+        assert mg.decr == 0
+        assert mg.counters == {b"a": 3, b"b": 2, b"c": 1}
+        assert mg.finalize()["candidates"][0] == ("a", 3)
