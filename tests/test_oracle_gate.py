@@ -28,6 +28,7 @@ FAST_SUBSET = [
     "centroid_by_label",
     "dedup_rate_by_source",
     "user_overlap_view_purchase",
+    "top10_words",
     "knn_cosine_top10",
     "dedup_docs_exact",
     "hll_distinct_nation",
