@@ -2079,3 +2079,234 @@ ORACLES["top10_words"] = """
     FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
     GROUP BY word ORDER BY n DESC, word LIMIT 10
 """
+
+
+# ------------------------------------------------- training-data curation
+def decontaminate_docs(sf_dir: str, n: int = 8) -> pd.DataFrame:
+    """Train/eval decontamination — the canonical pre-training hygiene
+    pass (GPT-3 appendix C / PaLM n-gram overlap shape): flag training
+    documents that share any word n-gram with the eval split.
+
+    Eval split = ``doc_id % 10 == 0`` (a deterministic stand-in for a
+    benchmark suite).  The eval side is small BY CONSTRUCTION in real
+    decontamination, so its distinct-gram set is folded once and
+    broadcast via ``ray.put`` (Bloom for the O(1) probe + exact string
+    set for collision-free verify); the train side streams through one
+    ``map_batches`` with no shuffle — the only thing that scales with
+    the corpus is the embarrassingly-parallel probe."""
+    import ray
+
+    from ..stages.curation import ContaminationFlag, collect_gram_broadcast
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(want_eval):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 10 == 0)
+            return t.filter(pa.array(m if want_eval else ~m))
+        return f
+
+    ev = ds.map_batches(split(True), batch_format="pyarrow")
+    bloom, grams = collect_gram_broadcast(ev, n)
+    bloom_ref, grams_ref = ray.put(bloom), ray.put(grams)
+    train = ds.map_batches(split(False), batch_format="pyarrow")
+    out = train.map_batches(
+        ContaminationFlag,
+        fn_constructor_args=(bloom_ref, grams_ref, n),
+        batch_format="pyarrow", concurrency=(2, 8), batch_size=512,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["decontaminate_docs"] = decontaminate_docs
+ORACLES["decontaminate_docs"] = """
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+      FROM ws, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+    SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hit_grams
+    FROM g JOIN ev USING (gram)
+    WHERE g.doc_id % 10 <> 0
+    GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+def repetition_quality_docs(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    per-doc top-word / top-bigram / duplicate-word fractions, computed
+    entirely within each batch (factorize + lexsort/reduceat — zero
+    shuffle, zero per-row Python).  Counts exact; fractions are doubles
+    of exact integer ratios so the SQL oracle is bit-comparable."""
+    from ..stages.curation import RepetitionStats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(RepetitionStats(), batch_format="pyarrow",
+                         batch_size=1024).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["repetition_quality_docs"] = repetition_quality_docs
+ORACLES["repetition_quality_docs"] = """
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    words AS (
+      SELECT doc_id, unnest(w) AS word FROM ws
+    ),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY doc_id, word),
+    per AS (
+      SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct_words,
+             MAX(c) AS top_word_n
+      FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+      FROM ws, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+    ),
+    bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+    bper AS (
+      SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n
+      FROM bc GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.n_words AS BIGINT) AS n_words,
+           CAST(p.n_distinct_words AS BIGINT) AS n_distinct_words,
+           CAST(p.top_word_n AS BIGINT) AS top_word_n,
+           CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(b.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+           CAST(p.top_word_n AS DOUBLE)
+             / CAST(p.n_words AS DOUBLE) AS top_word_frac,
+           CAST(COALESCE(b.top_bigram_n, 0) AS DOUBLE)
+             / CAST(GREATEST(COALESCE(b.n_bigrams, 0), 1) AS DOUBLE)
+               AS top_bigram_frac,
+           CAST(p.n_words - p.n_distinct_words AS DOUBLE)
+             / CAST(p.n_words AS DOUBLE) AS dup_word_frac
+    FROM per p LEFT JOIN bper b USING (doc_id)
+    ORDER BY p.doc_id
+"""
+
+
+def scrub_docs(sf_dir: str) -> pd.DataFrame:
+    """PII-scrub surface, SQL-checked end to end: a deterministic
+    contact line (derived from doc_id — the corpus itself carries no
+    PII) is appended to each document, then redacted with the standard
+    email/phone/IP RE2 patterns via ``pc.replace_substring_regex``
+    (pyarrow and DuckDB both run RE2, so ``regexp_replace(..., 'g')``
+    reproduces the rewrite bit-for-bit).  Output is the full scrubbed
+    text plus per-pattern match counts."""
+    from ..stages.curation import PII_PATTERNS, ScrubText
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        tail = ["  contact user%d@mail.example.com or 555-%04d from 10.0.%d.%d"
+                % (i, i % 10000, (i >> 8) & 255, i & 255) for i in ids]
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(t.column("text"), ""), pa.array(tail), "")
+        return pa.table({"doc_id": t.column("doc_id"), "text": txt})
+
+    out = ds.map_batches(inject, batch_format="pyarrow").map_batches(
+        ScrubText(PII_PATTERNS,
+                  count_cols=["n_email", "n_phone", "n_ip"]),
+        batch_format="pyarrow", batch_size=1024).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["scrub_docs"] = scrub_docs
+ORACLES["scrub_docs"] = r"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || '  contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.0.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+                  || '.' || CAST(doc_id % 256 AS VARCHAR) AS text
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS text
+      FROM injected
+    ),
+    s2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS n_phone,
+             regexp_replace(text, '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS text
+      FROM s1
+    )
+    SELECT doc_id,
+           regexp_replace(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                          '<IP>', 'g') AS scrubbed,
+           CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_phone AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
+    FROM s2 ORDER BY doc_id
+"""
+
+
+def stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Class-balanced deterministic downsampling: pass 1 counts docs per
+    language (per-batch Arrow combiner — only ≤ n_langs partial rows per
+    batch leave the map stage), the keep-rate per language is sized to
+    the smallest class, pass 2 filters with pure id arithmetic
+    (``(doc_id·PRIME) mod 1000 < rate``) — reproducible at any
+    parallelism with no RNG state, and exactly replicable in SQL."""
+    import numpy as np
+
+    from ..stages.curation import SAMPLE_PRIME, sample_keep_mask
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("doc_id", "count")])
+        return g.rename_columns(["lang", "part_n"])
+
+    parts = ds.map_batches(part_counts, batch_format="pyarrow").to_pandas()
+    totals = parts.groupby("lang")["part_n"].sum()
+    target = int(totals.min())
+    rate = {lang: (1000 * target) // int(n) for lang, n in totals.items()}
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = t.column("lang").to_pandas()
+        rates = langs.map(rate).to_numpy(dtype=np.int64)
+        mask = sample_keep_mask(ids, rates)
+        sel = t.filter(pa.array(mask))
+        g = sel.group_by("lang").aggregate([("doc_id", "count")])
+        return g.rename_columns(["lang", "part_sampled"])
+
+    sampled = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    n_samp = sampled.groupby("lang")["part_sampled"].sum()
+    out = pd.DataFrame({
+        "lang": sorted(totals.index),
+    })
+    out["n_total"] = out["lang"].map(totals).astype("int64")
+    out["rate_permille"] = out["lang"].map(rate).astype("int64")
+    out["n_sampled"] = out["lang"].map(n_samp).fillna(0).astype("int64")
+    return out
+
+
+QUERIES["stratified_sample_docs"] = stratified_sample_docs
+ORACLES["stratified_sample_docs"] = """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT MIN(n) AS target FROM c),
+    r AS (SELECT lang, n, (1000 * target) // n AS rate FROM c, t),
+    s AS (
+      SELECT d.lang, COUNT(*) AS ns
+      FROM documents d JOIN r USING (lang)
+      WHERE (d.doc_id * 2654435761) % 1000 < r.rate
+      GROUP BY d.lang
+    )
+    SELECT r.lang,
+           CAST(r.n AS BIGINT) AS n_total,
+           CAST(r.rate AS BIGINT) AS rate_permille,
+           CAST(COALESCE(s.ns, 0) AS BIGINT) AS n_sampled
+    FROM r LEFT JOIN s USING (lang) ORDER BY r.lang
+"""

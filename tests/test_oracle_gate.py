@@ -29,6 +29,10 @@ FAST_SUBSET = [
     "dedup_rate_by_source",
     "user_overlap_view_purchase",
     "top10_words",
+    "decontaminate_docs",
+    "repetition_quality_docs",
+    "scrub_docs",
+    "stratified_sample_docs",
     "knn_cosine_top10",
     "dedup_docs_exact",
     "hll_distinct_nation",
