@@ -379,19 +379,18 @@ def _gather_rows_by_id(ds, id_col: str, want_ids) -> "pa.Table":
     want = np.array(sorted(int(x) for x in set(want_ids)), dtype=np.int64)
     want_ref = ray.put(want)
 
-    class Filter:
-        def __init__(self):
-            self.want = ray.get(want_ref)
+    # plain task fn (no actor-pool startup): ray.get of the broadcast
+    # id set is plasma-local after the first fetch per worker
+    def filt(t: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        if not len(w):
+            return t.slice(0, 0)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(w, ids), len(w) - 1)
+        return t.filter(pa.array(w[pos] == ids))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column(id_col).to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.want, ids)
-            pos = np.minimum(pos, len(self.want) - 1)
-            return t.filter(pa.array(self.want[pos] == ids)) if len(self.want) else t.slice(0, 0)
-
-    batches = ds.map_batches(Filter, batch_format="pyarrow",
-                             concurrency=auto_concurrency()) \
-        .to_arrow_refs()
+    batches = ds.map_batches(filt, batch_format="pyarrow",
+                             batch_size=None).to_arrow_refs()
     import pyarrow as _pa
 
     tables = [ray.get(r) for r in batches]
@@ -977,9 +976,182 @@ def word_ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _fold_df_counts(tok_ds, limit: int | None):
+    """Per-BLOCK token value_counts → driver numpy merge
+    (sort + reduceat), early-exiting the stream once the distinct
+    vocabulary provably exceeds ``limit``.
+
+    Returns ``(tokens_sorted int64[], df int64[])`` or None if the
+    vocabulary is too large to broadcast (caller falls back to the
+    shuffle df-attach).  Rows in tok_ds are distinct per (token, doc),
+    so a token's row count IS its document frequency. Whole-block
+    batches everywhere: the driver sees one pre-reduced (token, count)
+    array per block, not Ray's default 256-row slivers."""
+
+    def part(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("token").combine_chunks())
+        return pa.table({"token": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    merged_t = merged_c = None
+    toks, cnts, pending = [], [], 0
+
+    def merge():
+        nonlocal merged_t, merged_c, toks, cnts, pending
+        if not toks:
+            return
+        at = np.concatenate(([merged_t] if merged_t is not None else [])
+                            + toks)
+        ac = np.concatenate(([merged_c] if merged_c is not None else [])
+                            + cnts)
+        order = np.argsort(at, kind="stable")
+        at, ac = at[order], ac[order]
+        starts = np.nonzero(np.r_[True, at[1:] != at[:-1]])[0]
+        merged_t, merged_c = at[starts], np.add.reduceat(ac, starts)
+        toks, cnts, pending = [], [], 0
+
+    for b in tok_ds.map_batches(part, batch_format="pyarrow",
+                                batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows == 0:
+            continue
+        toks.append(b.column("token").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        cnts.append(b.column("c").to_numpy(zero_copy_only=False))
+        pending += b.num_rows
+        # pending rows are an upper bound on NEW distinct tokens; only
+        # a real merge can prove the limit is exceeded, so merge once
+        # the bound allows it (4x slack amortizes the sort)
+        if limit is not None and \
+                pending + (len(merged_t) if merged_t is not None else 0) \
+                > 4 * max(limit, 1):
+            merge()
+            if len(merged_t) > limit:
+                return None
+    merge()
+    if merged_t is None:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if limit is not None and len(merged_t) > limit:
+        return None
+    return merged_t, merged_c.astype(np.int64)
+
+
+class _BroadcastDFAttach:
+    """map_batches actor: attach global token document-frequencies from
+    a broadcast (sorted tokens, df) pair via np.searchsorted — the
+    no-shuffle twin of the by-token df-attach groupby."""
+
+    def __init__(self, vocab_ref):
+        import ray
+
+        self.vocab, self.df = (ray.get(vocab_ref)
+                               if isinstance(vocab_ref, ray.ObjectRef)
+                               else vocab_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        tok = t.column("token").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(self.vocab, tok)
+        return t.append_column("df", pa.array(self.df[idx]))
+
+
+def _prefix_keep_arrays(tok, ids, n, df, threshold):
+    """Rarest-first prefix selection over COMPLETE per-doc token rows:
+    order each doc's tokens by (df, token), keep the first
+    ``n - floor(t*n) + 1``. Caller guarantees every row of a doc is
+    present in the input arrays (a by-id bucket group, or a fused
+    batch whose rows_fn emitted whole docs). Returns the surviving
+    (tok, ids, n) arrays."""
+    order = np.lexsort((tok, df, ids))
+    ids, df, tok, n = ids[order], df[order], tok[order], n[order]
+    starts = np.nonzero(np.r_[True, ids[1:] != ids[:-1]])[0]
+    seg = np.diff(np.r_[starts, len(ids)])
+    rank = np.arange(len(ids)) - np.repeat(starts, seg)
+    plen = n - np.floor(threshold * n).astype(np.int64) + 1
+    m = rank < plen
+    return tok[m], ids[m], n[m]
+
+
+class _FusedPrefixRows:
+    """map_batches actor fusing gram-extract → broadcast-df attach →
+    prefix keep into ONE pass over DOC batches. Valid because rows_fn
+    emits every distinct gram of a doc within its own batch's output,
+    so per-doc prefix selection never needs the by-id shuffle; df is
+    global via the broadcast vocabulary. Output: the ~(1-t)·n
+    surviving (token, id, n) prefix rows per doc."""
+
+    def __init__(self, rows_fn, vocab_ref, threshold, id_col):
+        import ray
+
+        self.rows_fn = rows_fn
+        self.vocab, self.df = (ray.get(vocab_ref)
+                               if isinstance(vocab_ref, ray.ObjectRef)
+                               else vocab_ref)
+        self.threshold = threshold
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = self.rows_fn(t)
+        tok = rows.column("token").to_numpy(zero_copy_only=False)
+        ids = rows.column(self.id_col).to_numpy(zero_copy_only=False)
+        n = rows.column("n").to_numpy(zero_copy_only=False)
+        df = self.df[np.searchsorted(self.vocab, tok)]
+        tok, ids, n = _prefix_keep_arrays(tok, ids, n, df, self.threshold)
+        return pa.table({"token": pa.array(tok.astype(np.int64)),
+                         self.id_col: pa.array(ids.astype(np.int64)),
+                         "n": pa.array(n.astype(np.int64))})
+
+
+def _emit_prefix_pairs(threshold, id_col):
+    """Group fn for the by-token emit shuffle: within each token
+    segment, emit all id pairs passing the length filter
+    min(na,nb) ≥ t·max(na,nb) (J ≥ t implies it; ε for roundoff)."""
+    import pandas as pd
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        tok = g["token"].to_numpy()
+        ids = g[id_col].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((ids, tok))
+        tok, ids, n = tok[order], ids[order], n[order]
+        starts = np.nonzero(np.r_[True, tok[1:] != tok[:-1]])[0]
+        ends = np.r_[starts[1:], len(tok)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ii, jj = np.triu_indices(e - s, k=1)
+            na, nb = n[s:e][ii], n[s:e][jj]
+            ok = np.minimum(na, nb) >= threshold * np.maximum(na, nb) - 1e-9
+            out_a.append(ids[s:e][ii[ok]])
+            out_b.append(ids[s:e][jj[ok]])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    return emit_pairs
+
+
+def _driver_dedupe_pairs(raw_ds):
+    """Distinct (id_a, id_b) on the driver — right when the caller
+    materializes the pair set next anyway (e.g. for exact verify), so
+    a fourth shuffle just to distinct them is pure overhead."""
+    import pandas as pd
+
+    df_pairs = raw_ds.to_pandas()
+    if "id_a" not in df_pairs.columns:  # empty dataset loses its schema
+        df_pairs = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+    return df_pairs.drop_duplicates() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def prefix_filter_candidates(tok_ds, id_col: str, threshold: float,
                              num_buckets: int = 64,
-                             dedupe: str = "bucketed"):
+                             dedupe: str = "bucketed",
+                             df_mode: str = "auto",
+                             broadcast_df_limit: int = 2_000_000):
     """Complete candidate-pair generation for Jaccard ≥ ``threshold``
     over per-doc token sets, via df-ordered prefix filtering
     (AllPairs / PPJoin family — Bayardo et al. WWW'07; distributed
@@ -994,9 +1166,16 @@ def prefix_filter_candidates(tok_ds, id_col: str, threshold: float,
     ``floor`` (not ceil) guards against float roundoff ever shortening
     a prefix below the proven bound.
 
-    Three bucket shuffles, each carrying ≤ the (token, id, n) row set:
+    Up to three bucket shuffles, each carrying ≤ the (token, id, n)
+    row set:
     (1) by token — attach global df (all rows of a token share a
-    bucket, so the in-group segment length IS the global df);
+    bucket, so the in-group segment length IS the global df). With
+    ``df_mode="auto"`` (default) this shuffle is REPLACED by a
+    driver-side streaming value_counts fold + a broadcast
+    searchsorted attach whenever the distinct-token count stays under
+    ``broadcast_df_limit`` (the fold early-exits past the cap, so an
+    unbounded vocabulary costs one partial pass before falling back
+    to the shuffle — ``df_mode="shuffle"`` skips the attempt);
     (2) by id — order each doc's tokens by (df, token), keep the
     prefix (~(1-t)·n rows survive);
     (3) by token — emit within-segment pairs (rarest-first ordering
@@ -1007,6 +1186,9 @@ def prefix_filter_candidates(tok_ds, id_col: str, threshold: float,
     """
     import pandas as pd
 
+    if df_mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"df_mode must be auto|broadcast|shuffle, "
+                         f"got {df_mode!r}")
     B = np.uint64(num_buckets)
 
     def tb(t: pa.Table) -> pa.Table:
@@ -1031,68 +1213,44 @@ def prefix_filter_candidates(tok_ds, id_col: str, threshold: float,
             "__ib", pa.array((_splitmix64(ids) % B).astype(np.int64)))
 
     def keep_prefix(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        df = g["df"].to_numpy()
-        tok = g["token"].to_numpy()
-        n = g["n"].to_numpy()
-        order = np.lexsort((tok, df, ids))
-        ids, df, tok, n = ids[order], df[order], tok[order], n[order]
-        starts = np.nonzero(np.r_[True, ids[1:] != ids[:-1]])[0]
-        seg = np.diff(np.r_[starts, len(ids)])
-        rank = np.arange(len(ids)) - np.repeat(starts, seg)
-        plen = n - np.floor(threshold * n).astype(np.int64) + 1
-        m = rank < plen
-        return pd.DataFrame({"token": tok[m], id_col: ids[m], "n": n[m]})
+        tok, ids, n = _prefix_keep_arrays(
+            g["token"].to_numpy(), g[id_col].to_numpy(), g["n"].to_numpy(),
+            g["df"].to_numpy(), threshold)
+        return pd.DataFrame({"token": tok, id_col: ids, "n": n})
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        tok = g["token"].to_numpy()
-        ids = g[id_col].to_numpy()
-        n = g["n"].to_numpy()
-        order = np.lexsort((ids, tok))
-        tok, ids, n = tok[order], ids[order], n[order]
-        starts = np.nonzero(np.r_[True, tok[1:] != tok[:-1]])[0]
-        ends = np.r_[starts[1:], len(tok)]
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            ii, jj = np.triu_indices(e - s, k=1)
-            na, nb = n[s:e][ii], n[s:e][jj]
-            # J ≥ t ⇒ min(na,nb) ≥ t·max(na,nb); ε guards float roundoff
-            ok = np.minimum(na, nb) >= threshold * np.maximum(na, nb) - 1e-9
-            out_a.append(ids[s:e][ii[ok]])
-            out_b.append(ids[s:e][jj[ok]])
-        if not out_a:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"id_a": np.concatenate(out_a),
-                             "id_b": np.concatenate(out_b)})
+    with_df = None
+    if df_mode != "shuffle":
+        # materialize once: the fold and the attach read the SAME
+        # blocks (no recompute, and identical tokens even under a
+        # nondeterministic upstream)
+        tok_ds = tok_ds.materialize()
+        vocab = _fold_df_counts(
+            tok_ds, None if df_mode == "broadcast" else broadcast_df_limit)
+        if vocab is not None:
+            import ray
 
-    with_df = tok_ds.map_batches(tb, batch_format="pyarrow") \
-        .groupby("__tb").map_groups(attach_df, batch_format="pandas")
+            with_df = tok_ds.map_batches(
+                _BroadcastDFAttach, fn_constructor_args=(ray.put(vocab),),
+                batch_format="pyarrow", concurrency=(1, 8))
+    if with_df is None:
+        with_df = tok_ds.map_batches(tb, batch_format="pyarrow") \
+            .groupby("__tb").map_groups(attach_df, batch_format="pandas")
     prefix = with_df.map_batches(ib, batch_format="pyarrow") \
         .groupby("__ib").map_groups(keep_prefix, batch_format="pandas")
     raw = prefix.map_batches(tb, batch_format="pyarrow") \
-        .groupby("__tb").map_groups(emit_pairs, batch_format="pandas")
+        .groupby("__tb").map_groups(_emit_prefix_pairs(threshold, id_col),
+                                    batch_format="pandas")
     if dedupe == "driver":
-        # one pair row per shared prefix token reaches the driver; the
-        # caller materializes pairs for verification anyway, so a
-        # fourth shuffle just to distinct them is pure overhead there
         import ray.data
 
-        df_pairs = raw.to_pandas()
-        if "id_a" not in df_pairs.columns:  # empty dataset loses its schema
-            df_pairs = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                     "id_b": pd.Series([], dtype="int64")})
-        df_pairs = df_pairs.drop_duplicates() \
-            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
-        return ray.data.from_pandas(df_pairs)
+        return ray.data.from_pandas(_driver_dedupe_pairs(raw))
     return _dedupe_pair_rows(raw, {}, num_buckets=num_buckets)
 
 
 def ngram_jaccard_join(ds, text_col: str = "text", id_col: str = "doc_id",
                        k: int = 3, threshold: float = 0.8,
-                       num_buckets: int = 64, unit: str = "word"):
+                       num_buckets: int = 64, unit: str = "word",
+                       broadcast_df_limit: int = 2_000_000):
     """EXACT n-gram Jaccard similarity self-join: every doc pair with
     Jaccard ≥ ``threshold``, with the exact similarity.
 
@@ -1106,10 +1264,22 @@ def ngram_jaccard_join(ds, text_col: str = "text", id_col: str = "doc_id",
     of hundreds → candidate blowup) — use it only for short/diverse
     strings.
 
-    Candidates via :func:`prefix_filter_candidates` (provably complete
-    — no LSH recall loss, unlike minhash_dedup), then an exact verify
-    on the candidate set only (texts gathered by broadcast-filter, so
-    results match SQL substr/string_split semantics bit-for-bit).
+    Candidates via df-ordered prefix filtering (provably complete —
+    no LSH recall loss, unlike minhash_dedup; see
+    :func:`prefix_filter_candidates` for the lemma), then an exact
+    verify on the candidate set only (texts gathered by
+    broadcast-filter, so results match SQL substr/string_split
+    semantics bit-for-bit).
+
+    Fast path (vocabulary ≤ ``broadcast_df_limit`` distinct grams —
+    the common case for word shingles): document frequencies are
+    folded on the driver in one streaming pass, then gram-extract →
+    broadcast-df attach → prefix keep run FUSED in a single
+    map_batches over doc batches (:class:`_FusedPrefixRows` — valid
+    because rows_fn emits whole docs per batch), leaving ONE token
+    shuffle for pair emission instead of three. An oversized
+    vocabulary early-exits the fold and falls back to the full
+    shuffle pipeline, so the fast path never degrades completeness.
     Collision caveat as dedup_docs_exact: candidate tokens are 63-bit
     hashes, so a gram collision (~n²/2⁶³) could in principle perturb
     candidate generation; the verify pass uses true text grams, so
@@ -1120,30 +1290,62 @@ def ngram_jaccard_join(ds, text_col: str = "text", id_col: str = "doc_id",
 
     if unit == "word":
         rows_fn = _word_gram_rows(text_col, id_col, k)
-        scorer = word_ngram_jaccard
+
+        def gram_set(text):
+            w = text.split(" ")
+            return {tuple(w[i: i + k]) for i in range(max(0, len(w) - k + 1))}
     elif unit == "char":
         rows_fn = _char_gram_rows(text_col, id_col, k)
-        scorer = ngram_jaccard
+
+        def gram_set(text):
+            return {text[i: i + k] for i in range(max(0, len(text) - k + 1))}
     else:
         raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
-    tok = ds.map_batches(rows_fn, batch_format="pyarrow")
-    pairs = prefix_filter_candidates(
-        tok, id_col, threshold, num_buckets, dedupe="driver").to_pandas()
+    docs = ds.select_columns([id_col, text_col])
+    tok = docs.map_batches(rows_fn, batch_format="pyarrow")
+    vocab = _fold_df_counts(tok, broadcast_df_limit)
+    if vocab is None:
+        pairs = prefix_filter_candidates(
+            tok, id_col, threshold, num_buckets,
+            dedupe="driver", df_mode="shuffle").to_pandas()
+    else:
+        import ray
+
+        B = np.uint64(num_buckets)
+
+        def tb(t: pa.Table) -> pa.Table:
+            h = t.column("token").to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            return t.append_column(
+                "__tb", pa.array((_splitmix64(h) % B).astype(np.int64)))
+
+        kept = docs.map_batches(
+            _FusedPrefixRows,
+            fn_constructor_args=(rows_fn, ray.put(vocab), threshold, id_col),
+            batch_format="pyarrow", concurrency=(1, 8))
+        raw = kept.map_batches(tb, batch_format="pyarrow") \
+            .groupby("__tb").map_groups(_emit_prefix_pairs(threshold, id_col),
+                                        batch_format="pandas")
+        pairs = _driver_dedupe_pairs(raw)
     if len(pairs) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
     want = set(pairs["id_a"]).union(pairs["id_b"])
-    t = _gather_rows_by_id(ds.select_columns([id_col, text_col]), id_col, want)
-    texts = {}
+    t = _gather_rows_by_id(docs, id_col, want)
+    # gram sets built ONCE per doc (docs recur across many pairs),
+    # exact scorer semantics (empty∩empty = 1.0) preserved below
+    grams = {}
     if t is not None:
         for i, x in zip(t.column(id_col).to_pylist(),
                         t.column(text_col).to_pylist()):
-            texts[int(i)] = x or ""
+            grams[int(i)] = gram_set(x or "")
+    empty = frozenset()
     pairs = pairs.copy()
     pairs["jaccard"] = [
-        scorer(texts.get(int(a), ""), texts.get(int(b), ""), k)
-        for a, b in zip(pairs["id_a"], pairs["id_b"])
+        (len(sa & sb) / len(sa | sb)) if (sa or sb) else 1.0
+        for sa, sb in ((grams.get(int(a), empty), grams.get(int(b), empty))
+                       for a, b in zip(pairs["id_a"], pairs["id_b"]))
     ]
     out = pairs[pairs["jaccard"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -728,6 +728,33 @@ class TestNgramJaccardJoin:
         }))
         assert ngram_jaccard_join(empty).empty
 
+    def test_fused_equals_shuffle_fallback(self, docs_ds):
+        """broadcast_df_limit=0 forces the df-fold to early-exit and
+        take the 3-shuffle prefix_filter_candidates path; the default
+        fused broadcast path must produce the identical pair set."""
+        from raysketch.stages.dedup import ngram_jaccard_join
+
+        ds, _, _ = docs_ds
+        fused = ngram_jaccard_join(ds, threshold=0.6)
+        shuffled = ngram_jaccard_join(ds, threshold=0.6,
+                                      broadcast_df_limit=0)
+        pd.testing.assert_frame_equal(fused, shuffled)
+
+    def test_prefix_candidates_df_modes_agree(self, docs_ds):
+        from raysketch.stages.dedup import (_word_gram_rows,
+                                            prefix_filter_candidates)
+
+        ds, _, _ = docs_ds
+        tok = ds.map_batches(_word_gram_rows("text", "doc_id", 3),
+                             batch_format="pyarrow")
+        a = prefix_filter_candidates(tok, "doc_id", 0.6,
+                                     dedupe="driver",
+                                     df_mode="broadcast").to_pandas()
+        b = prefix_filter_candidates(tok, "doc_id", 0.6,
+                                     dedupe="driver",
+                                     df_mode="shuffle").to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
 
 class TestY4MCodec:
     def test_roundtrip_mono_and_444(self):
