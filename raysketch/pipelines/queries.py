@@ -2310,3 +2310,125 @@ ORACLES["stratified_sample_docs"] = """
            CAST(COALESCE(s.ns, 0) AS BIGINT) AS n_sampled
     FROM r LEFT JOIN s USING (lang) ORDER BY r.lang
 """
+
+
+def dup_ngram_rate_docs(sf_dir: str) -> pd.DataFrame:
+    """Cross-document word-3-gram repetition rate per doc (the signal
+    behind substring dedup / contamination filters — Lee et al. 2021):
+    fraction of each doc's distinct shingles shared with ≥1 other doc.
+    Zero-shuffle on the common path: df fold on the driver + one fused
+    map_batches pass (see :func:`~raysketch.stages.dedup.crossdoc_gram_stats`)."""
+    from ..stages.dedup import crossdoc_gram_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = crossdoc_gram_stats(ds, k=3).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["dup_ngram_rate_docs"] = dup_ngram_rate_docs
+ORACLES["dup_ngram_rate_docs"] = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, words,
+             unnest(range(1, greatest(len(words) - 1, 1))) AS p
+      FROM w
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             list_extract(words, CAST(p AS INT)) || ' ' ||
+             list_extract(words, CAST(p AS INT) + 1) || ' ' ||
+             list_extract(words, CAST(p AS INT) + 2) AS gram
+      FROM pos
+    ),
+    df AS (SELECT gram, COUNT(*) AS d FROM g GROUP BY gram),
+    per AS (
+      SELECT g.doc_id, COUNT(*) AS ng,
+             SUM(CASE WHEN df.d > 1 THEN 1 ELSE 0 END) AS nsh
+      FROM g JOIN df USING (gram) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.ng, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.nsh, 0) AS BIGINT) AS n_shared_grams,
+           CAST(COALESCE(p.nsh, 0) AS DOUBLE)
+             / CAST(GREATEST(COALESCE(p.ng, 0), 1) AS DOUBLE) AS shared_frac
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+# token_count_docs / quality_docs oracles: pyarrow and DuckDB both run
+# RE2, so regexp counts / class-replace lengths reproduce the
+# vectorized stages bit-for-bit; ratios are doubles of exact integer
+# ratios (identical IEEE divisions on both sides).
+ORACLES["token_count_docs"] = r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+             AS n_tokens_ws,
+           CAST(
+             len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+             + len(regexp_extract_all(text, '\s\s+\S'))
+             + len(regexp_extract_all(text, '[^\S ]\S'))
+             + len(regexp_extract_all(text, '\s+$'))
+           AS BIGINT) AS n_tokens_bpe
+    FROM documents ORDER BY doc_id
+"""
+
+ORACLES["quality_docs"] = r"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[A-Za-z0-9_ \t\n\f\r]', '', 'g'))
+               AS n_punct
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_words,
+             SUM(CASE WHEN word IN ('the','a','an','and','or','of','to','in',
+                                    'is','are','was','were','be','been','it',
+                                    'this','that','for','on','with','as')
+                 THEN 1 ELSE 0 END) AS n_stop,
+             SUM(length(word)) AS sum_wlen
+      FROM w GROUP BY doc_id
+    ),
+    rep AS (
+      SELECT doc_id, MAX(c) AS maxc FROM (
+        SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+      ) GROUP BY doc_id
+    ),
+    j AS (
+      SELECT t.doc_id, t.n_chars, t.n_alpha, t.n_punct,
+             COALESCE(p.n_words, 0) AS n_words,
+             COALESCE(p.n_stop, 0) AS n_stop,
+             COALESCE(p.sum_wlen, 0) AS sum_wlen,
+             COALESCE(r.maxc, 0) AS maxc
+      FROM t LEFT JOIN per p USING (doc_id) LEFT JOIN rep r USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(n_alpha AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE)
+             AS alpha_ratio,
+           CAST(n_stop AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE)
+             AS stopword_ratio,
+           CAST(maxc AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE)
+             AS max_word_rep,
+           CASE WHEN n_chars >= 20 AND n_chars <= 100000
+                 AND CAST(n_alpha AS DOUBLE)
+                       / CAST(GREATEST(n_chars, 1) AS DOUBLE) > 0.5
+                 AND CAST(n_punct AS DOUBLE)
+                       / CAST(GREATEST(n_chars, 1) AS DOUBLE) < 0.3
+                 AND CAST(sum_wlen AS DOUBLE)
+                       / CAST(GREATEST(n_words, 1) AS DOUBLE) > 2
+                 AND CAST(sum_wlen AS DOUBLE)
+                       / CAST(GREATEST(n_words, 1) AS DOUBLE) < 12
+                 AND CAST(maxc AS DOUBLE)
+                       / CAST(GREATEST(n_words, 1) AS DOUBLE) < 0.5
+                THEN 1.0 ELSE 0.0 END AS quality_keep
+    FROM j ORDER BY doc_id
+"""

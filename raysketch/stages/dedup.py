@@ -1349,3 +1349,141 @@ def ngram_jaccard_join(ds, text_col: str = "text", id_col: str = "doc_id",
     ]
     out = pairs[pairs["jaccard"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+class _CrossDocGramStats:
+    """map_batches actor fusing gram-extract → broadcast-df attach →
+    per-doc shared-gram counting into one pass over DOC batches (valid
+    because rows_fn emits every distinct gram of a doc within its own
+    batch's output; df is global via the broadcast vocabulary).
+    Emits one row per input doc — including gram-less docs."""
+
+    def __init__(self, rows_fn, vocab_ref, id_col):
+        import ray
+
+        self.rows_fn = rows_fn
+        self.vocab, self.df = (ray.get(vocab_ref)
+                               if isinstance(vocab_ref, ray.ObjectRef)
+                               else vocab_ref)
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids_b = t.column(self.id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_b, kind="stable")
+        sorted_ids = ids_b[order]
+        rows = self.rows_fn(t)
+        n_grams = np.zeros(len(ids_b), dtype=np.int64)
+        n_shared = np.zeros(len(ids_b), dtype=np.int64)
+        if rows.num_rows:
+            tok = rows.column("token").to_numpy(zero_copy_only=False)
+            rid = rows.column(self.id_col).to_numpy(zero_copy_only=False)
+            df = self.df[np.searchsorted(self.vocab, tok)]
+            pos = order[np.searchsorted(sorted_ids, rid)]
+            n_grams = np.bincount(pos, minlength=len(ids_b))
+            n_shared = np.bincount(pos, weights=(df > 1).astype(np.float64),
+                                   minlength=len(ids_b)).astype(np.int64)
+        return pa.table({
+            self.id_col: t.column(self.id_col),
+            "n_grams": pa.array(n_grams.astype(np.int64)),
+            "n_shared_grams": pa.array(n_shared),
+            "shared_frac": pa.array(
+                n_shared / np.maximum(n_grams, 1).astype(np.float64)),
+        })
+
+
+def crossdoc_gram_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, broadcast_df_limit: int = 2_000_000):
+    """Cross-document n-gram repetition rate (the corpus-level signal
+    behind substring-dedup / contamination filters — Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each doc, how many of its DISTINCT word-``k``-grams also occur in
+    at least one OTHER document.
+
+    Zero-shuffle fast path: gram document-frequencies are folded on
+    the driver (streaming per-block value_counts merge,
+    :func:`_fold_df_counts` — rows are distinct per (gram, doc), so a
+    gram's row count IS its df), broadcast once via ``ray.put``, then
+    gram-extract → df attach → per-doc counting run FUSED in a single
+    map_batches over doc batches. A vocabulary past
+    ``broadcast_df_limit`` early-exits the fold and falls back to two
+    bucket shuffles (by token to attach df, by id to re-aggregate
+    per-doc) — same semantics, never a full-corpus group.
+
+    Grams are 63-bit hashes (:func:`_word_gram_rows`); a cross-gram
+    collision (~n_grams²/2⁶³) could overcount sharing — negligible at
+    any realistic vocabulary.
+    """
+    import ray
+
+    docs = ds.select_columns([id_col, text_col])
+    rows_fn = _word_gram_rows(text_col, id_col, k)
+    tok = docs.map_batches(rows_fn, batch_format="pyarrow")
+    vocab = _fold_df_counts(tok, broadcast_df_limit)
+    if vocab is not None:
+        return docs.map_batches(
+            _CrossDocGramStats,
+            fn_constructor_args=(rows_fn, ray.put(vocab), id_col),
+            batch_format="pyarrow", concurrency=(1, 8))
+
+    # shuffle fallback: df via by-token bucket groupby (segment length
+    # within a token bucket IS the global df), per-doc re-aggregate via
+    # by-id bucket groupby; doc ids with zero grams re-enter with a
+    # zero row emitted per doc batch
+    import pandas as pd
+
+    B = np.uint64(64)
+
+    def tb(t: pa.Table) -> pa.Table:
+        h = t.column("token").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__tb", pa.array((_splitmix64(h) % B).astype(np.int64)))
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        tok_a = g["token"].to_numpy()
+        order = np.argsort(tok_a, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        s = tok_a[order]
+        starts = np.nonzero(np.r_[True, s[1:] != s[:-1]])[0]
+        seg = np.diff(np.r_[starts, len(s)])
+        df = np.repeat(seg, seg)[inv]
+        return pd.DataFrame({g.columns[1]: g[g.columns[1]].to_numpy(),
+                             "shared": (df > 1).astype(np.int64)})
+
+    def ib(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__ib", pa.array((_splitmix64(ids) % B).astype(np.int64)))
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        sh = g["shared"].to_numpy()
+        zero = g["n_grams"].to_numpy() == 0  # zero-marker rows
+        order = np.argsort(ids, kind="stable")
+        ids_s, sh_s, zero_s = ids[order], sh[order], zero[order]
+        starts = np.nonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])[0]
+        uid = ids_s[starts]
+        tot = np.add.reduceat((~zero_s).astype(np.int64), starts)
+        shd = np.add.reduceat(np.where(zero_s, 0, sh_s), starts)
+        return pd.DataFrame({
+            id_col: uid, "n_grams": tot, "n_shared_grams": shd,
+            "shared_frac": shd / np.maximum(tot, 1)})
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "token": pa.array(np.zeros(n, dtype=np.int64)),
+            id_col: t.column(id_col),
+            "shared": pa.array(np.zeros(n, dtype=np.int64)),
+            "n_grams": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+
+    with_df = tok.map_batches(tb, batch_format="pyarrow") \
+        .groupby("__tb") \
+        .map_groups(lambda g: attach_df(g[["token", id_col]])
+                    .assign(n_grams=1), batch_format="pandas")
+    marked = with_df.union(
+        docs.map_batches(zero_rows, batch_format="pyarrow")
+            .drop_columns(["token"]))
+    return marked.map_batches(ib, batch_format="pyarrow") \
+        .groupby("__ib").map_groups(per_doc, batch_format="pandas")

@@ -756,6 +756,47 @@ class TestNgramJaccardJoin:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestCrossDocGramStats:
+    def test_matches_brute_force(self, docs_ds):
+        """shared_frac per doc equals a pure-python distinct-shingle
+        df count over the same single-space word split."""
+        from raysketch.stages.dedup import crossdoc_gram_stats
+
+        ds, tbl, _ = docs_ds
+        out = crossdoc_gram_stats(ds, k=3).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        texts = dict(zip(tbl.column("doc_id").to_pylist(),
+                         tbl.column("text").to_pylist()))
+        grams = {}
+        for i, s in texts.items():
+            w = (s or "").split(" ")
+            grams[i] = {tuple(w[j: j + 3]) for j in range(max(0, len(w) - 2))}
+        df = {}
+        for i, gs in grams.items():
+            for g in gs:
+                df[g] = df.get(g, 0) + 1
+        for _, r in out.iterrows():
+            gs = grams[int(r["doc_id"])]
+            assert int(r["n_grams"]) == len(gs)
+            exp_sh = sum(1 for g in gs if df[g] > 1)
+            assert int(r["n_shared_grams"]) == exp_sh
+            assert r["shared_frac"] == exp_sh / max(len(gs), 1)
+
+    def test_fallback_matches_fused(self, docs_ds):
+        """broadcast_df_limit=0 forces the 2-shuffle fallback; results
+        must be identical to the fused zero-shuffle path."""
+        import pandas as pd
+
+        from raysketch.stages.dedup import crossdoc_gram_stats
+
+        ds, _, _ = docs_ds
+        a = crossdoc_gram_stats(ds, k=3).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = crossdoc_gram_stats(ds, k=3, broadcast_df_limit=0).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b[a.columns].astype(a.dtypes.to_dict()))
+
+
 class TestY4MCodec:
     def test_roundtrip_mono_and_444(self):
         from raysketch.stages.y4mcodec import decode_y4m, encode_y4m
