@@ -2432,3 +2432,51 @@ ORACLES["quality_docs"] = r"""
                 THEN 1.0 ELSE 0.0 END AS quality_keep
     FROM j ORDER BY doc_id
 """
+
+
+def pack_sequences_docs(sf_dir: str, seq_len: int = 2048) -> pd.DataFrame:
+    """GPT-style sequence packing layout: documents are concatenated in
+    doc_id order and cut into fixed ``seq_len``-token training bins;
+    each doc's global token offset comes from a distributed ordered
+    prefix scan (:func:`~raysketch.stages.scan.ordered_prefix_sum` —
+    two-phase: driver-folded range-bucket totals, then ONE bucket
+    shuffle of 16-byte (id, n_tokens) rows). Output: per doc its token
+    count, start offset, and the first/last bin it lands in."""
+    from ..stages.scan import ordered_prefix_sum
+    from ..stages.textstats import TokenCount
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    counts = ds.map_batches(TokenCount(), batch_format="pyarrow",
+                            batch_size=1024) \
+        .select_columns(["doc_id", "n_tokens_ws"])
+    out = ordered_prefix_sum(counts, "doc_id", "n_tokens_ws").to_pandas()
+    out = out.rename(columns={"n_tokens_ws": "n_tokens",
+                              "prefix": "tok_start"})
+    n = out["n_tokens"].to_numpy()
+    start = out["tok_start"].to_numpy()
+    out["bin_first"] = start // seq_len
+    out["bin_last"] = (start + np.maximum(n, 1) - 1) // seq_len
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["pack_sequences_docs"] = pack_sequences_docs
+ORACLES["pack_sequences_docs"] = r"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+      FROM c
+    )
+    SELECT doc_id, n_tokens, tok_start,
+           CAST(tok_start // 2048 AS BIGINT) AS bin_first,
+           CAST((tok_start + GREATEST(n_tokens, 1) - 1) // 2048 AS BIGINT)
+             AS bin_last
+    FROM s ORDER BY doc_id
+"""

@@ -916,3 +916,47 @@ def test_vector_centroids(ray_session):
                                    rtol=0, atol=1e-12)
     empty = ray.data.from_arrow(tbl.slice(0, 0))
     assert vector_centroids(empty, by="label").empty
+
+
+class TestOrderedPrefixSum:
+    def test_matches_numpy_exclusive_cumsum(self, ray_session):
+        import ray.data
+
+        from raysketch.stages.scan import ordered_prefix_sum
+
+        rng = np.random.default_rng(7)
+        keys = rng.permutation(5000).astype(np.int64) * 3 + 11  # sparse keys
+        vals = rng.integers(0, 100, size=5000).astype(np.int64)
+        ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals})) \
+            .repartition(8)
+        out = ordered_prefix_sum(ds, "k", "v").to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        order = np.argsort(keys)
+        expect = np.concatenate(([0], np.cumsum(vals[order])[:-1]))
+        assert (out["k"].to_numpy() == keys[order]).all()
+        assert (out["prefix"].to_numpy() == expect).all()
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+
+        from raysketch.stages.scan import ordered_prefix_sum
+
+        t = pa.table({"k": np.arange(1000, dtype=np.int64),
+                      "v": (np.arange(1000, dtype=np.int64) % 17) + 1})
+        a = ordered_prefix_sum(ray.data.from_arrow(t).repartition(2),
+                               "k", "v", num_buckets=8).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        b = ordered_prefix_sum(ray.data.from_arrow(t).repartition(13),
+                               "k", "v", num_buckets=32).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty(self, ray_session):
+        import ray.data
+
+        from raysketch.stages.scan import ordered_prefix_sum
+
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array([], type=pa.int64()),
+            "v": pa.array([], type=pa.int64())}))
+        assert ordered_prefix_sum(ds, "k", "v").count() == 0
