@@ -2480,3 +2480,91 @@ ORACLES["pack_sequences_docs"] = r"""
              AS bin_last
     FROM s ORDER BY doc_id
 """
+
+
+def late_events_watermark(sf_dir: str) -> pd.DataFrame:
+    """Streaming-window semantics with an event-time watermark, Ray-
+    Data-native: events arrive in event_id order, the watermark is the
+    running max event time minus 10 min allowed lateness, and an event
+    is LATE iff it arrives after the watermark passed its timestamp.
+    The running max is a distributed ordered prefix scan
+    (:func:`~raysketch.stages.scan.ordered_prefix_scan` ``op="max"`` —
+    two-phase, one 16-byte-row bucket shuffle with event_type carried
+    through), so "streaming" state needs no serial pass; the output is
+    the hourly tumbling window each event belongs to with on-time /
+    late counts — exactly what a watermark-driven window operator
+    would emit plus its late-data side channel.
+
+    The synthetic events table is perfectly time-ordered, so arrival
+    order is a deterministic Knuth-multiplicative permutation of
+    event_id (bijective mod 2^32 — unique scan keys for any id <
+    2^32); that worst-case shuffled arrival genuinely exercises the
+    late path on both engines identically."""
+    from ..stages.scan import ordered_prefix_scan
+
+    LATENESS_US = 600_000_000  # 10 min
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        arrival = (ids.astype(np.uint64) * np.uint64(2654435761)
+                   % np.uint64(1 << 32)).astype(np.int64)
+        return pa.table({
+            "arrival": pa.array(arrival),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_type": t.column("event_type"),
+        })
+
+    scanned = ordered_prefix_scan(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        "arrival", "ts_us", op="max", carry_cols=["event_type"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        prev = t.column("prefix").to_numpy(zero_copy_only=False)
+        # identity (int64 min) for the first event can never exceed
+        # ts + lateness, so the no-predecessor row is on-time
+        late = prev > ts + LATENESS_US
+        hour = (ts // 3_600_000_000) * 3_600_000_000
+        return pa.table({
+            "window_start": pa.array(hour).cast(pa.timestamp("us")),
+            "event_type": t.column("event_type"),
+            "n_ontime": pa.array((~late).astype(np.int64)),
+            "n_late": pa.array(late.astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    out = scanned.map_batches(finish, batch_format="pyarrow") \
+        .groupby(["window_start", "event_type"]) \
+        .aggregate(Sum("n_ontime", alias_name="n_ontime"),
+                   Sum("n_late", alias_name="n_late"))
+    out = out.to_pandas()
+    out["n_ontime"] = out["n_ontime"].astype("int64")
+    out["n_late"] = out["n_late"].astype("int64")
+    return out.sort_values(["window_start", "event_type"]) \
+        .reset_index(drop=True)
+
+
+QUERIES["late_events_watermark"] = late_events_watermark
+ORACLES["late_events_watermark"] = """
+    WITH a AS (
+      SELECT event_id, event_type, ts,
+             MAX(ts) OVER (ORDER BY (event_id * 2654435761) % 4294967296
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max
+      FROM events
+    ),
+    f AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CASE WHEN prev_max IS NOT NULL
+                   AND prev_max > ts + INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS late
+      FROM a
+    )
+    SELECT window_start, event_type,
+           CAST(SUM(1 - late) AS BIGINT) AS n_ontime,
+           CAST(SUM(late) AS BIGINT) AS n_late
+    FROM f GROUP BY 1, 2 ORDER BY 1, 2
+"""

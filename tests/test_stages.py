@@ -960,3 +960,26 @@ class TestOrderedPrefixSum:
             "k": pa.array([], type=pa.int64()),
             "v": pa.array([], type=pa.int64())}))
         assert ordered_prefix_sum(ds, "k", "v").count() == 0
+
+    def test_max_min_ops_and_carry(self, ray_session):
+        import ray.data
+
+        from raysketch.stages.scan import ordered_prefix_scan
+
+        rng = np.random.default_rng(3)
+        keys = rng.permutation(3000).astype(np.int64)
+        vals = rng.integers(-500, 500, size=3000).astype(np.int64)
+        tag = (keys % 5).astype(np.int64)
+        ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals,
+                                           "t": tag})).repartition(7)
+        for op, ufunc, ident in (
+                ("max", np.maximum, np.iinfo(np.int64).min),
+                ("min", np.minimum, np.iinfo(np.int64).max)):
+            out = ordered_prefix_scan(ds, "k", "v", op=op,
+                                      carry_cols=["t"]).to_pandas() \
+                .sort_values("k").reset_index(drop=True)
+            order = np.argsort(keys)
+            expect = np.concatenate(
+                ([ident], ufunc.accumulate(vals[order])[:-1]))
+            assert (out["prefix"].to_numpy() == expect).all()
+            assert (out["t"].to_numpy() == tag[order]).all()
