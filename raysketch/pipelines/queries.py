@@ -2568,3 +2568,55 @@ ORACLES["late_events_watermark"] = """
            CAST(SUM(late) AS BIGINT) AS n_late
     FROM f GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-doc top-3 terms by tf·idf, ranked by the exact rational
+    tf/df (monotone in tf·idf for a fixed corpus — both engines divide
+    the same int64s as IEEE doubles, ties broken by term ascending, so
+    the ranking is bit-reproducible vs ROW_NUMBER() OVER). Document
+    frequencies fold on the driver (:func:`_fold_df_counts` over
+    distinct (word, doc) hash rows) and broadcast; the ranking pass is
+    one fused map_batches (:class:`~raysketch.stages.textstats.
+    TopTfIdfTerms`) — term strings never shuffle, only the 3 winners
+    per doc reach the driver."""
+    import ray
+
+    from ..stages.dedup import _fold_df_counts, _word_gram_rows
+    from ..stages.textstats import TopTfIdfTerms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tok = ds.map_batches(_word_gram_rows("text", "doc_id", 1),
+                         batch_format="pyarrow")
+    vocab = _fold_df_counts(tok, None)
+    out = ds.map_batches(
+        TopTfIdfTerms, fn_constructor_args=(ray.put(vocab),),
+        batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+QUERIES["tfidf_top_terms"] = tfidf_top_terms
+ORACLES["tfidf_top_terms"] = """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    w2 AS (SELECT doc_id, term FROM w WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM w2 GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM w2 GROUP BY term
+    ),
+    r AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term
+             ) AS rank
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+"""

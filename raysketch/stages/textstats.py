@@ -452,3 +452,74 @@ class WinnowingFingerprint:
         np.cumsum([len(v) for v in out_vals], out=offs[1:])
         col = pa.ListArray.from_arrays(pa.array(offs), pa.array(flat, type=pa.int64()))
         return batch.append_column(self.out_col, col)
+
+
+class TopTfIdfTerms:
+    """map_batches actor: per-doc top-``k`` terms by tf/df (exact
+    rational rank — both engines compute the same IEEE double
+    division, ties broken by term ascending), fused in one pass over
+    doc batches: split → per-doc (term, tf) via lexsort on 63-bit term
+    hashes → broadcast-df attach (searchsorted into the driver-folded
+    vocabulary) → per-doc rank/truncate. Term STRINGS only appear in
+    the k output rows per doc; everything that moves between stages is
+    int64. Empty words (consecutive spaces under single-space split)
+    are excluded on both engines."""
+
+    def __init__(self, vocab_ref, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3):
+        import ray
+
+        self.vocab, self.df = (ray.get(vocab_ref)
+                               if isinstance(vocab_ref, ray.ObjectRef)
+                               else vocab_ref)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> "pa.Table":
+        import pandas as pd
+
+        from ..hashing import murmur64a
+        from .dedup import _splitmix64
+
+        words_list = pc.split_pattern(
+            pc.fill_null(t.column(self.text_col), ""), " ").combine_chunks()
+        wcounts = pc.list_value_length(words_list) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words_list)
+        data, offsets = arrow_to_flat_bytes(flat)
+        wh = (_splitmix64(murmur64a(data, offsets))
+              & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(wcounts), dtype=np.int64), wcounts)
+        nonempty = np.diff(offsets) > 0
+        doc_idx, wh = doc_idx[nonempty], wh[nonempty]
+        flat_pos = np.nonzero(nonempty)[0]
+        if not len(wh):
+            return pa.table({self.id_col: pa.array([], type=pa.int64()),
+                             "term": pa.array([], type=pa.string()),
+                             "tf": pa.array([], type=pa.int64()),
+                             "df": pa.array([], type=pa.int64()),
+                             "rank": pa.array([], type=pa.int64())})
+        order = np.lexsort((wh, doc_idx))
+        d_s, h_s = doc_idx[order], wh[order]
+        starts = np.nonzero(np.r_[True, (d_s[1:] != d_s[:-1])
+                                  | (h_s[1:] != h_s[:-1])])[0]
+        tf = np.diff(np.r_[starts, len(d_s)])
+        g_doc, g_hash = d_s[starts], h_s[starts]
+        rep = flat_pos[order[starts]]  # a representative word per group
+        df = self.df[np.searchsorted(self.vocab, g_hash)]
+        terms = flat.take(pa.array(rep)).to_pylist()
+        fr = pd.DataFrame({self.id_col: ids[g_doc], "term": terms,
+                           "tf": tf.astype(np.int64),
+                           "df": df.astype(np.int64),
+                           "score": tf / df})
+        fr = fr.sort_values([self.id_col, "score", "term"],
+                            ascending=[True, False, True], kind="stable")
+        did = fr[self.id_col].to_numpy()
+        gs = np.nonzero(np.r_[True, did[1:] != did[:-1]])[0]
+        seg = np.diff(np.r_[gs, len(did)])
+        rank = np.arange(len(did)) - np.repeat(gs, seg) + 1
+        fr = fr.assign(rank=rank.astype(np.int64))
+        fr = fr[fr["rank"] <= self.k].drop(columns=["score"])
+        return pa.Table.from_pandas(fr, preserve_index=False)

@@ -983,3 +983,43 @@ class TestOrderedPrefixSum:
                 ([ident], ufunc.accumulate(vals[order])[:-1]))
             assert (out["prefix"].to_numpy() == expect).all()
             assert (out["t"].to_numpy() == tag[order]).all()
+
+
+class TestTfIdfTopTerms:
+    def test_matches_pandas_brute_force(self, docs_ds):
+        import ray
+
+        from raysketch.stages.dedup import _fold_df_counts, _word_gram_rows
+        from raysketch.stages.textstats import TopTfIdfTerms
+
+        ds, tbl, _ = docs_ds
+        tok = ds.map_batches(_word_gram_rows("text", "doc_id", 1),
+                             batch_format="pyarrow")
+        vocab = _fold_df_counts(tok, None)
+        out = ds.map_batches(
+            TopTfIdfTerms, fn_constructor_args=(ray.put(vocab),),
+            batch_format="pyarrow", concurrency=2).to_pandas() \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+        # brute force
+        rows = []
+        texts = dict(zip(tbl.column("doc_id").to_pylist(),
+                         tbl.column("text").to_pylist()))
+        df_map = {}
+        tf_map = {}
+        for i, s in texts.items():
+            ws = [w for w in (s or "").split(" ") if w]
+            tf = {}
+            for w in ws:
+                tf[w] = tf.get(w, 0) + 1
+            tf_map[i] = tf
+            for w in set(ws):
+                df_map[w] = df_map.get(w, 0) + 1
+        for i in sorted(texts):
+            terms = sorted(tf_map[i].items(),
+                           key=lambda kv: (-(kv[1] / df_map[kv[0]]), kv[0]))
+            for r, (w, tf) in enumerate(terms[:3], 1):
+                rows.append((i, w, tf, df_map[w], r))
+        expect = pd.DataFrame(rows, columns=["doc_id", "term", "tf",
+                                             "df", "rank"])
+        pd.testing.assert_frame_equal(out, expect, check_dtype=False)
