@@ -2620,3 +2620,57 @@ ORACLES["tfidf_top_terms"] = """
            CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= 3 ORDER BY doc_id, rank
 """
+
+
+def embedding_dedup_planted(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-dup with a SQL-checkable answer: exact copies of
+    every 50th vector are planted in-query (vec_id + 1,000,000, same
+    embedding — the corpus itself has max pairwise cosine ≈ 0.51 at
+    sf0.01, far under the 0.95 threshold, so the planted pairs are the
+    ONLY matches and each forms a 2-node component rooted at the
+    original id). Hyperplane-LSH recall is exactly 1 for identical
+    vectors (identical sign sketches share every band bucket), and the
+    exact-cosine verify rejects anything else — so the component table
+    is deterministic and the oracle is a plain O(n²) SQL cosine join.
+    Output values are IDs only (the knn-oracle pattern): no float ever
+    enters the value-hash."""
+    from ..stages.dedup import embedding_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        sel = np.nonzero(ids % 50 == 0)[0]
+        copies = t.take(pa.array(sel))
+        copies = copies.set_column(
+            copies.schema.get_field_index("vec_id"), "vec_id",
+            pa.array(ids[sel] + 1_000_000))
+        return pa.concat_tables([t, copies])
+
+    aug = ds.map_batches(plant, batch_format="pyarrow")
+    out = embedding_dedup(aug, threshold=0.95)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["component"] = out["component"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+QUERIES["embedding_dedup_planted"] = embedding_dedup_planted
+ORACLES["embedding_dedup_planted"] = """
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings
+      WHERE vec_id % 50 = 0
+    ),
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.95
+    )
+    SELECT vec_id, component FROM (
+      SELECT ia AS vec_id, ia AS component FROM p
+      UNION ALL
+      SELECT ib AS vec_id, ia AS component FROM p
+    ) ORDER BY vec_id
+"""
