@@ -2674,3 +2674,77 @@ ORACLES["embedding_dedup_planted"] = """
       SELECT ib AS vec_id, ia AS component FROM p
     ) ORDER BY vec_id
 """
+
+
+def chunk_docs(sf_dir: str) -> pd.DataFrame:
+    """Embedding-prep document chunking: sliding word windows of size
+    50 with stride 40 (10-word overlap), the standard RAG/embedding
+    layout. Pure flat_map shape — fully vectorized per batch: one
+    gather builds the (overlapping) chunk word lists as a fresh Arrow
+    ListArray, ``pc.binary_join`` re-joins each chunk in C. No
+    shuffle; output rows stream straight out of the map."""
+    CHUNK, STRIDE = 50, 40
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        words_list = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        nw = pc.list_value_length(words_list) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words_list)
+        woff = np.zeros(len(nw) + 1, dtype=np.int64)
+        np.cumsum(nw, out=woff[1:])
+        n_chunks = 1 + (np.maximum(nw - CHUNK, 0) + STRIDE - 1) // STRIDE
+        coff = np.zeros(len(nw) + 1, dtype=np.int64)
+        np.cumsum(n_chunks, out=coff[1:])
+        total = int(coff[-1])
+        doc_of = np.repeat(np.arange(len(nw), dtype=np.int64), n_chunks)
+        k = np.arange(total, dtype=np.int64) - np.repeat(coff[:-1], n_chunks)
+        start = k * STRIDE
+        end = np.minimum(start + CHUNK, nw[doc_of])
+        clen = end - start
+        # gather indices: for chunk c, flat positions
+        # [woff[doc]+start, woff[doc]+end)
+        goff = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(clen, out=goff[1:])
+        gather = (np.repeat(woff[doc_of] + start, clen)
+                  + np.arange(int(goff[-1]), dtype=np.int64)
+                  - np.repeat(goff[:-1], clen))
+        vals = flat.take(pa.array(gather))
+        if goff[-1] < 2**31:
+            lst = pa.ListArray.from_arrays(
+                pa.array(goff, type=pa.int64()).cast(pa.int32()), vals)
+        else:
+            lst = pa.LargeListArray.from_arrays(pa.array(goff), vals)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_of]),
+            "chunk_idx": pa.array(k),
+            "chunk_text": pc.binary_join(lst, " "),
+            "n_words": pa.array(clen),
+        })
+
+    out = ds.map_batches(chunks, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+QUERIES["chunk_docs"] = chunk_docs
+ORACLES["chunk_docs"] = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS nw
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, words, nw,
+             unnest(range(0, 1 + (greatest(nw - 50, 0) + 39) // 40)) AS k
+      FROM w
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(words, CAST(k * 40 + 1 AS INT),
+                                      CAST(least(k * 40 + 50, nw) AS INT)),
+                           ' ') AS chunk_text,
+           CAST(least(k * 40 + 50, nw) - k * 40 AS BIGINT) AS n_words
+    FROM c ORDER BY doc_id, chunk_idx
+"""
