@@ -2748,3 +2748,48 @@ ORACLES["chunk_docs"] = """
            CAST(least(k * 40 + 50, nw) - k * 40 AS BIGINT) AS n_words
     FROM c ORDER BY doc_id, chunk_idx
 """
+
+
+def sorted_write_events(sf_dir: str) -> pd.DataFrame:
+    """Globally-sorted resumable table layout: events range-bucketed
+    by timestamp into per-bucket SORTED parquet files (one shuffle, no
+    all-to-all sort op — :func:`~raysketch.stages.sortsink.
+    sorted_partitioned_write`); the returned manifest (per-bucket row
+    count + key min/max) is the binary-searchable index a downstream
+    or resumed consumer reads instead of scanning. Bucket bounds are
+    deterministic integer arithmetic, so the manifest is
+    SQL-checkable."""
+    import tempfile
+
+    from ..stages.sortsink import sorted_partitioned_write
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return t.append_column("ts_us", pc.cast(t.column("ts"), pa.int64()))
+
+    out_dir = tempfile.mkdtemp(prefix="sorted_events_",
+                               dir="/tmp/raysketch_data"
+                               if os.path.isdir("/tmp/raysketch_data")
+                               else None)
+    m = sorted_partitioned_write(
+        ds.map_batches(to_us, batch_format="pyarrow"), "ts_us", out_dir)
+    return m[["bucket", "n_rows", "key_min", "key_max"]]
+
+
+QUERIES["sorted_write_events"] = sorted_write_events
+ORACLES["sorted_write_events"] = """
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ),
+    t AS (
+      SELECT ((epoch_us(ts) - lo) * 32) // (hi - lo + 1) AS bucket,
+             epoch_us(ts) AS us
+      FROM events, b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(MIN(us) AS BIGINT) AS key_min,
+           CAST(MAX(us) AS BIGINT) AS key_max
+    FROM t GROUP BY 1 ORDER BY 1
+"""

@@ -1023,3 +1023,41 @@ class TestTfIdfTopTerms:
         expect = pd.DataFrame(rows, columns=["doc_id", "term", "tf",
                                              "df", "rank"])
         pd.testing.assert_frame_equal(out, expect, check_dtype=False)
+
+
+class TestSortedPartitionedWrite:
+    def test_layout_is_globally_sorted(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from raysketch.stages.sortsink import sorted_partitioned_write
+
+        rng = np.random.default_rng(11)
+        keys = rng.integers(0, 10_000, size=20_000).astype(np.int64)
+        vals = np.arange(20_000, dtype=np.int64)
+        ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals})) \
+            .repartition(6)
+        m = sorted_partitioned_write(ds, "k", str(tmp_path), num_buckets=8)
+        assert m["n_rows"].sum() == 20_000
+        # disjoint ascending bucket ranges
+        assert (m["key_min"] <= m["key_max"]).all()
+        assert (m["key_max"].to_numpy()[:-1]
+                < m["key_min"].to_numpy()[1:]).all()
+        # each file sorted; concatenation in bucket order == global sort
+        got = []
+        for p in m["path"]:
+            t = pq.read_table(p)
+            k = t.column("k").to_numpy()
+            assert (np.diff(k) >= 0).all()
+            got.append(k)
+        assert np.array_equal(np.concatenate(got), np.sort(keys))
+
+    def test_empty(self, ray_session, tmp_path):
+        import ray.data
+
+        from raysketch.stages.sortsink import sorted_partitioned_write
+
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array([], type=pa.int64())}))
+        m = sorted_partitioned_write(ds, "k", str(tmp_path))
+        assert len(m) == 0
