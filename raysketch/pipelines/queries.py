@@ -2793,3 +2793,95 @@ ORACLES["sorted_write_events"] = """
            CAST(MAX(us) AS BIGINT) AS key_max
     FROM t GROUP BY 1 ORDER BY 1
 """
+
+
+def top5_words_by_source(sf_dir: str) -> pd.DataFrame:
+    """Grouped heavy hitters, SQL-checked: exact per-source top-5 words
+    via the two-pass grouped Misra–Gries — pass 1 folds one mergeable
+    MG summary PER SOURCE (``sketch_aggregate(by="source")``; per-batch
+    partials mean the groupby merges ≤ n_batches×n_sources summary
+    rows, never words), pass 2 exactly recounts only the candidate
+    union (broadcast ``pc.is_in`` + per-batch value_counts combiner).
+    Provable completeness guard: the recount keeps each source's exact
+    candidate counts AND total word count; if the 5th-ranked exact
+    count were ≤ the summary's tracked error bound the top-5 could be
+    incomplete — the guard raises instead of returning silently wrong
+    rows (never triggered on zipf-shaped text; an adversarial corpus
+    needs a larger k)."""
+    from ..agg import sketch_aggregate
+    from ..sketches import MisraGries
+
+    K = 64
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def words_of(t: pa.Table) -> pa.Table:
+        w = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        n = pc.list_value_length(w).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        return pa.table({"source": t.column("source").take(pa.array(idx)),
+                         "word": pc.list_flatten(w)})
+
+    words = ds.map_batches(words_of, batch_format="pyarrow").materialize()
+    per_src = sketch_aggregate(words, "misragries", on="word",
+                               by="source", mode="bytes", k=K).to_pandas()
+    cands: dict[str, set[str]] = {}
+    bounds: dict[str, int] = {}
+    for _, r in per_src.iterrows():
+        mg = MisraGries.from_bytes(r["misragries_merged"])
+        cands[r["source"]] = {e.decode() for e, _ in mg.candidates()}
+        bounds[r["source"]] = mg.error_bound()
+    union = sorted(set().union(*cands.values())) if cands else []
+    cand_arr = pa.array(union, type=pa.string())
+
+    def recount(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.is_in(t.column("word"), value_set=cand_arr))
+        # per-(source, word) partial counts + per-source totals, one
+        # combiner emission per batch
+        df_b = sel.to_pandas().groupby(["source", "word"]) \
+            .size().reset_index(name="part_n")
+        tot = t.to_pandas().groupby("source").size() \
+            .reset_index(name="part_n")
+        tot["word"] = "\x00"  # sentinel: split() can emit "" but never NUL
+        return pa.Table.from_pandas(
+            pd.concat([df_b, tot[["source", "word", "part_n"]]],
+                      ignore_index=True), preserve_index=False)
+
+    parts = words.map_batches(recount, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["source", "word"], as_index=False)["part_n"].sum()
+    totals = dict(agg[agg["word"] == "\x00"][["source", "part_n"]].values)
+    agg = agg[agg["word"] != "\x00"]
+    out_rows = []
+    for src in sorted(cands):
+        g = agg[(agg["source"] == src)
+                & agg["word"].isin(cands[src])] \
+            .sort_values(["part_n", "word"], ascending=[False, True])
+        top = g.head(5)
+        if len(top) == 5 and int(top["part_n"].iloc[-1]) <= bounds[src]:
+            raise RuntimeError(
+                f"top-5 for {src!r} not provably complete "
+                f"(5th count {int(top['part_n'].iloc[-1])} <= error bound "
+                f"{bounds[src]}, n={totals.get(src)}) — increase k")
+        for rank, (_, r) in enumerate(top.iterrows(), 1):
+            out_rows.append((src, r["word"], int(r["part_n"]), rank))
+    return pd.DataFrame(out_rows,
+                        columns=["source", "word", "n", "rank"])
+
+
+QUERIES["top5_words_by_source"] = top5_words_by_source
+ORACLES["top5_words_by_source"] = """
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    c AS (
+      SELECT source, word, COUNT(*) AS n FROM w GROUP BY source, word
+    ),
+    r AS (
+      SELECT source, word, n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n DESC, word) AS rank
+      FROM c
+    )
+    SELECT source, word, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5 ORDER BY source, rank
+"""
