@@ -2591,7 +2591,7 @@ def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     vocab = _fold_df_counts(tok, None)
     out = ds.map_batches(
         TopTfIdfTerms, fn_constructor_args=(ray.put(vocab),),
-        batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+        batch_format="pyarrow", concurrency=auto_concurrency()).to_pandas()
     return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
 

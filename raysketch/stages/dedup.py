@@ -1231,7 +1231,7 @@ def prefix_filter_candidates(tok_ds, id_col: str, threshold: float,
 
             with_df = tok_ds.map_batches(
                 _BroadcastDFAttach, fn_constructor_args=(ray.put(vocab),),
-                batch_format="pyarrow", concurrency=(1, 8))
+                batch_format="pyarrow", concurrency=auto_concurrency())
     if with_df is None:
         with_df = tok_ds.map_batches(tb, batch_format="pyarrow") \
             .groupby("__tb").map_groups(attach_df, batch_format="pandas")
@@ -1322,7 +1322,7 @@ def ngram_jaccard_join(ds, text_col: str = "text", id_col: str = "doc_id",
         kept = docs.map_batches(
             _FusedPrefixRows,
             fn_constructor_args=(rows_fn, ray.put(vocab), threshold, id_col),
-            batch_format="pyarrow", concurrency=(1, 8))
+            batch_format="pyarrow", concurrency=auto_concurrency())
         raw = kept.map_batches(tb, batch_format="pyarrow") \
             .groupby("__tb").map_groups(_emit_prefix_pairs(threshold, id_col),
                                         batch_format="pandas")
@@ -1423,7 +1423,7 @@ def crossdoc_gram_stats(ds, text_col: str = "text", id_col: str = "doc_id",
         return docs.map_batches(
             _CrossDocGramStats,
             fn_constructor_args=(rows_fn, ray.put(vocab), id_col),
-            batch_format="pyarrow", concurrency=(1, 8))
+            batch_format="pyarrow", concurrency=auto_concurrency())
 
     # shuffle fallback: df via by-token bucket groupby (segment length
     # within a token bucket IS the global df), per-doc re-aggregate via
