@@ -2885,3 +2885,66 @@ ORACLES["top5_words_by_source"] = """
     SELECT source, word, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= 5 ORDER BY source, rank
 """
+
+
+def minhash_dedup_planted(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-dup with a SQL-checkable answer: exact copies of
+    every 10th document are planted in-query (doc_id + 10,000,000, same
+    text), then ``minhash_dedup`` runs at threshold=1.0 with the exact
+    char-5-gram verify. At Jaccard 1.0 the pipeline is deterministic
+    regardless of hashing: a J=1.0 pair has IDENTICAL shingle sets, so
+    both OPH signatures are identical, every band bucket matches, the
+    pair is a guaranteed LSH candidate (recall exactly 1), and the exact
+    verify (set equality -> jaccard == 1.0) rejects everything else.
+    The result is therefore precisely the char-5-gram-set equality
+    classes of size >= 2, rooted at the min doc_id — which a SQL oracle
+    states directly by fingerprinting each doc's distinct 5-gram set
+    (the corpus has no natural identical-gram-set pairs; the oracle
+    would surface them if a future corpus did)."""
+    from ..stages.dedup import minhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = np.nonzero(ids % 10 == 0)[0]
+        copies = t.take(pa.array(sel))
+        copies = copies.set_column(
+            copies.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(ids[sel] + 10_000_000))
+        return pa.concat_tables([t, copies])
+
+    aug = ds.map_batches(plant, batch_format="pyarrow")
+    out = minhash_dedup(aug, shingle_k=5, threshold=1.0, verify="exact")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["component"] = out["component"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["minhash_dedup_planted"] = minhash_dedup_planted
+ORACLES["minhash_dedup_planted"] = """
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS gram
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 4)) AS i
+        FROM aug
+      )
+    ),
+    fp AS (
+      SELECT doc_id, string_agg(gram, chr(1) ORDER BY gram) AS f
+      FROM g GROUP BY doc_id
+    ),
+    cls AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY f) AS component,
+             COUNT(*) OVER (PARTITION BY f) AS n
+      FROM fp
+    )
+    SELECT doc_id, component FROM cls WHERE n > 1 ORDER BY doc_id
+"""

@@ -34,6 +34,7 @@ FAST_SUBSET = [
     "scrub_docs",
     "stratified_sample_docs",
     "knn_cosine_top10",
+    "minhash_dedup_planted",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
