@@ -2948,3 +2948,59 @@ ORACLES["minhash_dedup_planted"] = """
     )
     SELECT doc_id, component FROM cls WHERE n > 1 ORDER BY doc_id
 """
+
+
+def events_lag_delta(sf_dir: str) -> pd.DataFrame:
+    """Window NAVIGATION functions (LAG) as a distributed operator: per
+    event, the time gap to the same user's previous event and that
+    previous event's id — `LAG(x) OVER (PARTITION BY user ORDER BY ts)`.
+    Same shape as sessionize: ONE hash-bucket shuffle on user (user
+    count scales with data; a per-user groupby would pay Ray's
+    per-group cost), then fully vectorized inside each bucket — one
+    sort by (user, ts, event_id), shifted-array compare for the
+    partition boundary, int64 microsecond deltas. First event of a
+    user gets -1 (typed sentinel, not null — int64 survives pandas
+    group frames; see CLAUDE.md null-upcast note)."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (_mix64(u) % np.uint64(64)).astype(np.int64)
+        return t.append_column("__b", pa.array(b))
+
+    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        delta = np.r_[np.int64(0), ts[1:] - ts[:-1]]
+        prev = np.r_[np.int64(0), eid[:-1]]
+        delta[first] = -1
+        prev[first] = -1
+        return pd.DataFrame({
+            "event_id": eid.astype(np.int64),
+            "user_id": uid.astype(np.int64),
+            "delta_us": delta,
+            "prev_event_id": prev.astype(np.int64),
+        })
+
+    out = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(lag_bucket, batch_format="pandas")
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+QUERIES["events_lag_delta"] = events_lag_delta
+ORACLES["events_lag_delta"] = """
+    SELECT event_id, user_id,
+           CAST(COALESCE(
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER w, -1) AS BIGINT)
+             AS delta_us,
+           CAST(COALESCE(LAG(event_id) OVER w, -1) AS BIGINT)
+             AS prev_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+"""

@@ -35,6 +35,7 @@ FAST_SUBSET = [
     "stratified_sample_docs",
     "knn_cosine_top10",
     "minhash_dedup_planted",
+    "events_lag_delta",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
