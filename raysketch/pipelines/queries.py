@@ -3004,3 +3004,63 @@ ORACLES["events_lag_delta"] = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY event_id
 """
+
+
+def pivot_user_event_counts(sf_dir: str) -> pd.DataFrame:
+    """PIVOT (long→wide) as a distributed operator: one row per user
+    with a count column per event type. Scale shape: a per-batch
+    COMBINER first reduces raw events to (user, type_idx, n) partial
+    rows (≤ distinct pairs per batch — nothing row-level crosses the
+    exchange), then ONE user-hash bucket shuffle, then fully
+    vectorized wide assembly per bucket (lexsort + reduceat + scatter
+    into the (users × types) count matrix). The type domain is
+    validated against the hardcoded pivot columns so an unexpected
+    category fails loudly instead of silently dropping counts."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        idx = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        if idx.null_count:
+            raise ValueError("unexpected event_type outside pivot domain")
+        et = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = uid * np.int64(len(TYPES)) + et
+        uk, n = np.unique(key, return_counts=True)
+        uu = uk // len(TYPES)
+        b = (_mix64(uu.astype(np.uint64)) % np.uint64(64)).astype(np.int64)
+        return pa.table({"user_id": pa.array(uu),
+                         "ti": pa.array(uk % len(TYPES)),
+                         "n": pa.array(n.astype(np.int64)),
+                         "__b": pa.array(b)})
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ti = g["ti"].to_numpy()
+        n = g["n"].to_numpy()
+        users, urank = np.unique(uid, return_inverse=True)
+        mat = np.zeros((len(users), len(TYPES)), dtype=np.int64)
+        np.add.at(mat, (urank, ti), n)
+        out = {"user_id": users.astype(np.int64)}
+        for i, t in enumerate(TYPES):
+            out[f"n_{t}"] = mat[:, i]
+        return pd.DataFrame(out)
+
+    out = ds.map_batches(combine, batch_format="pyarrow") \
+        .groupby("__b").map_groups(widen, batch_format="pandas")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["pivot_user_event_counts"] = pivot_user_event_counts
+ORACLES["pivot_user_event_counts"] = """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+    FROM events GROUP BY user_id ORDER BY user_id
+"""

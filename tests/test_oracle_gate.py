@@ -36,6 +36,7 @@ FAST_SUBSET = [
     "knn_cosine_top10",
     "minhash_dedup_planted",
     "events_lag_delta",
+    "pivot_user_event_counts",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
