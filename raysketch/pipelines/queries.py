@@ -3064,3 +3064,106 @@ ORACLES["pivot_user_event_counts"] = """
            CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
     FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+def customer_order_stats(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER join + aggregate in ONE shuffle: every customer with
+    their order count and total spend, customers with no orders kept at
+    (0, 0) — the outer-join semantics `bucket_hash_join(how="left")`
+    provides, expressed at scale: orders are combiner-reduced per batch
+    to (custkey, n, cents) partials BEFORE the exchange (row volume ≈
+    distinct customers per batch, never raw orders), both sides tagged
+    with the same hash bucket, and each bucket task finishes the
+    aggregate with lexsort + reduceat then a searchsorted left lookup
+    against its customer keys. Monetary values stay integer cents on
+    both sides (oracle invariant).
+
+    The right side is restricted to URGENT orders (read-side predicate
+    pushdown) — every customer in this corpus has *some* order, so
+    without the restriction the unmatched branch would never fire; with
+    it, customers lacking urgent orders genuinely exercise the outer
+    zero-fill path."""
+    import pyarrow.dataset as pads
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    NB = 64
+
+    def bucket_of(k):
+        return (_mix64(k.astype(np.uint64)) % np.uint64(NB)).astype(np.int64)
+
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def order_partials(t: pa.Table) -> pa.Table:
+        k = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, cents = k[order], cents[order]
+        new = np.r_[True, k[1:] != k[:-1]]
+        starts = np.nonzero(new)[0]
+        uk = k[starts]
+        return pa.table({
+            "custkey": pa.array(uk),
+            "n": pa.array(np.diff(np.r_[starts, len(k)]).astype(np.int64)),
+            "cents": pa.array(np.add.reduceat(cents, starts)),
+            "__b": pa.array(bucket_of(uk)),
+            "__side": pa.array(np.ones(len(uk), dtype=bool)),
+        })
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        z = np.zeros(len(k), dtype=np.int64)
+        return pa.table({
+            "custkey": pa.array(k), "n": pa.array(z), "cents": pa.array(z),
+            "__b": pa.array(bucket_of(k)),
+            "__side": pa.array(np.zeros(len(k), dtype=bool)),
+        })
+
+    def finish_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        part = g[g["__side"]]
+        ck = g[~g["__side"]]["custkey"].to_numpy(dtype=np.int64)
+        pk = part["custkey"].to_numpy(dtype=np.int64)
+        pn = part["n"].to_numpy(dtype=np.int64)
+        pc_ = part["cents"].to_numpy(dtype=np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk, pn, pc_ = pk[order], pn[order], pc_[order]
+        new = np.r_[True, pk[1:] != pk[:-1]] if len(pk) else np.array([], bool)
+        starts = np.nonzero(new)[0]
+        uk = pk[starts]
+        n_tot = np.add.reduceat(pn, starts) if len(starts) else pn
+        c_tot = np.add.reduceat(pc_, starts) if len(starts) else pc_
+        ck = np.sort(ck)
+        n_out = np.zeros(len(ck), dtype=np.int64)
+        c_out = np.zeros(len(ck), dtype=np.int64)
+        if len(uk):
+            pos = np.searchsorted(ck, uk)
+            ok = (pos < len(ck)) & (ck[np.minimum(pos, len(ck) - 1)] == uk)
+            n_out[pos[ok]] = n_tot[ok]
+            c_out[pos[ok]] = c_tot[ok]
+        return pd.DataFrame({"c_custkey": ck, "n_orders": n_out,
+                             "sum_price_cents": c_out})
+
+    both = orders.map_batches(order_partials, batch_format="pyarrow").union(
+        cust.map_batches(cust_rows, batch_format="pyarrow"))
+    out = both.groupby("__b").map_groups(finish_bucket, batch_format="pandas")
+    return out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
+
+QUERIES["customer_order_stats"] = customer_order_stats
+ORACLES["customer_order_stats"] = """
+    SELECT c_custkey,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS sum_price_cents
+    FROM customer LEFT JOIN (
+      SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) o ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+"""

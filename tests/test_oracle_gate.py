@@ -37,6 +37,7 @@ FAST_SUBSET = [
     "minhash_dedup_planted",
     "events_lag_delta",
     "pivot_user_event_counts",
+    "customer_order_stats",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
