@@ -3167,3 +3167,95 @@ ORACLES["customer_order_stats"] = """
     ) o ON c_custkey = o_custkey
     GROUP BY c_custkey ORDER BY c_custkey
 """
+
+
+def rollup_event_hourly(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP / grouping-sets operator: event counts + value sums at
+    three levels — (event_type, hour), (event_type), grand total — in
+    ONE distributed pass. Scale shape: raw events are combiner-reduced
+    per batch to (hour, type, n, cents) partials (≤ finest-level
+    cardinality per batch, ~3.6k keys at any sf, never raw rows), one
+    hash-bucket shuffle finalizes the finest level, and the coarser
+    rollup levels are exact re-aggregations of that small finest table
+    (sums of sums) on the driver. Level markers are typed sentinels
+    ('ALL', hour_us = -1), never nulls — the oracle states them with
+    COALESCE over GROUP BY ROLLUP."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    NB = 64
+    HOUR = np.int64(3_600_000_000)
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // HOUR
+        ti = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        if ti.null_count:
+            raise ValueError("unexpected event_type outside rollup domain")
+        ti = ti.to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        key = hour * np.int64(len(TYPES)) + ti
+        order = np.argsort(key, kind="stable")
+        key, cents = key[order], cents[order]
+        new = np.r_[True, key[1:] != key[:-1]]
+        starts = np.nonzero(new)[0]
+        uk = key[starts]
+        b = (_mix64(uk.astype(np.uint64)) % np.uint64(NB)).astype(np.int64)
+        return pa.table({
+            "key": pa.array(uk),
+            "n": pa.array(np.diff(np.r_[starts, len(key)]).astype(np.int64)),
+            "cents": pa.array(np.add.reduceat(cents, starts)),
+            "__b": pa.array(b),
+        })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy(dtype=np.int64)
+        n = g["n"].to_numpy(dtype=np.int64)
+        cents = g["cents"].to_numpy(dtype=np.int64)
+        order = np.argsort(key, kind="stable")
+        key, n, cents = key[order], n[order], cents[order]
+        new = np.r_[True, key[1:] != key[:-1]]
+        starts = np.nonzero(new)[0]
+        uk = key[starts]
+        return pd.DataFrame({
+            "key": uk,
+            "n": np.add.reduceat(n, starts),
+            "cents": np.add.reduceat(cents, starts),
+        })
+
+    finest = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby("__b").map_groups(finish, batch_format="pandas") \
+        .to_pandas()  # ~3.6k rows: the finest level IS the small result
+    finest["event_type"] = np.array(TYPES)[
+        (finest["key"] % len(TYPES)).to_numpy()]
+    finest["hour_us"] = (finest["key"] // len(TYPES)).to_numpy() * HOUR
+
+    lvl0 = finest[["event_type", "hour_us", "n", "cents"]].copy()
+    lvl1 = finest.groupby("event_type", as_index=False)[["n", "cents"]].sum()
+    lvl1["hour_us"] = np.int64(-1)
+    lvl2 = pd.DataFrame({"event_type": ["ALL"], "hour_us": [np.int64(-1)],
+                         "n": [finest["n"].sum()],
+                         "cents": [finest["cents"].sum()]})
+    out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)
+    out = out.rename(columns={"cents": "sum_value_cents"}).astype(
+        {"hour_us": "int64", "n": "int64", "sum_value_cents": "int64"})
+    return out[["event_type", "hour_us", "n", "sum_value_cents"]] \
+        .sort_values(["event_type", "hour_us"]).reset_index(drop=True)
+
+
+QUERIES["rollup_event_hourly"] = rollup_event_hourly
+ORACLES["rollup_event_hourly"] = """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           CAST(COALESCE(epoch_us(hour), -1) AS BIGINT) AS hour_us,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+    FROM (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    GROUP BY ROLLUP (event_type, hour)
+    ORDER BY COALESCE(event_type, 'ALL'), CAST(COALESCE(epoch_us(hour), -1) AS BIGINT)
+"""

@@ -38,6 +38,7 @@ FAST_SUBSET = [
     "events_lag_delta",
     "pivot_user_event_counts",
     "customer_order_stats",
+    "rollup_event_hourly",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
