@@ -3259,3 +3259,60 @@ ORACLES["rollup_event_hourly"] = """
     GROUP BY ROLLUP (event_type, hour)
     ORDER BY COALESCE(event_type, 'ALL'), CAST(COALESCE(epoch_us(hour), -1) AS BIGINT)
 """
+
+
+def ntile_orders_by_price(sf_dir: str) -> pd.DataFrame:
+    """Distributed NTILE(4): every order assigned its global price
+    quartile without any all-to-all sort. The 0-based global rank is a
+    prefix COUNT over a composite unique key (price_cents << 32 |
+    orderkey — strict monotone in (price, orderkey) while orderkey <
+    2^32; the guard raises past that, where the scan key would widen
+    to a two-level split) via `ordered_prefix_scan` — driver-folded
+    range-bucket partials plus ONE 16-byte-row bucket shuffle. Tile
+    boundaries follow SQL NTILE semantics exactly (first n%k tiles get
+    the extra row), computed vectorized from rank and the metadata-only
+    total count."""
+    from ..stages.scan import ordered_prefix_scan
+
+    K = 4
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    n = ds.count()  # parquet metadata only
+    q, r = divmod(n, K)
+
+    def prep(t: pa.Table) -> pa.Table:
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        if len(okey) and okey.max() >= (1 << 32):
+            raise ValueError("orderkey >= 2^32: widen the scan key")
+        cents = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": pa.array((cents << np.int64(32)) | okey),
+            "one": pa.array(np.ones(len(okey), dtype=np.int64)),
+            "o_orderkey": pa.array(okey),
+        })
+
+    scan = ordered_prefix_scan(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "key", "one", op="sum", carry_cols=["o_orderkey"])
+
+    def tile_of(t: pa.Table) -> pa.Table:
+        rank = t.column("prefix").to_numpy(zero_copy_only=False)
+        if q == 0:
+            tile = rank  # n < K: one row per tile, NTILE gives rank+1
+        else:
+            big = r * (q + 1)
+            tile = np.where(rank < big, rank // (q + 1),
+                            r + (rank - big) // max(q, 1))
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "tile": pa.array(tile.astype(np.int64))})
+
+    out = scan.map_batches(tile_of, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+QUERIES["ntile_orders_by_price"] = ntile_orders_by_price
+ORACLES["ntile_orders_by_price"] = """
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) - 1
+                AS BIGINT) AS tile
+    FROM orders ORDER BY o_orderkey
+"""

@@ -92,9 +92,16 @@ def ordered_prefix_scan(ds, key_col: str, val_col: str, op: str = "sum",
     lo, hi = int(meta["lo"].min()), int(meta["hi"].max())
     B = int(num_buckets)
     span = max(hi - lo + 1, 1)
+    # ceil-width division, NOT (k-lo)*B//span: the multiply overflows
+    # int64 once keys span more than 2^63/B (e.g. the composite
+    # (cents<<32|id) ranking keys), which silently yields negative
+    # bucket ids. Same monotone partition of [lo, hi] into ≤B cells;
+    # scan results are bucket-boundary-invariant (locked by the
+    # partition-invariance tests).
+    width = max(-(-span // B), 1)
 
     def bucket_of(k: np.ndarray) -> np.ndarray:
-        return ((k.astype(np.int64) - lo) * B // span).astype(np.int64)
+        return ((k.astype(np.int64) - lo) // width).astype(np.int64)
 
     def bucket_partials(t: pa.Table) -> pa.Table:
         k = t.column(key_col).to_numpy(zero_copy_only=False)

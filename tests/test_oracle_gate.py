@@ -39,6 +39,7 @@ FAST_SUBSET = [
     "pivot_user_event_counts",
     "customer_order_stats",
     "rollup_event_hourly",
+    "ntile_orders_by_price",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
