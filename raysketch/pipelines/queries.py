@@ -3316,3 +3316,128 @@ ORACLES["ntile_orders_by_price"] = """
                 AS BIGINT) AS tile
     FROM orders ORDER BY o_orderkey
 """
+
+
+def events_window_frame(sf_dir: str) -> pd.DataFrame:
+    """Window FRAME aggregate (``ROWS BETWEEN 3 PRECEDING AND CURRENT
+    ROW``) as a distributed operator: per event, the running sum/count
+    of the user's last ≤4 event values. Same single-shuffle shape as
+    events_lag_delta: cents conversion happens BEFORE the exchange (the
+    shuffle carries int64, never doubles), one hash-bucket shuffle on
+    user, then fully vectorized inside each bucket — one sort, a
+    partition-start vector via ``np.maximum.accumulate`` over the
+    first-row mask, and the frame sum as a difference of two gathers
+    into the zero-prefixed cumsum (no per-window loop)."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (_mix64(u) % np.uint64(64)).astype(np.int64)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "cents": _cents(t.column("value")),
+            "__b": pa.array(b),
+        })
+
+    def frame_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+        n = len(g)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+        i = np.arange(n)
+        ws = np.maximum(i - 3, start)
+        csz = np.r_[np.int64(0), np.cumsum(cents)]
+        return pd.DataFrame({
+            "event_id": eid.astype(np.int64),
+            "w_sum_cents": (csz[i + 1] - csz[ws]).astype(np.int64),
+            "w_n": (i - ws + 1).astype(np.int64),
+        })
+
+    out = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(frame_bucket, batch_format="pandas")
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+QUERIES["events_window_frame"] = events_window_frame
+ORACLES["events_window_frame"] = """
+    SELECT event_id,
+           CAST(SUM(cents) OVER w AS BIGINT) AS w_sum_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS w_n
+    FROM (SELECT event_id, user_id, ts,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+"""
+
+
+def price_discount_corr(sf_dir: str) -> pd.DataFrame:
+    """Distributed Pearson correlation + OLS slope via EXACT integer
+    moments — the combiner pattern taken to its limit: each batch
+    reduces to six integers (n, Σx, Σy, Σx², Σy², Σxy over cent-scaled
+    lineitem price/discount), the driver folds them with arbitrary-
+    precision Python ints, and only the final one-row expression
+    touches floats. Σx² would overflow int64 over ~1e5 rows of 1e7-cent
+    prices, so each batch splits x² into (hi, lo) = divmod(x², 2^32)
+    and sums the halves separately in int64 (hi ≤ 2.6e4/row, lo < 2^32
+    — both safe past 1e9 rows/batch). The float expression is written
+    identically in the SQL oracle (exact HUGEINT moments → one
+    CAST/SQRT/divide tree), so correctly-rounded IEEE ops make the
+    doubles match BIT-FOR-BIT — no tolerance needed."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_discount"])
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        x = _cents(t.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+        y = _cents(t.column("l_discount")).to_numpy(zero_copy_only=False)
+        xx = x * x
+        hi, lo = xx >> np.int64(32), xx & np.int64((1 << 32) - 1)
+        return pd.DataFrame([{
+            "n": len(x), "sx": int(x.sum()), "sy": int(y.sum()),
+            "sxx_hi": int(hi.sum()), "sxx_lo": int(lo.sum()),
+            "syy": int((y * y).sum()), "sxy": int((x * y).sum()),
+        }])
+
+    p = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    sx, sy = int(p["sx"].sum()), int(p["sy"].sum())
+    sxx = (int(p["sxx_hi"].sum()) << 32) + int(p["sxx_lo"].sum())
+    syy, sxy = int(p["syy"].sum()), int(p["sxy"].sum())
+    num = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    import math
+
+    return _one_row(
+        n=np.int64(n),
+        corr_xy=float(num) / math.sqrt(float(varx) * float(vary)),
+        slope_yx=float(num) / float(varx),
+    )
+
+
+QUERIES["price_discount_corr"] = price_discount_corr
+ORACLES["price_discount_corr"] = """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x*x) AS HUGEINT) AS sxx,
+             CAST(SUM(y*y) AS HUGEINT) AS syy,
+             CAST(SUM(x*y) AS HUGEINT) AS sxy
+      FROM (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS x,
+                   CAST(ROUND(l_discount*100) AS BIGINT) AS y
+            FROM lineitem))
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+             / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                    * CAST(n*syy - sy*sy AS DOUBLE)) AS corr_xy,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+             / CAST(n*sxx - sx*sx AS DOUBLE) AS slope_yx
+    FROM m
+"""

@@ -40,6 +40,8 @@ FAST_SUBSET = [
     "customer_order_stats",
     "rollup_event_hourly",
     "ntile_orders_by_price",
+    "events_window_frame",
+    "price_discount_corr",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
