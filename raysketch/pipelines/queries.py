@@ -3441,3 +3441,115 @@ ORACLES["price_discount_corr"] = """
              / CAST(n*sxx - sx*sx AS DOUBLE) AS slope_yx
     FROM m
 """
+
+
+def top_customer_by_nation(sf_dir: str) -> pd.DataFrame:
+    """ARGMAX per group (``max_by`` / ``FIRST_VALUE``) as a pure
+    combiner: each batch reduces customers to ≤1 row per nationkey
+    (lexsort on (nation, -acctbal_cents, custkey), take group heads via
+    ``np.unique(return_index)``), the driver folds the ≤25-row partials
+    with the same vectorized argmax, then nation names come from a
+    driver-read 25-row dim table — zero shuffles, nothing but partial
+    winners ever leaves a task. Tie-break is total (max balance, then
+    MIN custkey), so the result is deterministic and matches the
+    ROW_NUMBER oracle exactly."""
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def head_rows(t: pa.Table) -> pd.DataFrame:
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        cents = _cents(t.column("c_acctbal")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -cents, nk))
+        _, firsts = np.unique(nk[order], return_index=True)
+        keep = order[firsts]
+        return pd.DataFrame({"nk": nk[keep], "c_custkey": ck[keep],
+                             "acctbal_cents": cents[keep]})
+
+    p = ds.map_batches(head_rows, batch_format="pyarrow").to_pandas()
+    nk = p["nk"].to_numpy()
+    ck = p["c_custkey"].to_numpy()
+    cents = p["acctbal_cents"].to_numpy()
+    order = np.lexsort((ck, -cents, nk))
+    _, firsts = np.unique(nk[order], return_index=True)
+    keep = order[firsts]
+    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                             columns=["n_nationkey", "n_name"])
+    names = nation.set_index("n_nationkey")["n_name"]
+    out = pd.DataFrame({
+        "n_name": names.loc[nk[keep]].to_numpy(),
+        "c_custkey": ck[keep].astype(np.int64),
+        "acctbal_cents": cents[keep].astype(np.int64),
+    })
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+QUERIES["top_customer_by_nation"] = top_customer_by_nation
+ORACLES["top_customer_by_nation"] = """
+    SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
+    FROM (SELECT n_name, c_custkey, c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                   ORDER BY ROUND(c_acctbal*100) DESC, c_custkey) AS rn
+          FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    WHERE rn = 1 ORDER BY n_name
+"""
+
+
+def user_set_ops(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed set algebra (EXCEPT / INTERSECT / symmetric
+    difference) over the distinct viewer and purchaser user sets: each
+    batch dedups (user, side-bit) pairs before the exchange, ONE
+    user-hash bucket shuffle of 16-byte rows, then each bucket ORs the
+    side bits per user (sort + ``np.bitwise_or.reduceat``) and counts
+    membership classes — users never co-reside anywhere, so the
+    KMV-estimate twin (user_overlap_view_purchase) can fall back to
+    this path exactly when a bucket's keys fit a task at any scale."""
+    import ray.data
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"]) \
+        .filter(expr="event_type == 'view' or event_type == 'purchase'")
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bit = pc.equal(t.column("event_type"), "purchase").to_numpy(
+            zero_copy_only=False).astype(np.int64) + 1  # view→1, purchase→2
+        key = u * 4 + bit
+        uk = np.unique(key)
+        uu = uk >> 2
+        b = (_mix64(uu.astype(np.uint64)) % np.uint64(64)).astype(np.int64)
+        return pa.table({"user": pa.array(uu), "bit": pa.array(uk & 3),
+                         "__b": pa.array(b)})
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user"].to_numpy()
+        bit = g["bit"].to_numpy()
+        order = np.argsort(u, kind="stable")
+        u, bit = u[order], bit[order]
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        flags = np.bitwise_or.reduceat(bit, starts)
+        return pd.DataFrame([{
+            "view_only": int((flags == 1).sum()),
+            "purchase_only": int((flags == 2).sum()),
+            "both": int((flags == 3).sum()),
+        }])
+
+    p = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__b").map_groups(classify, batch_format="pandas").to_pandas()
+    return _one_row(
+        n_view_only=np.int64(p["view_only"].sum()),
+        n_purchase_only=np.int64(p["purchase_only"].sum()),
+        n_both=np.int64(p["both"].sum()),
+    )
+
+
+QUERIES["user_set_ops"] = user_set_ops
+ORACLES["user_set_ops"] = """
+    WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT
+      CAST((SELECT COUNT(*) FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p)) AS BIGINT) AS n_view_only,
+      CAST((SELECT COUNT(*) FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM v)) AS BIGINT) AS n_purchase_only,
+      CAST((SELECT COUNT(*) FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p)) AS BIGINT) AS n_both
+"""

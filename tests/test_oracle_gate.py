@@ -42,6 +42,8 @@ FAST_SUBSET = [
     "ntile_orders_by_price",
     "events_window_frame",
     "price_discount_corr",
+    "top_customer_by_nation",
+    "user_set_ops",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
