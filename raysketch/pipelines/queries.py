@@ -3553,3 +3553,148 @@ ORACLES["user_set_ops"] = """
       CAST((SELECT COUNT(*) FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM v)) AS BIGINT) AS n_purchase_only,
       CAST((SELECT COUNT(*) FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p)) AS BIGINT) AS n_both
 """
+
+
+def big_orders_having(sf_dir: str, min_qty: float = 150.0) -> pd.DataFrame:
+    """GROUP BY + HAVING + join-back (TPC-H Q18 shape): orders whose
+    total lineitem quantity exceeds a threshold, annotated with the
+    order's customer and price. Lineitem is combiner-reduced per batch
+    to (orderkey, qty_cents) partials before ONE bucket shuffle; each
+    bucket finishes the sum and applies the HAVING filter, so what
+    survives is small BY CONTRACT (the threshold exists to select
+    outliers) — that qualifying set is then broadcast (``ray.put``
+    once, searchsorted per batch) into a streaming pass over orders
+    instead of shuffling the big orders table. At a scale where the
+    HAVING output itself outgrows a broadcast, swap the last step for
+    stages.joins.bucket_hash_join on orderkey — same bucket key as the
+    aggregate, so the orders side would be the only new exchange."""
+    import ray
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    NB = 64
+    thresh = int(round(min_qty * 100))
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        q = _cents(t.column("l_quantity")).to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, q = k[order], q[order]
+        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
+        uk = k[starts]
+        return pa.table({
+            "okey": pa.array(uk),
+            "qty": pa.array(np.add.reduceat(q, starts)),
+            "__b": pa.array((_mix64(uk.astype(np.uint64)) % np.uint64(NB)).astype(np.int64)),
+        })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["okey"].to_numpy(dtype=np.int64)
+        q = g["qty"].to_numpy(dtype=np.int64)
+        order = np.argsort(k, kind="stable")
+        k, q = k[order], q[order]
+        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
+        uk = k[starts]
+        tot = np.add.reduceat(q, starts)
+        keep = tot > thresh
+        return pd.DataFrame({"okey": uk[keep], "qty": tot[keep]})
+
+    qual = li.map_batches(partials, batch_format="pyarrow") \
+        .groupby("__b").map_groups(finish, batch_format="pandas").to_pandas()
+    keys = np.sort(qual["okey"].to_numpy(dtype=np.int64))
+    qty = qual.set_index("okey")["qty"].loc[keys].to_numpy(dtype=np.int64)
+    ref = ray.put((keys, qty))
+
+    class AttachQualified:
+        def __init__(self, ref):
+            self.keys, self.qty = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, k)
+            pos_c = np.minimum(pos, max(len(self.keys) - 1, 0))
+            hit = (len(self.keys) > 0) & (pos < len(self.keys)) \
+                & (self.keys[pos_c] == k)
+            price = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+            ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            return pd.DataFrame({
+                "o_orderkey": k[hit].astype(np.int64),
+                "o_custkey": ck[hit].astype(np.int64),
+                "price_cents": price[hit],
+                "sum_qty_cents": self.qty[pos[hit]] if hit.any()
+                    else np.array([], dtype=np.int64),
+            })
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = orders.map_batches(AttachQualified, fn_constructor_args=(ref,),
+                             batch_format="pyarrow",
+                             concurrency=auto_concurrency()).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+QUERIES["big_orders_having"] = big_orders_having
+ORACLES["big_orders_having"] = """
+    SELECT CAST(l_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_orderkey, o_custkey, o_totalprice
+    HAVING SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) > 15000
+    ORDER BY o_orderkey
+"""
+
+
+def percent_rank_orders(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK + CUME_DIST over a global ordering WITHOUT an
+    all-to-all sort: the 0-based global rank of each order under
+    (price, orderkey) comes from the same `ordered_prefix_scan`
+    composite-key prefix COUNT that powers ntile_orders_by_price; the
+    two window values are then pure vectorized arithmetic on (rank, n)
+    — and because the composite key is tie-free, SQL's rank-with-peers
+    definitions reduce to exactly rank/(n-1) and (rank+1)/n, computed
+    as single IEEE divisions of exactly-representable integers on both
+    sides, so the doubles match bit-for-bit."""
+    from ..stages.scan import ordered_prefix_scan
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    n = ds.count()  # parquet metadata only
+
+    def prep(t: pa.Table) -> pa.Table:
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        if len(okey) and okey.max() >= (1 << 32):
+            raise ValueError("orderkey >= 2^32: widen the scan key")
+        cents = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": pa.array((cents << np.int64(32)) | okey),
+            "one": pa.array(np.ones(len(okey), dtype=np.int64)),
+            "o_orderkey": pa.array(okey),
+        })
+
+    scan = ordered_prefix_scan(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "key", "one", op="sum", carry_cols=["o_orderkey"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        rank = t.column("prefix").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "pct_rank": pa.array(rank / max(n - 1, 1)),
+            "cume_dist": pa.array((rank + 1.0) / n),
+        })
+
+    out = scan.map_batches(windows, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+QUERIES["percent_rank_orders"] = percent_rank_orders
+ORACLES["percent_rank_orders"] = """
+    SELECT o_orderkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume_dist
+    FROM orders
+    WINDOW w AS (ORDER BY ROUND(o_totalprice*100), o_orderkey)
+    ORDER BY o_orderkey
+"""

@@ -44,6 +44,8 @@ FAST_SUBSET = [
     "price_discount_corr",
     "top_customer_by_nation",
     "user_set_ops",
+    "big_orders_having",
+    "percent_rank_orders",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
