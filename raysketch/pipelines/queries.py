@@ -3689,6 +3689,123 @@ def percent_rank_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def events_range_window(sf_dir: str) -> pd.DataFrame:
+    """Time-RANGE window frame (``RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW``) — variable-width and peer-INCLUSIVE,
+    unlike the fixed ROWS frame of events_window_frame: per event, the
+    sum/count of the same user's event cents in the trailing hour,
+    where rows sharing the current timestamp (peers) are in-frame even
+    when physically later. One user-hash bucket shuffle; inside a
+    bucket, partitions are disjoint segments of one sorted array offset
+    by partition_index × (span + window) so a single global
+    ``np.searchsorted`` yields every frame's [left, right) bounds —
+    left = first ts ≥ ts−1h, right = past-the-peers — and the frame
+    aggregates are cumsum-gather differences. No per-row or per-window
+    loop anywhere."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    HOUR = np.int64(3_600_000_000)  # µs
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (_mix64(u) % np.uint64(64)).astype(np.int64)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "cents": _cents(t.column("value")),
+            "__b": pa.array(b),
+        })
+
+    def range_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = g["cents"].to_numpy()
+        n = len(g)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        pidx = np.cumsum(first) - 1  # 0-based partition index
+        span = (ts.max() - ts.min() + HOUR + 1) if n else np.int64(1)
+        adj = ts + pidx * (span + HOUR + 1)
+        left = np.searchsorted(adj, adj - HOUR, side="left")
+        right = np.searchsorted(adj, adj, side="right")  # include peers
+        csz = np.r_[np.int64(0), np.cumsum(cents)]
+        return pd.DataFrame({
+            "event_id": eid.astype(np.int64),
+            "hr_sum_cents": (csz[right] - csz[left]).astype(np.int64),
+            "hr_n": (right - left).astype(np.int64),
+        })
+
+    out = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(range_bucket, batch_format="pandas")
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+QUERIES["events_range_window"] = events_range_window
+ORACLES["events_range_window"] = """
+    SELECT event_id,
+           CAST(SUM(cents) OVER w AS BIGINT) AS hr_sum_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS hr_n
+    FROM (SELECT event_id, user_id, ts,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+"""
+
+
+def user_event_path(sf_dir: str) -> pd.DataFrame:
+    """Ordered STRING_AGG per group: each user's full event-type
+    sequence joined with '->' in (ts, event_id) order. One user-hash
+    bucket shuffle; inside a bucket the concatenation is pure Arrow —
+    group offsets from the sorted partition boundaries build a
+    ``ListArray`` view over the type column (zero string copies), then
+    ``pc.binary_join`` emits every user's path in one C kernel. The
+    per-group ORDER BY makes the aggregate deterministic — the same
+    total-order contract every grouped result in this suite relies
+    on."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (_mix64(u) % np.uint64(64)).astype(np.int64)
+        return t.append_column("__b", pa.array(b))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        types = pa.array(g["event_type"].to_numpy(), type=pa.string())
+        n = len(g)
+        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
+        offsets = pa.array(np.r_[starts, n].astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets, types)
+        path = pc.binary_join(lists, "->")
+        return pd.DataFrame({
+            "user_id": uid[starts].astype(np.int64),
+            "n_events": np.diff(np.r_[starts, n]).astype(np.int64),
+            "path": path.to_pandas(),
+        })
+
+    out = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(join_bucket, batch_format="pandas")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["user_event_path"] = user_event_path
+ORACLES["user_event_path"] = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           STRING_AGG(event_type, '->' ORDER BY ts, event_id) AS path
+    FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES["percent_rank_orders"] = percent_rank_orders
 ORACLES["percent_rank_orders"] = """
     SELECT o_orderkey,

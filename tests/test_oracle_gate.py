@@ -46,6 +46,8 @@ FAST_SUBSET = [
     "user_set_ops",
     "big_orders_having",
     "percent_rank_orders",
+    "events_range_window",
+    "user_event_path",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
