@@ -3744,6 +3744,157 @@ def events_range_window(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def cube_event_dow(sf_dir: str) -> pd.DataFrame:
+    """CUBE grouping sets — all FOUR subsets of (event_type, weekday)
+    in one distributed pass (vs ROLLUP's prefix chain in
+    rollup_event_hourly): per-batch combiner reduces raw events to
+    finest-level (type, dow) partials (≤35 keys per batch), one
+    hash-bucket shuffle finalizes the finest level, and every coarser
+    grouping set — (type), (dow), () — is an exact sum-of-sums over
+    that 35-row table on the driver. Weekday is computed vectorized
+    from the µs epoch ((days+4) % 7, Sunday=0 — matching DuckDB's
+    ``dayofweek``); typed sentinels ('ALL', -1), never nulls."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    NB = 16
+    DAY = np.int64(86_400_000_000)
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // DAY + 4) % 7  # 1970-01-01 = Thursday; Sunday = 0
+        ti = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        if ti.null_count:
+            raise ValueError("unexpected event_type outside cube domain")
+        ti = ti.to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        key = dow * np.int64(len(TYPES)) + ti
+        order = np.argsort(key, kind="stable")
+        key, cents = key[order], cents[order]
+        starts = np.r_[0, np.flatnonzero(key[1:] != key[:-1]) + 1]
+        uk = key[starts]
+        b = (_mix64(uk.astype(np.uint64)) % np.uint64(NB)).astype(np.int64)
+        return pa.table({
+            "key": pa.array(uk),
+            "n": pa.array(np.diff(np.r_[starts, len(key)]).astype(np.int64)),
+            "cents": pa.array(np.add.reduceat(cents, starts)),
+            "__b": pa.array(b),
+        })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy(dtype=np.int64)
+        n = g["n"].to_numpy(dtype=np.int64)
+        cents = g["cents"].to_numpy(dtype=np.int64)
+        order = np.argsort(key, kind="stable")
+        key, n, cents = key[order], n[order], cents[order]
+        starts = np.r_[0, np.flatnonzero(key[1:] != key[:-1]) + 1]
+        return pd.DataFrame({
+            "key": key[starts],
+            "n": np.add.reduceat(n, starts),
+            "cents": np.add.reduceat(cents, starts),
+        })
+
+    finest = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby("__b").map_groups(finish, batch_format="pandas").to_pandas()
+    finest["event_type"] = np.array(TYPES)[(finest["key"] % len(TYPES)).to_numpy()]
+    finest["dow"] = (finest["key"] // len(TYPES)).astype(np.int64)
+
+    lvl_td = finest[["event_type", "dow", "n", "cents"]].copy()
+    lvl_t = finest.groupby("event_type", as_index=False)[["n", "cents"]].sum()
+    lvl_t["dow"] = np.int64(-1)
+    lvl_d = finest.groupby("dow", as_index=False)[["n", "cents"]].sum()
+    lvl_d["event_type"] = "ALL"
+    lvl_all = pd.DataFrame({"event_type": ["ALL"], "dow": [np.int64(-1)],
+                            "n": [finest["n"].sum()],
+                            "cents": [finest["cents"].sum()]})
+    out = pd.concat([lvl_td, lvl_t, lvl_d, lvl_all], ignore_index=True)
+    out = out.rename(columns={"cents": "sum_value_cents"}).astype(
+        {"dow": "int64", "n": "int64", "sum_value_cents": "int64"})
+    return out[["event_type", "dow", "n", "sum_value_cents"]] \
+        .sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+QUERIES["cube_event_dow"] = cube_event_dow
+ORACLES["cube_event_dow"] = """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           CAST(COALESCE(dow, -1) AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+    FROM (SELECT event_type, dayofweek(ts) AS dow,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events)
+    GROUP BY CUBE (event_type, dow)
+    ORDER BY COALESCE(event_type, 'ALL'), CAST(COALESCE(dow, -1) AS BIGINT)
+"""
+
+
+def unpivot_lineitem_measures(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT (wide→long) — the inverse of pivot_user_event_counts:
+    each 1995-shipped lineitem row becomes four (measure, cents) rows
+    for quantity / extendedprice / discount / tax. Zero shuffle: a
+    read-side predicate pushdown prunes row groups to the ship year,
+    then one map_batches stacks the four cent-scaled columns with
+    ``np.tile``d measure labels (dictionary-encoded, so the label
+    column ships as int8 indices) — row explosion happens inside the
+    streaming pass, never on the driver."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    MEASURES = ["quantity", "extendedprice", "discount", "tax"]
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+        filter=(pads.field("l_shipdate") >= datetime.datetime(1995, 1, 1))
+        & (pads.field("l_shipdate") < datetime.datetime(1996, 1, 1)),
+    )
+
+    def unpivot(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = t.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.concatenate([
+            _cents(t.column(f"l_{m}")).to_numpy(zero_copy_only=False)
+            for m in MEASURES])
+        labels = pa.DictionaryArray.from_arrays(
+            pa.array(np.repeat(np.arange(len(MEASURES), dtype=np.int8), n)),
+            pa.array(MEASURES))
+        return pa.table({
+            "l_orderkey": pa.array(np.tile(ok, len(MEASURES))),
+            "l_linenumber": pa.array(np.tile(ln, len(MEASURES))),
+            "measure": labels,
+            "cents": pa.array(cents),
+        })
+
+    out = ds.map_batches(unpivot, batch_format="pyarrow").to_pandas()
+    out["measure"] = out["measure"].astype(str)
+    return out.sort_values(["l_orderkey", "l_linenumber", "measure"]) \
+        .reset_index(drop=True)
+
+
+QUERIES["unpivot_lineitem_measures"] = unpivot_lineitem_measures
+ORACLES["unpivot_lineitem_measures"] = """
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           measure, CAST(cents AS BIGINT) AS cents
+    FROM (
+      SELECT l_orderkey, l_linenumber, measure,
+             CAST(ROUND(val * 100) AS BIGINT) AS cents
+      FROM (SELECT l_orderkey, l_linenumber,
+                   l_quantity AS quantity, l_extendedprice AS extendedprice,
+                   l_discount AS discount, l_tax AS tax
+            FROM lineitem
+            WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01')
+      UNPIVOT (val FOR measure IN (quantity, extendedprice, discount, tax)))
+    ORDER BY l_orderkey, l_linenumber, measure
+"""
+
+
 QUERIES["events_range_window"] = events_range_window
 ORACLES["events_range_window"] = """
     SELECT event_id,

@@ -48,6 +48,8 @@ FAST_SUBSET = [
     "percent_rank_orders",
     "events_range_window",
     "user_event_path",
+    "cube_event_dow",
+    "unpivot_lineitem_measures",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
