@@ -3744,6 +3744,80 @@ def events_range_window(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def hash_sample_orders(sf_dir: str, pct: int = 5) -> pd.DataFrame:
+    """Deterministic distributed Bernoulli sampling: keep ~pct% of
+    orders by a pure hash condition on the key (Knuth multiplicative
+    hash mod 100) — embarrassingly parallel, zero shuffle, and unlike
+    ``ds.random_sample`` the result is REPRODUCIBLE at any parallelism
+    and expressible in SQL, so the sample itself is oracle-checked.
+    This is the sampling primitive the curation pipeline's audit holds
+    use: the same row survives on every cluster size, so downstream
+    runs can be diffed run-to-run."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    K = np.int64(2654435761)  # Knuth multiplicative constant
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        m = ((k * K) % np.int64(1_000_000_007)) % np.int64(100) < pct
+        return pa.table({
+            "o_orderkey": pa.array(k[m]),
+            "price_cents": pa.array(
+                _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)[m]),
+        })
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+QUERIES["hash_sample_orders"] = hash_sample_orders
+ORACLES["hash_sample_orders"] = """
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE ((o_orderkey * 2654435761) % 1000000007) % 100 < 5
+    ORDER BY o_orderkey
+"""
+
+
+def customers_with_urgent_orders(sf_dir: str) -> pd.DataFrame:
+    """SEMI join as a first-class query: customers having ≥1 URGENT
+    order, via `stages.joins.bucket_semi_join` — the shuffle-based path
+    (each side bucketed by key hash, per-bucket membership check) that
+    stays correct when the key set outgrows a broadcast. The right side
+    is pruned to (key-only, URGENT rows) at the READ, so the exchange
+    carries 8-byte keys, never order rows."""
+    import pyarrow.dataset as pads
+
+    import ray.data
+
+    from ..stages.joins import bucket_semi_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def to_key(t: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": pc.unique(t.column("o_custkey"))})
+
+    urgent = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    ).map_batches(to_key, batch_format="pyarrow")
+
+    out = bucket_semi_join(cust, urgent, on="c_custkey").to_pandas()
+    out["acctbal_cents"] = np.round(out.pop("c_acctbal") * 100).astype(np.int64)
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+QUERIES["customers_with_urgent_orders"] = customers_with_urgent_orders
+ORACLES["customers_with_urgent_orders"] = """
+    SELECT c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+"""
+
+
 def cube_event_dow(sf_dir: str) -> pd.DataFrame:
     """CUBE grouping sets — all FOUR subsets of (event_type, weekday)
     in one distributed pass (vs ROLLUP's prefix chain in

@@ -50,6 +50,8 @@ FAST_SUBSET = [
     "user_event_path",
     "cube_event_dow",
     "unpivot_lineitem_measures",
+    "hash_sample_orders",
+    "customers_with_urgent_orders",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
