@@ -4040,3 +4040,78 @@ ORACLES["percent_rank_orders"] = """
     WINDOW w AS (ORDER BY ROUND(o_totalprice*100), o_orderkey)
     ORDER BY o_orderkey
 """
+
+
+def user_view_purchase_outer(sf_dir: str, num_buckets: int = 64,
+                             cut: float = 99.0) -> pd.DataFrame:
+    """FULL OUTER JOIN as a first-class oracle-checked operator: per-user
+    high-value view count ⟗ per-user high-value purchase count,
+    zero-filled on whichever side the user is missing from. The
+    ``value > cut`` predicate makes each side sparse so BOTH unmatched
+    branches genuinely fire on the real data (sf0.001: 3 view-only +
+    2 purchase-only users; sf0.01: 27 + 24) — without it every user has
+    every event type and the outer join degenerates to an inner one.
+    Each side is reduced with the standard combiner pattern — per-batch
+    (user, n) partials, one user-hash bucket shuffle, lexsort/reduceat —
+    then stages.joins.bucket_full_outer_join re-uses the SAME hash-bucket
+    key for the outer exchange, with typed integer fills so counts stay
+    int64 end to end (ids beyond 2^53 would be silently rounded by
+    pandas' NaN-upcast otherwise)."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    def _per_user_count(etype: str, out_col: str):
+        ds = _read(sf_dir, "events",
+                   columns=["user_id", "event_type", "value"])
+
+        def partials(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(pc.equal(t.column("event_type"), etype),
+                                 pc.greater(t.column("value"), cut)))
+            u = t.column("user_id").to_numpy(zero_copy_only=False)
+            uu, n = np.unique(u, return_counts=True)
+            return pa.table({
+                "user_id": pa.array(uu),
+                out_col: pa.array(n.astype(np.int64)),
+                "__b": pa.array((_mix64(uu.astype(np.uint64))
+                                 % np.uint64(num_buckets)).astype(np.int64)),
+            })
+
+        def finish(g: pd.DataFrame) -> pd.DataFrame:
+            u = g["user_id"].to_numpy(dtype=np.int64)
+            n = g[out_col].to_numpy(dtype=np.int64)
+            order = np.argsort(u, kind="stable")
+            u, n = u[order], n[order]
+            starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+            return pd.DataFrame({
+                "user_id": u[starts],
+                out_col: np.add.reduceat(n, starts),
+            })
+
+        return ds.map_batches(partials, batch_format="pyarrow") \
+            .groupby("__b").map_groups(finish, batch_format="pandas")
+
+    from ..stages.joins import bucket_full_outer_join
+
+    out = bucket_full_outer_join(
+        _per_user_count("view", "n_views"),
+        _per_user_count("purchase", "n_purchases"),
+        on="user_id", num_buckets=num_buckets,
+        fill={"n_views": 0, "n_purchases": 0},
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["user_view_purchase_outer"] = user_view_purchase_outer
+ORACLES["user_view_purchase_outer"] = """
+    SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+           COALESCE(v.n_views, 0) AS n_views,
+           COALESCE(p.n_purchases, 0) AS n_purchases
+    FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_views
+          FROM events WHERE event_type = 'view' AND value > 99.0
+          GROUP BY user_id) v
+    FULL OUTER JOIN
+         (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+          FROM events WHERE event_type = 'purchase' AND value > 99.0
+          GROUP BY user_id) p
+    ON v.user_id = p.user_id
+    ORDER BY user_id
+"""

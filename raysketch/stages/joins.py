@@ -27,8 +27,8 @@ import pyarrow as pa
 from ..hashing import murmur64a
 from ..keys import canonical_flat_bytes
 
-__all__ = ["bucket_hash_join", "bucket_anti_join", "bucket_semi_join",
-           "asof_join", "range_join"]
+__all__ = ["bucket_hash_join", "bucket_full_outer_join", "bucket_anti_join",
+           "bucket_semi_join", "asof_join", "range_join"]
 
 
 def _with_bucket(ds, key: str, num_buckets: int, side: str, null_cols=None):
@@ -150,6 +150,80 @@ def bucket_hash_join(
         lg = g[~g["__side"]][lcols]
         rg = g[g["__side"]][rcols]
         out = lg.merge(rg, on=on, how=how, suffixes=suffixes)
+        return out
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def bucket_full_outer_join(
+    left,
+    right,
+    on: str,
+    num_buckets: int = 64,
+    suffixes: tuple[str, str] = ("", "_r"),
+    fill: dict | None = None,
+):
+    """FULL OUTER partitioned hash join: every row of BOTH sides
+    survives — matched pairs joined, unmatched rows of either side kept
+    with the other side's columns filled.
+
+    Same single-shuffle bucket-pair decomposition as
+    :func:`bucket_hash_join` (a key's rows land in the same bucket on
+    both sides, so unmatched detection is exact per bucket).
+    ``bucket_hash_join(how="outer")`` already produces FULL OUTER rows
+    but leaves pandas' NaN-upcast dtypes as-is; this variant exists for
+    exact integer outputs. The FULL
+    OUTER complication is dtype discipline: an outer merge leaves NaN in
+    unmatched rows, which upcasts int64 columns to float64 — silently
+    rounding ids beyond 2^53. ``fill`` maps OUTPUT column name → fill
+    value; every filled column is ``fillna(fill)`` then cast back to its
+    source dtype, so integer columns you keep MUST appear in ``fill``
+    (the join key itself never needs one — it is present on whichever
+    side matched). Numeric columns not in ``fill`` are emitted as
+    float64-with-NaN in every bucket so the union schema stays
+    consistent even for buckets with no unmatched rows.
+    """
+    fill = dict(fill or {})
+    lfields = _schema_fields(left.schema())
+    rfields = _schema_fields(right.schema())
+    lcols, rcols = [n for n, _ in lfields], [n for n, _ in rfields]
+    # output name → source dtype (suffix collisions resolved like pandas)
+    out_dtypes = {on: dict(lfields)[on].to_pandas_dtype()}
+    for n, t in lfields:
+        if n != on:
+            out_dtypes[n + (suffixes[0] if n in rcols else "")] = t.to_pandas_dtype()
+    for n, t in rfields:
+        if n != on:
+            out_dtypes[n + (suffixes[1] if n in lcols else "")] = t.to_pandas_dtype()
+    unknown = set(fill) - set(out_dtypes)
+    if unknown:
+        raise ValueError(f"fill for columns not in the output: {sorted(unknown)}")
+    l_tagged = _with_bucket(left, on, num_buckets, "l",
+                            _exclusive_cols(lfields, rfields, {on}))
+    r_tagged = _with_bucket(right, on, num_buckets, "r",
+                            _exclusive_cols(rfields, lfields, {on}))
+    both = l_tagged.union(r_tagged)
+    # int columns cross the merge as pandas nullable Int64: an outer
+    # merge upcasts a plain int64 column to float64 for the WHOLE bucket
+    # the moment the other side has one unmatched row, rounding matched
+    # values beyond 2^53 before any fillna could save them
+    null_int_l = {n: "Int64" for n, t in lfields
+                  if n != on and pa.types.is_integer(t)}
+    null_int_r = {n: "Int64" for n, t in rfields
+                  if n != on and pa.types.is_integer(t)}
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[~g["__side"]][lcols].astype(null_int_l)
+        rg = g[g["__side"]][rcols].astype(null_int_r)
+        out = lg.merge(rg, on=on, how="outer", suffixes=suffixes)
+        for c in out.columns:
+            dt = out_dtypes[c]
+            if c in fill:
+                out[c] = out[c].fillna(fill[c]).astype(dt)
+            elif c == on or not np.issubdtype(np.dtype(dt), np.number):
+                out[c] = out[c].astype(dt)
+            else:
+                out[c] = out[c].astype(np.float64)
         return out
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

@@ -255,3 +255,53 @@ def test_bloom_prefilter_join(ray_session):
     assert kept < len(left) * 0.05
     with pytest.raises(ValueError, match="inner"):
         bucket_hash_join(lds, rds, on="k", how="left", bloom_prefilter=True)
+
+
+def test_full_outer_join_typed_fill(ray_session):
+    """FULL OUTER with integer fills: unmatched rows of BOTH sides
+    survive, filled int columns stay int64 (exact beyond 2^53), and the
+    result matches a pandas outer merge with the same fills."""
+    import ray.data
+
+    from raysketch.stages.joins import bucket_full_outer_join
+
+    big = np.int64(3) << 60
+    left = pd.DataFrame({
+        "k": np.array([1, 2, 3, 5, 7], dtype=np.int64),
+        "lv": np.array([big + 1, big + 2, big + 3, big + 5, big + 7],
+                       dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": np.array([2, 3, 4, 6, 7], dtype=np.int64),
+        "rv": np.array([big + 12, big + 13, big + 14, big + 16, big + 17],
+                       dtype=np.int64),
+    })
+    got = bucket_full_outer_join(
+        ray.data.from_pandas(left).repartition(3),
+        ray.data.from_pandas(right).repartition(2),
+        on="k", num_buckets=8, fill={"lv": 0, "rv": 0},
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    # pandas reference built on nullable Int64 — a float64 round-trip
+    # would itself corrupt big+2 (the exact failure mode under test)
+    exp = left.astype({"lv": "Int64"}).merge(
+        right.astype({"rv": "Int64"}), on="k", how="outer")
+    exp["lv"] = exp["lv"].fillna(0).astype(np.int64)
+    exp["rv"] = exp["rv"].fillna(0).astype(np.int64)
+    exp = exp.sort_values("k").reset_index(drop=True)
+    assert got.dtypes.to_dict() == exp.dtypes.to_dict()
+    pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], exp[["k", "lv", "rv"]])
+    # both unmatched directions genuinely present and exact
+    assert (got.loc[got["k"] == 4, "lv"] == 0).all()
+    assert (got.loc[got["k"] == 5, "rv"] == 0).all()
+    assert got.loc[got["k"] == 7, "rv"].iloc[0] == big + 17
+
+
+def test_full_outer_join_rejects_unknown_fill(ray_session):
+    import ray.data
+
+    from raysketch.stages.joins import bucket_full_outer_join
+
+    l = ray.data.from_pandas(pd.DataFrame({"k": [1], "lv": [1]}))
+    r = ray.data.from_pandas(pd.DataFrame({"k": [1], "rv": [2]}))
+    with pytest.raises(ValueError, match="not in the output"):
+        bucket_full_outer_join(l, r, on="k", fill={"nope": 0})

@@ -52,6 +52,7 @@ FAST_SUBSET = [
     "unpivot_lineitem_measures",
     "hash_sample_orders",
     "customers_with_urgent_orders",
+    "user_view_purchase_outer",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
