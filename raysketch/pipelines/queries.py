@@ -4115,3 +4115,183 @@ ORACLES["user_view_purchase_outer"] = """
     ON v.user_id = p.user_id
     ORDER BY user_id
 """
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23",
+                               num_buckets: int = 64) -> pd.DataFrame:
+    """Correlated-aggregate filter (TPC-H Q17 shape): revenue from
+    lineitems of one brand's parts whose quantity is below 20% of that
+    part's average quantity — the canonical "compare each row against
+    its group's aggregate" pattern. Three streaming passes, one tiny
+    shuffle, no join of the big table against itself:
+
+    1. the brand's partkeys come off the part dimension (driver-read,
+       broadcast — parts of ONE brand are ~4% of the dim; past broadcast
+       scale switch to stages.joins.bucket_semi_join on l_partkey),
+    2. lineitem → per-batch (partkey, n, sum_qty_cents) combiner partials
+       for qualifying parts only, ONE partkey-hash bucket shuffle
+       finishes the per-part totals (small by contract: one brand),
+    3. totals broadcast back into a second lineitem pass that applies the
+       predicate and folds the revenue to one partial per batch.
+
+    The 20%-of-average predicate is evaluated in exact integers by
+    cross-multiplication — qty < 0.2·(s/n) ⇔ 5·qty_cents·n < s_cents —
+    so the boundary can never flip on float division order; the oracle
+    SQL states the identical integer form."""
+    import ray
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    qual = np.sort(part.loc[part["p_brand"] == brand, "p_partkey"]
+                   .to_numpy(dtype=np.int64))
+    qual_ref = ray.put(qual)
+
+    def _member(keys: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(sorted_keys, keys)
+        pos_c = np.minimum(pos, max(len(sorted_keys) - 1, 0))
+        return (len(sorted_keys) > 0) & (pos < len(sorted_keys)) \
+            & (sorted_keys[pos_c] == keys)
+
+    class PartTotals:
+        def __init__(self):
+            self.qual = ray.get(qual_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            keep = _member(k, self.qual)
+            k = k[keep]
+            q = _cents(t.column("l_quantity")).to_numpy(zero_copy_only=False)[keep]
+            order = np.argsort(k, kind="stable")
+            k, q = k[order], q[order]
+            starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
+            uk = k[starts]
+            return pa.table({
+                "pk": pa.array(uk),
+                "n": pa.array(np.diff(np.r_[starts, len(k)]).astype(np.int64)),
+                "s": pa.array(np.add.reduceat(q, starts) if len(k)
+                              else np.array([], dtype=np.int64)),
+                "__b": pa.array((_mix64(uk.astype(np.uint64))
+                                 % np.uint64(num_buckets)).astype(np.int64)),
+            })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["pk"].to_numpy(dtype=np.int64)
+        n = g["n"].to_numpy(dtype=np.int64)
+        s = g["s"].to_numpy(dtype=np.int64)
+        order = np.argsort(k, kind="stable")
+        k, n, s = k[order], n[order], s[order]
+        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
+        return pd.DataFrame({"pk": k[starts],
+                             "n": np.add.reduceat(n, starts),
+                             "s": np.add.reduceat(s, starts)})
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    totals = _read(sf_dir, "lineitem", columns=li_cols[:2]) \
+        .map_batches(PartTotals, batch_format="pyarrow",
+                     concurrency=auto_concurrency()) \
+        .groupby("__b").map_groups(finish, batch_format="pandas").to_pandas()
+    tk = totals["pk"].to_numpy(dtype=np.int64)
+    order = np.argsort(tk, kind="stable")
+    tot_ref = ray.put((tk[order],
+                       totals["n"].to_numpy(dtype=np.int64)[order],
+                       totals["s"].to_numpy(dtype=np.int64)[order]))
+
+    class Revenue:
+        def __init__(self):
+            self.pk, self.n, self.s = ray.get(tot_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            hit = _member(k, self.pk)
+            pos = np.searchsorted(self.pk, k[hit])
+            q = _cents(t.column("l_quantity")).to_numpy(zero_copy_only=False)[hit]
+            keep = q * 5 * self.n[pos] < self.s[pos]
+            price = _cents(t.column("l_extendedprice")) \
+                .to_numpy(zero_copy_only=False)[hit][keep]
+            return pa.table({"rev": pa.array([int(price.sum())])})
+
+    parts = _read(sf_dir, "lineitem", columns=li_cols) \
+        .map_batches(Revenue, batch_format="pyarrow",
+                     concurrency=auto_concurrency()).to_pandas()
+    return _one_row(revenue_cents=int(parts["rev"].sum()))
+
+
+QUERIES["q17_small_quantity_revenue"] = q17_small_quantity_revenue
+ORACLES["q17_small_quantity_revenue"] = """
+    SELECT COALESCE(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+                    AS BIGINT), 0) AS revenue_cents
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS pk,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS s
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+                                 AND p_brand = 'Brand#23'
+          GROUP BY l_partkey) a ON a.pk = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND CAST(ROUND(l_quantity*100) AS BIGINT) * 5 * n < s
+"""
+
+
+def rank_orders_by_date(sf_dir: str) -> pd.DataFrame:
+    """RANK / DENSE_RANK over a global ordering WITH real ties (1094
+    distinct dates over 1500 orders at sf0.001) — the peers-share-a-rank
+    semantics percent_rank_orders deliberately avoided with a tie-free
+    composite key. Low-cardinality fast path, ZERO shuffle: the ORDER BY
+    key domain (order dates — bounded by the calendar, not the data) is
+    histogrammed by a per-batch combiner (≤ |dates| partial rows per
+    batch), folded on the driver, turned into rank arrays by one cumsum
+    (RANK(d) = 1 + #rows before d's first peer; DENSE_RANK(d) = 1 +
+    #distinct earlier dates), and broadcast into a vectorized
+    searchsorted pass over orders. For high-cardinality ORDER BY keys
+    use stages.scan.ordered_prefix_scan instead (ntile_orders_by_price)."""
+    import ray
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def date_counts(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        ud, n = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(ud), "n": pa.array(n.astype(np.int64))})
+
+    parts = ds.map_batches(date_counts, batch_format="pyarrow").to_pandas()
+    d = parts["d"].to_numpy(dtype=np.int64)
+    n = parts["n"].to_numpy(dtype=np.int64)
+    order = np.argsort(d, kind="stable")
+    d, n = d[order], n[order]
+    starts = np.r_[0, np.flatnonzero(d[1:] != d[:-1]) + 1]
+    ud = d[starts]
+    counts = np.add.reduceat(n, starts)
+    rnk = np.r_[0, np.cumsum(counts)[:-1]] + 1       # 1 + rows before first peer
+    drnk = np.arange(1, len(ud) + 1, dtype=np.int64)  # 1 + distinct earlier
+    ref = ray.put((ud, rnk.astype(np.int64), drnk))
+
+    class AttachRanks:
+        def __init__(self):
+            self.d, self.rnk, self.drnk = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            dd = t.column("o_orderdate").to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").view(np.int64)
+            pos = np.searchsorted(self.d, dd)
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "rnk": pa.array(self.rnk[pos]),
+                "drnk": pa.array(self.drnk[pos]),
+            })
+
+    out = ds.map_batches(AttachRanks, batch_format="pyarrow",
+                         concurrency=auto_concurrency()).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+QUERIES["rank_orders_by_date"] = rank_orders_by_date
+ORACLES["rank_orders_by_date"] = """
+    SELECT o_orderkey,
+           CAST(RANK() OVER (ORDER BY o_orderdate) AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER (ORDER BY o_orderdate) AS BIGINT) AS drnk
+    FROM orders
+    ORDER BY o_orderkey
+"""

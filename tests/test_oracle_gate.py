@@ -53,6 +53,8 @@ FAST_SUBSET = [
     "hash_sample_orders",
     "customers_with_urgent_orders",
     "user_view_purchase_outer",
+    "q17_small_quantity_revenue",
+    "rank_orders_by_date",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
