@@ -4295,3 +4295,140 @@ ORACLES["rank_orders_by_date"] = """
     FROM orders
     ORDER BY o_orderkey
 """
+
+
+def events_first_last(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Window navigation triple FIRST_VALUE / LAST_VALUE / LEAD as one
+    distributed operator: per event, the partition's first and last
+    event type under (ts, event_id) order plus the NEXT event's id —
+    the forward-looking complement of events_lag_delta (LAG). LAST_VALUE
+    is computed under the UNBOUNDED FOLLOWING frame (SQL's default
+    CURRENT ROW frame makes LAST_VALUE trivially the row itself). ONE
+    user-hash bucket shuffle; inside a bucket one sort by (user, ts,
+    event_id) and shifted-array boundary masks give every value as a
+    vectorized gather: first/last via forward/backward cummax of the
+    boundary indices, LEAD via the next-row shift with a -1 typed
+    sentinel at partition tails (int64 survives pandas group frames)."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (_mix64(u) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__b", pa.array(b))
+
+    def nav_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        last = np.r_[uid[1:] != uid[:-1], True]
+        # index of each row's partition start: cummax of start positions
+        start_idx = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+        # index of each row's partition end: backward cummax of end positions
+        end_idx = np.minimum.accumulate(
+            np.where(last, np.arange(n), n - 1)[::-1])[::-1]
+        nxt = np.r_[eid[1:], np.int64(-1)]
+        nxt[last] = -1
+        return pd.DataFrame({
+            "event_id": eid,
+            "first_type": et[start_idx],
+            "last_type": et[end_idx],
+            "next_event_id": nxt,
+        })
+
+    out = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(nav_bucket, batch_format="pandas")
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+QUERIES["events_first_last"] = events_first_last
+ORACLES["events_first_last"] = """
+    SELECT event_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_type,
+           CAST(COALESCE(LEAD(event_id) OVER w, -1) AS BIGINT)
+             AS next_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+"""
+
+
+def mode_event_type_by_user(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Grouped MODE (most frequent value per group) with a deterministic
+    tiebreak (lexicographically smallest value wins) over a group domain
+    that scales with the data (users), so no per-group aggregate and no
+    driver fold: per-batch (user, type) count partials — the combiner
+    bounds the exchange at distinct pairs per batch — then ONE user-hash
+    bucket shuffle; inside a bucket a single lexsort by (user, type)
+    + reduceat finishes the counts and an argmax-by-ordering pass picks
+    each user's winner: rows re-sorted by (user, -n, type) via one more
+    lexsort on the small per-bucket (user,type) table, first row per
+    user taken with a shifted-boundary mask."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    NT = np.int64(len(TYPES))
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        idx = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        if idx.null_count:
+            raise ValueError("unexpected event_type outside the mode domain")
+        et = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = uid * NT + et
+        uk, n = np.unique(key, return_counts=True)
+        uu = uk // NT
+        return pa.table({
+            "u": pa.array(uu),
+            "t": pa.array(uk % NT),
+            "n": pa.array(n.astype(np.int64)),
+            "__b": pa.array((_mix64(uu.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def pick_mode(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        t = g["t"].to_numpy(dtype=np.int64)
+        n = g["n"].to_numpy(dtype=np.int64)
+        key = u * NT + t
+        order = np.argsort(key, kind="stable")
+        key, u, t, n = key[order], u[order], t[order], n[order]
+        starts = np.r_[0, np.flatnonzero(key[1:] != key[:-1]) + 1]
+        u, t = u[starts], t[starts]
+        n = np.add.reduceat(n, starts)
+        # winner per user: first row under (user asc, n desc, type asc)
+        win = np.lexsort((t, -n, u))
+        u, t, n = u[win], t[win], n[win]
+        head = np.r_[True, u[1:] != u[:-1]]
+        return pd.DataFrame({
+            "user_id": u[head],
+            "mode_type": np.array(TYPES, dtype=object)[t[head]],
+            "n": n[head],
+        })
+
+    out = ds.map_batches(combine, batch_format="pyarrow") \
+        .groupby("__b").map_groups(pick_mode, batch_format="pandas")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["mode_event_type_by_user"] = mode_event_type_by_user
+ORACLES["mode_event_type_by_user"] = """
+    SELECT user_id, event_type AS mode_type, n FROM (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type)
+    WHERE rn = 1
+    ORDER BY user_id
+"""

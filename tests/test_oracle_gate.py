@@ -55,6 +55,8 @@ FAST_SUBSET = [
     "user_view_purchase_outer",
     "q17_small_quantity_revenue",
     "rank_orders_by_date",
+    "events_first_last",
+    "mode_event_type_by_user",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
