@@ -4432,3 +4432,146 @@ ORACLES["mode_event_type_by_user"] = """
     WHERE rn = 1
     ORDER BY user_id
 """
+
+
+def exact_percentile_price(sf_dir: str, qs=(0.5, 0.9, 0.99),
+                           num_bins: int = 8192) -> pd.DataFrame:
+    """EXACT order-statistic percentiles (PERCENTILE_DISC) of a big
+    column WITHOUT a global sort — the all-to-all a naive ORDER BY
+    would cost is replaced by two zero-shuffle streaming passes and a
+    driver-side fold that never sees rows:
+
+    1. min/max/count combiner (3 int64s per batch),
+    2. equi-width integer histogram combiner — each batch emits only
+       its NONZERO (bin, n) pairs, the driver scatters them into one
+       ``num_bins`` array; the cumulative histogram locates the bin
+       holding each target's k-th order statistic (k = ⌈q·n⌉−1, DuckDB's
+       quantile_disc convention, verified empirically),
+    3. one filtered pass gathers ONLY the values inside target bins
+       (expected n/num_bins values each) and indexes the exact answer.
+
+    Degenerate skew (one value dominating a bin) keeps the gather small
+    anyway — the bin then holds few DISTINCT values and step 3 could
+    recurse on the bin's sub-range; at 8192 bins the single round
+    suffices for any real price-like distribution."""
+    import ray
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def vals(t: pa.Table) -> np.ndarray:
+        return _cents(t.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = vals(t)
+        return pa.table({"lo": pa.array([int(v.min()) if len(v) else 0]),
+                         "hi": pa.array([int(v.max()) if len(v) else 0]),
+                         "n": pa.array([len(v)])})
+
+    meta = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    meta = meta[meta["n"] > 0]
+    lo, hi = int(meta["lo"].min()), int(meta["hi"].max())
+    n = int(meta["n"].sum())
+    width = hi - lo + 1
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = vals(t)
+        b = (v - lo) * np.int64(num_bins) // np.int64(width)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(ub),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    bins = np.zeros(num_bins, dtype=np.int64)
+    np.add.at(bins, parts["bin"].to_numpy(dtype=np.int64),
+              parts["cnt"].to_numpy(dtype=np.int64))
+    cum = np.cumsum(bins)
+    ks = np.array([int(np.ceil(q * n)) - 1 for q in qs], dtype=np.int64)
+    target_bins = np.searchsorted(cum, ks, side="right")
+    before = np.r_[0, cum][target_bins]  # rows in earlier bins
+    uniq_bins = np.unique(target_bins)
+    ref = ray.put(uniq_bins)
+
+    class GatherBins:
+        def __init__(self):
+            self.bins = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = vals(t)
+            b = (v - lo) * np.int64(num_bins) // np.int64(width)
+            keep = np.isin(b, self.bins)
+            return pa.table({"v": pa.array(v[keep]), "b": pa.array(b[keep])})
+
+    got = ds.map_batches(GatherBins, batch_format="pyarrow",
+                         concurrency=auto_concurrency()).to_pandas()
+    gv = got["v"].to_numpy(dtype=np.int64)
+    gb = got["b"].to_numpy(dtype=np.int64)
+    out = []
+    for q, k, tb, bef in zip(qs, ks, target_bins, before):
+        inbin = np.sort(gv[gb == tb])
+        out.append({"q": float(q), "value_cents": int(inbin[k - bef])})
+    return pd.DataFrame(out)
+
+
+QUERIES["exact_percentile_price"] = exact_percentile_price
+ORACLES["exact_percentile_price"] = """
+    WITH c AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v
+               FROM lineitem)
+    SELECT CAST(0.5 AS DOUBLE) AS q,
+           CAST(quantile_disc(v, 0.5) AS BIGINT) AS value_cents FROM c
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE),
+           CAST(quantile_disc(v, 0.9) AS BIGINT) FROM c
+    UNION ALL
+    SELECT CAST(0.99 AS DOUBLE),
+           CAST(quantile_disc(v, 0.99) AS BIGINT) FROM c
+"""
+
+
+def histogram_order_price(sf_dir: str, num_bins: int = 20) -> pd.DataFrame:
+    """Equi-width histogram (SQL width_bucket shape) over data-derived
+    bounds: two zero-shuffle streaming passes — a min/max combiner, then
+    a bin-count combiner whose per-batch output is only the nonzero
+    (bin, n) pairs, folded on the driver into the final ``num_bins``-row
+    table. Bin assignment is exact integer arithmetic
+    ``(v − lo)·B // (hi − lo + 1)`` on cents (the oracle states the
+    identical expression), so no float boundary can disagree."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def vals(t: pa.Table) -> np.ndarray:
+        return _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = vals(t)
+        return pa.table({"lo": pa.array([int(v.min()) if len(v) else 0]),
+                         "hi": pa.array([int(v.max()) if len(v) else 0]),
+                         "n": pa.array([len(v)])})
+
+    meta = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    meta = meta[meta["n"] > 0]
+    lo, hi = int(meta["lo"].min()), int(meta["hi"].max())
+    width = hi - lo + 1
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = vals(t)
+        b = (v - lo) * np.int64(num_bins) // np.int64(width)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(ub),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    bins = np.zeros(num_bins, dtype=np.int64)
+    np.add.at(bins, parts["bin"].to_numpy(dtype=np.int64),
+              parts["cnt"].to_numpy(dtype=np.int64))
+    nz = np.flatnonzero(bins)
+    return pd.DataFrame({"bin": nz.astype(np.int64), "n": bins[nz]})
+
+
+QUERIES["histogram_order_price"] = histogram_order_price
+ORACLES["histogram_order_price"] = """
+    WITH c AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS v
+               FROM orders),
+         b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM c)
+    SELECT CAST((v - lo) * 20 // (hi - lo + 1) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM c, b GROUP BY 1 ORDER BY 1
+"""

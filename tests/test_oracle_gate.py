@@ -57,6 +57,8 @@ FAST_SUBSET = [
     "rank_orders_by_date",
     "events_first_last",
     "mode_event_type_by_user",
+    "exact_percentile_price",
+    "histogram_order_price",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
