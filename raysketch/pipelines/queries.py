@@ -4575,3 +4575,109 @@ ORACLES["histogram_order_price"] = """
            CAST(COUNT(*) AS BIGINT) AS n
     FROM c, b GROUP BY 1 ORDER BY 1
 """
+
+
+def funnel_view_click_purchase(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Ordered sequence-pattern match (funnel / MATCH_RECOGNIZE-lite):
+    per user, the first 'view', the first 'click' STRICTLY AFTER that
+    view, and the first 'purchase' strictly after that click — users
+    completing all three stages, with the three stage timestamps. The
+    correlated "first event after a per-user point" chain is what makes
+    this a distinct operator from plain grouped mins.
+
+    Events are pre-filtered to the three stage types BEFORE the single
+    user-hash bucket shuffle (read prunes to 3 columns, filter prunes
+    ~40% of rows). Inside a bucket everything is one sort plus rank
+    arithmetic — per stage, rows are encoded as segment_id·M + ts_rank
+    composites so ONE global ``np.searchsorted`` finds every user's
+    "first stage-k row with ts > t_{k-1}" simultaneously; no per-user
+    loop at any point."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    STAGES = ["view", "click", "purchase"]
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("event_type"),
+                              value_set=pa.array(STAGES)))
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (_mix64(u) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__b", pa.array(b))
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"user_id": np.array([], dtype=np.int64),
+                                 "t_view_us": np.array([], dtype=np.int64),
+                                 "t_click_us": np.array([], dtype=np.int64),
+                                 "t_purchase_us": np.array([], dtype=np.int64)})
+        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
+        seg_end = np.r_[starts[1:], n]
+        seg_id = np.cumsum(np.r_[False, uid[1:] != uid[:-1]])
+        users = uid[starts]
+        ut = np.unique(ts)
+        M = np.int64(len(ut) + 2)
+
+        def first_after(stage: str, t_prev: np.ndarray, alive: np.ndarray):
+            """Per segment: ts of the first `stage` row with ts > t_prev
+            (t_prev = -inf rank 0 for the first stage)."""
+            idx = np.flatnonzero(et == stage)
+            if not len(idx):  # no rows of this stage in the bucket
+                return (np.full(len(users), np.iinfo(np.int64).min,
+                                dtype=np.int64),
+                        np.zeros(len(users), dtype=bool))
+            comp = seg_id[idx] * M + np.searchsorted(ut, ts[idx]) + 1
+            # target rank: strictly greater than t_prev
+            tgt_rank = np.where(t_prev == np.iinfo(np.int64).min, 0,
+                                np.searchsorted(ut, t_prev, side="right") + 1)
+            tgt = np.arange(len(users), dtype=np.int64) * M + tgt_rank
+            j = np.searchsorted(comp, tgt)
+            ok = alive & (j < len(idx))
+            j_c = np.minimum(j, max(len(idx) - 1, 0))
+            in_seg = comp[j_c] < (np.arange(len(users), dtype=np.int64) + 1) * M
+            ok &= in_seg
+            t_out = np.full(len(users), np.iinfo(np.int64).min, dtype=np.int64)
+            if len(idx):
+                t_out[ok] = ts[idx[j_c[ok]]]
+            return t_out, ok
+
+        NINF = np.full(len(users), np.iinfo(np.int64).min, dtype=np.int64)
+        alive = np.ones(len(users), dtype=bool)
+        t1, alive = first_after("view", NINF, alive)
+        t2, alive = first_after("click", t1, alive)
+        t3, alive = first_after("purchase", t2, alive)
+        return pd.DataFrame({
+            "user_id": users[alive],
+            "t_view_us": t1[alive],
+            "t_click_us": t2[alive],
+            "t_purchase_us": t3[alive],
+        })
+
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(funnel_bucket, batch_format="pandas")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["funnel_view_click_purchase"] = funnel_view_click_purchase
+ORACLES["funnel_view_click_purchase"] = """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT v.user_id, v.t1, MIN(e.ts) AS t2
+               FROM v JOIN events e ON e.user_id = v.user_id
+                AND e.event_type = 'click' AND e.ts > v.t1
+               GROUP BY v.user_id, v.t1),
+         p AS (SELECT c.user_id, c.t1, c.t2, MIN(e.ts) AS t3
+               FROM c JOIN events e ON e.user_id = c.user_id
+                AND e.event_type = 'purchase' AND e.ts > c.t2
+               GROUP BY c.user_id, c.t1, c.t2)
+    SELECT user_id,
+           CAST(epoch_us(t1) AS BIGINT) AS t_view_us,
+           CAST(epoch_us(t2) AS BIGINT) AS t_click_us,
+           CAST(epoch_us(t3) AS BIGINT) AS t_purchase_us
+    FROM p ORDER BY user_id
+"""

@@ -59,6 +59,7 @@ FAST_SUBSET = [
     "mode_event_type_by_user",
     "exact_percentile_price",
     "histogram_order_price",
+    "funnel_view_click_purchase",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",

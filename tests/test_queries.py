@@ -223,3 +223,38 @@ def test_read_table_formats_equivalent(ray_session, tmp_path):
     empty.mkdir()
     with pytest.raises(FileNotFoundError):
         read_table(str(empty), fmt="csv")
+
+
+def test_funnel_dropout_branches(ray_session, tmp_path):
+    """Planted funnel: user 1 completes; user 2 has no purchase after its
+    click; user 3 clicks only BEFORE its first view (strictly-after must
+    reject it); user 4 never views. Only user 1 survives, with the
+    correct (not merely minimal) stage timestamps."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raysketch.pipelines.queries import funnel_view_click_purchase
+
+    us = 1_000_000
+    rows = [
+        # user 1: view@2, click@1 (too early), click@5, purchase@3 (too
+        # early), purchase@9 → completes with (2, 5, 9)
+        (1, 2, "view"), (1, 1, "click"), (1, 5, "click"),
+        (1, 3, "purchase"), (1, 9, "purchase"),
+        # user 2: view@1, click@2, purchase@2 is NOT > click ts? use
+        # purchase@1 strictly before the click → drops at stage 3
+        (2, 1, "view"), (2, 2, "click"), (2, 1, "purchase"),
+        # user 3: click@1 then view@2, no later click → drops at stage 2
+        (3, 1, "click"), (3, 2, "view"), (3, 3, "purchase"),
+        # user 4: never views
+        (4, 1, "click"), (4, 2, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "t", "event_type"])
+    df["ts"] = pd.to_datetime(df["t"] * us, unit="us")
+    pq.write_table(pa.Table.from_pandas(
+        df[["user_id", "ts", "event_type"]]), tmp_path / "events.parquet")
+    out = funnel_view_click_purchase(str(tmp_path))
+    assert out["user_id"].tolist() == [1]
+    assert out.iloc[0][["t_view_us", "t_click_us", "t_purchase_us"]].tolist() \
+        == [2 * us, 5 * us, 9 * us]
