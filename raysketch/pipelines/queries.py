@@ -4681,3 +4681,147 @@ ORACLES["funnel_view_click_purchase"] = """
            CAST(epoch_us(t3) AS BIGINT) AS t_purchase_us
     FROM p ORDER BY user_id
 """
+
+
+def _kmeans_init_centroids(sf_dir: str, k: int):
+    """Deterministic k-means init: the embeddings of the k smallest
+    vec_ids, found by a per-batch keep-k combiner (k rows per batch
+    reach the driver, never the corpus)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def keep_k(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:k]
+        return t.take(pa.array(take))
+
+    from ..stages.similarity import _batch_matrix
+
+    head = ds.map_batches(keep_k, batch_format="pyarrow").to_pandas()
+    head = head.sort_values("vec_id").head(k)
+    tbl = pa.Table.from_pandas(head, preserve_index=False)
+    return (head["vec_id"].to_numpy(dtype=np.int64),
+            _batch_matrix(tbl, "embedding"))
+
+
+def kmeans_assign_embeddings(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """One k-means assignment pass as an oracle-checked operator: every
+    vector assigned to its nearest (L2) of k fixed centroids — the
+    embeddings of the k smallest vec_ids — with per-cluster counts out.
+    Pure streaming: centroids broadcast once (``ray.put``), each batch
+    computes the (rows × k) distance matrix as one float64 matmul and
+    emits ≤k partial count rows; ties break to the lowest centroid id on
+    both engines (np.argmin first-min ≡ ORDER BY dist, cid). This is the
+    inner loop of kmeans_embeddings, isolated so the assignment math is
+    value-hash-verified against a CROSS JOIN + list_inner_product SQL
+    oracle."""
+    import ray
+
+    from ..stages.similarity import _batch_matrix
+
+    cids, C = _kmeans_init_centroids(sf_dir, k)
+    ref = ray.put((cids, C))
+
+    class Assign:
+        def __init__(self):
+            self.cids, self.C = ray.get(ref)
+            self.cnorm = (self.C ** 2).sum(axis=1)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            X = _batch_matrix(t, "embedding")
+            d2 = (X ** 2).sum(axis=1)[:, None] - 2.0 * (X @ self.C.T) \
+                + self.cnorm[None, :]
+            lab = np.argmin(d2, axis=1)
+            ul, n = np.unique(lab, return_counts=True)
+            return pa.table({"cluster": pa.array(self.cids[ul]),
+                             "n": pa.array(n.astype(np.int64))})
+
+    parts = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(Assign, batch_format="pyarrow",
+                     concurrency=auto_concurrency()).to_pandas()
+    out = parts.groupby("cluster", as_index=False)["n"].sum()
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
+QUERIES["kmeans_assign_embeddings"] = kmeans_assign_embeddings
+ORACLES["kmeans_assign_embeddings"] = """
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 8),
+         d AS (SELECT e.vec_id, c.cid,
+                 CAST(list_inner_product(e.embedding, e.embedding) AS DOUBLE)
+                 - 2.0 * CAST(list_inner_product(e.embedding, c.cvec) AS DOUBLE)
+                 + CAST(list_inner_product(c.cvec, c.cvec) AS DOUBLE) AS dist
+               FROM embeddings e CROSS JOIN cent c),
+         a AS (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cid) AS rn
+               FROM d)
+    SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n
+    FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid
+"""
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
+    """Distributed Lloyd k-means: each iteration is ONE zero-shuffle
+    streaming pass — broadcast centroids, per-batch assignment (one
+    float64 matmul) + per-cluster partial sums, driver update. The
+    partial sums are EXACT int64 (vectors scaled by 2^24 and rounded:
+    float32 inputs fit losslessly and 10⁹ rows/cluster stay < 2^63), so
+    the driver fold is associative and the centroids — hence the final
+    clustering — are bit-identical at ANY batch/partition layout, unlike
+    a float-sum fold whose result depends on Ray's nondeterministic
+    batch boundaries (CLAUDE.md). Empty clusters keep their previous
+    centroid. Iterative ⇒ not SQL-expressible; the assignment inner loop
+    is oracle-checked separately (kmeans_assign_embeddings), and the
+    determinism sweep locks run-to-run equality here."""
+    import ray
+
+    from ..stages.similarity import _batch_matrix
+
+    SCALE = np.float64(1 << 24)
+    cids, C = _kmeans_init_centroids(sf_dir, k)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dim = C.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        class Partials:
+            def __init__(self):
+                self.C = ray.get(ref)
+                self.cnorm = (self.C ** 2).sum(axis=1)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                X = _batch_matrix(t, "embedding")
+                d2 = (X ** 2).sum(axis=1)[:, None] - 2.0 * (X @ self.C.T) \
+                    + self.cnorm[None, :]
+                lab = np.argmin(d2, axis=1)
+                Xi = np.rint(X * SCALE).astype(np.int64)
+                sums = np.zeros((k, dim), dtype=np.int64)
+                np.add.at(sums, lab, Xi)
+                n = np.bincount(lab, minlength=k).astype(np.int64)
+                return pa.table({
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(n),
+                    "s": pa.array(list(sums)),
+                })
+
+        parts = ds.map_batches(Partials, batch_format="pyarrow",
+                               concurrency=auto_concurrency()).to_pandas()
+        n_tot = np.zeros(k, dtype=np.int64)
+        s_tot = np.zeros((k, dim), dtype=np.int64)
+        cl = parts["cluster"].to_numpy(dtype=np.int64)
+        np.add.at(n_tot, cl, parts["n"].to_numpy(dtype=np.int64))
+        np.add.at(s_tot, cl, np.stack(parts["s"].to_numpy()))
+        nonempty = n_tot > 0
+        C = C.copy()
+        C[nonempty] = s_tot[nonempty] / (n_tot[nonempty, None] * SCALE)
+
+    return pd.DataFrame({
+        "cluster": cids,
+        "n": n_tot,
+        "centroid_l1_micro": np.rint(np.abs(C).sum(axis=1) * 1e6)
+            .astype(np.int64),
+    })
+
+
+QUERIES["kmeans_embeddings"] = kmeans_embeddings

@@ -60,6 +60,7 @@ FAST_SUBSET = [
     "exact_percentile_price",
     "histogram_order_price",
     "funnel_view_click_purchase",
+    "kmeans_assign_embeddings",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
