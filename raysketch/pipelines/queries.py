@@ -4825,3 +4825,230 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
 
 
 QUERIES["kmeans_embeddings"] = kmeans_embeddings
+
+
+def q5_local_supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape — multi-way join with a CO-LOCATION condition that
+    cuts ACROSS two join paths (supplier nation == customer nation):
+    lineitem ⋈ orders (the one large×large exchange, both sides
+    pre-projected and lineitem pre-reduced to integer revenue cents) →
+    the two dimension paths resolve as ONE broadcast stage (customer→
+    nation and supplier→nation maps shipped once via ray.put,
+    searchsorted per batch) so the cross-path equality is a vectorized
+    mask instead of a second shuffle → per-batch combiner emits ≤25
+    nation partials.  Orders restricted to 1995 with read-side
+    predicate pushdown.
+
+    Scale shape: the only all-to-all carries (okey, skey, rev_cents)
+    24-byte rows; dims are O(customers+suppliers) broadcast once per
+    actor, never per batch."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import bucket_hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"okey": t.column("l_orderkey"),
+                         "skey": t.column("l_suppkey"),
+                         "rev_cents": pa.array(cents)})
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pads.field("o_orderdate") >= datetime.datetime(1995, 1, 1))
+            & (pads.field("o_orderdate") < datetime.datetime(1996, 1, 1))
+        ),
+    ).map_batches(lambda t: pa.table({"okey": t.column("o_orderkey"),
+                                      "o_custkey": t.column("o_custkey")}),
+                  batch_format="pyarrow")
+
+    joined = bucket_hash_join(li.map_batches(prep_li, batch_format="pyarrow"),
+                              orders, on="okey", num_buckets=32)
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    ck = np.argsort(cust["c_custkey"].to_numpy())
+    sk = np.argsort(supp["s_suppkey"].to_numpy())
+    nk = np.argsort(nat["n_nationkey"].to_numpy())
+    dims_ref = ray.put((
+        cust["c_custkey"].to_numpy()[ck],
+        cust["c_nationkey"].to_numpy()[ck].astype(np.int64),
+        supp["s_suppkey"].to_numpy()[sk],
+        supp["s_nationkey"].to_numpy()[sk].astype(np.int64),
+        nat["n_nationkey"].to_numpy()[nk].astype(np.int64),
+        nat["n_name"].to_numpy()[nk],
+    ))
+
+    class LocalRevenue:
+        def __init__(self):
+            (self.ck, self.cn, self.sk, self.sn,
+             self.nk, self.nn) = ray.get(dims_ref)
+
+        def _lookup(self, keys, sorted_keys, vals):
+            pos = np.minimum(np.searchsorted(sorted_keys, keys),
+                             len(sorted_keys) - 1)
+            ok = sorted_keys[pos] == keys
+            return vals[pos], ok
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "n_name": pd.Series([], dtype="object"),
+                "part_rev": pd.Series([], dtype="int64"),
+                "part_n": pd.Series([], dtype="int64")})
+            if "o_custkey" not in df.columns or not len(df) \
+                    or not (len(self.ck) and len(self.sk) and len(self.nk)):
+                return empty
+            cnat, ok_c = self._lookup(df["o_custkey"].to_numpy(),
+                                      self.ck, self.cn)
+            snat, ok_s = self._lookup(df["skey"].to_numpy(),
+                                      self.sk, self.sn)
+            m = ok_c & ok_s & (cnat == snat)
+            if not m.any():
+                return empty
+            nname, ok_n = self._lookup(cnat[m], self.nk, self.nn)
+            out = pd.DataFrame({
+                "n_name": nname[ok_n],
+                "rev_cents": df["rev_cents"].to_numpy()[m][ok_n],
+            }).groupby("n_name", as_index=False).agg(
+                part_rev=("rev_cents", "sum"),
+                part_n=("rev_cents", "size"))
+            return out.astype({"part_rev": "int64", "part_n": "int64"})
+
+    out = (
+        joined.map_batches(LocalRevenue, batch_format="pandas",
+                           concurrency=auto_concurrency())
+        .groupby("n_name")
+        .aggregate(Sum("part_rev", alias_name="revenue_cents"),
+                   Sum("part_n", alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+QUERIES["q5_local_supplier_revenue"] = q5_local_supplier_revenue
+ORACLES["q5_local_supplier_revenue"] = """
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE s_nationkey = c_nationkey
+      AND o_orderdate >= DATE '1995-01-01'
+      AND o_orderdate <  DATE '1996-01-01'
+    GROUP BY n_name ORDER BY n_name
+"""
+
+
+def order_count_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape — two-level aggregate: per-customer order count
+    (LEFT JOIN so customers with no qualifying order count as 0), then
+    the DISTRIBUTION of those counts.  Scale shape: orders are
+    combiner-reduced per batch to (custkey, n) partials before the one
+    custkey-hash bucket exchange; customer keys cross the same exchange
+    as bare 8-byte rows; each bucket task finishes its customers'
+    counts (zero-fill via searchsorted) and immediately collapses them
+    to (n_orders, n_customers) HISTOGRAM partials — the driver folds
+    only ≤ max_count-sized partial tables, never customer rows.
+
+    Orders restricted to status 'F' so the zero branch genuinely fires
+    (71 zero-order customers at sf0.01)."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    NB = 64
+
+    def bucket_of(k):
+        return (_mix64(k.astype(np.uint64)) % np.uint64(NB)).astype(np.int64)
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pads.field("o_orderstatus") == "F",
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def order_partials(t: pa.Table) -> pa.Table:
+        k = np.sort(t.column("o_custkey").to_numpy(zero_copy_only=False))
+        new = np.r_[True, k[1:] != k[:-1]] if len(k) else np.array([], bool)
+        starts = np.nonzero(new)[0]
+        uk = k[starts]
+        return pa.table({
+            "custkey": pa.array(uk),
+            "n": pa.array(np.diff(np.r_[starts, len(k)]).astype(np.int64)),
+            "__b": pa.array(bucket_of(uk)),
+            "__side": pa.array(np.ones(len(uk), dtype=bool)),
+        })
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "custkey": pa.array(k),
+            "n": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "__b": pa.array(bucket_of(k)),
+            "__side": pa.array(np.zeros(len(k), dtype=bool)),
+        })
+
+    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        part = g[g["__side"]]
+        ck = np.sort(g[~g["__side"]]["custkey"].to_numpy(dtype=np.int64))
+        pk = part["custkey"].to_numpy(dtype=np.int64)
+        pn = part["n"].to_numpy(dtype=np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk, pn = pk[order], pn[order]
+        new = np.r_[True, pk[1:] != pk[:-1]] if len(pk) else np.array([], bool)
+        starts = np.nonzero(new)[0]
+        uk = pk[starts]
+        n_tot = np.add.reduceat(pn, starts) if len(starts) else pn
+        counts = np.zeros(len(ck), dtype=np.int64)
+        if len(uk):
+            pos = np.searchsorted(ck, uk)
+            ok = (pos < len(ck)) & (ck[np.minimum(pos, len(ck) - 1)] == uk)
+            counts[pos[ok]] = n_tot[ok]
+        vals, occ = np.unique(counts, return_counts=True)
+        return pd.DataFrame({"n_orders": vals,
+                             "part": occ.astype(np.int64)})
+
+    both = orders.map_batches(order_partials, batch_format="pyarrow").union(
+        cust.map_batches(cust_rows, batch_format="pyarrow"))
+    parts = both.groupby("__b").map_groups(
+        hist_bucket, batch_format="pandas").to_pandas()
+    out = parts.groupby("n_orders", as_index=False).agg(
+        n_customers=("part", "sum")).astype(
+        {"n_orders": "int64", "n_customers": "int64"})
+    return out.sort_values("n_orders").reset_index(drop=True)
+
+
+QUERIES["order_count_distribution"] = order_count_distribution
+ORACLES["order_count_distribution"] = """
+    SELECT n_orders, COUNT(*) AS n_customers FROM (
+      SELECT c_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS n_orders
+      FROM customer LEFT JOIN (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      ) o ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY n_orders ORDER BY n_orders
+"""

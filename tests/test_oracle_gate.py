@@ -61,6 +61,8 @@ FAST_SUBSET = [
     "histogram_order_price",
     "funnel_view_click_purchase",
     "kmeans_assign_embeddings",
+    "q5_local_supplier_revenue",
+    "order_count_distribution",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
