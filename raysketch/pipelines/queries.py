@@ -5052,3 +5052,110 @@ ORACLES["order_count_distribution"] = """
       GROUP BY c_custkey
     ) GROUP BY n_orders ORDER BY n_orders
 """
+
+
+def _user_day_firsts(sf_dir: str, num_buckets: int = 64):
+    """Shared core for the cohort/retention family: exact per-user
+    (first_day, active_day) pairs with ONE exchange.  Per batch, raw
+    events collapse to distinct (user, day) pairs (16-byte rows — the
+    exchange volume is bounded by distinct user-day activity, never raw
+    events); a user-hash bucket shuffle co-locates each user's days;
+    each bucket task re-dedupes across batches, takes the per-user min
+    day as the cohort, and emits (cohort_day_us, active_day_us, n_users)
+    partials — at most days² rows per bucket, which is what the driver
+    folds."""
+    import ray.data
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    DAY_US = 86_400_000_000
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (us // DAY_US) * DAY_US
+        key = np.stack([u, day], axis=1)
+        key = np.unique(key, axis=0)
+        b = (_mix64(key[:, 0].astype(np.uint64))
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"user": pa.array(key[:, 0]),
+                         "day": pa.array(key[:, 1]),
+                         "__b": pa.array(b)})
+
+    def cohort_partials(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user"].to_numpy(dtype=np.int64)
+        d = g["day"].to_numpy(dtype=np.int64)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[keep], d[keep]
+        new = np.r_[True, u[1:] != u[:-1]] if len(u) else np.array([], bool)
+        seg = np.cumsum(new) - 1
+        cohort = d[np.nonzero(new)[0]][seg]  # per-user min day (sorted)
+        pair = np.stack([cohort, d], axis=1)
+        vals, occ = np.unique(pair, axis=0, return_counts=True)
+        return pd.DataFrame({"cohort_us": vals[:, 0], "day_us": vals[:, 1],
+                             "part": occ.astype(np.int64)})
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    parts = (ds.map_batches(pairs, batch_format="pyarrow")
+             .groupby("__b").map_groups(cohort_partials,
+                                        batch_format="pandas")
+             .to_pandas())
+    return parts.groupby(["cohort_us", "day_us"], as_index=False).agg(
+        n=("part", "sum"))
+
+
+def retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST active day
+    (cohort), counted as distinct actives on each later day — the
+    classic product-analytics operator, exact and SQL-checked.  One
+    user-hash exchange of deduped (user, day) pairs; see
+    `_user_day_firsts` for the scale shape."""
+    parts = _user_day_firsts(sf_dir)
+    return pd.DataFrame({
+        "cohort_day": pd.to_datetime(parts["cohort_us"], unit="us"),
+        "active_day": pd.to_datetime(parts["day_us"], unit="us"),
+        "n_users": parts["n"].astype("int64"),
+    }).sort_values(["cohort_day", "active_day"]).reset_index(drop=True)
+
+
+QUERIES["retention_cohorts"] = retention_cohorts
+ORACLES["retention_cohorts"] = """
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_day, date_trunc('day', ts) AS active_day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY cohort_day, active_day
+    ORDER BY cohort_day, active_day
+"""
+
+
+def cumulative_new_users(sf_dir: str) -> pd.DataFrame:
+    """Running distinct-user count by day (cumulative \"total users
+    ever seen\") — a window SUM over per-day NEW-user counts, where
+    \"new\" is exact first-seen.  Reuses the cohort exchange: the per-
+    cohort first-activity diagonal (cohort == active day) gives new
+    users per day; the cumsum runs on the driver over ≤ days rows."""
+    parts = _user_day_firsts(sf_dir)
+    firsts = parts[parts["cohort_us"] == parts["day_us"]]
+    firsts = firsts.sort_values("cohort_us").reset_index(drop=True)
+    return pd.DataFrame({
+        "day": pd.to_datetime(firsts["cohort_us"], unit="us"),
+        "cum_users": firsts["n"].cumsum().astype("int64"),
+    })
+
+
+QUERIES["cumulative_new_users"] = cumulative_new_users
+ORACLES["cumulative_new_users"] = """
+    SELECT d AS day, CAST(SUM(n) OVER (ORDER BY d) AS BIGINT) AS cum_users
+    FROM (
+      SELECT first_day AS d, COUNT(*) AS n FROM (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+        FROM events GROUP BY user_id
+      ) GROUP BY first_day
+    ) ORDER BY d
+"""

@@ -63,6 +63,8 @@ FAST_SUBSET = [
     "kmeans_assign_embeddings",
     "q5_local_supplier_revenue",
     "order_count_distribution",
+    "retention_cohorts",
+    "cumulative_new_users",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
