@@ -5159,3 +5159,155 @@ ORACLES["cumulative_new_users"] = """
       ) GROUP BY first_day
     ) ORDER BY d
 """
+
+
+def max_concurrent_views(sf_dir: str, window_min: int = 10,
+                         num_buckets: int = 64) -> pd.DataFrame:
+    """Sweep-line interval-concurrency operator: treat every 'view'
+    event as an open interval [ts, ts+10min) and find the maximum
+    number simultaneously open (plus the earliest instant it is
+    reached) — the classic max-overlap problem, distributed with NO
+    global sort of raw endpoints.
+
+    Three bounded stages: (1) endpoints collapse per batch to (t, net
+    delta) partials, one t-hash bucket exchange nets them EXACTLY per
+    distinct timestamp (the netting is what makes step 2 legal: the
+    scan's strictly-smaller contract needs unique keys, and netting
+    also encodes the ends-before-starts tie rule of half-open
+    intervals); (2) `ordered_prefix_scan` turns the netted deltas into
+    per-instant running concurrency via range-bucket partials — only
+    (t, delta) 16-byte rows ever shuffle; (3) a per-batch (max,
+    earliest-t-at-max) combiner folds to one row on the driver."""
+    import ray.data
+
+    from ..stages.dedup import _splitmix64 as _mix64
+    from ..stages.scan import ordered_prefix_scan
+
+    W_US = window_min * 60_000_000
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("event_type"), "view")
+        us = pc.cast(t.filter(m).column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts_all = np.concatenate([us, us + W_US])
+        dl_all = np.concatenate([np.ones(len(us), dtype=np.int64),
+                                 -np.ones(len(us), dtype=np.int64)])
+        order = np.argsort(ts_all, kind="stable")
+        ts_all, dl_all = ts_all[order], dl_all[order]
+        new = np.r_[True, ts_all[1:] != ts_all[:-1]] \
+            if len(ts_all) else np.array([], bool)
+        starts = np.nonzero(new)[0]
+        ut = ts_all[starts]
+        net = np.add.reduceat(dl_all, starts) if len(starts) else dl_all
+        keep = net != 0
+        ut, net = ut[keep], net[keep]
+        b = (_mix64(ut.astype(np.uint64))
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"t": pa.array(ut), "delta": pa.array(net),
+                         "__b": pa.array(b)})
+
+    def net_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["t"].to_numpy(dtype=np.int64)
+        d = g["delta"].to_numpy(dtype=np.int64)
+        order = np.argsort(t, kind="stable")
+        t, d = t[order], d[order]
+        new = np.r_[True, t[1:] != t[:-1]] if len(t) else np.array([], bool)
+        starts = np.nonzero(new)[0]
+        ut = t[starts]
+        net = np.add.reduceat(d, starts) if len(starts) else d
+        keep = net != 0
+        return pd.DataFrame({"t": ut[keep], "delta": net[keep]})
+
+    netted = (ds.map_batches(endpoints, batch_format="pyarrow")
+              .groupby("__b").map_groups(net_bucket, batch_format="pandas"))
+    scanned = ordered_prefix_scan(netted, "t", "delta", op="sum",
+                                  num_buckets=num_buckets)
+
+    def arg_partial(t: pa.Table) -> pa.Table:
+        run = (t.column("prefix").to_numpy(zero_copy_only=False)
+               + t.column("delta").to_numpy(zero_copy_only=False))
+        ts_ = t.column("t").to_numpy(zero_copy_only=False)
+        if not len(run):
+            return pa.table({"mx": pa.array([], pa.int64()),
+                             "t_at": pa.array([], pa.int64())})
+        mx = run.max()
+        return pa.table({"mx": pa.array([int(mx)]),
+                         "t_at": pa.array([int(ts_[run == mx].min())])})
+
+    parts = scanned.map_batches(arg_partial,
+                                batch_format="pyarrow").to_pandas()
+    gmax = int(parts["mx"].max())
+    t_at = int(parts.loc[parts["mx"] == gmax, "t_at"].min())
+    return pd.DataFrame({
+        "max_concurrent": pd.Series([gmax], dtype="int64"),
+        "first_at": pd.to_datetime([t_at], unit="us"),
+    })
+
+
+QUERIES["max_concurrent_views"] = max_concurrent_views
+ORACLES["max_concurrent_views"] = """
+    WITH run AS (
+      SELECT t, SUM(delta) OVER (ORDER BY t) AS run FROM (
+        SELECT t, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+          SELECT ts AS t, 1 AS delta FROM events WHERE event_type = 'view'
+          UNION ALL
+          SELECT ts + INTERVAL 10 MINUTE AS t, -1 AS delta
+          FROM events WHERE event_type = 'view'
+        ) GROUP BY t HAVING SUM(delta) <> 0
+      )
+    )
+    SELECT CAST(MAX(run) AS BIGINT) AS max_concurrent,
+           (SELECT MIN(t) FROM run WHERE run = (SELECT MAX(run) FROM run))
+             AS first_at
+    FROM run
+"""
+
+
+def gapfill_hourly_errors(sf_dir: str) -> pd.DataFrame:
+    """Time-series gap filling (the `generate_series` / resample
+    operator): hourly 'error' counts with every missing hour between
+    the corpus' first and last error emitted as an explicit zero row.
+    Scale shape: a pure per-batch combiner reduces events to (hour, n)
+    partials (≤ corpus-hours rows per batch), the driver folds those
+    small tables, and the dense hour spine is generated from min/max —
+    no shuffle at all; events never leave their blocks."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    H_US = 3_600_000_000
+
+    def partials(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("event_type"), "error")
+        us = pc.cast(t.filter(m).column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hr = np.sort((us // H_US) * H_US)
+        new = np.r_[True, hr[1:] != hr[:-1]] if len(hr) else np.array([], bool)
+        starts = np.nonzero(new)[0]
+        return pa.table({
+            "hour_us": pa.array(hr[starts]),
+            "n": pa.array(np.diff(np.r_[starts, len(hr)]).astype(np.int64)),
+        })
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    folded = parts.groupby("hour_us", as_index=False).agg(n=("n", "sum"))
+    lo, hi = int(folded["hour_us"].min()), int(folded["hour_us"].max())
+    spine = np.arange(lo, hi + H_US, H_US)
+    n = np.zeros(len(spine), dtype=np.int64)
+    pos = np.searchsorted(spine, folded["hour_us"].to_numpy())
+    n[pos] = folded["n"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({"hour": pd.to_datetime(spine, unit="us"),
+                         "n": n})
+
+
+QUERIES["gapfill_hourly_errors"] = gapfill_hourly_errors
+ORACLES["gapfill_hourly_errors"] = """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'error' GROUP BY hr
+    ), b AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM h)
+    SELECT gs.hr AS hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+    FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+          FROM b) gs
+    LEFT JOIN h ON gs.hr = h.hr
+    ORDER BY hour
+"""

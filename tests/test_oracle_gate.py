@@ -65,6 +65,8 @@ FAST_SUBSET = [
     "order_count_distribution",
     "retention_cohorts",
     "cumulative_new_users",
+    "max_concurrent_views",
+    "gapfill_hourly_errors",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
