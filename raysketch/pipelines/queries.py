@@ -5311,3 +5311,169 @@ ORACLES["gapfill_hourly_errors"] = """
     LEFT JOIN h ON gs.hr = h.hr
     ORDER BY hour
 """
+
+
+def token_freq_score_docs(sf_dir: str, vocab_cap: int = 2_000_000
+                          ) -> pd.DataFrame:
+    """Corpus-frequency document scoring — the unigram-LM building
+    block (a doc's score = Σ over its tokens of that token's TOTAL
+    corpus count, exact integers): the distributed two-pass broadcast-
+    join shape.  Pass 1 folds per-block term counts on the driver
+    (vocabulary rows, never token rows — guarded by ``vocab_cap``, past
+    which the honest path is the shuffle df-attach of
+    stages/dedup.py); pass 2 broadcasts the (token → count) table once
+    via the actor pool and scores every document vectorized
+    (split_pattern → Index.get_indexer → bincount-by-doc).  Zero
+    shuffles; equivalent SQL is explode → count → join-back → re-group,
+    i.e. three exchanges this layout avoids."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " "))
+        vc = pc.value_counts(words.combine_chunks())
+        return pa.table({"w": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    folded: dict = {}
+    for b in ds.map_batches(term_counts, batch_format="pyarrow",
+                            batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        ws = b.column("w").to_pylist()
+        cs = b.column("c").to_numpy(zero_copy_only=False)
+        for w, c in zip(ws, cs):
+            folded[w] = folded.get(w, 0) + int(c)
+        if len(folded) > vocab_cap:
+            raise ValueError(
+                f"vocabulary exceeds broadcast cap {vocab_cap}; use the "
+                "shuffle df-attach path (stages/dedup.py) instead")
+    vocab = pd.Index(sorted(folded))
+    counts = np.array([folded[w] for w in vocab], dtype=np.int64)
+    vref = ray.put((vocab, counts))
+
+    class Score:
+        def __init__(self):
+            self.vocab, self.counts = ray.get(vref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            words = pc.split_pattern(
+                pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+            n_per = pc.list_value_length(words).to_numpy(
+                zero_copy_only=False)
+            flat = pc.list_flatten(words)
+            idx = self.vocab.get_indexer(flat.to_pandas())
+            tok_c = np.where(idx >= 0, self.counts[np.maximum(idx, 0)], 0)
+            parent = np.repeat(np.arange(t.num_rows), n_per)
+            score = np.bincount(parent, weights=tok_c,
+                                minlength=t.num_rows).astype(np.int64)
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "freq_score": pa.array(score)})
+
+    out = ds.map_batches(Score, batch_format="pyarrow",
+                         concurrency=auto_concurrency()).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["token_freq_score_docs"] = token_freq_score_docs
+ORACLES["token_freq_score_docs"] = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), cnt AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+    )
+    SELECT t.doc_id, CAST(SUM(c) AS BIGINT) AS freq_score
+    FROM tok t JOIN cnt USING (w)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+def sole_return_suppliers(sf_dir: str, num_buckets: int = 64
+                          ) -> pd.DataFrame:
+    """TPC-H Q21 shape — the EXISTS / NOT-EXISTS pair over order
+    groups: for each supplier, count orders where (a) at least one
+    OTHER supplier also shipped lines (EXISTS) and (b) this supplier is
+    the ONLY one with a returned ('R') line (NOT EXISTS another
+    returner).  Scale shape: lineitem collapses per batch to distinct
+    (orderkey, suppkey, has_r) 17-byte partials, ONE orderkey-hash
+    exchange co-locates each order's suppliers, each bucket re-reduces,
+    derives per-order (n_suppliers, n_returners) by segment reduceat,
+    masks qualifying rows, and emits per-supplier count partials —
+    the driver folds supplier-cardinality tables and resolves names
+    from the small dimension."""
+    import ray.data
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        r = pc.equal(t.column("l_returnflag"), "R").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sk, ok))
+        ok, sk, r = ok[order], sk[order], r[order]
+        new = np.r_[True, (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])] \
+            if len(ok) else np.array([], bool)
+        starts = np.nonzero(new)[0]
+        has_r = np.maximum.reduceat(r, starts) if len(starts) else r
+        uok, usk = ok[starts], sk[starts]
+        b = (_mix64(uok.astype(np.uint64))
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"okey": pa.array(uok), "skey": pa.array(usk),
+                         "has_r": pa.array(has_r), "__b": pa.array(b)})
+
+    def finish_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["okey"].to_numpy(dtype=np.int64)
+        sk = g["skey"].to_numpy(dtype=np.int64)
+        r = g["has_r"].to_numpy(dtype=np.int64)
+        order = np.lexsort((sk, ok))
+        ok, sk, r = ok[order], sk[order], r[order]
+        new_pair = np.r_[True, (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])] \
+            if len(ok) else np.array([], bool)
+        ps = np.nonzero(new_pair)[0]
+        has_r = np.maximum.reduceat(r, ps) if len(ps) else r
+        ok, sk = ok[ps], sk[ps]
+        new_ord = np.r_[True, ok[1:] != ok[:-1]] if len(ok) \
+            else np.array([], bool)
+        os_ = np.nonzero(new_ord)[0]
+        n_supp = np.diff(np.r_[os_, len(ok)])
+        n_r = np.add.reduceat(has_r, os_) if len(os_) else has_r
+        seg = np.cumsum(new_ord) - 1
+        qual = (has_r == 1) & (n_supp[seg] >= 2) & (n_r[seg] == 1)
+        vals, occ = np.unique(sk[qual], return_counts=True)
+        return pd.DataFrame({"skey": vals,
+                             "part": occ.astype(np.int64)})
+
+    parts = (li.map_batches(partials, batch_format="pyarrow")
+             .groupby("__b").map_groups(finish_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    folded = parts.groupby("skey", as_index=False).agg(
+        n_orders=("part", "sum"))
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name"]).to_pandas()
+    out = folded.merge(supp, left_on="skey", right_on="s_suppkey")
+    return out[["s_name", "n_orders"]].astype(
+        {"n_orders": "int64"}).sort_values("s_name").reset_index(drop=True)
+
+
+QUERIES["sole_return_suppliers"] = sole_return_suppliers
+ORACLES["sole_return_suppliers"] = """
+    WITH os AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ), q AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, SUM(has_r) AS n_r
+      FROM os GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM os JOIN q USING (l_orderkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE os.has_r = 1 AND q.n_supp >= 2 AND q.n_r = 1
+    GROUP BY s_name ORDER BY s_name
+"""

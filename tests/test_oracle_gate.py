@@ -67,6 +67,8 @@ FAST_SUBSET = [
     "cumulative_new_users",
     "max_concurrent_views",
     "gapfill_hourly_errors",
+    "token_freq_score_docs",
+    "sole_return_suppliers",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
