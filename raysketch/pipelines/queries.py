@@ -5477,3 +5477,160 @@ ORACLES["sole_return_suppliers"] = """
     WHERE os.has_r = 1 AND q.n_supp >= 2 AND q.n_r = 1
     GROUP BY s_name ORDER BY s_name
 """
+
+
+def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape — scalar-subquery filter + anti join + group:
+    customers whose balance exceeds the global average positive balance
+    AND who placed no urgent order, counted per nation.  Scale shape:
+    the scalar is folded as an exact (Σcents, n) pair from per-batch
+    combiner partials and applied by integer CROSS-MULTIPLICATION
+    (cents·n > Σcents — the oracle states the identical form, so float
+    division order can never flip the boundary); the NOT-EXISTS runs as
+    `bucket_anti_join` (urgent orders pre-deduped per batch to bare
+    8-byte keys, so the exchange carries distinct custkeys); nation
+    names resolve from the broadcast dimension on the driver-folded
+    ≤nations result."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..stages.joins import bucket_anti_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("c_acctbal")).to_numpy(zero_copy_only=False)
+        pos = cents[cents > 0]
+        return pa.table({"s": pa.array([int(pos.sum())]),
+                         "n": pa.array([len(pos)])})
+
+    bal = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    s_tot, n_tot = int(bal["s"].sum()), int(bal["n"].sum())
+
+    def rich(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("c_acctbal")).to_numpy(zero_copy_only=False)
+        m = cents * n_tot > s_tot
+        return pa.table({
+            "ckey": t.column("c_custkey").filter(pa.array(m)),
+            "natkey": pc.cast(t.column("c_nationkey").filter(pa.array(m)),
+                              pa.int64()),
+            "cents": pa.array(cents[m]),
+        })
+
+    urgent = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    ).map_batches(
+        lambda t: pa.table({"ckey": pc.unique(
+            t.column("o_custkey").combine_chunks())}),
+        batch_format="pyarrow")
+
+    kept = bucket_anti_join(cust.map_batches(rich, batch_format="pyarrow"),
+                            urgent, on="ckey")
+
+    def nat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "natkey" not in df.columns or not len(df):
+            return pd.DataFrame({"natkey": pd.Series([], dtype="int64"),
+                                 "part_n": pd.Series([], dtype="int64"),
+                                 "part_c": pd.Series([], dtype="int64")})
+        out = df.groupby("natkey", as_index=False).agg(
+            part_n=("cents", "size"), part_c=("cents", "sum"))
+        return out.astype({"natkey": "int64", "part_n": "int64",
+                           "part_c": "int64"})
+
+    parts = kept.map_batches(nat_partial, batch_format="pandas").to_pandas()
+    folded = parts.groupby("natkey", as_index=False).agg(
+        n_cust=("part_n", "sum"), sum_acctbal_cents=("part_c", "sum"))
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    out = folded.merge(nat, left_on="natkey", right_on="n_nationkey")
+    return out[["n_name", "n_cust", "sum_acctbal_cents"]].astype(
+        {"n_cust": "int64", "sum_acctbal_cents": "int64"}) \
+        .sort_values("n_name").reset_index(drop=True)
+
+
+QUERIES["q22_idle_rich_customers"] = q22_idle_rich_customers
+ORACLES["q22_idle_rich_customers"] = """
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > 0
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS sum_acctbal_cents
+    FROM customer JOIN nation ON c_nationkey = n_nationkey, pos
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY n_name ORDER BY n_name
+"""
+
+
+def top10_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Collocation heavy hitters — exact top-10 ADJACENT word pairs:
+    the same two-pass Misra–Gries + exact-recount layout as
+    `top10_words`, but the stream element is an order-dependent feature
+    extracted inside the batch (offset-shifted join of the flattened
+    word array, pairs masked at document boundaries so bigrams never
+    straddle rows).  Survives unbounded bigram vocabularies: pass 1
+    keeps 512 counters, pass 2 recounts only the guaranteed-superset
+    candidates."""
+    from ..sketches import MisraGries
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def bigrams_of(t: pa.Table) -> pa.Table:
+        w = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        n_per = pc.list_value_length(w).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(w)
+        if len(flat) == 0:
+            return pa.table({"bigram": pa.array([], pa.string())})
+        pair = pc.binary_join_element_wise(
+            flat.slice(0, max(len(flat) - 1, 0)),
+            flat.slice(1), " ")
+        # drop pairs that straddle a document boundary: the last word
+        # of each doc has no successor inside that doc
+        ends = np.cumsum(n_per) - 1
+        keep = np.ones(max(len(flat) - 1, 0), dtype=bool)
+        keep[ends[ends < len(keep)]] = False
+        return pa.table({"bigram": pair.filter(pa.array(keep))})
+
+    grams = ds.map_batches(bigrams_of, batch_format="pyarrow")
+    blob = sketch_aggregate(grams, "misragries", on="bigram", mode="bytes",
+                            k=512)
+    cands = [e.decode() for e, _ in MisraGries.from_bytes(blob).candidates()]
+    if not cands:
+        return pd.DataFrame({"bigram": [],
+                             "n": pd.Series([], dtype="int64")})
+    cand_arr = pa.array(cands, type=pa.string())
+
+    def recount(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.is_in(t.column("bigram"), value_set=cand_arr))
+        vc = pc.value_counts(sel.column("bigram").combine_chunks())
+        return pa.table({"bigram": vc.field("values"),
+                         "part_n": vc.field("counts")})
+
+    parts = grams.map_batches(recount, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("bigram", as_index=False)["part_n"].sum() \
+        .rename(columns={"part_n": "n"})
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "bigram"], ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
+QUERIES["top10_bigrams"] = top10_bigrams
+ORACLES["top10_bigrams"] = """
+    WITH lists AS (SELECT string_split(text, ' ') AS l FROM documents),
+    big AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+            FROM lists)
+    SELECT p[1] || ' ' || p[2] AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM big GROUP BY 1 ORDER BY n DESC, bigram LIMIT 10
+"""

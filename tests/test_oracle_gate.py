@@ -69,6 +69,8 @@ FAST_SUBSET = [
     "gapfill_hourly_errors",
     "token_freq_score_docs",
     "sole_return_suppliers",
+    "q22_idle_rich_customers",
+    "top10_bigrams",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
