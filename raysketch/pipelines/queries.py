@@ -5634,3 +5634,207 @@ ORACLES["top10_bigrams"] = """
     SELECT p[1] || ' ' || p[2] AS bigram, CAST(COUNT(*) AS BIGINT) AS n
     FROM big GROUP BY 1 ORDER BY n DESC, bigram LIMIT 10
 """
+
+
+def pagerank_word_graph(sf_dir: str, iters: int = 2,
+                        num_buckets: int = 64) -> pd.DataFrame:
+    """Distributed PageRank over the word-adjacency graph (nodes =
+    words, directed edge u→v iff the bigram "u v" occurs anywhere) —
+    the iterative broadcast-vector graph pattern, with EXACT int64
+    arithmetic so the result is bit-identical at any partitioning AND
+    SQL-expressible (fixed-point scale 10^12; every division is an
+    explicit floor the oracle states with `//`).
+
+    Scale shape: the rank vector is node-bounded (broadcast each
+    iteration, like the k-means centroids); edges are a DATASET —
+    per-batch distinct pairs, one hash exchange makes them globally
+    distinct, materialized once and streamed per iteration;
+    out-degrees and per-iteration contributions fold as node-length
+    int64 partial vectors (per-batch bincount), never edge rows, so
+    each Lloyd-style pass is zero-shuffle."""
+    import ray
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    S = 1_000_000_000_000  # fixed-point rank scale
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def bigram_pairs(t: pa.Table) -> pa.Table:
+        w = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        n_per = pc.list_value_length(w).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(w)
+        if len(flat) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string())})
+        ends = np.cumsum(n_per) - 1
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        keep[ends[ends < len(keep)]] = False
+        a = flat.slice(0, len(flat) - 1).filter(pa.array(keep))
+        b = flat.slice(1).filter(pa.array(keep))
+        tt = pa.table({"w1": a, "w2": b})
+        # batch-local dedup so the exchange carries distinct pairs
+        df = tt.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(bigram_pairs, batch_format="pyarrow")
+
+    def tag(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        h = pd.util.hash_pandas_object(
+            df["w1"] + "\x00" + df["w2"], index=False).to_numpy()
+        b = (_mix64(h) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__b", pa.array(b))
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["w1", "w2"]].drop_duplicates()
+
+    edges = (pairs.map_batches(tag, batch_format="pyarrow")
+             .groupby("__b").map_groups(dedup_bucket,
+                                        batch_format="pandas")
+             .materialize())
+
+    # node vocabulary: driver fold of per-batch distinct endpoints
+    # (node-bounded by construction — the same cap argument as the
+    # broadcast rank vector itself)
+    vocab_set: set = set()
+    for b in edges.iter_batches(batch_format="pyarrow", batch_size=None):
+        vocab_set.update(b.column("w1").to_pylist())
+        vocab_set.update(b.column("w2").to_pylist())
+    vocab = pd.Index(sorted(vocab_set))
+    n = len(vocab)
+
+    def fold_vec(make_partial):
+        out = np.zeros(n, dtype=np.int64)
+        for b in edges.map_batches(make_partial, batch_format="pyarrow",
+                                   batch_size=None) \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            if b.num_rows:
+                out += np.asarray(b.column("v").to_pylist()[0],
+                                  dtype=np.int64)
+        return out
+
+    vocab_b = ray.put(vocab)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_b)
+        i = voc.get_indexer(t.column("w1").to_pandas())
+        d = np.bincount(i, minlength=n).astype(np.int64)
+        return pa.table({"v": pa.array([d.tolist()])})
+
+    deg = fold_vec(deg_partial)
+    rank = np.full(n, S, dtype=np.int64)
+    for _ in range(iters):
+        rank_ref = ray.put(rank)
+
+        def contrib_partial(t: pa.Table) -> pa.Table:
+            voc = ray.get(vocab_b)
+            r = ray.get(rank_ref)
+            i = voc.get_indexer(t.column("w1").to_pandas())
+            j = voc.get_indexer(t.column("w2").to_pandas())
+            c = r[i] // np.maximum(deg[i], 1)
+            out = np.zeros(n, dtype=np.int64)
+            np.add.at(out, j, c)
+            return pa.table({"v": pa.array([out.tolist()])})
+
+        s = fold_vec(contrib_partial)
+        rank = (15 * S) // 100 + (85 * s) // 100
+
+    return pd.DataFrame({"word": vocab.to_numpy(),
+                         "rank_scaled": rank}).sort_values("word") \
+        .reset_index(drop=True)
+
+
+QUERIES["pagerank_word_graph"] = pagerank_word_graph
+ORACLES["pagerank_word_graph"] = """
+    WITH lists AS (SELECT string_split(text, ' ') AS l FROM documents),
+    big AS (SELECT DISTINCT p[1] AS w1, p[2] AS w2 FROM (
+      SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p FROM lists
+    )),
+    nodes AS (SELECT w1 AS w FROM big UNION SELECT w2 FROM big),
+    deg AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS d FROM big GROUP BY w1),
+    c1 AS (
+      SELECT w2 AS w, SUM(CAST(1000000000000 AS BIGINT) // deg.d) AS s
+      FROM big JOIN deg USING (w1) GROUP BY w2
+    ),
+    r1 AS (
+      SELECT n.w,
+             150000000000 + (85 * COALESCE(c1.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN c1 ON n.w = c1.w
+    ),
+    c2 AS (
+      SELECT w2 AS w, SUM(r1.r // deg.d) AS s
+      FROM big JOIN deg USING (w1) JOIN r1 ON r1.w = big.w1 GROUP BY w2
+    ),
+    r2 AS (
+      SELECT n.w,
+             150000000000 + (85 * COALESCE(c2.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN c2 ON n.w = c2.w
+    )
+    SELECT w AS word, CAST(r AS BIGINT) AS rank_scaled
+    FROM r2 ORDER BY word
+"""
+
+
+def paginate_orders(sf_dir: str, offset: int = 100, limit: int = 20
+                    ) -> pd.DataFrame:
+    """Global ORDER BY … OFFSET … LIMIT without an all-to-all sort —
+    the deep-pagination operator: page rows [offset, offset+limit) of
+    orders sorted by (totalprice DESC, orderkey ASC).  The 0-based
+    global rank is a prefix COUNT over the descending-monotone
+    composite key ((MAXC − price_cents) << 32 | orderkey) via
+    `ordered_prefix_scan` (range-bucket partials + ONE 16-byte-row
+    exchange); the page is then a vectorized rank-window filter — only
+    `limit` rows ever reach the driver, at ANY offset depth, where a
+    sort-then-skip materializes and orders the whole prefix."""
+    from ..stages.scan import ordered_prefix_scan
+
+    MAXC = np.int64(1) << np.int64(40)  # > any order price in cents
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        if len(okey) and okey.max() >= (1 << 32):
+            raise ValueError("orderkey >= 2^32: widen the scan key")
+        cents = _cents(t.column("o_totalprice")).to_numpy(
+            zero_copy_only=False)
+        if len(cents) and cents.max() >= MAXC:
+            raise ValueError("price cents >= 2^40: widen the scan key")
+        return pa.table({
+            "key": pa.array(((MAXC - cents) << np.int64(32)) | okey),
+            "one": pa.array(np.ones(len(okey), dtype=np.int64)),
+            "o_orderkey": pa.array(okey),
+            "cents": pa.array(cents),
+        })
+
+    scan = ordered_prefix_scan(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "key", "one", op="sum", carry_cols=["o_orderkey", "cents"])
+
+    def page(t: pa.Table) -> pa.Table:
+        rank = t.column("prefix").to_numpy(zero_copy_only=False)
+        m = (rank >= offset) & (rank < offset + limit)
+        return pa.table({
+            "rnk": pa.array(rank[m] + 1),
+            "o_orderkey": t.column("o_orderkey").filter(pa.array(m)),
+            "price_cents": t.column("cents").filter(pa.array(m)),
+        })
+
+    out = scan.map_batches(page, batch_format="pyarrow").to_pandas()
+    return out.sort_values("rnk").reset_index(drop=True).astype(
+        {"rnk": "int64", "o_orderkey": "int64", "price_cents": "int64"})
+
+
+QUERIES["paginate_orders"] = paginate_orders
+ORACLES["paginate_orders"] = """
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS rnk,
+           o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 100
+"""

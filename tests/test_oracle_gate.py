@@ -71,6 +71,8 @@ FAST_SUBSET = [
     "sole_return_suppliers",
     "q22_idle_rich_customers",
     "top10_bigrams",
+    "pagerank_word_graph",
+    "paginate_orders",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
