@@ -5838,3 +5838,143 @@ ORACLES["paginate_orders"] = """
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 20 OFFSET 100
 """
+
+
+def purchases_near_errors(sf_dir: str, window_s: int = 300,
+                          cell_min: int = 60, num_buckets: int = 64
+                          ) -> pd.DataFrame:
+    """UNKEYED time-window EXISTS join — purchases with at least one
+    error anywhere in the preceding 5 minutes (no shared key to hash on):
+    the range-cell REPLICATION join.  Time is cut into cells much wider
+    than the window; each error row is emitted into every cell its
+    [t, t+60s] influence range touches (≤2 copies), each purchase into
+    exactly its own cell — so a purchase's full look-back window is
+    guaranteed co-resident and the EXISTS check is a per-cell
+    searchsorted, complete by construction.  One cell-hash exchange of
+    9-byte rows; per-cell daily-count partials fold on the driver.
+    This is the partitioning trick banded/theta joins need when there
+    is no equality key to bucket on."""
+    import ray.data
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    W = window_s * 1_000_000
+    CELL = cell_min * 60_000_000
+    assert CELL > W, "cell must dominate the window"
+    DAY_US = 86_400_000_000
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        is_p = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        is_e = pc.equal(et, "error").to_numpy(zero_copy_only=False)
+        pt = us[is_p]
+        et_ = us[is_e]
+        # errors replicate into the cell of t and of t+W (deduped)
+        c1, c2 = et_ // CELL, (et_ + W) // CELL
+        rep = c2 != c1
+        ets = np.concatenate([et_, et_[rep]])
+        ecs = np.concatenate([c1, c2[rep]])
+        ts_all = np.concatenate([pt, ets])
+        cs_all = np.concatenate([pt // CELL, ecs])
+        kind = np.concatenate([np.ones(len(pt), dtype=bool),
+                               np.zeros(len(ets), dtype=bool)])
+        b = (_mix64(cs_all.astype(np.uint64))
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"t": pa.array(ts_all), "cell": pa.array(cs_all),
+                         "is_p": pa.array(kind), "__b": pa.array(b)})
+
+    def exists_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cell, gc in g.groupby("cell"):
+            p = np.sort(gc.loc[gc["is_p"], "t"].to_numpy(dtype=np.int64))
+            e = np.sort(gc.loc[~gc["is_p"], "t"].to_numpy(dtype=np.int64))
+            if not len(p):
+                continue
+            # keep only purchases physically in this cell (errors are
+            # the replicated side)
+            p = p[p // CELL == cell]
+            if not len(p) or not len(e):
+                hits = np.zeros(0, dtype=np.int64)
+            else:
+                lo = np.searchsorted(e, p - W, side="left")
+                hi = np.searchsorted(e, p, side="right")
+                hits = p[hi > lo]
+            if len(hits):
+                day = (hits // DAY_US) * DAY_US
+                vals, occ = np.unique(day, return_counts=True)
+                out.append(pd.DataFrame(
+                    {"day_us": vals, "part": occ.astype(np.int64)}))
+        if not out:
+            return pd.DataFrame({"day_us": pd.Series([], dtype="int64"),
+                                 "part": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    parts = (ds.map_batches(cells, batch_format="pyarrow")
+             .groupby("__b").map_groups(exists_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    if not len(parts) or "day_us" not in parts.columns:
+        # no purchase had an error in its window (schema-less empty
+        # blocks lose their columns on the way back)
+        return pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
+                             "n": pd.Series([], dtype="int64")})
+    folded = parts.groupby("day_us", as_index=False).agg(n=("part", "sum"))
+    return pd.DataFrame({
+        "day": pd.to_datetime(folded["day_us"], unit="us"),
+        "n": folded["n"].astype("int64"),
+    }).sort_values("day").reset_index(drop=True)
+
+
+QUERIES["purchases_near_errors"] = purchases_near_errors
+ORACLES["purchases_near_errors"] = """
+    SELECT date_trunc('day', p.ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events p
+    WHERE p.event_type = 'purchase' AND EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.event_type = 'error'
+        AND e.ts <= p.ts AND e.ts > p.ts - INTERVAL 5 MINUTE
+    )
+    GROUP BY day ORDER BY day
+"""
+
+
+def embedding_sq_norms(sf_dir: str) -> pd.DataFrame:
+    """Vector-column numeric kernel, exact: per-embedding squared L2
+    norm in fixed-point 2^24 (components scaled losslessly — float32
+    · 2^24 is exact in float64 — then rounded HALF-AWAY like SQL
+    ROUND, squared and summed in int64: ≤ 2^48·dim, no overflow).
+    Zero shuffle: the list column flattens zero-copy per batch and the
+    row-wise reduce is one reshape+sum.  The SQL twin unnests and
+    re-groups — two exchanges this layout never pays."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        n = len(col)
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = flat * np.float64(1 << 24)
+        q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+        sq = (q * q).reshape(n, -1).sum(axis=1)
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "sq_norm": pa.array(sq)})
+
+    out = ds.map_batches(norms, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+QUERIES["embedding_sq_norms"] = embedding_sq_norms
+ORACLES["embedding_sq_norms"] = """
+    SELECT vec_id, CAST(SUM(c * c) AS BIGINT) AS sq_norm
+    FROM (
+      SELECT vec_id,
+             unnest(list_transform(
+               embedding, x -> CAST(ROUND(x * 16777216) AS BIGINT))) AS c
+      FROM embeddings
+    )
+    GROUP BY vec_id ORDER BY vec_id
+"""

@@ -73,6 +73,8 @@ FAST_SUBSET = [
     "top10_bigrams",
     "pagerank_word_graph",
     "paginate_orders",
+    "purchases_near_errors",
+    "embedding_sq_norms",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
