@@ -5978,3 +5978,270 @@ ORACLES["embedding_sq_norms"] = """
     )
     GROUP BY vec_id ORDER BY vec_id
 """
+
+
+def cheapest_supplier_per_part(sf_dir: str, num_buckets: int = 64,
+                               max_size: int = 25) -> pd.DataFrame:
+    """TPC-H Q2 shape — correlated-MIN subquery: for each part in a
+    dimension-restricted set (p_size <= max_size, standing in for Q2's
+    region restriction), the supplier offering the cheapest lineitem
+    price, deterministic tiebreak on the smaller suppkey.
+
+    Scale shape: the eligible-part keyset and the supplier-name map are
+    dimension broadcasts (ray.put once, searchsorted per batch — swap
+    to stages.joins.bucket_semi_join past memory); lineitem reduces
+    per batch to ONE argmin partial row per part seen (pkey, cents,
+    skey lexicographic head), then a single pkey-hash bucket exchange
+    finishes the argmin with the same lexsort+head pass.  No window
+    function, no global sort; the driver only ever sees the final
+    per-part winners (the query's own result)."""
+    import pyarrow.dataset as pads
+    import ray
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"],
+        filter=(pads.field("p_size") <= max_size),
+    ).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name"]).to_pandas()
+    pk = np.sort(part["p_partkey"].to_numpy(dtype=np.int64))
+    keys_ref = ray.put(pk)
+
+    def argmin_partial(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        keys = ray.get(keys_ref)
+        pos = np.minimum(np.searchsorted(keys, p), len(keys) - 1)
+        m = len(keys) > 0
+        m = (keys[pos] == p) if m else np.zeros(len(p), dtype=bool)
+        if not m.any():
+            return pa.table({"p": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.int64())})
+        p = p[m].astype(np.int64)
+        c = _cents(t.column("l_extendedprice")) \
+            .to_numpy(zero_copy_only=False)[m]
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)[m] \
+            .astype(np.int64)
+        order = np.lexsort((s, c, p))
+        p, c, s = p[order], c[order], s[order]
+        head = np.r_[True, p[1:] != p[:-1]]
+        p, c, s = p[head], c[head], s[head]
+        return pa.table({
+            "p": pa.array(p), "c": pa.array(c), "s": pa.array(s),
+            "__b": pa.array((_mix64(p.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        p = g["p"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        s = g["s"].to_numpy(dtype=np.int64)
+        order = np.lexsort((s, c, p))
+        p, c, s = p[order], c[order], s[order]
+        head = np.r_[True, p[1:] != p[:-1]]
+        return pd.DataFrame({"p_partkey": p[head], "best_cents": c[head],
+                             "best_suppkey": s[head]})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    out = li.map_batches(argmin_partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(finish, batch_format="pandas") \
+        .to_pandas()
+    out = out.merge(part, on="p_partkey") \
+        .merge(supp.rename(columns={"s_suppkey": "best_suppkey"}),
+               on="best_suppkey")
+    out = out[["p_partkey", "p_brand", "best_cents", "best_suppkey",
+               "s_name"]]
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+QUERIES["cheapest_supplier_per_part"] = cheapest_supplier_per_part
+ORACLES["cheapest_supplier_per_part"] = """
+    WITH c AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 25
+    ), w AS (
+      SELECT l_partkey AS p_partkey, cents AS best_cents,
+             l_suppkey AS best_suppkey,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY cents, l_suppkey) AS rn
+      FROM c)
+    SELECT p_partkey, p_brand, best_cents, best_suppkey, s_name
+    FROM w
+    JOIN part USING (p_partkey)
+    JOIN supplier ON best_suppkey = s_suppkey
+    WHERE rn = 1
+    ORDER BY p_partkey
+"""
+
+
+def promo_revenue_ratio(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape — ratio of a conditional aggregate to the total
+    over one shipdate month (read-side predicate pushdown prunes the
+    other ~80 months' row groups).  The part→is-promo flag is a
+    dimension broadcast; each batch folds to ONE (promo, total) partial
+    pair, so the query is zero-shuffle.  The ratio is reported in exact
+    integer basis points (promo·10000 // total) so both engines divide
+    the same integers — no float division can disagree."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    import ray
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]) \
+        .to_pandas()
+    order = np.argsort(part["p_partkey"].to_numpy())
+    dims_ref = ray.put((
+        part["p_partkey"].to_numpy(dtype=np.int64)[order],
+        (part["p_type"].to_numpy() == "PROMO")[order],
+    ))
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pads.field("l_shipdate") >= datetime.datetime(1995, 9, 1))
+            & (pads.field("l_shipdate") < datetime.datetime(1995, 10, 1))
+        ),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        keys, promo = ray.get(dims_ref)
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5) \
+            .astype(np.int64)
+        pos = np.minimum(np.searchsorted(keys, p), max(len(keys) - 1, 0))
+        is_promo = (keys[pos] == p) & promo[pos] if len(keys) \
+            else np.zeros(len(p), dtype=bool)
+        return pa.table({
+            "promo_cents": pa.array([int(cents[is_promo].sum())]),
+            "total_cents": pa.array([int(cents.sum())]),
+        })
+
+    parts = li.map_batches(fold, batch_format="pyarrow").to_pandas()
+    promo = int(parts["promo_cents"].sum())
+    total = int(parts["total_cents"].sum())
+    return pd.DataFrame({
+        "promo_cents": pd.Series([promo], dtype="int64"),
+        "total_cents": pd.Series([total], dtype="int64"),
+        "promo_bp": pd.Series([promo * 10000 // total if total else 0],
+                              dtype="int64"),
+    })
+
+
+QUERIES["promo_revenue_ratio"] = promo_revenue_ratio
+ORACLES["promo_revenue_ratio"] = """
+    WITH r AS (
+      SELECT CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT) AS cents,
+             (p_type = 'PROMO') AS is_promo
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= DATE '1995-09-01'
+        AND l_shipdate <  DATE '1995-10-01')
+    SELECT
+      CAST(SUM(CASE WHEN is_promo THEN cents ELSE 0 END) AS BIGINT)
+        AS promo_cents,
+      CAST(SUM(cents) AS BIGINT) AS total_cents,
+      CAST((SUM(CASE WHEN is_promo THEN cents ELSE 0 END) * 10000)
+           // SUM(cents) AS BIGINT) AS promo_bp
+    FROM r
+"""
+
+
+def important_parts(sf_dir: str, num_buckets: int = 64,
+                    mult=(11, 10)) -> pd.DataFrame:
+    """TPC-H Q11 shape — HAVING against a scalar subquery over the SAME
+    aggregation: parts whose revenue exceeds 11/10 of the MEAN per-part
+    revenue (scale-free, so a stable fraction qualifies at any sf —
+    a fixed share-of-total threshold starves as the part count grows;
+    the uniform part assignment keeps per-part revenue within ~±20% of
+    the mean, so the cut must sit inside that band).
+
+    Scale shape: lineitem reduces per batch to (partkey, rev) partials,
+    ONE pkey-hash exchange finishes per-part revenue (lexsort/reduceat)
+    into a materialized parts-revenue dataset (|parts| rows — the
+    dimension's cardinality, never lineitem's); the global total folds
+    from per-block partial sums (driver sees ≤ n_blocks int64s, not
+    part rows), and the threshold filter applies the broadcast
+    (total, n_parts) by integer cross-multiplication
+    rev·n_parts·10 > 11·total — the oracle states the identical
+    integer form, so the boundary can never flip."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5) \
+            .astype(np.int64)
+        uk, inv = np.unique(p, return_inverse=True)
+        # int64 scatter-add (float bincount is exact only to 2^53)
+        rev = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(rev, inv, cents)
+        return pa.table({
+            "p": pa.array(uk), "rev": pa.array(rev),
+            "__b": pa.array((_mix64(uk.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        p = g["p"].to_numpy(dtype=np.int64)
+        r = g["rev"].to_numpy(dtype=np.int64)
+        order = np.argsort(p, kind="stable")
+        p, r = p[order], r[order]
+        starts = np.r_[0, np.flatnonzero(p[1:] != p[:-1]) + 1]
+        return pd.DataFrame({"p_partkey": p[starts],
+                             "rev_cents": np.add.reduceat(r, starts)})
+
+    per_part = li.map_batches(partials, batch_format="pyarrow") \
+        .groupby("__b").map_groups(finish, batch_format="pandas") \
+        .materialize()
+
+    def block_sum(t: pa.Table) -> pa.Table:
+        v = t.column("rev_cents").to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([int(v.sum())]),
+                         "n": pa.array([len(v)])})
+
+    meta = per_part.map_batches(block_sum, batch_format="pyarrow") \
+        .to_pandas()
+    total, n_parts = int(meta["s"].sum()), int(meta["n"].sum())
+
+    def keep(t: pa.Table) -> pa.Table:
+        r = t.column("rev_cents").to_numpy(zero_copy_only=False)
+        num, den = mult
+        m = r * n_parts * den > num * total
+        return t.filter(pa.array(m))
+
+    out = per_part.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        out = pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                            "rev_cents": pd.Series([], dtype="int64")})
+    return out.sort_values("p_partkey").reset_index(drop=True) \
+        .astype({"p_partkey": "int64", "rev_cents": "int64"})
+
+
+QUERIES["important_parts"] = important_parts
+ORACLES["important_parts"] = """
+    WITH pr AS (
+      SELECT l_partkey AS p_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_partkey)
+    SELECT p_partkey, rev_cents FROM pr
+    WHERE rev_cents * (SELECT COUNT(*) FROM pr) * 10
+          > 11 * (SELECT SUM(rev_cents) FROM pr)
+    ORDER BY p_partkey
+"""

@@ -75,6 +75,9 @@ FAST_SUBSET = [
     "paginate_orders",
     "purchases_near_errors",
     "embedding_sq_norms",
+    "cheapest_supplier_per_part",
+    "promo_revenue_ratio",
+    "important_parts",
     "dedup_docs_exact",
     "hll_distinct_nation",
     "hll_distinct_event_type",
