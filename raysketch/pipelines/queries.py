@@ -6245,3 +6245,136 @@ ORACLES["important_parts"] = """
           > 11 * (SELECT SUM(rev_cents) FROM pr)
     ORDER BY p_partkey
 """
+
+
+def median_value_by_user(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Exact per-group median at HIGH group cardinality (one group per
+    user — the domain scales with the data, unlike the 5-type
+    `median_value_by_event_type`): medians are order statistics so no
+    combiner can shrink the exchange, but the shuffle carries only
+    16-byte (user, cents) rows bucketed by user hash, and inside a
+    bucket ONE lexsort + reduceat + gather resolves EVERY user's
+    k = (n−1)//2 element simultaneously — no per-group sort, no
+    per-group Python. The distributed exact twin of what KLL/t-digest
+    answer approximately when even the bucketed exchange is too big."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": t.column("user_id"),
+            "c": _cents(t.column("value")),
+            "__b": pa.array((_mix64(uid.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def medians(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        order = np.lexsort((c, u))
+        u, c = u[order], c[order]
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(u)])
+        at = starts + (counts - 1) // 2
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "median_cents": c[at],
+            "n": counts.astype(np.int64),
+        })
+
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(medians, batch_format="pandas")
+    df = out.to_pandas().sort_values("user_id").reset_index(drop=True)
+    return df.astype({"user_id": "int64", "median_cents": "int64", "n": "int64"})
+
+
+QUERIES["median_value_by_user"] = median_value_by_user
+ORACLES["median_value_by_user"] = """
+    SELECT user_id,
+           CAST(vc AS BIGINT) AS median_cents,
+           CAST(cnt AS BIGINT) AS n
+    FROM (
+      SELECT user_id, vc,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vc) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM (SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events)
+    )
+    WHERE rn = (cnt + 1) // 2
+    ORDER BY user_id
+"""
+
+
+def event_type_transitions(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """First-order Markov transition counts over each user's
+    time-ordered event stream — the sequence-feature operator behind
+    session language models: pairs are an ORDER-DEPENDENT feature of
+    the (user, ts, event_id) sort, so rows take ONE user-hash bucket
+    shuffle (type pre-encoded to a 1-byte index, 25-byte rows), then a
+    single within-bucket lexsort forms every user's consecutive pairs
+    at once (shifted arrays, same-user mask at partition boundaries)
+    and a bincount over prev*5+next collapses the bucket to ≤25
+    (prev, next, n) partials — the driver folds ≤25·num_buckets rows."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    NT = np.int64(len(TYPES))
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        idx = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        if idx.null_count:
+            raise ValueError("event_type outside the transition domain")
+        return pa.table({
+            "u": t.column("user_id"),
+            "ts": pc.cast(t.column("ts"), pa.int64()),
+            "e": t.column("event_id"),
+            "t": pc.cast(idx, pa.int8()),
+            "__b": pa.array((_mix64(uid.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy(dtype=np.int64)
+        e = g["e"].to_numpy(dtype=np.int64)
+        t = g["t"].to_numpy(dtype=np.int64)
+        order = np.lexsort((e, ts, u))
+        u, t = u[order], t[order]
+        if len(u) < 2:
+            return pd.DataFrame({"p": pd.Series([], dtype="int64"),
+                                 "q": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        same = u[1:] == u[:-1]
+        code = t[:-1][same] * NT + t[1:][same]
+        cnt = np.bincount(code, minlength=int(NT * NT)).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"p": nz // NT, "q": nz % NT, "n": cnt[nz]})
+
+    part = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(pairs, batch_format="pandas").to_pandas()
+    agg = part.groupby(["p", "q"], as_index=False)["n"].sum()
+    lab = np.array(TYPES, dtype=object)
+    return pd.DataFrame({
+        "prev_type": lab[agg["p"].to_numpy(dtype=np.int64)],
+        "next_type": lab[agg["q"].to_numpy(dtype=np.int64)],
+        "n": agg["n"].astype("int64"),
+    }).sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+QUERIES["event_type_transitions"] = event_type_transitions
+ORACLES["event_type_transitions"] = """
+    WITH s AS (
+      SELECT event_type AS next_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+"""

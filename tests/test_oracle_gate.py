@@ -75,6 +75,8 @@ FAST_SUBSET = [
     "paginate_orders",
     "purchases_near_errors",
     "embedding_sq_norms",
+    "median_value_by_user",
+    "event_type_transitions",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
