@@ -5636,27 +5636,13 @@ ORACLES["top10_bigrams"] = """
 """
 
 
-def pagerank_word_graph(sf_dir: str, iters: int = 2,
-                        num_buckets: int = 64) -> pd.DataFrame:
-    """Distributed PageRank over the word-adjacency graph (nodes =
-    words, directed edge u→v iff the bigram "u v" occurs anywhere) —
-    the iterative broadcast-vector graph pattern, with EXACT int64
-    arithmetic so the result is bit-identical at any partitioning AND
-    SQL-expressible (fixed-point scale 10^12; every division is an
-    explicit floor the oracle states with `//`).
-
-    Scale shape: the rank vector is node-bounded (broadcast each
-    iteration, like the k-means centroids); edges are a DATASET —
-    per-batch distinct pairs, one hash exchange makes them globally
-    distinct, materialized once and streamed per iteration;
-    out-degrees and per-iteration contributions fold as node-length
-    int64 partial vectors (per-batch bincount), never edge rows, so
-    each Lloyd-style pass is zero-shuffle."""
-    import ray
-
+def _word_edge_dataset(sf_dir: str, num_buckets: int = 64):
+    """Globally-distinct directed word-adjacency edges (u→v iff the
+    bigram "u v" occurs anywhere in documents): per-batch distinct
+    pairs bound the exchange, one pair-hash bucket shuffle finishes
+    the global dedup, materialized once so iterative consumers
+    (PageRank, BFS) stream it per pass without re-reading text."""
     from ..stages.dedup import _splitmix64 as _mix64
-
-    S = 1_000_000_000_000  # fixed-point rank scale
 
     ds = _read(sf_dir, "documents", columns=["text"])
 
@@ -5690,10 +5676,35 @@ def pagerank_word_graph(sf_dir: str, iters: int = 2,
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return g[["w1", "w2"]].drop_duplicates()
 
-    edges = (pairs.map_batches(tag, batch_format="pyarrow")
-             .groupby("__b").map_groups(dedup_bucket,
-                                        batch_format="pandas")
-             .materialize())
+    return (pairs.map_batches(tag, batch_format="pyarrow")
+            .groupby("__b").map_groups(dedup_bucket,
+                                       batch_format="pandas")
+            .materialize())
+
+
+def pagerank_word_graph(sf_dir: str, iters: int = 2,
+                        num_buckets: int = 64) -> pd.DataFrame:
+    """Distributed PageRank over the word-adjacency graph (nodes =
+    words, directed edge u→v iff the bigram "u v" occurs anywhere) —
+    the iterative broadcast-vector graph pattern, with EXACT int64
+    arithmetic so the result is bit-identical at any partitioning AND
+    SQL-expressible (fixed-point scale 10^12; every division is an
+    explicit floor the oracle states with `//`).
+
+    Scale shape: the rank vector is node-bounded (broadcast each
+    iteration, like the k-means centroids); edges are a DATASET —
+    per-batch distinct pairs, one hash exchange makes them globally
+    distinct, materialized once and streamed per iteration;
+    out-degrees and per-iteration contributions fold as node-length
+    int64 partial vectors (per-batch bincount), never edge rows, so
+    each Lloyd-style pass is zero-shuffle."""
+    import ray
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    S = 1_000_000_000_000  # fixed-point rank scale
+
+    edges = _word_edge_dataset(sf_dir, num_buckets)
 
     # node vocabulary: driver fold of per-batch distinct endpoints
     # (node-bounded by construction — the same cap argument as the
@@ -6377,4 +6388,163 @@ ORACLES["event_type_transitions"] = """
     FROM s WHERE prev_type IS NOT NULL
     GROUP BY prev_type, next_type
     ORDER BY prev_type, next_type
+"""
+
+
+def outlier_events_zscore(sf_dir: str, k_sigma: int = 2) -> pd.DataFrame:
+    """Per-group z-score outlier detection in EXACT integer arithmetic
+    — the anomaly-filter a curation pipeline runs before training:
+    events whose value sits more than k·σ from their type's mean.
+
+    Two zero-shuffle streaming passes. Pass 1 folds per-type moments
+    (n, Σc, Σc² with the c² halves split around 2^32 so int64 never
+    overflows); the driver forms T = k²·(n·Σc² − (Σc)²) in Python ints
+    and takes t = isqrt(T), exact because for integers d² > T ⇔ |d| >
+    ⌊√T⌋. Pass 2 flags rows where |n·c − Σc| > t with the ≤5-entry
+    threshold table captured in the closure — no join, no shuffle,
+    and no float ever enters, so the oracle (HUGEINT cross-multiplied
+    variance, the identical inequality) hash-matches exactly.
+    Bound: needs n·max|c| < 2^63 (≈9e8 rows/group at 1e10 cents);
+    past that the filter pass splits d into (hi,lo) like the moments."""
+    import math
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        idx = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        if idx.null_count:
+            raise ValueError("event_type outside the outlier domain")
+        g = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        c = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        cc = c * c
+        hi, lo = cc >> np.int64(32), cc & np.int64((1 << 32) - 1)
+        nt = len(TYPES)
+        return pd.DataFrame({
+            "g": np.arange(nt, dtype=np.int64),
+            "n": np.bincount(g, minlength=nt).astype(np.int64),
+            "s": np.array([int(c[g == i].sum()) for i in range(nt)], dtype=np.int64),
+            "ss_hi": np.array([int(hi[g == i].sum()) for i in range(nt)], dtype=np.int64),
+            "ss_lo": np.array([int(lo[g == i].sum()) for i in range(nt)], dtype=np.int64),
+        })
+
+    p = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n_t, s_t, thr_t = [], [], []
+    for i in range(len(TYPES)):
+        rows = p[p["g"] == i]
+        n = int(rows["n"].sum())
+        s = int(rows["s"].sum())
+        ss = (int(rows["ss_hi"].sum()) << 32) + int(rows["ss_lo"].sum())
+        T = (k_sigma * k_sigma) * (n * ss - s * s)
+        n_t.append(n)
+        s_t.append(s)
+        thr_t.append(math.isqrt(T) if T >= 0 else -1)
+    n_arr = np.array(n_t, dtype=np.int64)
+    s_arr = np.array(s_t, dtype=np.int64)
+    t_arr = np.array(thr_t, dtype=np.int64)
+
+    def flag(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        g = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        c = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        d = n_arr[g] * c - s_arr[g]
+        m = np.abs(d) > t_arr[g]
+        kept = t.filter(pa.array(m))
+        return pa.table({
+            "event_id": kept.column("event_id"),
+            "event_type": kept.column("event_type"),
+            "value_cents": _cents(kept.column("value")),
+        })
+
+    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        out = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                            "event_type": pd.Series([], dtype="object"),
+                            "value_cents": pd.Series([], dtype="int64")})
+    return out.sort_values("event_id").reset_index(drop=True) \
+        .astype({"event_id": "int64", "value_cents": "int64"})
+
+
+QUERIES["outlier_events_zscore"] = outlier_events_zscore
+ORACLES["outlier_events_zscore"] = """
+    WITH v AS (SELECT event_id, event_type,
+                      CAST(ROUND(value*100) AS BIGINT) AS c FROM events),
+    st AS (SELECT event_type,
+                  CAST(COUNT(*) AS HUGEINT) AS n,
+                  CAST(SUM(c) AS HUGEINT) AS s,
+                  SUM(CAST(c AS HUGEINT) * c) AS ss
+           FROM v GROUP BY event_type)
+    SELECT v.event_id, v.event_type, v.c AS value_cents
+    FROM v JOIN st USING (event_type)
+    WHERE (st.n * v.c - st.s) * (st.n * v.c - st.s)
+          > 4 * (st.n * st.ss - st.s * st.s)
+    ORDER BY v.event_id
+"""
+
+
+def bfs_word_graph(sf_dir: str, max_depth: int = 4,
+                   num_buckets: int = 64) -> pd.DataFrame:
+    """Breadth-first hop levels over the word-adjacency graph from a
+    deterministic source (the lexicographically smallest edge tail) —
+    the iterative frontier-expansion pattern (recursive-CTE analog of
+    PageRank's fixed-iteration walk): the frontier is node-bounded so
+    it broadcasts like the rank vector (ray.put once per level), and
+    each level is ONE zero-shuffle streaming pass over the
+    `_word_edge_dataset` materialized edges — an `is_in` mask on w1
+    plus per-batch distinct w2 partials folded on the driver; first
+    touch assigns the (minimal) BFS level. No edge row ever leaves
+    its block after the single dedup exchange the edge set itself
+    paid."""
+    import ray
+
+    edges = _word_edge_dataset(sf_dir, num_buckets)
+
+    src_parts = edges.map_batches(
+        lambda t: pa.table({"m": pa.array(
+            [pc.min(t.column("w1")).as_py()] if t.num_rows else [],
+            pa.string())}),
+        batch_format="pyarrow").to_pandas()
+    src = src_parts["m"].min()
+
+    level = {src: 0}
+    frontier = [src]
+    for lvl in range(1, max_depth + 1):
+        f_ref = ray.put(sorted(frontier))
+
+        def expand(t: pa.Table, _f=f_ref) -> pa.Table:
+            fr = pa.array(ray.get(_f), pa.string())
+            m = pc.is_in(t.column("w1"), value_set=fr)
+            return pa.table({"w": pc.unique(t.filter(m).column("w2"))})
+
+        found: set = set()
+        for b in edges.map_batches(expand, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            found.update(b.column("w").to_pylist())
+        frontier = sorted(found - level.keys())
+        if not frontier:
+            break
+        for w in frontier:
+            level[w] = lvl
+
+    out = pd.DataFrame({"word": list(level.keys()),
+                        "level": np.array(list(level.values()), dtype=np.int64)})
+    return out.sort_values("word").reset_index(drop=True)
+
+
+QUERIES["bfs_word_graph"] = bfs_word_graph
+ORACLES["bfs_word_graph"] = """
+    WITH RECURSIVE lists AS (SELECT string_split(text, ' ') AS l FROM documents),
+    big AS (SELECT DISTINCT p[1] AS w1, p[2] AS w2 FROM (
+      SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p FROM lists
+    )),
+    bfs(w, lvl) AS (
+      SELECT (SELECT MIN(w1) FROM big) AS w, 0 AS lvl
+      UNION
+      SELECT b.w2, bfs.lvl + 1
+      FROM bfs JOIN big b ON b.w1 = bfs.w
+      WHERE bfs.lvl < 4
+    )
+    SELECT w AS word, CAST(MIN(lvl) AS BIGINT) AS level
+    FROM bfs GROUP BY w ORDER BY word
 """

@@ -77,6 +77,8 @@ FAST_SUBSET = [
     "embedding_sq_norms",
     "median_value_by_user",
     "event_type_transitions",
+    "outlier_events_zscore",
+    "bfs_word_graph",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
