@@ -6548,3 +6548,214 @@ ORACLES["bfs_word_graph"] = """
     SELECT w AS word, CAST(MIN(lvl) AS BIGINT) AS level
     FROM bfs GROUP BY w ORDER BY word
 """
+
+
+def gram_matrix_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Exact Gram matrix of the embedding column — the D×D Σxᵢxⱼ
+    precursor to covariance / PCA / whitening — computed as ONE
+    zero-shuffle streaming pass: each batch quantizes components at
+    fixed-point 2^12 (HALF-AWAY rounding matched to SQL ROUND),
+    reshapes the flattened list zero-copy to (n, D) and emits the
+    single int64 matmul partial qᵀq; the driver folds D² integers per
+    batch, never rows. Per-batch entries ≤ n·2^26 so int64 is safe
+    past 10^9 rows/batch; the driver fold uses Python ints so the
+    TOTAL never overflows at any scale. The SQL twin pays a
+    self-join of the unnested table (n·D² rows); upper triangle only,
+    1-based (i, j) to match SQL ordinality."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    Q = np.float64(1 << 12)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        n = len(col)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        y = flat * Q
+        q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64) \
+            .reshape(n, -1)
+        g = q.T @ q
+        return pa.table({"g": pa.array([g.ravel().tolist()]),
+                         "d": pa.array([g.shape[0]])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    d = int(parts["d"].iloc[0])
+    total = [0] * (d * d)
+    for row in parts["g"]:
+        for k, v in enumerate(row):
+            total[k] += int(v)
+    iu, ju = np.triu_indices(d)
+    g = np.array([total[i * d + j] for i, j in zip(iu, ju)], dtype=np.int64)
+    return pd.DataFrame({"i": (iu + 1).astype(np.int64),
+                         "j": (ju + 1).astype(np.int64),
+                         "g": g})
+
+
+QUERIES["gram_matrix_embeddings"] = gram_matrix_embeddings
+ORACLES["gram_matrix_embeddings"] = """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(ROUND(x * 4096) AS BIGINT)) AS v
+      FROM embeddings),
+    flat AS (
+      SELECT vec_id, unnest(v) AS x,
+             unnest(range(1, len(v) + 1)) AS i
+      FROM q)
+    SELECT f1.i AS i, f2.i AS j, CAST(SUM(f1.x * f2.x) AS BIGINT) AS g
+    FROM flat f1 JOIN flat f2
+      ON f1.vec_id = f2.vec_id AND f2.i >= f1.i
+    GROUP BY f1.i, f2.i ORDER BY i, j
+"""
+
+
+def triangle_count_words(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Global triangle count over the UNDIRECTED word-adjacency graph
+    — the wedge-enumeration + edge-membership pattern: canonical
+    (min,max) edges dedup through one pair-hash exchange; each edge
+    replicates to BOTH endpoints as (center, other) rows and a
+    center-hash exchange co-locates every node's neighborhood; inside
+    a bucket one lexsort + vectorized pair-unranking (j from the
+    triangular-number inverse with an integer fixup — no per-center
+    loop) emits all wedges; wedges and edges then share ONE packed-key
+    exchange where a per-bucket searchsorted membership test counts
+    matched wedges, and T = matched // 3 (each triangle matches at its
+    three centers). Hub nodes make wedges quadratic in degree — at
+    scale the standard split (count heavy-center wedges against a
+    broadcast heavy-edge set) bolts onto the same layout."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    edges = _word_edge_dataset(sf_dir, num_buckets)
+
+    # node vocabulary (node-bounded driver fold, as pagerank)
+    vocab_set: set = set()
+    for b in edges.iter_batches(batch_format="pyarrow", batch_size=None):
+        vocab_set.update(b.column("w1").to_pylist())
+        vocab_set.update(b.column("w2").to_pylist())
+    vocab = pd.Index(sorted(vocab_set))
+    NV = np.int64(len(vocab))
+    import ray
+    vocab_b = ray.put(vocab)
+
+    def canon(t: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_b)
+        i = voc.get_indexer(t.column("w1").to_pandas()).astype(np.int64)
+        j = voc.get_indexer(t.column("w2").to_pandas()).astype(np.int64)
+        a, b = np.minimum(i, j), np.maximum(i, j)
+        m = a != b
+        a, b = a[m], b[m]
+        key = a * NV + b
+        key = np.unique(key)
+        a, b = key // NV, key % NV
+        return pa.table({
+            "a": pa.array(a), "b": pa.array(b),
+            "__b": pa.array((_mix64(key.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
+    und = edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby("__b").map_groups(dedup, batch_format="pandas") \
+        .materialize()
+
+    def replicate(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        ctr = np.concatenate([a, b])
+        oth = np.concatenate([b, a])
+        return pa.table({
+            "c": pa.array(ctr), "o": pa.array(oth),
+            "__b": pa.array((_mix64(ctr.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(dtype=np.int64)
+        o = g["o"].to_numpy(dtype=np.int64)
+        order = np.lexsort((o, c))
+        c, o = c[order], o[order]
+        starts = np.r_[0, np.flatnonzero(c[1:] != c[:-1]) + 1]
+        cnt = np.diff(np.r_[starts, len(c)])
+        m = cnt * (cnt - 1) // 2
+        tot = int(m.sum())
+        if tot == 0:
+            return pd.DataFrame({"k": pd.Series([], dtype="int64")})
+        offs = np.cumsum(m) - m
+        seg = np.repeat(np.arange(len(m)), m)
+        p = np.arange(tot, dtype=np.int64) - offs[seg]
+        # unrank p -> (i, j), i < j, ordered by j: j(j-1)/2 <= p
+        j = ((1.0 + np.sqrt(1.0 + 8.0 * p.astype(np.float64))) / 2.0) \
+            .astype(np.int64)
+        j = np.where(j * (j - 1) // 2 > p, j - 1, j)
+        j = np.where((j + 1) * j // 2 <= p, j + 1, j)
+        i = p - j * (j - 1) // 2
+        base = starts[seg]
+        x, y = o[base + i], o[base + j]
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
+        return pd.DataFrame({"k": lo * NV + hi})
+
+    wedge_keys = und.map_batches(replicate, batch_format="pyarrow") \
+        .groupby("__b").map_groups(wedges, batch_format="pandas")
+
+    def side(name, val):
+        def f(t: pa.Table) -> pa.Table:
+            if name == "w":
+                k = t.column("k").to_numpy(zero_copy_only=False)
+            else:
+                k = (t.column("a").to_numpy(zero_copy_only=False) * NV
+                     + t.column("b").to_numpy(zero_copy_only=False))
+            return pa.table({
+                "k": pa.array(k),
+                "s": pa.array(np.full(len(k), val, dtype=np.int8)),
+                "__b": pa.array((_mix64(k.astype(np.uint64))
+                                 % np.uint64(num_buckets)).astype(np.int64)),
+            })
+        return f
+
+    both = wedge_keys.map_batches(side("w", 0), batch_format="pyarrow") \
+        .union(und.map_batches(side("e", 1), batch_format="pyarrow"))
+
+    def count_matched(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(dtype=np.int64)
+        s = g["s"].to_numpy(dtype=np.int8)
+        ek = np.unique(k[s == 1])
+        wk = k[s == 0]
+        pos = np.searchsorted(ek, wk)
+        pos[pos >= len(ek)] = max(len(ek) - 1, 0)
+        hit = len(ek) and int((ek[pos] == wk).sum())
+        return pd.DataFrame({"n": [int(hit)], "nw": [len(wk)]})
+
+    parts = both.groupby("__b").map_groups(
+        count_matched, batch_format="pandas").to_pandas()
+    matched, n_wedges = int(parts["n"].sum()), int(parts["nw"].sum())
+
+    n_edges = 0
+    for b in und.iter_batches(batch_format="pyarrow", batch_size=None):
+        n_edges += b.num_rows
+
+    return _one_row(n_und_edges=np.int64(n_edges),
+                    n_wedges=np.int64(n_wedges),
+                    n_triangles=np.int64(matched // 3))
+
+
+QUERIES["triangle_count_words"] = triangle_count_words
+ORACLES["triangle_count_words"] = """
+    WITH lists AS (SELECT string_split(text, ' ') AS l FROM documents),
+    big AS (SELECT DISTINCT p[1] AS w1, p[2] AS w2 FROM (
+      SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p FROM lists
+    )),
+    und AS (SELECT DISTINCT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b
+            FROM big WHERE w1 <> w2),
+    deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      SELECT a AS w FROM und UNION ALL SELECT b AS w FROM und
+    ) GROUP BY w),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t
+      FROM und e1 JOIN und e2 ON e2.a = e1.b
+                  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_und_edges,
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles
+"""

@@ -79,6 +79,8 @@ FAST_SUBSET = [
     "event_type_transitions",
     "outlier_events_zscore",
     "bfs_word_graph",
+    "gram_matrix_embeddings",
+    "triangle_count_words",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
