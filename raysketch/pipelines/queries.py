@@ -6759,3 +6759,185 @@ ORACLES["triangle_count_words"] = """
            (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
            (SELECT t FROM tri) AS n_triangles
 """
+
+
+def time_weighted_avg_by_user(sf_dir: str, num_buckets: int = 64
+                              ) -> pd.DataFrame:
+    """Time-weighted average of a step signal per user — the integral
+    Σ Δt·v_prev over consecutive events, the metric behind 'average
+    balance held' / 'mean session state': exact (numerator,
+    denominator) int64 pair per user so no division ever happens and
+    the oracle hash is exact. Same single user-hash exchange as the
+    LAG family (22-byte rows), one within-bucket lexsort forms every
+    user's intervals simultaneously, per-user sums by reduceat.
+    Overflow bound: Σ Δus per user ≤ the calendar span (~3e13 us/yr),
+    × max cents < 2^63 — safe for any per-user horizon; past that the
+    products split hi/lo like the moment folds."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": t.column("user_id"),
+            "tu": pc.cast(t.column("ts"), pa.int64()),
+            "e": t.column("event_id"),
+            "c": _cents(t.column("value")),
+            "__b": pa.array((_mix64(uid.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def integrate(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        tu = g["tu"].to_numpy(dtype=np.int64)
+        e = g["e"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        order = np.lexsort((e, tu, u))
+        u, tu, c = u[order], tu[order], c[order]
+        if len(u) < 2:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "num": pd.Series([], dtype="int64"),
+                                 "den_us": pd.Series([], dtype="int64")})
+        same = u[1:] == u[:-1]
+        pu = u[:-1][same]
+        if not len(pu):
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "num": pd.Series([], dtype="int64"),
+                                 "den_us": pd.Series([], dtype="int64")})
+        d = (tu[1:] - tu[:-1])[same]
+        w = d * c[:-1][same]
+        starts = np.r_[0, np.flatnonzero(pu[1:] != pu[:-1]) + 1]
+        return pd.DataFrame({
+            "user_id": pu[starts],
+            "num": np.add.reduceat(w, starts),
+            "den_us": np.add.reduceat(d, starts),
+        })
+
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(integrate, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True) \
+        .astype({"user_id": "int64", "num": "int64", "den_us": "int64"})
+
+
+QUERIES["time_weighted_avg_by_user"] = time_weighted_avg_by_user
+ORACLES["time_weighted_avg_by_user"] = """
+    WITH s AS (SELECT user_id, event_id,
+                      CAST(ROUND(value*100) AS BIGINT) AS c,
+                      CAST(epoch_us(ts) AS BIGINT) AS tu
+               FROM events),
+    p AS (SELECT user_id,
+                 LAG(c) OVER (PARTITION BY user_id
+                              ORDER BY tu, event_id) AS pc,
+                 tu - LAG(tu) OVER (PARTITION BY user_id
+                                    ORDER BY tu, event_id) AS d
+          FROM s)
+    SELECT user_id,
+           CAST(SUM(d * pc) AS BIGINT) AS num,
+           CAST(SUM(d) AS BIGINT) AS den_us
+    FROM p WHERE pc IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+"""
+
+
+def jaccard_sources_vocab(sf_dir: str, num_buckets: int = 64
+                          ) -> pd.DataFrame:
+    """Pairwise EXACT Jaccard between every source's word vocabulary —
+    k-way distributed set algebra over an unbounded element domain
+    (the 2-set `user_set_ops` generalized to all k(k−1)/2 pairs in ONE
+    pass): per-batch distinct (word, source-bit) partials OR-fold per
+    word inside each word-hash bucket (bitwise_or.reduceat), each
+    bucket collapses to ≤distinct-masks (mask, n) partials, and the
+    driver answers every pair from the mask histogram — intersections
+    and unions for all 190 pairs without touching words again.
+    Exchange volume: distinct (word, source) pairs, 12-byte rows;
+    driver table bounded by distinct masks ≤ min(vocab, 2^k)."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    # source domain: driver fold of per-batch distinct sources
+    src_parts = ds.map_batches(
+        lambda t: pa.table({"s": pc.unique(t.column("source"))}),
+        batch_format="pyarrow").to_pandas()
+    sources = sorted(set(src_parts["s"]))
+    k = len(sources)
+    if k > 62:
+        raise ValueError("bitmask layout supports <=62 sources; "
+                         "shard the pair matrix past that")
+    src_idx = pd.Index(sources)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        w = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        cnt = pc.list_value_length(w).to_numpy(zero_copy_only=False)
+        flat = w.flatten()
+        si = src_idx.get_indexer(t.column("source").to_pandas()) \
+            .astype(np.int64)
+        bit = np.left_shift(np.int64(1), np.repeat(si, cnt))
+        words = flat.to_numpy(zero_copy_only=False)
+        order = np.argsort(words, kind="stable")
+        words, bit = words[order], bit[order]
+        if len(words):
+            starts = np.r_[0, np.flatnonzero(words[1:] != words[:-1]) + 1]
+            words = words[starts]
+            bit = np.bitwise_or.reduceat(bit, starts)
+        df = pd.DataFrame({"w": words, "m": bit})
+        h = pd.util.hash_pandas_object(df["w"], index=False).to_numpy()
+        df["__b"] = (_mix64(h) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        w = g["w"].to_numpy()
+        m = g["m"].to_numpy(dtype=np.int64)
+        order = np.argsort(w, kind="stable")
+        w, m = w[order], m[order]
+        starts = np.r_[0, np.flatnonzero(w[1:] != w[:-1]) + 1]
+        masks = np.bitwise_or.reduceat(m, starts)
+        um, n = np.unique(masks, return_counts=True)
+        return pd.DataFrame({"m": um, "n": n.astype(np.int64)})
+
+    hist = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("__b").map_groups(fold, batch_format="pandas") \
+        .to_pandas().groupby("m", as_index=False)["n"].sum()
+    masks = hist["m"].to_numpy(dtype=np.int64)
+    cnts = hist["n"].to_numpy(dtype=np.int64)
+
+    rows = []
+    for i in range(k):
+        bi = np.int64(1) << np.int64(i)
+        for j in range(i + 1, k):
+            bj = np.int64(1) << np.int64(j)
+            has_i = (masks & bi) != 0
+            has_j = (masks & bj) != 0
+            rows.append({
+                "src_a": sources[i], "src_b": sources[j],
+                "n_inter": int(cnts[has_i & has_j].sum()),
+                "n_union": int(cnts[has_i | has_j].sum()),
+            })
+    out = pd.DataFrame(rows)
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True) \
+        .astype({"n_inter": "int64", "n_union": "int64"})
+
+
+QUERIES["jaccard_sources_vocab"] = jaccard_sources_vocab
+ORACLES["jaccard_sources_vocab"] = """
+    WITH w AS (SELECT DISTINCT source,
+                      unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+              FROM w GROUP BY source),
+    inter AS (SELECT wa.source AS sa, wb.source AS sb,
+                     CAST(COUNT(*) AS BIGINT) AS ni
+              FROM w wa JOIN w wb
+                ON wa.word = wb.word AND wa.source < wb.source
+              GROUP BY wa.source, wb.source)
+    SELECT a.source AS src_a, b.source AS src_b,
+           COALESCE(i.ni, 0) AS n_inter,
+           a.ns + b.ns - COALESCE(i.ni, 0) AS n_union
+    FROM sizes a JOIN sizes b ON a.source < b.source
+    LEFT JOIN inter i ON i.sa = a.source AND i.sb = b.source
+    ORDER BY src_a, src_b
+"""

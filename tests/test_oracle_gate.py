@@ -81,6 +81,8 @@ FAST_SUBSET = [
     "bfs_word_graph",
     "gram_matrix_embeddings",
     "triangle_count_words",
+    "time_weighted_avg_by_user",
+    "jaccard_sources_vocab",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
