@@ -6941,3 +6941,182 @@ ORACLES["jaccard_sources_vocab"] = """
     LEFT JOIN inter i ON i.sa = a.source AND i.sb = b.source
     ORDER BY src_a, src_b
 """
+
+
+def percentile_cont_price(sf_dir: str, ps=(50, 90, 99),
+                          num_bins: int = 8192) -> pd.DataFrame:
+    """PERCENTILE_CONT — the INTERPOLATED quantile — without a global
+    sort and without a float: position q·(n−1) splits as lo = p(n−1)//100
+    and rem = p(n−1) mod 100, and the answer is emitted in exact ×100
+    fixed point, 100·v[lo] + rem·(v[lo+1]−v[lo]), so linear
+    interpolation becomes pure int64 and the oracle (two ROW_NUMBER
+    picks + the identical integer formula) hash-matches. Same
+    scale layout as `exact_percentile_price`: min/max/count combiner,
+    nonzero-(bin,n) histogram partials folded driver-side, then ONE
+    filtered gather of only the bins holding the 2·|ps| needed order
+    statistics (~n/num_bins rows each)."""
+    import ray
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def vals(t: pa.Table) -> np.ndarray:
+        return _cents(t.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = vals(t)
+        return pa.table({"lo": pa.array([int(v.min()) if len(v) else 0]),
+                         "hi": pa.array([int(v.max()) if len(v) else 0]),
+                         "n": pa.array([len(v)])})
+
+    meta = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    meta = meta[meta["n"] > 0]
+    lo, hi = int(meta["lo"].min()), int(meta["hi"].max())
+    n = int(meta["n"].sum())
+    width = hi - lo + 1
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = vals(t)
+        b = (v - lo) * np.int64(num_bins) // np.int64(width)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(ub),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    bins = np.zeros(num_bins, dtype=np.int64)
+    np.add.at(bins, parts["bin"].to_numpy(dtype=np.int64),
+              parts["cnt"].to_numpy(dtype=np.int64))
+    cum = np.cumsum(bins)
+
+    lo0 = np.array([p * (n - 1) // 100 for p in ps], dtype=np.int64)
+    rem = np.array([p * (n - 1) % 100 for p in ps], dtype=np.int64)
+    ks = np.unique(np.concatenate([lo0, lo0 + 1]))
+    target_bins = np.searchsorted(cum, ks, side="right")
+    before = np.r_[0, cum][target_bins]
+    uniq_bins = np.unique(target_bins)
+    ref = ray.put(uniq_bins)
+
+    class GatherBins:
+        def __init__(self):
+            self.bins = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = vals(t)
+            b = (v - lo) * np.int64(num_bins) // np.int64(width)
+            keep = np.isin(b, self.bins)
+            return pa.table({"v": pa.array(v[keep]), "b": pa.array(b[keep])})
+
+    got = ds.map_batches(GatherBins, batch_format="pyarrow",
+                         concurrency=auto_concurrency()).to_pandas()
+    gv = got["v"].to_numpy(dtype=np.int64)
+    gb = got["b"].to_numpy(dtype=np.int64)
+    at = {}
+    for k, tb, bef in zip(ks, target_bins, before):
+        inbin = np.sort(gv[gb == tb])
+        at[int(k)] = int(inbin[k - bef])
+    out = []
+    for p, l0, r in zip(ps, lo0, rem):
+        vl, vh = at[int(l0)], at[int(l0) + 1]
+        out.append({"p": np.int64(p),
+                    "value_cents_x100": np.int64(100 * vl + r * (vh - vl))})
+    return pd.DataFrame(out).astype({"p": "int64",
+                                     "value_cents_x100": "int64"})
+
+
+QUERIES["percentile_cont_price"] = percentile_cont_price
+ORACLES["percentile_cont_price"] = """
+    WITH c AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v
+               FROM lineitem),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+                 COUNT(*) OVER () AS n FROM c),
+    t(p) AS (VALUES (50), (90), (99))
+    SELECT CAST(t.p AS BIGINT) AS p,
+           CAST(100 * vlo.v
+                + ((t.p * (vlo.n - 1)) % 100) * (vhi.v - vlo.v)
+                AS BIGINT) AS value_cents_x100
+    FROM t
+    JOIN r vlo ON vlo.rn = (t.p * (vlo.n - 1)) // 100 + 1
+    JOIN r vhi ON vhi.rn = (t.p * (vhi.n - 1)) // 100 + 2
+    ORDER BY p
+"""
+
+
+def chi2_type_dow(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence test between two categorical columns
+    (event_type × weekday) — the feature-correlation screen a curation
+    pipeline runs before stratifying: the contingency table folds as a
+    zero-shuffle ≤35-cell combiner (the cube pattern), and each cell's
+    χ² term (N·o − r·c)² / (N·r·c) forms from EXACT integer counts —
+    d² in arbitrary precision (Python ints / HUGEINT), ONE cast of the
+    exact square to double, one division — so correctly-rounded IEEE
+    doubles match BIT-FOR-BIT. Emitted PER CELL, not summed: a float
+    SUM's addition order is engine-dependent, so the scalar statistic
+    can't hash-compare, but the 35 per-cell terms can (the caller sums
+    them in any order). Weekday derives from the µs epoch (Sunday=0,
+    DuckDB dayofweek convention)."""
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    NT, ND = np.int64(len(TYPES)), np.int64(7)
+    US_DAY = np.int64(86_400_000_000)
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        if idx.null_count:
+            raise ValueError("event_type outside the chi2 domain")
+        g = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        tu = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        # 1970-01-01 was a Thursday; DuckDB dayofweek: Sunday = 0
+        dow = ((tu // US_DAY) + 4) % 7
+        code = g * ND + dow
+        cnt = np.bincount(code, minlength=int(NT * ND)).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz])})
+
+    parts = ds.map_batches(cells, batch_format="pyarrow").to_pandas()
+    obs = np.zeros(int(NT * ND), dtype=np.int64)
+    np.add.at(obs, parts["cell"].to_numpy(dtype=np.int64),
+              parts["n"].to_numpy(dtype=np.int64))
+    o = obs.reshape(int(NT), int(ND))
+    r = o.sum(axis=1)
+    c = o.sum(axis=0)
+    N = int(o.sum())
+    rows = []
+    for i in range(int(NT)):
+        for j in range(int(ND)):
+            oij = int(o[i, j])
+            if oij == 0:
+                continue
+            ri, cj = int(r[i]), int(c[j])
+            d = N * oij - ri * cj
+            rows.append({
+                "event_type": TYPES[i], "dow": np.int64(j),
+                "o": np.int64(oij),
+                "contrib": float(d * d) / (float(N) * float(ri) * float(cj)),
+            })
+    return pd.DataFrame(rows).astype({"dow": "int64", "o": "int64"}) \
+        .sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+QUERIES["chi2_type_dow"] = chi2_type_dow
+ORACLES["chi2_type_dow"] = """
+    WITH cells AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, dayofweek(ts)),
+    r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS ro
+          FROM cells GROUP BY event_type),
+    c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS co FROM cells GROUP BY dow),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+    SELECT event_type, dow, o,
+           CAST(d * d AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(ro AS DOUBLE) * CAST(co AS DOUBLE))
+             AS contrib
+    FROM (
+      SELECT cells.event_type, cells.dow, cells.o, tot.n, r.ro, c.co,
+             CAST(tot.n AS HUGEINT) * cells.o
+               - CAST(r.ro AS HUGEINT) * c.co AS d
+      FROM cells JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN tot
+    )
+    ORDER BY event_type, dow
+"""

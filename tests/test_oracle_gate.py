@@ -83,6 +83,8 @@ FAST_SUBSET = [
     "triangle_count_words",
     "time_weighted_avg_by_user",
     "jaccard_sources_vocab",
+    "percentile_cont_price",
+    "chi2_type_dow",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
