@@ -7120,3 +7120,138 @@ ORACLES["chi2_type_dow"] = """
     )
     ORDER BY event_type, dow
 """
+
+
+def skyline_orders(sf_dir: str) -> pd.DataFrame:
+    """2-D skyline (Pareto frontier): orders not dominated on
+    (price ↓, orderdate ↑) — the multi-objective filter behind
+    'newest-for-the-money' curation cuts. Skylines COMPOSE: a point
+    dominated anywhere is dominated by a local survivor too, so each
+    batch reduces to its local frontier (sort by price asc / date
+    desc, per-price max date, strict-prefix cummax test — all
+    vectorized) and the driver runs the identical fold over the
+    concatenated partials: a pure combiner, zero shuffles, driver
+    traffic bounded by Σ local frontier sizes. Domination is evaluated
+    in exact int64 (cents, µs) on both engines; equal (price, date)
+    pairs don't dominate each other and all survive, matching the
+    NOT-EXISTS strict-somewhere SQL."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def _frontier(k: np.ndarray, p: np.ndarray, d: np.ndarray):
+        order = np.lexsort((-d, p))
+        k, p, d = k[order], p[order], d[order]
+        starts = np.r_[0, np.flatnonzero(p[1:] != p[:-1]) + 1]
+        grp = np.repeat(np.arange(len(starts)),
+                        np.diff(np.r_[starts, len(p)]))
+        mx = d[starts]  # per-price max date (first after desc sort)
+        prefix = np.r_[np.int64(-2**62), np.maximum.accumulate(mx)[:-1]]
+        keep = (d > prefix[grp]) & (d == mx[grp])
+        return k[keep], p[keep], d[keep]
+
+    def local(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        p = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        d = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        k, p, d = _frontier(k, p, d)
+        return pa.table({"k": pa.array(k), "p": pa.array(p),
+                         "d": pa.array(d)})
+
+    part = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    k, p, d = _frontier(part["k"].to_numpy(dtype=np.int64),
+                        part["p"].to_numpy(dtype=np.int64),
+                        part["d"].to_numpy(dtype=np.int64))
+    return pd.DataFrame({"o_orderkey": k, "price_cents": p,
+                         "date_us": d}).sort_values("o_orderkey") \
+        .reset_index(drop=True)
+
+
+QUERIES["skyline_orders"] = skyline_orders
+ORACLES["skyline_orders"] = """
+    WITH o AS (SELECT o_orderkey,
+                      CAST(ROUND(o_totalprice*100) AS BIGINT) AS p,
+                      CAST(epoch_us(o_orderdate) AS BIGINT) AS d
+               FROM orders)
+    SELECT o.o_orderkey, o.p AS price_cents, o.d AS date_us
+    FROM o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o q
+      WHERE q.p <= o.p AND q.d >= o.d AND (q.p < o.p OR q.d > o.d))
+    ORDER BY o_orderkey
+"""
+
+
+def label_propagation_words(sf_dir: str, iters: int = 3,
+                            num_buckets: int = 64) -> pd.DataFrame:
+    """Min-label propagation over the undirected word graph — the
+    connected-components kernel run for a FIXED iteration count so the
+    result is SQL-checkable (after k passes each node holds the
+    lexicographically smallest word within k hops; iterate to a fixed
+    point and these ARE the components): labels live as a node-bounded
+    broadcast vector exactly like PageRank's ranks, each pass is one
+    zero-shuffle streaming sweep over the materialized edge set doing
+    two np.minimum.at scatters (both directions — undirected), and
+    per-batch partials fold elementwise-min on the driver. Min over
+    sorted-vocab indices ≡ lexicographic min over words, so the
+    integer kernel and the string SQL agree."""
+    import ray
+
+    edges = _word_edge_dataset(sf_dir, num_buckets)
+
+    vocab_set: set = set()
+    for b in edges.iter_batches(batch_format="pyarrow", batch_size=None):
+        vocab_set.update(b.column("w1").to_pylist())
+        vocab_set.update(b.column("w2").to_pylist())
+    vocab = pd.Index(sorted(vocab_set))
+    n = len(vocab)
+    vocab_b = ray.put(vocab)
+
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(iters):
+        lab_ref = ray.put(lab)
+
+        def sweep(t: pa.Table, _l=lab_ref) -> pa.Table:
+            voc = ray.get(vocab_b)
+            cur = ray.get(_l)
+            i = voc.get_indexer(t.column("w1").to_pandas())
+            j = voc.get_indexer(t.column("w2").to_pandas())
+            out = cur.copy()
+            np.minimum.at(out, i, cur[j])
+            np.minimum.at(out, j, cur[i])
+            return pa.table({"v": pa.array([out.tolist()])})
+
+        nxt = lab
+        for b in edges.map_batches(sweep, batch_format="pyarrow",
+                                   batch_size=None) \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            if b.num_rows:
+                nxt = np.minimum(
+                    nxt, np.asarray(b.column("v").to_pylist()[0],
+                                    dtype=np.int64))
+        lab = nxt
+
+    return pd.DataFrame({"word": vocab.to_numpy(),
+                         "label": vocab.to_numpy()[lab]}) \
+        .sort_values("word").reset_index(drop=True)
+
+
+QUERIES["label_propagation_words"] = label_propagation_words
+ORACLES["label_propagation_words"] = """
+    WITH lists AS (SELECT string_split(text, ' ') AS l FROM documents),
+    big AS (SELECT DISTINCT p[1] AS w1, p[2] AS w2 FROM (
+      SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p FROM lists
+    )),
+    nodes AS (SELECT w1 AS w FROM big UNION SELECT w2 FROM big),
+    nb AS (SELECT w1 AS w, w2 AS v FROM big
+           UNION SELECT w2 AS w, w1 AS v FROM big
+           UNION SELECT w AS w, w AS v FROM nodes),
+    l0 AS (SELECT w, w AS lab FROM nodes),
+    l1 AS (SELECT nb.w, MIN(l0.lab) AS lab FROM nb
+           JOIN l0 ON l0.w = nb.v GROUP BY nb.w),
+    l2 AS (SELECT nb.w, MIN(l1.lab) AS lab FROM nb
+           JOIN l1 ON l1.w = nb.v GROUP BY nb.w),
+    l3 AS (SELECT nb.w, MIN(l2.lab) AS lab FROM nb
+           JOIN l2 ON l2.w = nb.v GROUP BY nb.w)
+    SELECT w AS word, lab AS label FROM l3 ORDER BY word
+"""

@@ -85,6 +85,8 @@ FAST_SUBSET = [
     "jaccard_sources_vocab",
     "percentile_cont_price",
     "chi2_type_dow",
+    "skyline_orders",
+    "label_propagation_words",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
