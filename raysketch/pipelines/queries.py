@@ -7255,3 +7255,177 @@ ORACLES["label_propagation_words"] = """
            JOIN l2 ON l2.w = nb.v GROUP BY nb.w)
     SELECT w AS word, lab AS label FROM l3 ORDER BY word
 """
+
+
+def dq_orders_violations(sf_dir: str, num_buckets: int = 256
+                         ) -> pd.DataFrame:
+    """Rule-based data-quality audit — the guardrail stage a pipeline
+    runs before training ingest: one pass over orders counts, per
+    rule, the rows violating (or matching) each assertion. Row-local
+    rules (sign, range, calendar) fold as a zero-shuffle per-batch
+    count vector; the referential rule (orphan custkey) tests against
+    the broadcast customer keyset (ray.put once, searchsorted per
+    batch — `bucket_anti_join` past broadcast scale); the uniqueness
+    rule needs global knowledge, so duplicate count = total − exact
+    distinct via per-batch key dedup + one small bucket exchange (the
+    `exact_distinct_orders` layout). Zero-violation rules still emit
+    their row — an audit that silently drops clean rules can't prove
+    it ran them."""
+    import ray
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    US_DAY = np.int64(86_400_000_000)
+    LO_US = np.int64(int(pd.Timestamp("1996-01-01").value // 1000))
+    HIVAL = np.int64(300_000 * 100)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]).to_pandas()
+    ckeys = ray.put(np.sort(cust["c_custkey"].to_numpy(dtype=np.int64)))
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice",
+                        "o_orderdate"])
+
+    class RowRules:
+        def __init__(self):
+            self.ck = ray.get(ckeys)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            price = _cents(t.column("o_totalprice")) \
+                .to_numpy(zero_copy_only=False)
+            dt = pc.cast(t.column("o_orderdate"), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            cu = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.ck, cu)
+            pos[pos >= len(self.ck)] = max(len(self.ck) - 1, 0)
+            orphan = (len(self.ck) == 0) | (self.ck[pos] != cu)
+            dow = ((dt // US_DAY) + 4) % 7
+            return pa.table({
+                "nonpositive_price": pa.array([int((price <= 0).sum())]),
+                "pre_1996": pa.array([int((dt < LO_US).sum())]),
+                "high_value": pa.array([int((price >= HIVAL).sum())]),
+                "weekend_order": pa.array([int(((dow == 0) | (dow == 6)).sum())]),
+                "orphan_custkey": pa.array([int(orphan.sum())]),
+                "n_rows": pa.array([t.num_rows]),
+            })
+
+    rowp = ds.map_batches(RowRules, batch_format="pyarrow",
+                          concurrency=auto_concurrency()).to_pandas()
+
+    def keys(t: pa.Table) -> pa.Table:
+        k = np.unique(t.column("o_orderkey").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "k": pa.array(k),
+            "__b": pa.array((_mix64(k.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def nuniq(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(g["k"].nunique())]})
+
+    dparts = ds.map_batches(keys, batch_format="pyarrow") \
+        .groupby("__b").map_groups(nuniq, batch_format="pandas").to_pandas()
+    n_distinct = int(dparts["n"].sum())
+    total = int(rowp["n_rows"].sum())
+
+    rules = {
+        "dup_orderkey": total - n_distinct,
+        "high_value": int(rowp["high_value"].sum()),
+        "nonpositive_price": int(rowp["nonpositive_price"].sum()),
+        "orphan_custkey": int(rowp["orphan_custkey"].sum()),
+        "pre_1996": int(rowp["pre_1996"].sum()),
+        "weekend_order": int(rowp["weekend_order"].sum()),
+    }
+    return pd.DataFrame({"rule": list(rules.keys()),
+                         "n_bad": np.array(list(rules.values()),
+                                           dtype=np.int64)}) \
+        .sort_values("rule").reset_index(drop=True)
+
+
+QUERIES["dq_orders_violations"] = dq_orders_violations
+ORACLES["dq_orders_violations"] = """
+    SELECT 'dup_orderkey' AS rule,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_bad
+    FROM orders
+    UNION ALL
+    SELECT 'high_value',
+           CAST(SUM(CASE WHEN CAST(ROUND(o_totalprice*100) AS BIGINT)
+                              >= 30000000 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'nonpositive_price',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orphan_custkey',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL)
+    UNION ALL
+    SELECT 'pre_1996',
+           CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'weekend_order',
+           CAST(SUM(CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    ORDER BY rule
+"""
+
+
+def daily_revenue_wow(sf_dir: str) -> pd.DataFrame:
+    """Aggregate-then-window composition: daily order revenue with its
+    week-over-week delta (vs the calendar day 7 days earlier, NOT 7
+    rows back — gaps must not shift the comparison). The aggregation
+    is the calendar-bounded zero-shuffle combiner (per-batch (day,
+    cents) partials, driver fold over ≤ a-few-thousand days); the
+    window step is a vectorized searchsorted self-lookup on day−7 with
+    0 for absent days. All integer cents — delta hashes exactly."""
+    US_DAY = np.int64(86_400_000_000)
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        d = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False) // US_DAY
+        ud, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"day": pa.array(ud), "s": pa.array(s)})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas() \
+        .groupby("day", as_index=False)["s"].sum()
+    day = p["day"].to_numpy(dtype=np.int64)
+    rev = p["s"].to_numpy(dtype=np.int64)
+    order = np.argsort(day)
+    day, rev = day[order], rev[order]
+    prev_day = day - 7
+    pos = np.searchsorted(day, prev_day)
+    pos_c = np.minimum(pos, len(day) - 1)
+    hit = day[pos_c] == prev_day
+    prev = np.where(hit, rev[pos_c], np.int64(0))
+    return pd.DataFrame({
+        "day_us": day * US_DAY,
+        "rev_cents": rev,
+        "prev_cents": prev,
+        "delta_cents": rev - prev,
+    })
+
+
+QUERIES["daily_revenue_wow"] = daily_revenue_wow
+ORACLES["daily_revenue_wow"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(date_trunc('day', o_orderdate)) AS BIGINT)
+               AS day_us,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1)
+    SELECT a.day_us, a.rev_cents,
+           COALESCE(b.rev_cents, 0) AS prev_cents,
+           a.rev_cents - COALESCE(b.rev_cents, 0) AS delta_cents
+    FROM d a LEFT JOIN d b ON b.day_us = a.day_us - 7 * 86400000000
+    ORDER BY a.day_us
+"""

@@ -87,6 +87,8 @@ FAST_SUBSET = [
     "chi2_type_dow",
     "skyline_orders",
     "label_propagation_words",
+    "dq_orders_violations",
+    "daily_revenue_wow",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
