@@ -7429,3 +7429,167 @@ ORACLES["daily_revenue_wow"] = """
     FROM d a LEFT JOIN d b ON b.day_us = a.day_us - 7 * 86400000000
     ORDER BY a.day_us
 """
+
+
+def top_session_paths(sf_dir: str, gap_min: int = 30, k: int = 10,
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Top-k session paths — the three-family composition a behavioral
+    pipeline runs end to end: sessionize (gap > 30 min), ordered
+    STRING_AGG per session, then global heavy hitters over an
+    UNBOUNDED path domain. One user-hash exchange sessionizes and
+    assembles every path with the pure-Arrow ListArray+binary_join
+    kernel (session boundaries = new-user OR gap, zero string copies);
+    each bucket pre-counts its distinct paths so the SECOND (path-hash)
+    exchange carries (path, n) partials, not sessions; buckets fold
+    counts and emit ONLY their local top-k (safe: a global top-k path
+    has its full global count inside exactly one path-hash bucket), so
+    the driver folds ≤ k·num_buckets rows. Deterministic (n desc,
+    path asc) tiebreak on both engines."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    GAP_US = np.int64(gap_min * 60 * 1_000_000)
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        b = (_mix64(u) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__b", pa.array(b))
+
+    def paths_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        tu = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        types = pa.array(g["event_type"].to_numpy(), type=pa.string())
+        n = len(g)
+        if not n:
+            return pd.DataFrame({"path": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "__b2": pd.Series([], dtype="int64")})
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap = np.r_[True, (tu[1:] - tu[:-1]) > GAP_US]
+        starts = np.flatnonzero(new_user | gap)
+        offsets = pa.array(np.r_[starts, n].astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets, types)
+        path = pc.binary_join(lists, "->").to_pandas()
+        cnt = path.value_counts()
+        df = pd.DataFrame({"path": cnt.index.to_numpy(),
+                           "n": cnt.to_numpy().astype(np.int64)})
+        h = pd.util.hash_pandas_object(df["path"], index=False).to_numpy()
+        df["__b2"] = (_mix64(h) % np.uint64(num_buckets)).astype(np.int64)
+        return df
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("path", as_index=False)["n"].sum()
+        agg = agg.sort_values(["n", "path"],
+                              ascending=[False, True]).head(k)
+        return agg[["path", "n"]]
+
+    parts = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(paths_bucket, batch_format="pandas") \
+        .groupby("__b2").map_groups(topk_bucket, batch_format="pandas") \
+        .to_pandas()
+    out = parts.sort_values(["n", "path"],
+                            ascending=[False, True]).head(k)
+    return out.reset_index(drop=True).astype({"n": "int64"})
+
+
+QUERIES["top_session_paths"] = top_session_paths
+ORACLES["top_session_paths"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, SUM(is_start) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e),
+    p AS (SELECT user_id, sid,
+                 STRING_AGG(event_type, '->' ORDER BY ts, event_id) AS path
+          FROM s GROUP BY user_id, sid),
+    c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY path)
+    SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10
+"""
+
+
+def corr_value_hour_by_type(sf_dir: str) -> pd.DataFrame:
+    """GROUPED Pearson correlation from exact integer moments — the
+    per-segment feature screen (does value depend on hour-of-day,
+    per event type?): one zero-shuffle pass folds per-type
+    (n, Σx, Σy, Σx², Σy², Σxy) with the x² halves split around 2^32,
+    the driver assembles each type's moments in Python ints, and the
+    one float expression per group is written identically in the
+    HUGEINT SQL oracle, so the doubles match bit-for-bit
+    (`price_discount_corr`, grouped)."""
+    import math
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    US_DAY = np.int64(86_400_000_000)
+    US_HOUR = np.int64(3_600_000_000)
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        idx = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        if idx.null_count:
+            raise ValueError("event_type outside the corr domain")
+        g = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        tu = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        y = (tu % US_DAY) // US_HOUR
+        xx = x * x
+        hi, lo = xx >> np.int64(32), xx & np.int64((1 << 32) - 1)
+        nt = len(TYPES)
+        rows = []
+        for i in range(nt):
+            m = g == i
+            rows.append({
+                "g": i, "n": int(m.sum()), "sx": int(x[m].sum()),
+                "sy": int(y[m].sum()), "sxx_hi": int(hi[m].sum()),
+                "sxx_lo": int(lo[m].sum()), "syy": int((y[m] * y[m]).sum()),
+                "sxy": int((x[m] * y[m]).sum()),
+            })
+        return pd.DataFrame(rows)
+
+    p = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    out = []
+    for i, et in enumerate(TYPES):
+        rows = p[p["g"] == i]
+        n = int(rows["n"].sum())
+        sx, sy = int(rows["sx"].sum()), int(rows["sy"].sum())
+        sxx = (int(rows["sxx_hi"].sum()) << 32) + int(rows["sxx_lo"].sum())
+        syy, sxy = int(rows["syy"].sum()), int(rows["sxy"].sum())
+        num = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        out.append({"event_type": et, "n": np.int64(n),
+                    "corr_xy": float(num)
+                    / math.sqrt(float(varx) * float(vary))})
+    return pd.DataFrame(out).astype({"n": "int64"})
+
+
+QUERIES["corr_value_hour_by_type"] = corr_value_hour_by_type
+ORACLES["corr_value_hour_by_type"] = """
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x*x) AS HUGEINT) AS sxx,
+             CAST(SUM(y*y) AS HUGEINT) AS syy,
+             CAST(SUM(x*y) AS HUGEINT) AS sxy
+      FROM (SELECT event_type,
+                   CAST(ROUND(value*100) AS BIGINT) AS x,
+                   CAST(hour(ts) AS BIGINT) AS y
+            FROM events)
+      GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+           / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                  * CAST(n*syy - sy*sy AS DOUBLE)) AS corr_xy
+    FROM m ORDER BY event_type
+"""

@@ -89,6 +89,8 @@ FAST_SUBSET = [
     "label_propagation_words",
     "dq_orders_violations",
     "daily_revenue_wow",
+    "top_session_paths",
+    "corr_value_hour_by_type",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
