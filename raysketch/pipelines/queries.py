@@ -7593,3 +7593,76 @@ ORACLES["corr_value_hour_by_type"] = """
                   * CAST(n*syy - sy*sy AS DOUBLE)) AS corr_xy
     FROM m ORDER BY event_type
 """
+
+
+def image_phash_dedup(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Perceptual near-duplicate detection over REAL image bytes — the
+    multimodal dedup stage: PNG payloads decode in an actor pool (pure-
+    numpy codec), each image reduces to a 64-bit integer aHash
+    (`stages.multimodal.ImagePHash` — exact integer downsample/
+    grayscale/threshold, so identical pixels give identical hashes
+    REGARDLESS of how the bytes were encoded), and duplicate groups
+    resolve through one phash-hash bucket exchange of 16-byte rows.
+    The fixture plants pixel-identical duplicates RE-ENCODED with a
+    different PNG scanline filter: byte-level dedup provably misses
+    them (payload hashes differ), this stage must catch every one —
+    pytest asserts exactly that recall. Driver rows-only check (no
+    SQL can decode a PNG)."""
+    import glob as _glob
+    import tempfile
+
+    import ray.data
+
+    from ..stages.dedup import _splitmix64 as _mix64
+    from ..stages.multimodal import ImageDecode, ImagePHash, make_dup_png_table
+
+    n = max(32, int(4096 * sf_of(sf_dir)))
+    cache = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                         f"pngs_dup_n{n}_s7")
+    if not _glob.glob(os.path.join(cache, "*.parquet")):
+        import pyarrow.parquet as pq
+
+        os.makedirs(cache, exist_ok=True)
+        tmp = os.path.join(cache, "_part0.tmp")
+        pq.write_table(make_dup_png_table(n, seed=7), tmp,
+                       row_group_size=max(32, n // 8))
+        os.replace(tmp, os.path.join(cache, "part0.parquet"))
+    ds = ray.data.read_parquet(cache)
+
+    hashes = (
+        ds.map_batches(ImageDecode,
+                       fn_constructor_kwargs={"deterministic_fake": False},
+                       batch_format="pyarrow", batch_size=64,
+                       concurrency=auto_concurrency())
+        .map_batches(ImagePHash(), batch_size=64)
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = t.column("phash").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__b", pa.array((_mix64(h.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)))
+
+    def groups(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["phash"].to_numpy(dtype=np.int64)
+        i = g["item_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((i, h))
+        h, i = h[order], i[order]
+        starts = np.r_[0, np.flatnonzero(h[1:] != h[:-1]) + 1]
+        cnt = np.diff(np.r_[starts, len(h)])
+        keep = cnt >= 2
+        return pd.DataFrame({
+            "phash": h[starts][keep],
+            "n_items": cnt[keep].astype(np.int64),
+            "min_item_id": i[starts][keep],
+        })
+
+    out = hashes.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__b").map_groups(groups, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("phash").reset_index(drop=True) \
+        .astype({"phash": "int64", "n_items": "int64",
+                 "min_item_id": "int64"})
+
+
+QUERIES["image_phash_dedup"] = image_phash_dedup

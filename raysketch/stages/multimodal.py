@@ -370,3 +370,62 @@ class VideoFrameSample:
             "mean_luma": pa.array(rows_luma, type=pa.float64()),
             "motion": pa.array(rows_motion, type=pa.float64()),
         })
+
+
+def make_dup_png_table(n: int, seed: int = 0, every: int = 8) -> pa.Table:
+    """`make_real_png_table` plus planted PIXEL duplicates: every
+    ``every``-th image is decoded and re-encoded with a DIFFERENT
+    scanline filter, so the duplicate has identical pixels but
+    different payload bytes — byte-level dedup misses it, perceptual
+    hashing must catch it. Duplicate ids start at n."""
+    from .pngcodec import decode_png, encode_png
+
+    base = make_real_png_table(n, seed=seed)
+    ids = base.column("item_id").to_pylist()
+    payloads = base.column("payload").to_pylist()
+    ws = base.column("width").to_pylist()
+    hs = base.column("height").to_pylist()
+    for i in range(0, n, every):
+        img = decode_png(payloads[i])
+        ids.append(n + i)
+        payloads.append(encode_png(img[:, :, :3], filter_type=(i + 1) % 3))
+        ws.append(ws[i])
+        hs.append(hs[i])
+    return pa.table({
+        "item_id": pa.array(np.array(ids, dtype=np.int64)),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array(np.array(ws, dtype=np.int32)),
+        "height": pa.array(np.array(hs, dtype=np.int32)),
+        "format": pa.array(["png"] * len(ids)),
+    })
+
+
+class ImagePHash:
+    """Actor-pool stage: decoded HWC uint8 tensor → 64-bit average
+    hash (aHash): nearest-neighbour 8×8 downsample, integer grayscale
+    (r+g+b)//3, bit i set iff pixel_i > floor-mean — every step exact
+    integer arithmetic, so the hash is bit-identical at any batch
+    layout and identical pixels ⇒ identical hash regardless of how
+    the bytes were encoded."""
+
+    GRID = 8
+
+    def _phash(self, img: np.ndarray) -> np.int64:
+        h, w = img.shape[0], img.shape[1]
+        yi = (np.arange(self.GRID, dtype=np.int64) * h) // self.GRID
+        xi = (np.arange(self.GRID, dtype=np.int64) * w) // self.GRID
+        cell = img[np.ix_(yi, xi)].astype(np.int64)
+        gray = cell.sum(axis=2) // 3
+        mean = int(gray.sum()) // (self.GRID * self.GRID)
+        bits = (gray > mean).ravel().astype(np.uint64)
+        shifts = np.arange(63, -1, -1, dtype=np.uint64)
+        return np.bitwise_or.reduce(bits << shifts).astype(np.int64)
+
+    def __call__(self, batch: dict) -> pa.Table:
+        imgs = batch["image"]
+        return pa.table({
+            "item_id": pa.array(np.asarray(batch["item_id"],
+                                           dtype=np.int64)),
+            "phash": pa.array(np.array([self._phash(im) for im in imgs],
+                                       dtype=np.int64)),
+        })

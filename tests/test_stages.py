@@ -1061,3 +1061,46 @@ class TestSortedPartitionedWrite:
             "k": pa.array([], type=pa.int64())}))
         m = sorted_partitioned_write(ds, "k", str(tmp_path))
         assert len(m) == 0
+
+
+def test_image_phash_recall_on_reencoded_duplicates(ray_session):
+    """Planted duplicates are pixel-identical but RE-ENCODED with a
+    different PNG filter: payload bytes differ (byte dedup misses
+    them), the perceptual hash must place every planted pair in the
+    same group."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raysketch.stages.multimodal import make_dup_png_table
+    from raysketch.pipelines.queries import image_phash_dedup
+
+    t = make_dup_png_table(48, seed=7)
+    # the pairs are (i, 48+i) for i in 0, 8, ..., 40; bytes must differ
+    pay = t.column("payload").to_pylist()
+    ids = t.column("item_id").to_pylist()
+    pos = {v: k for k, v in enumerate(ids)}
+    for i in range(0, 48, 8):
+        assert pay[pos[i]] != pay[pos[48 + i]]
+
+    out = image_phash_dedup("/root/testdata/sf0.001")
+    # recall: every planted (i, n+i) pair shares a group
+    n = max(32, int(4096 * 0.001))
+    import ray.data
+    from raysketch.stages.multimodal import ImageDecode, ImagePHash
+    import ray, os, tempfile, glob
+
+    cache = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                         f"pngs_dup_n{n}_s7")
+    ds = ray.data.read_parquet(cache)
+    h = ds.map_batches(ImageDecode,
+                       fn_constructor_kwargs={"deterministic_fake": False},
+                       batch_format="pyarrow", batch_size=64,
+                       concurrency=2) \
+        .map_batches(ImagePHash(), batch_size=64).to_pandas()
+    hm = dict(zip(h["item_id"], h["phash"]))
+    for i in range(0, n, 8):
+        assert hm[i] == hm[n + i], f"planted pair ({i},{n+i}) split"
+    # and the query reports every planted hash as a group of >=2
+    ghashes = set(out["phash"])
+    for i in range(0, n, 8):
+        assert hm[i] in ghashes
