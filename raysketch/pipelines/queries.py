@@ -7666,3 +7666,183 @@ def image_phash_dedup(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
 
 
 QUERIES["image_phash_dedup"] = image_phash_dedup
+
+
+def bitagg_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Bitwise aggregates (BIT_AND / BIT_OR / BIT_XOR) per group — the
+    SQL parity family behind permission-mask folds and order-
+    independent content checksums (XOR of ids detects any single
+    changed row across reruns): all three are associative and
+    commutative, so each batch reduces to ≤5 partial rows and the
+    driver folds them — the combiner pattern at its cheapest, zero
+    shuffles."""
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "user_id", "event_id"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        idx = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        if idx.null_count:
+            raise ValueError("event_type outside the bitagg domain")
+        g = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        rows = []
+        for i in range(len(TYPES)):
+            m = g == i
+            if not m.any():
+                continue
+            rows.append({
+                "g": i,
+                "band": int(np.bitwise_and.reduce(u[m])),
+                "bor": int(np.bitwise_or.reduce(u[m])),
+                "bxor": int(np.bitwise_xor.reduce(e[m])),
+            })
+        return pd.DataFrame(rows)
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for i, et in enumerate(TYPES):
+        rows = p[p["g"] == i]
+        if not len(rows):
+            continue
+        out.append({
+            "event_type": et,
+            "users_and": np.int64(np.bitwise_and.reduce(
+                rows["band"].to_numpy(dtype=np.int64))),
+            "users_or": np.int64(np.bitwise_or.reduce(
+                rows["bor"].to_numpy(dtype=np.int64))),
+            "events_xor": np.int64(np.bitwise_xor.reduce(
+                rows["bxor"].to_numpy(dtype=np.int64))),
+        })
+    return pd.DataFrame(out).astype(
+        {"users_and": "int64", "users_or": "int64", "events_xor": "int64"})
+
+
+QUERIES["bitagg_users_by_type"] = bitagg_users_by_type
+ORACLES["bitagg_users_by_type"] = """
+    SELECT event_type,
+           CAST(BIT_AND(user_id) AS BIGINT) AS users_and,
+           CAST(BIT_OR(user_id) AS BIGINT) AS users_or,
+           CAST(BIT_XOR(event_id) AS BIGINT) AS events_xor
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def equidepth_deciles_price(sf_dir: str, num_bins: int = 8192
+                            ) -> pd.DataFrame:
+    """Equi-DEPTH histogram (quantile bucketing — the feature-binning
+    operator): decile boundaries are the 9 order statistics at
+    k=⌈i·n/10⌉−1, found sort-free by the same two-zero-shuffle-pass +
+    filtered-bin-gather layout as `exact_percentile_price`; a third
+    streaming pass then counts rows per decile with one searchsorted
+    against the broadcast boundary vector. Boundary ties mean deciles
+    need NOT be equal-sized — the exact per-bucket counts (verified
+    against a join-counted SQL twin) are the honest output, where an
+    equal-n assumption would silently lie on skewed data."""
+    import ray
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def vals(t: pa.Table) -> np.ndarray:
+        return _cents(t.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = vals(t)
+        return pa.table({"lo": pa.array([int(v.min()) if len(v) else 0]),
+                         "hi": pa.array([int(v.max()) if len(v) else 0]),
+                         "n": pa.array([len(v)])})
+
+    meta = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    meta = meta[meta["n"] > 0]
+    lo, hi = int(meta["lo"].min()), int(meta["hi"].max())
+    n = int(meta["n"].sum())
+    width = hi - lo + 1
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = vals(t)
+        b = (v - lo) * np.int64(num_bins) // np.int64(width)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(ub),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    bins = np.zeros(num_bins, dtype=np.int64)
+    np.add.at(bins, parts["bin"].to_numpy(dtype=np.int64),
+              parts["cnt"].to_numpy(dtype=np.int64))
+    cum = np.cumsum(bins)
+    ks = np.array([-(-i * n // 10) - 1 for i in range(1, 10)],
+                  dtype=np.int64)
+    target_bins = np.searchsorted(cum, ks, side="right")
+    before = np.r_[0, cum][target_bins]
+    uniq_bins = np.unique(target_bins)
+    ref = ray.put(uniq_bins)
+
+    class GatherBins:
+        def __init__(self):
+            self.bins = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = vals(t)
+            b = (v - lo) * np.int64(num_bins) // np.int64(width)
+            keep = np.isin(b, self.bins)
+            return pa.table({"v": pa.array(v[keep]), "b": pa.array(b[keep])})
+
+    got = ds.map_batches(GatherBins, batch_format="pyarrow",
+                         concurrency=auto_concurrency()).to_pandas()
+    gv = got["v"].to_numpy(dtype=np.int64)
+    gb = got["b"].to_numpy(dtype=np.int64)
+    bounds = np.empty(9, dtype=np.int64)
+    for ix, (k, tb, bef) in enumerate(zip(ks, target_bins, before)):
+        inbin = np.sort(gv[gb == tb])
+        bounds[ix] = inbin[k - bef]
+    bref = ray.put(bounds)
+
+    class CountDeciles:
+        def __init__(self):
+            self.bounds = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = vals(t)
+            d = np.searchsorted(self.bounds, v, side="right")
+            cnt = np.bincount(d, minlength=10).astype(np.int64)
+            return pa.table({"decile": pa.array(np.arange(10, dtype=np.int64)),
+                             "n": pa.array(cnt)})
+
+    cparts = ds.map_batches(CountDeciles, batch_format="pyarrow",
+                            concurrency=auto_concurrency()).to_pandas() \
+        .groupby("decile", as_index=False)["n"].sum()
+    ub = np.r_[bounds, np.int64(hi)]
+    out = pd.DataFrame({
+        "decile": cparts["decile"].astype("int64"),
+        "upper_cents": ub[cparts["decile"].to_numpy(dtype=np.int64)],
+        "n": cparts["n"].astype("int64"),
+    })
+    # boundary ties can leave a decile empty; SQL's GROUP BY emits no
+    # row for it, so neither do we
+    out = out[out["n"] > 0]
+    return out.sort_values("decile").reset_index(drop=True)
+
+
+QUERIES["equidepth_deciles_price"] = equidepth_deciles_price
+ORACLES["equidepth_deciles_price"] = """
+    WITH c AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v
+               FROM lineitem),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+                 COUNT(*) OVER () AS n FROM c),
+    b AS (SELECT i, (SELECT v FROM r
+                     WHERE rn = (i * r2.n + 9) // 10
+                     LIMIT 1) AS bound
+          FROM (SELECT DISTINCT n FROM r) r2,
+               UNNEST(generate_series(1, 9)) AS t(i)),
+    d AS (SELECT c.v,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM b
+                  WHERE b.bound <= c.v) AS decile
+          FROM c)
+    SELECT decile,
+           CASE WHEN decile < 9 THEN (SELECT bound FROM b WHERE i = decile + 1)
+                ELSE (SELECT MAX(v) FROM c) END AS upper_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM d GROUP BY decile ORDER BY decile
+"""

@@ -91,6 +91,8 @@ FAST_SUBSET = [
     "daily_revenue_wow",
     "top_session_paths",
     "corr_value_hour_by_type",
+    "bitagg_users_by_type",
+    "equidepth_deciles_price",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
