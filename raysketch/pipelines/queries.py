@@ -7846,3 +7846,179 @@ ORACLES["equidepth_deciles_price"] = """
            CAST(COUNT(*) AS BIGINT) AS n
     FROM d GROUP BY decile ORDER BY decile
 """
+
+
+def q15_top_supplier(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """TPC-H Q15 shape — the GLOBAL argmax over an aggregate, keeping
+    ALL ties (Q15's view + WHERE total = (SELECT MAX(...))): per-
+    supplier 1996-H1 revenue reduces per batch to (suppkey, cents)
+    combiner partials, ONE suppkey-hash exchange finishes the sums,
+    each bucket forwards its (small, result-sized) per-supplier totals
+    AND its local max; the driver takes the global max and filters —
+    no second pass over lineitem, no sort. Read-side shipdate pushdown
+    prunes at the parquet row group."""
+    import pyarrow.dataset as pads
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    LO = pd.Timestamp("1996-01-01")
+    HI = pd.Timestamp("1996-07-01")
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= LO)
+        & (pads.field("l_shipdate") < HI))
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        price = _cents(t.column("l_extendedprice")) \
+            .to_numpy(zero_copy_only=False)
+        disc = _cents(t.column("l_discount")).to_numpy(zero_copy_only=False)
+        rev = price * (100 - disc)
+        us, inv = np.unique(s, return_inverse=True)
+        acc = np.zeros(len(us), dtype=np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table({
+            "s": pa.array(us), "r": pa.array(acc),
+            "__b": pa.array((_mix64(us.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["s"].to_numpy(dtype=np.int64)
+        r = g["r"].to_numpy(dtype=np.int64)
+        order = np.argsort(s, kind="stable")
+        s, r = s[order], r[order]
+        starts = np.r_[0, np.flatnonzero(s[1:] != s[:-1]) + 1]
+        return pd.DataFrame({"s": s[starts],
+                             "r": np.add.reduceat(r, starts)})
+
+    per = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(finish, batch_format="pandas") \
+        .to_pandas()
+    mx = int(per["r"].max())
+    out = per[per["r"] == mx].rename(
+        columns={"s": "l_suppkey", "r": "rev_e4"})
+    return out.sort_values("l_suppkey").reset_index(drop=True) \
+        .astype({"l_suppkey": "int64", "rev_e4": "int64"})
+
+
+QUERIES["q15_top_supplier"] = q15_top_supplier
+ORACLES["q15_top_supplier"] = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                  AS BIGINT) AS rev_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-07-01'
+      GROUP BY l_suppkey)
+    SELECT l_suppkey, rev_e4 FROM rev
+    WHERE rev_e4 = (SELECT MAX(rev_e4) FROM rev)
+    ORDER BY l_suppkey
+"""
+
+
+def q12_ship_delay_priority(sf_dir: str, cut_days: int = 60,
+                            num_buckets: int = 64) -> pd.DataFrame:
+    """TPC-H Q12 shape adapted to this schema (no commit/receipt
+    dates): per ship-delay class (shipped within ``cut_days`` of the
+    order vs later), how many lineitems belong to URGENT/HIGH-priority
+    orders vs others — the join + two-way conditional count. Lineitem
+    crosses the ONE orderkey exchange as 16-byte (okey, shipdate)
+    rows; orders as (okey, odate, is_urgent 1-byte); each bucket
+    merges with a vectorized searchsorted lookup and collapses
+    straight to ≤2 (class, n_urgent, n_other) partials the driver
+    folds — the classic Q12 CASE-SUM realized without the aggregate
+    ever seeing a joined row table."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    US_DAY = np.int64(86_400_000_000)
+    CUT = np.int64(cut_days) * US_DAY
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(k),
+            "ship": pc.cast(t.column("l_shipdate"), pa.int64()),
+            "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+            "odate": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "urg": pa.array(np.zeros(len(k), dtype=np.int8)),
+            "__b": pa.array((_mix64(k.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        pri = t.column("o_orderpriority").to_pandas()
+        urg = pri.str.startswith(("1-", "2-")).to_numpy().astype(np.int8)
+        return pa.table({
+            "k": pa.array(k),
+            "ship": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            "odate": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "urg": pa.array(urg),
+            "__b": pa.array((_mix64(k.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(dtype=np.int8)
+        li_m, o_m = side == 0, side == 1
+        ok = g["k"].to_numpy(dtype=np.int64)[o_m]
+        oo = np.argsort(ok, kind="stable")
+        ok = ok[oo]
+        od = g["odate"].to_numpy(dtype=np.int64)[o_m][oo]
+        ou = g["urg"].to_numpy(dtype=np.int8)[o_m][oo]
+        lk = g["k"].to_numpy(dtype=np.int64)[li_m]
+        ls = g["ship"].to_numpy(dtype=np.int64)[li_m]
+        pos = np.searchsorted(ok, lk)
+        pos_c = np.minimum(pos, max(len(ok) - 1, 0))
+        if len(ok) == 0:
+            return pd.DataFrame({"slow": pd.Series([], dtype="int64"),
+                                 "n_urgent": pd.Series([], dtype="int64"),
+                                 "n_other": pd.Series([], dtype="int64")})
+        hit = ok[pos_c] == lk
+        delay = ls[hit] - od[pos_c][hit]
+        urg = ou[pos_c][hit].astype(np.int64)
+        slow = (delay > CUT).astype(np.int64)
+        code = slow * 2 + urg
+        cnt = np.bincount(code, minlength=4)
+        return pd.DataFrame({
+            "slow": np.array([0, 1], dtype=np.int64),
+            "n_urgent": np.array([cnt[1], cnt[3]], dtype=np.int64),
+            "n_other": np.array([cnt[0], cnt[2]], dtype=np.int64),
+        })
+
+    both = li.map_batches(li_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(o_rows, batch_format="pyarrow"))
+    parts = both.groupby("__b").map_groups(
+        classify, batch_format="pandas").to_pandas()
+    agg = parts.groupby("slow", as_index=False)[["n_urgent", "n_other"]] \
+        .sum()
+    return agg.sort_values("slow").reset_index(drop=True) \
+        .astype({"slow": "int64", "n_urgent": "int64", "n_other": "int64"})
+
+
+QUERIES["q12_ship_delay_priority"] = q12_ship_delay_priority
+ORACLES["q12_ship_delay_priority"] = """
+    SELECT CASE WHEN l_shipdate - o_orderdate > INTERVAL 60 DAY
+                THEN 1 ELSE 0 END AS slow,
+           CAST(SUM(CASE WHEN o_orderpriority LIKE '1-%'
+                           OR o_orderpriority LIKE '2-%'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority LIKE '1-%'
+                           OR o_orderpriority LIKE '2-%'
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_other
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY slow
+"""

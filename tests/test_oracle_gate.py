@@ -93,6 +93,8 @@ FAST_SUBSET = [
     "corr_value_hour_by_type",
     "bitagg_users_by_type",
     "equidepth_deciles_price",
+    "q15_top_supplier",
+    "q12_ship_delay_priority",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
