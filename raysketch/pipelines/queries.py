@@ -8022,3 +8022,206 @@ ORACLES["q12_ship_delay_priority"] = """
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1 ORDER BY slow
 """
+
+
+def q10_returned_revenue_customers(sf_dir: str, k: int = 20,
+                                   num_buckets: int = 64) -> pd.DataFrame:
+    """TPC-H Q10 shape — returned-item revenue ranking: top-k customers
+    by revenue of their RETURNED ('R') lineitems among 1995-Q1 orders.
+    Two exchanges, both of partials: lineitem (returnflag pruned per
+    batch) collapses to (orderkey, rev) combiner rows before the
+    orderkey exchange where the date-pruned orders (read-side
+    pushdown) map okey→custkey; the resulting (custkey, rev) partials
+    take the custkey exchange, each bucket folds its totals and emits
+    ONLY its local top-k ((rev desc, custkey asc) — sound per the
+    one-bucket-per-key argument), and the driver folds ≤k·buckets
+    rows. Customer name attaches from the driver-read dimension."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    LO = pd.Timestamp("1995-01-01")
+    HI = pd.Timestamp("1995-04-01")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_returnflag"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= LO)
+        & (pads.field("o_orderdate") < HI))
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("l_returnflag"), "R")
+        t = t.filter(m)
+        kk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        price = _cents(t.column("l_extendedprice")) \
+            .to_numpy(zero_copy_only=False)
+        disc = _cents(t.column("l_discount")).to_numpy(zero_copy_only=False)
+        rev = price * (100 - disc)
+        uk, inv = np.unique(kk, return_inverse=True)
+        acc = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table({
+            "k": pa.array(uk), "r": pa.array(acc),
+            "side": pa.array(np.zeros(len(uk), dtype=np.int8)),
+            "cust": pa.array(np.zeros(len(uk), dtype=np.int64)),
+            "__b": pa.array((_mix64(uk.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        kk = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(kk),
+            "r": pa.array(np.zeros(len(kk), dtype=np.int64)),
+            "side": pa.array(np.ones(len(kk), dtype=np.int8)),
+            "cust": t.column("o_custkey"),
+            "__b": pa.array((_mix64(kk.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def to_cust(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(dtype=np.int8)
+        om = side == 1
+        ok = g["k"].to_numpy(dtype=np.int64)[om]
+        oo = np.argsort(ok, kind="stable")
+        ok = ok[oo]
+        oc = g["cust"].to_numpy(dtype=np.int64)[om][oo]
+        lk = g["k"].to_numpy(dtype=np.int64)[~om]
+        lr = g["r"].to_numpy(dtype=np.int64)[~om]
+        if not len(ok) or not len(lk):
+            return pd.DataFrame({"c": pd.Series([], dtype="int64"),
+                                 "r": pd.Series([], dtype="int64")})
+        pos = np.searchsorted(ok, lk)
+        pos_c = np.minimum(pos, len(ok) - 1)
+        hit = ok[pos_c] == lk
+        c = oc[pos_c][hit]
+        r = lr[hit]
+        uc, inv = np.unique(c, return_inverse=True)
+        acc = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(acc, inv, r)
+        return pd.DataFrame({"c": uc, "r": acc})
+
+    percust = li.map_batches(li_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(o_rows, batch_format="pyarrow")) \
+        .groupby("__b").map_groups(to_cust, batch_format="pandas")
+
+    def tag2(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__b2", pa.array((_mix64(c.astype(np.uint64))
+                              % np.uint64(num_buckets)).astype(np.int64)))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("c", as_index=False)["r"].sum()
+        return agg.sort_values(["r", "c"],
+                               ascending=[False, True]).head(k)
+
+    parts = percust.map_batches(tag2, batch_format="pyarrow") \
+        .groupby("__b2").map_groups(topk, batch_format="pandas").to_pandas()
+    out = parts.sort_values(["r", "c"], ascending=[False, True]).head(k)
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name"]).to_pandas()
+    out = out.merge(cust, left_on="c", right_on="c_custkey")
+    return out[["c_custkey", "c_name", "r"]] \
+        .rename(columns={"r": "rev_e4"}) \
+        .sort_values("c_custkey").reset_index(drop=True) \
+        .astype({"c_custkey": "int64", "rev_e4": "int64"})
+
+
+QUERIES["q10_returned_revenue_customers"] = q10_returned_revenue_customers
+ORACLES["q10_returned_revenue_customers"] = """
+    WITH r AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                  AS BIGINT) AS rev_e4
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-04-01'
+      GROUP BY o_custkey
+      ORDER BY rev_e4 DESC, c_custkey LIMIT 20)
+    SELECT c_custkey, c_name, rev_e4
+    FROM r JOIN customer USING (c_custkey)
+    ORDER BY c_custkey
+"""
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape — the OR-of-conjunct-groups predicate join:
+    revenue from lineitems whose PART matches any of three
+    (brand, size-range, quantity-range) clauses. Disjunctions defeat
+    read-side pushdown, so the filter runs as one vectorized per-batch
+    mask instead: part attributes broadcast once (dimension contract),
+    each lineitem batch gathers its part's (brand-id, size) by
+    searchsorted and evaluates all three clauses as boolean algebra —
+    zero shuffles, one exact int64 revenue fold, where the SQL twin
+    pays a join."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    brands = pd.Index(sorted(part["p_brand"].unique()))
+    bid = brands.get_indexer(part["p_brand"]).astype(np.int64)[order]
+    psz = part["p_size"].to_numpy(dtype=np.int64)[order]
+    b1, b2, b3 = (int(brands.get_indexer([f"Brand#{i}"])[0])
+                  for i in (1, 2, 3))
+    dim = ray.put((pk, bid, psz))
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+
+    class Clause:
+        def __init__(self):
+            self.pk, self.bid, self.psz = ray.get(dim)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            qty = pc.cast(pc.round(t.column("l_quantity")), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.pk, lp)
+            pos = np.minimum(pos, len(self.pk) - 1)
+            ok = self.pk[pos] == lp
+            b = self.bid[pos]
+            s = self.psz[pos]
+            c1 = (b == b1) & (s >= 1) & (s <= 15) & (qty >= 1) & (qty <= 15)
+            c2 = (b == b2) & (s >= 10) & (s <= 30) & (qty >= 5) & (qty <= 25)
+            c3 = (b == b3) & (s >= 20) & (s <= 50) & (qty >= 10) & (qty <= 40)
+            m = ok & (c1 | c2 | c3)
+            price = _cents(t.column("l_extendedprice")) \
+                .to_numpy(zero_copy_only=False)
+            disc = _cents(t.column("l_discount")) \
+                .to_numpy(zero_copy_only=False)
+            rev = price[m] * (100 - disc[m])
+            return pa.table({"s": pa.array([int(rev.sum())]),
+                             "n": pa.array([int(m.sum())])})
+
+    p = ds.map_batches(Clause, batch_format="pyarrow",
+                       concurrency=auto_concurrency()).to_pandas()
+    return _one_row(n_items=np.int64(int(p["n"].sum())),
+                    rev_e4=np.int64(int(p["s"].sum())))
+
+
+QUERIES["q19_disjunctive_revenue"] = q19_disjunctive_revenue
+ORACLES["q19_disjunctive_revenue"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))), 0)
+                AS BIGINT) AS rev_e4
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 5 AND 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 10 AND 40)
+"""

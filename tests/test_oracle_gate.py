@@ -95,6 +95,8 @@ FAST_SUBSET = [
     "equidepth_deciles_price",
     "q15_top_supplier",
     "q12_ship_delay_priority",
+    "q10_returned_revenue_customers",
+    "q19_disjunctive_revenue",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
