@@ -8225,3 +8225,273 @@ ORACLES["q19_disjunctive_revenue"] = """
        OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
            AND l_quantity BETWEEN 10 AND 40)
 """
+
+
+def q4_late_orders_by_priority(sf_dir: str, late_days: int = 60,
+                               num_buckets: int = 64) -> pd.DataFrame:
+    """TPC-H Q4 shape (adapted: no commitdate column, so 'late' means
+    a lineitem shipped > late_days after the order date) — the GROUPED
+    EXISTS where the predicate needs BOTH sides: per 1995-H1-order
+    priority, how many orders have at least one late lineitem.
+    One orderkey exchange carries lineitem as (okey, shipdate) and the
+    date-pruned orders as (okey, odate, priority-idx); inside a bucket
+    a searchsorted span test per order resolves EXISTS via a
+    max-shipdate segment reduce (any ship > odate + cut), and each
+    bucket collapses to ≤5 (priority, n) partials."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    US_DAY = np.int64(86_400_000_000)
+    CUT = np.int64(late_days) * US_DAY
+    LO = pd.Timestamp("1995-01-01")
+    HI = pd.Timestamp("1995-07-01")
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= LO)
+        & (pads.field("o_orderdate") < HI))
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ship = pc.cast(t.column("l_shipdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # combiner: only each order's LATEST shipdate matters to EXISTS
+        uk, inv = np.unique(k, return_inverse=True)
+        mx = np.full(len(uk), -2**62, dtype=np.int64)
+        np.maximum.at(mx, inv, ship)
+        return pa.table({
+            "k": pa.array(uk), "v": pa.array(mx),
+            "side": pa.array(np.zeros(len(uk), dtype=np.int8)),
+            "p": pa.array(np.zeros(len(uk), dtype=np.int8)),
+            "__b": pa.array((_mix64(uk.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        idx = pc.index_in(t.column("o_orderpriority"),
+                          value_set=pa.array(PRIO))
+        if idx.null_count:
+            raise ValueError("priority outside the Q4 domain")
+        return pa.table({
+            "k": pa.array(k),
+            "v": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            "p": pc.cast(idx, pa.int8()),
+            "__b": pa.array((_mix64(k.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def exists_count(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(dtype=np.int8)
+        lm, om = side == 0, side == 1
+        lk = g["k"].to_numpy(dtype=np.int64)[lm]
+        lmx = g["v"].to_numpy(dtype=np.int64)[lm]
+        lo = np.argsort(lk, kind="stable")
+        lk, lmx = lk[lo], lmx[lo]
+        # per-order max over the (possibly several) batch partials
+        starts = np.r_[0, np.flatnonzero(lk[1:] != lk[:-1]) + 1] \
+            if len(lk) else np.array([], dtype=np.int64)
+        if len(lk):
+            lk = lk[starts]
+            lmx = np.maximum.reduceat(lmx, starts)
+        ok = g["k"].to_numpy(dtype=np.int64)[om]
+        od = g["v"].to_numpy(dtype=np.int64)[om]
+        op = g["p"].to_numpy(dtype=np.int8)[om].astype(np.int64)
+        if not len(ok) or not len(lk):
+            return pd.DataFrame({"p": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        pos = np.searchsorted(lk, ok)
+        pos_c = np.minimum(pos, len(lk) - 1)
+        hit = lk[pos_c] == ok
+        late = hit & (lmx[pos_c] > od + CUT)
+        cnt = np.bincount(op[late], minlength=len(PRIO)).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"p": nz, "n": cnt[nz]})
+
+    parts = li.map_batches(li_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(o_rows, batch_format="pyarrow")) \
+        .groupby("__b").map_groups(exists_count, batch_format="pandas") \
+        .to_pandas()
+    agg = parts.groupby("p", as_index=False)["n"].sum()
+    lab = np.array(PRIO, dtype=object)
+    return pd.DataFrame({
+        "o_orderpriority": lab[agg["p"].to_numpy(dtype=np.int64)],
+        "n_late_orders": agg["n"].astype("int64"),
+    }).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+QUERIES["q4_late_orders_by_priority"] = q4_late_orders_by_priority
+ORACLES["q4_late_orders_by_priority"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_late_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q7_nation_pair_volume(sf_dir: str, num_buckets: int = 64
+                          ) -> pd.DataFrame:
+    """TPC-H Q7 shape — shipping volume between nation PAIRS by year:
+    revenue of 1995/1996-shipped lineitems grouped by (supplier
+    nation, customer nation, year), both directions of every pair.
+    Both nation maps are dimension broadcasts resolved on OPPOSITE
+    sides of the single orderkey exchange (supplier→nation folds into
+    the lineitem combiner partials, customer→nation into the orders
+    rows), and each bucket collapses straight to (n1, n2, year, rev)
+    partials — bounded by 25·25·2 keys, never joined rows."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    LO = pd.Timestamp("1995-01-01")
+    HI = pd.Timestamp("1997-01-01")
+    Y96 = np.int64(int(pd.Timestamp("1996-01-01").value // 1000))
+
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = sup["s_suppkey"].to_numpy(dtype=np.int64)
+    so = np.argsort(sk)
+    sup_map = (sk[so], sup["s_nationkey"].to_numpy(dtype=np.int64)[so])
+    cus = _read(sf_dir, "customer",
+                columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cus["c_custkey"].to_numpy(dtype=np.int64)
+    co = np.argsort(ck)
+    cus_map = (ck[co], cus["c_nationkey"].to_numpy(dtype=np.int64)[co])
+    sup_b, cus_b = ray.put(sup_map), ray.put(cus_map)
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= LO)
+        & (pads.field("l_shipdate") < HI))
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    # plain task-pool functions (NOT actor pools): two concurrent
+    # actor pools at minimum size would pin 4 CPUs and deadlock a
+    # 4-CPU cluster against the downstream sort; ray.get of the
+    # broadcast inside a task is a zero-copy plasma read
+    def li_rows(t: pa.Table) -> pa.Table:
+        sk_a, sn_a = ray.get(sup_b)
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk_a, s)
+        pos = np.minimum(pos, len(sk_a) - 1)
+        if not bool((sk_a[pos] == s).all()):
+            raise ValueError("suppkey missing from dimension")
+        n1 = sn_a[pos]
+        ship = pc.cast(t.column("l_shipdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        yr = (ship >= Y96).astype(np.int64) + 1995
+        price = _cents(t.column("l_extendedprice")) \
+            .to_numpy(zero_copy_only=False)
+        disc = _cents(t.column("l_discount")) \
+            .to_numpy(zero_copy_only=False)
+        rev = price * (100 - disc)
+        # combiner: collapse to (okey, n1, yr) partial sums
+        key = (k << np.int64(12)) | (n1 << np.int64(1)) | (yr - 1995)
+        uk, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(acc, inv, rev)
+        kk = uk >> np.int64(12)
+        return pa.table({
+            "k": pa.array(kk),
+            "a": pa.array((uk >> np.int64(1)) & np.int64(2047)),
+            "y": pa.array((uk & np.int64(1)) + 1995),
+            "r": pa.array(acc),
+            "side": pa.array(np.zeros(len(uk), dtype=np.int8)),
+            "__b": pa.array((_mix64(kk.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        ck_a, cn_a = ray.get(cus_b)
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ck_a, c)
+        pos = np.minimum(pos, len(ck_a) - 1)
+        if not bool((ck_a[pos] == c).all()):
+            raise ValueError("custkey missing from dimension")
+        return pa.table({
+            "k": pa.array(k),
+            "a": pa.array(cn_a[pos]),
+            "y": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "r": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            "__b": pa.array((_mix64(k.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(dtype=np.int8)
+        lm, om = side == 0, side == 1
+        ok = g["k"].to_numpy(dtype=np.int64)[om]
+        oo = np.argsort(ok, kind="stable")
+        ok = ok[oo]
+        on = g["a"].to_numpy(dtype=np.int64)[om][oo]
+        lk = g["k"].to_numpy(dtype=np.int64)[lm]
+        if not len(ok) or not len(lk):
+            return pd.DataFrame({"n1": pd.Series([], dtype="int64"),
+                                 "n2": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64"),
+                                 "r": pd.Series([], dtype="int64")})
+        la = g["a"].to_numpy(dtype=np.int64)[lm]
+        ly = g["y"].to_numpy(dtype=np.int64)[lm]
+        lr = g["r"].to_numpy(dtype=np.int64)[lm]
+        pos = np.searchsorted(ok, lk)
+        pos_c = np.minimum(pos, len(ok) - 1)
+        hit = ok[pos_c] == lk
+        n2 = on[pos_c][hit]
+        n1, y, r = la[hit], ly[hit], lr[hit]
+        code = ((n1 * 32 + n2) * 2) + (y - 1995)
+        uc, inv = np.unique(code, return_inverse=True)
+        acc = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(acc, inv, r)
+        return pd.DataFrame({
+            "n1": uc // 64, "n2": (uc // 2) % 32,
+            "y": (uc % 2) + 1995, "r": acc,
+        })
+
+    parts = li.map_batches(li_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(o_rows, batch_format="pyarrow")) \
+        .groupby("__b").map_groups(fold, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["n1", "n2", "y"], as_index=False)["r"].sum()
+    return agg.rename(columns={"n1": "supp_nation", "n2": "cust_nation",
+                               "y": "l_year", "r": "rev_e4"}) \
+        .sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True) \
+        .astype({"supp_nation": "int64", "cust_nation": "int64",
+                 "l_year": "int64", "rev_e4": "int64"})
+
+
+QUERIES["q7_nation_pair_volume"] = q7_nation_pair_volume
+ORACLES["q7_nation_pair_volume"] = """
+    SELECT s_nationkey AS supp_nation,
+           c_nationkey AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                AS BIGINT) AS rev_e4
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""

@@ -97,6 +97,8 @@ FAST_SUBSET = [
     "q12_ship_delay_priority",
     "q10_returned_revenue_customers",
     "q19_disjunctive_revenue",
+    "q4_late_orders_by_priority",
+    "q7_nation_pair_volume",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
