@@ -8495,3 +8495,206 @@ ORACLES["q7_nation_pair_volume"] = """
     GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3
 """
+
+
+def q8_market_share_by_year(sf_dir: str, nation: int = 3,
+                            num_buckets: int = 64) -> pd.DataFrame:
+    """TPC-H Q8 shape — market share: per order-year, the fraction of
+    total revenue supplied by one nation, emitted as an EXACT
+    (numerator, denominator) integer pair so no division happens on
+    either engine. The supplier→nation broadcast folds into the
+    lineitem combiner — each batch collapses to ≤2·years partials
+    keyed (okey-year needs the ORDER side, so the year attaches in
+    the bucket): lineitem crosses the one orderkey exchange as
+    (okey, rev, is_nation) partials, orders as (okey, year), and each
+    bucket collapses to (year, num, den) rows the driver folds."""
+    import ray
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = sup["s_suppkey"].to_numpy(dtype=np.int64)
+    so = np.argsort(sk)
+    sup_b = ray.put((sk[so],
+                     sup["s_nationkey"].to_numpy(dtype=np.int64)[so]))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"])
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        sk_a, sn_a = ray.get(sup_b)
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk_a, s)
+        pos = np.minimum(pos, len(sk_a) - 1)
+        isn = (sk_a[pos] == s) & (sn_a[pos] == nation)
+        price = _cents(t.column("l_extendedprice")) \
+            .to_numpy(zero_copy_only=False)
+        disc = _cents(t.column("l_discount")).to_numpy(zero_copy_only=False)
+        rev = price * (100 - disc)
+        key = (k << np.int64(1)) | isn.astype(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(acc, inv, rev)
+        kk = uk >> np.int64(1)
+        return pa.table({
+            "k": pa.array(kk),
+            "v": pa.array(acc),
+            "f": pc.cast(pa.array((uk & np.int64(1)).astype(np.int8)),
+                         pa.int8()),
+            "side": pa.array(np.zeros(len(uk), dtype=np.int8)),
+            "__b": pa.array((_mix64(kk.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        od = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        yr = (pd.to_datetime(od, unit="us").year.to_numpy()
+              .astype(np.int64))
+        return pa.table({
+            "k": pa.array(k),
+            "v": pa.array(yr),
+            "f": pa.array(np.zeros(len(k), dtype=np.int8)),
+            "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            "__b": pa.array((_mix64(k.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(dtype=np.int8)
+        lm, om = side == 0, side == 1
+        ok = g["k"].to_numpy(dtype=np.int64)[om]
+        oo = np.argsort(ok, kind="stable")
+        ok = ok[oo]
+        oy = g["v"].to_numpy(dtype=np.int64)[om][oo]
+        lk = g["k"].to_numpy(dtype=np.int64)[lm]
+        if not len(ok) or not len(lk):
+            return pd.DataFrame({"y": pd.Series([], dtype="int64"),
+                                 "num": pd.Series([], dtype="int64"),
+                                 "den": pd.Series([], dtype="int64")})
+        lv = g["v"].to_numpy(dtype=np.int64)[lm]
+        lf = g["f"].to_numpy(dtype=np.int8)[lm].astype(np.int64)
+        pos = np.searchsorted(ok, lk)
+        pos_c = np.minimum(pos, len(ok) - 1)
+        hit = ok[pos_c] == lk
+        y = oy[pos_c][hit]
+        v, f = lv[hit], lf[hit]
+        uy, inv = np.unique(y, return_inverse=True)
+        den = np.zeros(len(uy), dtype=np.int64)
+        num = np.zeros(len(uy), dtype=np.int64)
+        np.add.at(den, inv, v)
+        np.add.at(num, inv, v * f)
+        return pd.DataFrame({"y": uy, "num": num, "den": den})
+
+    parts = li.map_batches(li_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(o_rows, batch_format="pyarrow")) \
+        .groupby("__b").map_groups(fold, batch_format="pandas").to_pandas()
+    agg = parts.groupby("y", as_index=False)[["num", "den"]].sum()
+    return agg.rename(columns={"y": "o_year", "num": "nation_rev_e4",
+                               "den": "total_rev_e4"}) \
+        .sort_values("o_year").reset_index(drop=True) \
+        .astype({"o_year": "int64", "nation_rev_e4": "int64",
+                 "total_rev_e4": "int64"})
+
+
+QUERIES["q8_market_share_by_year"] = q8_market_share_by_year
+ORACLES["q8_market_share_by_year"] = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN s_nationkey = 3
+                         THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                              * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                         ELSE 0 END) AS BIGINT) AS nation_rev_e4,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                AS BIGINT) AS total_rev_e4
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def q16_supplier_counts_by_brand(sf_dir: str, excl_nation: int = 0,
+                                 num_buckets: int = 64) -> pd.DataFrame:
+    """TPC-H Q16 shape (adapted: no partsupp table, supply facts come
+    from lineitem) — COUNT(DISTINCT supplier) per part brand,
+    EXCLUDING a blacklisted supplier set (Q16's NOT IN subquery; here
+    the suppliers of one nation): both the part→brand map and the
+    exclusion keyset broadcast once; each lineitem batch maps partkey
+    →brand-id, drops blacklisted suppliers, and emits DISTINCT
+    (brand, suppkey) pairs so the single pair-hash exchange carries
+     10-byte rows bounded by the distinct pair count; buckets dedup
+    and collapse to (brand, n) partials — a distinct pair lands in
+    exactly one bucket, so the driver fold over ≤brands·buckets rows
+    is exact."""
+    import ray
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand"]).to_pandas()
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    po = np.argsort(pk)
+    brands = pd.Index(sorted(part["p_brand"].unique()))
+    bid = brands.get_indexer(part["p_brand"]).astype(np.int64)[po]
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    excl = np.sort(sup.loc[sup["s_nationkey"] == excl_nation,
+                           "s_suppkey"].to_numpy(dtype=np.int64))
+    dim = ray.put((pk[po], bid, excl))
+    NB = np.int64(len(brands))
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        pk_a, bid_a, excl_a = ray.get(dim)
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pk_a, lp)
+        pos = np.minimum(pos, len(pk_a) - 1)
+        ok = pk_a[pos] == lp
+        if len(excl_a):
+            ep = np.searchsorted(excl_a, ls)
+            ep = np.minimum(ep, len(excl_a) - 1)
+            ok &= excl_a[ep] != ls
+        b = bid_a[pos][ok]
+        s = ls[ok]
+        key = np.unique(s * NB + b)
+        return pa.table({
+            "k": pa.array(key),
+            "__b": pa.array((_mix64(key.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(g["k"].to_numpy(dtype=np.int64))
+        b = k % NB
+        ub, n = np.unique(b, return_counts=True)
+        return pd.DataFrame({"b": ub, "n": n.astype(np.int64)})
+
+    parts = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("__b").map_groups(count_bucket, batch_format="pandas") \
+        .to_pandas()
+    agg = parts.groupby("b", as_index=False)["n"].sum()
+    lab = brands.to_numpy()
+    return pd.DataFrame({
+        "p_brand": lab[agg["b"].to_numpy(dtype=np.int64)],
+        "n_suppliers": agg["n"].astype("int64"),
+    }).sort_values("p_brand").reset_index(drop=True)
+
+
+QUERIES["q16_supplier_counts_by_brand"] = q16_supplier_counts_by_brand
+ORACLES["q16_supplier_counts_by_brand"] = """
+    SELECT p_brand,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_nationkey = 0)
+    GROUP BY p_brand ORDER BY p_brand
+"""

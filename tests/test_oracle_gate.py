@@ -99,6 +99,8 @@ FAST_SUBSET = [
     "q19_disjunctive_revenue",
     "q4_late_orders_by_priority",
     "q7_nation_pair_volume",
+    "q8_market_share_by_year",
+    "q16_supplier_counts_by_brand",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
