@@ -8698,3 +8698,210 @@ ORACLES["q16_supplier_counts_by_brand"] = """
       SELECT s_suppkey FROM supplier WHERE s_nationkey = 0)
     GROUP BY p_brand ORDER BY p_brand
 """
+
+
+def q9_profit_by_nation_year(sf_dir: str, num_buckets: int = 64
+                             ) -> pd.DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp, so cost is modeled as 20%
+    of the part's retail price per unit — stated identically in the
+    oracle) — profit by (supplier nation, order year): profit_e4 =
+    rev_e4 − 20·qty·retail_cents. BOTH part-cost and supplier-nation
+    dimensions fold into the lineitem combiner (searchsorted gathers
+    against two broadcasts), nation packs into the partial key beside
+    the orderkey, and the year joins bucket-side from the orders rows
+    — one exchange, partials bounded by orders × nations-touched."""
+    import ray
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = sup["s_suppkey"].to_numpy(dtype=np.int64)
+    so = np.argsort(sk)
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_retailprice"]).to_pandas()
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    po = np.argsort(pk)
+    retail = np.round(part["p_retailprice"].to_numpy() * 100) \
+        .astype(np.int64)[po]
+    dim = ray.put((sk[so], sup["s_nationkey"].to_numpy(dtype=np.int64)[so],
+                   pk[po], retail))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_partkey",
+                        "l_quantity", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"])
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        sk_a, sn_a, pk_a, rt_a = ray.get(dim)
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        spos = np.minimum(np.searchsorted(sk_a, s), len(sk_a) - 1)
+        ppos = np.minimum(np.searchsorted(pk_a, p), len(pk_a) - 1)
+        if not bool((sk_a[spos] == s).all() and (pk_a[ppos] == p).all()):
+            raise ValueError("dimension key missing")
+        n1 = sn_a[spos]
+        qty = pc.cast(pc.round(t.column("l_quantity")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        price = _cents(t.column("l_extendedprice")) \
+            .to_numpy(zero_copy_only=False)
+        disc = _cents(t.column("l_discount")).to_numpy(zero_copy_only=False)
+        profit = price * (100 - disc) - 20 * qty * rt_a[ppos]
+        key = (k << np.int64(6)) | n1
+        uk, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(acc, inv, profit)
+        kk = uk >> np.int64(6)
+        return pa.table({
+            "k": pa.array(kk),
+            "v": pa.array(acc),
+            "a": pa.array(uk & np.int64(63)),
+            "side": pa.array(np.zeros(len(uk), dtype=np.int8)),
+            "__b": pa.array((_mix64(kk.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        od = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        yr = pd.to_datetime(od, unit="us").year.to_numpy().astype(np.int64)
+        return pa.table({
+            "k": pa.array(k),
+            "v": pa.array(yr),
+            "a": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            "__b": pa.array((_mix64(k.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(dtype=np.int8)
+        lm, om = side == 0, side == 1
+        ok = g["k"].to_numpy(dtype=np.int64)[om]
+        oo = np.argsort(ok, kind="stable")
+        ok = ok[oo]
+        oy = g["v"].to_numpy(dtype=np.int64)[om][oo]
+        lk = g["k"].to_numpy(dtype=np.int64)[lm]
+        if not len(ok) or not len(lk):
+            return pd.DataFrame({"n1": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        lv = g["v"].to_numpy(dtype=np.int64)[lm]
+        la = g["a"].to_numpy(dtype=np.int64)[lm]
+        pos = np.searchsorted(ok, lk)
+        pos_c = np.minimum(pos, len(ok) - 1)
+        hit = ok[pos_c] == lk
+        y = oy[pos_c][hit]
+        v, n1 = lv[hit], la[hit]
+        code = n1 * 4096 + y
+        uc, inv = np.unique(code, return_inverse=True)
+        acc = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(acc, inv, v)
+        return pd.DataFrame({"n1": uc // 4096, "y": uc % 4096, "v": acc})
+
+    parts = li.map_batches(li_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(o_rows, batch_format="pyarrow")) \
+        .groupby("__b").map_groups(fold, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["n1", "y"], as_index=False)["v"].sum()
+    return agg.rename(columns={"n1": "supp_nation", "y": "o_year",
+                               "v": "profit_e4"}) \
+        .sort_values(["supp_nation", "o_year"]).reset_index(drop=True) \
+        .astype({"supp_nation": "int64", "o_year": "int64",
+                 "profit_e4": "int64"})
+
+
+QUERIES["q9_profit_by_nation_year"] = q9_profit_by_nation_year
+ORACLES["q9_profit_by_nation_year"] = """
+    SELECT s_nationkey AS supp_nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                    - 20 * CAST(ROUND(l_quantity) AS BIGINT)
+                      * CAST(ROUND(p_retailprice*100) AS BIGINT))
+                AS BIGINT) AS profit_e4
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q20_majority_suppliers(sf_dir: str, num_buckets: int = 64
+                           ) -> pd.DataFrame:
+    """TPC-H Q20 shape (adapted: availability facts come from
+    lineitem) — the nested correlated-aggregate filter: suppliers who
+    shipped MORE THAN HALF of some part's total shipped quantity.
+    Two-level aggregation over ONE partkey exchange: lineitem
+    collapses per batch to (partkey, suppkey, qty) partials, each
+    partkey bucket finishes both levels — per-(part,supp) sums by
+    lexsort/reduceat, per-part totals by a second reduceat over the
+    collapsed rows — and applies the strict-majority test by integer
+    cross-multiplication 2·q > total, emitting only qualifying
+    suppkeys; a final driver dedup (suppliers qualify once per ANY
+    part) of result-bounded rows."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        q = pc.cast(pc.round(t.column("l_quantity")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        NS = np.int64(1) << np.int64(20)
+        key = p * NS + s
+        uk, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(acc, inv, q)
+        pp = uk // NS
+        return pa.table({
+            "p": pa.array(pp), "s": pa.array(uk % NS), "q": pa.array(acc),
+            "__b": pa.array((_mix64(pp.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def majority(g: pd.DataFrame) -> pd.DataFrame:
+        p = g["p"].to_numpy(dtype=np.int64)
+        s = g["s"].to_numpy(dtype=np.int64)
+        q = g["q"].to_numpy(dtype=np.int64)
+        order = np.lexsort((s, p))
+        p, s, q = p[order], s[order], q[order]
+        key_change = np.r_[True, (p[1:] != p[:-1]) | (s[1:] != s[:-1])]
+        starts = np.flatnonzero(key_change)
+        p2, s2 = p[starts], s[starts]
+        q2 = np.add.reduceat(q, starts)
+        pstarts = np.r_[0, np.flatnonzero(p2[1:] != p2[:-1]) + 1]
+        ptot = np.add.reduceat(q2, pstarts)
+        grp = np.repeat(np.arange(len(pstarts)),
+                        np.diff(np.r_[pstarts, len(p2)]))
+        win = 5 * q2 > ptot[grp]
+        return pd.DataFrame({"s": np.unique(s2[win])})
+
+    parts = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(majority, batch_format="pandas") \
+        .to_pandas()
+    vals = (parts["s"].to_numpy(dtype=np.int64)
+            if "s" in parts.columns and len(parts)
+            else np.array([], dtype=np.int64))
+    out = pd.DataFrame({"l_suppkey": np.unique(vals)})
+    return out.astype({"l_suppkey": "int64"})
+
+
+QUERIES["q20_majority_suppliers"] = q20_majority_suppliers
+ORACLES["q20_majority_suppliers"] = """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    pt AS (SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS total
+           FROM ps GROUP BY l_partkey)
+    SELECT DISTINCT ps.l_suppkey
+    FROM ps JOIN pt USING (l_partkey)
+    WHERE 5 * ps.q > pt.total
+    ORDER BY ps.l_suppkey
+"""

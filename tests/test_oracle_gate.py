@@ -101,6 +101,8 @@ FAST_SUBSET = [
     "q7_nation_pair_volume",
     "q8_market_share_by_year",
     "q16_supplier_counts_by_brand",
+    "q9_profit_by_nation_year",
+    "q20_majority_suppliers",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
