@@ -8905,3 +8905,155 @@ ORACLES["q20_majority_suppliers"] = """
     WHERE 5 * ps.q > pt.total
     ORDER BY ps.l_suppkey
 """
+
+
+def novelty_score_docs(sf_dir: str, num_buckets: int = 64
+                       ) -> pd.DataFrame:
+    """Document novelty scoring — for each document, how many of its
+    DISTINCT word-3-grams appear in NO earlier document (by doc_id):
+    the curation signal between exact dedup and near-dup (a doc whose
+    grams are all old is a soft duplicate even when no single source
+    matches). Global 'first occurrence' is a per-gram MIN(doc_id), so
+    ONE gram-hash exchange of per-doc-distinct (gram, doc) pairs
+    resolves everything: each bucket takes per-gram minima
+    (lexsort + minimum.reduceat), counts per doc both its grams in
+    the bucket and those it owns first, and emits (doc, n_grams,
+    n_novel) partials — summed per doc, they are exact because each
+    gram lives in exactly one bucket."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_pairs(t: pa.Table) -> pa.Table:
+        w = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        n_per = pc.list_value_length(w).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(w)
+        n = len(flat)
+        if n < 3:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "d": pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.int64())})
+        a = flat.slice(0, n - 2)
+        b = flat.slice(1, n - 2)
+        c = flat.slice(2)
+        gram = pc.binary_join_element_wise(a, b, c, " ")
+        # positions crossing a doc boundary are invalid
+        ends = np.cumsum(n_per)
+        keep = np.ones(n - 2, dtype=bool)
+        for off in (1, 2):
+            bad = ends - off
+            bad = bad[(bad >= 0) & (bad < n - 2)]
+            keep[bad] = False
+        doc = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False),
+                        n_per)[: n - 2]
+        df = pd.DataFrame({"g": gram.to_pandas(), "d": doc})[keep]
+        df = df.drop_duplicates()
+        h = pd.util.hash_pandas_object(df["g"], index=False).to_numpy()
+        df["__b"] = (_mix64(h) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(gdf: pd.DataFrame) -> pd.DataFrame:
+        g = gdf["g"].to_numpy()
+        d = gdf["d"].to_numpy(dtype=np.int64)
+        order = np.lexsort((d, g))
+        g, d = g[order], d[order]
+        # batch partials may repeat (gram, doc) across batches: dedup
+        key_change = np.r_[True, (g[1:] != g[:-1]) | (d[1:] != d[:-1])]
+        g, d = g[key_change], d[key_change]
+        starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
+        first = d[starts]  # min doc per gram (d sorted within gram)
+        grp = np.repeat(np.arange(len(starts)),
+                        np.diff(np.r_[starts, len(g)]))
+        novel = d == first[grp]
+        ud, inv = np.unique(d, return_inverse=True)
+        tot = np.bincount(inv).astype(np.int64)
+        nov = np.bincount(inv, weights=novel.astype(np.int64)) \
+            .astype(np.int64)
+        return pd.DataFrame({"doc_id": ud, "n_grams": tot,
+                             "n_novel": nov})
+
+    parts = ds.map_batches(gram_pairs, batch_format="pyarrow") \
+        .groupby("__b").map_groups(fold, batch_format="pandas") \
+        .to_pandas()
+    agg = parts.groupby("doc_id", as_index=False)[["n_grams", "n_novel"]] \
+        .sum()
+    return agg.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "n_grams": "int64", "n_novel": "int64"})
+
+
+QUERIES["novelty_score_docs"] = novelty_score_docs
+ORACLES["novelty_score_docs"] = """
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+          FROM ws, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+    m AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN m.first_doc = g.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+    FROM g JOIN m USING (gram)
+    GROUP BY g.doc_id ORDER BY doc_id
+"""
+
+
+def acctbal_stats_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Grouped SAMPLE variance/stddev from exact integer moments —
+    n, Σc, Σc² fold per nation in one zero-shuffle pass (c² split
+    hi/lo), the driver assembles Python-int moments and emits ONE
+    float division tree per group written identically in HUGEINT SQL
+    (var = (n·Σc² − (Σc)²) / (n·(n−1))), so the doubles hash
+    bit-for-bit; the grouped-Bessel completion of the moments family
+    (global corr → grouped corr → grouped dispersion)."""
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        g = t.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = _cents(t.column("c_acctbal")).to_numpy(zero_copy_only=False)
+        cc = c * c
+        hi, lo = cc >> np.int64(32), cc & np.int64((1 << 32) - 1)
+        ug = np.unique(g)
+        rows = []
+        for i in ug:
+            m = g == i
+            rows.append({"g": int(i), "n": int(m.sum()),
+                         "s": int(c[m].sum()),
+                         "hi": int(hi[m].sum()), "lo": int(lo[m].sum())})
+        return pd.DataFrame(rows)
+
+    p = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    out = []
+    for i in sorted(p["g"].unique()):
+        rows = p[p["g"] == i]
+        n = int(rows["n"].sum())
+        s = int(rows["s"].sum())
+        ss = (int(rows["hi"].sum()) << 32) + int(rows["lo"].sum())
+        var = (float(n * ss - s * s) / float(n * (n - 1))
+               if n > 1 else 0.0)
+        out.append({"c_nationkey": np.int64(i), "n": np.int64(n),
+                    "sum_cents": np.int64(s), "var_cents2": var})
+    return pd.DataFrame(out).astype(
+        {"c_nationkey": "int64", "n": "int64", "sum_cents": "int64"})
+
+
+QUERIES["acctbal_stats_by_nation"] = acctbal_stats_by_nation
+ORACLES["acctbal_stats_by_nation"] = """
+    WITH m AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS s,
+             SUM(CAST(c AS HUGEINT) * c) AS ss
+      FROM (SELECT c_nationkey,
+                   CAST(ROUND(c_acctbal*100) AS BIGINT) AS c
+            FROM customer)
+      GROUP BY c_nationkey)
+    SELECT c_nationkey, CAST(n AS BIGINT) AS n,
+           CAST(s AS BIGINT) AS sum_cents,
+           CASE WHEN n > 1
+                THEN CAST(n*ss - s*s AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)
+                ELSE 0.0 END AS var_cents2
+    FROM m ORDER BY c_nationkey
+"""

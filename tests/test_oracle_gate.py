@@ -103,6 +103,8 @@ FAST_SUBSET = [
     "q16_supplier_counts_by_brand",
     "q9_profit_by_nation_year",
     "q20_majority_suppliers",
+    "novelty_score_docs",
+    "acctbal_stats_by_nation",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
