@@ -9057,3 +9057,153 @@ ORACLES["acctbal_stats_by_nation"] = """
                 ELSE 0.0 END AS var_cents2
     FROM m ORDER BY c_nationkey
 """
+
+
+def longest_streak_by_user(sf_dir: str, num_buckets: int = 64
+                           ) -> pd.DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days — the streak/retention operator (SQL's day − ROW_NUMBER()
+    island trick): events collapse per batch to deduped 16-byte
+    (user, day) pairs (the retention-cohort exchange bound), ONE
+    user-hash exchange, and inside a bucket a single lexsort finds
+    every island at once — run boundaries are new-user OR day-gap≠1,
+    run lengths by diff-of-boundaries, per-user max by
+    maximum.reduceat. No window function, no per-user loop."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    US_DAY = np.int64(86_400_000_000)
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False) // US_DAY
+        key = np.unique(u * np.int64(1 << 20) + d)
+        uu = key >> np.int64(20)
+        return pa.table({
+            "u": pa.array(uu),
+            "d": pa.array(key & np.int64((1 << 20) - 1)),
+            "__b": pa.array((_mix64(uu.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        d = g["d"].to_numpy(dtype=np.int64)
+        key = u * np.int64(1 << 20) + d
+        key = np.unique(key)  # re-dedup across batch partials
+        u, d = key >> np.int64(20), key & np.int64((1 << 20) - 1)
+        if not len(u):
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "longest_streak": pd.Series([], dtype="int64")})
+        new_run = np.r_[True, (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)]
+        run_starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.r_[run_starts, len(u)])
+        run_user = u[run_starts]
+        user_starts = np.r_[0, np.flatnonzero(
+            run_user[1:] != run_user[:-1]) + 1]
+        return pd.DataFrame({
+            "user_id": run_user[user_starts],
+            "longest_streak": np.maximum.reduceat(run_len, user_starts)
+            .astype(np.int64),
+        })
+
+    out = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("__b").map_groups(streaks, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True) \
+        .astype({"user_id": "int64", "longest_streak": "int64"})
+
+
+QUERIES["longest_streak_by_user"] = longest_streak_by_user
+ORACLES["longest_streak_by_user"] = """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+      FROM events),
+    isl AS (SELECT user_id,
+                   d - ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY d) AS grp
+            FROM days),
+    runs AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+             FROM isl GROUP BY user_id, grp)
+    SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM runs GROUP BY user_id ORDER BY user_id
+"""
+
+
+def mad_value_by_event_type(sf_dir: str) -> pd.DataFrame:
+    """Median absolute deviation per group — ROBUST dispersion, the
+    outlier-resistant twin of `outlier_events_zscore`'s σ: two grouped
+    exact order-statistic passes (the per-type median, then the median
+    of |c − m| with the ≤5-entry median table captured in the second
+    pass's closure). Group count is domain-bounded (5 types) so each
+    pass is the small-group map_groups layout; both medians use the
+    lower-element (n+1)//2 convention stated identically in SQL."""
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "c": _cents(t.column("value"))})
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["c"].to_numpy())
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "m": [int(v[(len(v) - 1) // 2])]})
+
+    med_df = base.groupby("event_type").map_groups(
+        med, batch_format="pandas").to_pandas()
+    med_idx = pd.Index(med_df["event_type"])
+    med_arr = med_df["m"].to_numpy(dtype=np.int64)
+
+    def dev(t: pa.Table) -> pa.Table:
+        idx = med_idx.get_indexer(t.column("event_type").to_pandas())
+        if (idx < 0).any():
+            raise ValueError("event_type outside the MAD median table")
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t.column("event_type"),
+                         "c": pa.array(np.abs(c - med_arr[idx]))})
+
+    def med2(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["c"].to_numpy())
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "mad_cents": [int(v[(len(v) - 1) // 2])]})
+
+    out = base.map_batches(dev, batch_format="pyarrow") \
+        .groupby("event_type").map_groups(med2, batch_format="pandas") \
+        .to_pandas()
+    out = out.merge(med_df, on="event_type") \
+        .rename(columns={"m": "median_cents"})
+    return out[["event_type", "median_cents", "mad_cents"]] \
+        .sort_values("event_type").reset_index(drop=True) \
+        .astype({"median_cents": "int64", "mad_cents": "int64"})
+
+
+QUERIES["mad_value_by_event_type"] = mad_value_by_event_type
+ORACLES["mad_value_by_event_type"] = """
+    WITH v AS (SELECT event_type,
+                      CAST(ROUND(value*100) AS BIGINT) AS c FROM events),
+    m AS (
+      SELECT event_type, CAST(vc AS BIGINT) AS median_cents FROM (
+        SELECT event_type, c AS vc,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM v)
+      WHERE rn = (cnt + 1) // 2),
+    d AS (SELECT v.event_type, ABS(v.c - m.median_cents) AS a
+          FROM v JOIN m USING (event_type))
+    SELECT event_type, m.median_cents, CAST(vc AS BIGINT) AS mad_cents
+    FROM (
+      SELECT event_type, a AS vc,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY a) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM d)
+    JOIN m USING (event_type)
+    WHERE rn = (cnt + 1) // 2
+    ORDER BY event_type
+"""

@@ -105,6 +105,8 @@ FAST_SUBSET = [
     "q20_majority_suppliers",
     "novelty_score_docs",
     "acctbal_stats_by_nation",
+    "longest_streak_by_user",
+    "mad_value_by_event_type",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
