@@ -9207,3 +9207,149 @@ ORACLES["mad_value_by_event_type"] = """
     WHERE rn = (cnt + 1) // 2
     ORDER BY event_type
 """
+
+
+def top_cosine_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """All-pairs cosine top-k over the embedding table — the
+    similarity-JOIN head of the ANN family (brute force is the honest
+    baseline when one side fits memory: broadcast the full quantized
+    matrix once, stream the other side through per-batch int64
+    matmuls, keep per-batch local top-k, fold ≤k·batches rows on the
+    driver — the j>i column mask partitions the unordered pairs so
+    local top-k is sound). Components quantize at fixed-point 2^10
+    (SQL-ROUND half-away), dots and norms stay exact int64, and cosine
+    is ONE float expression per pair (CAST exact dot / √(exact na·nb))
+    written identically in SQL — bit-matched doubles, deterministic
+    (cos desc, a, b) tiebreak."""
+    import math
+
+    import ray
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    Q = np.float64(1 << 10)
+
+    full = ds.to_pandas()
+    ids = full["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64) * Q
+    qm = np.copysign(np.floor(np.abs(mat) + 0.5), mat).astype(np.int64)
+    sq = (qm * qm).sum(axis=1)
+    order = np.argsort(ids)
+    ids, qm, sq = ids[order], qm[order], sq[order]
+    ref = ray.put((ids, qm, sq))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        aid, aq, asq = ray.get(ref)
+        col = t.column("embedding").combine_chunks()
+        n = len(col)
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(n, -1) * Q
+        bq = np.copysign(np.floor(np.abs(flat) + 0.5), flat) \
+            .astype(np.int64)
+        bid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        bsq = (bq * bq).sum(axis=1)
+        dots = bq @ aq.T  # (n, N) exact int64
+        # unordered pairs partition: keep only columns with id > row id
+        mask = aid[None, :] > bid[:, None]
+        cos = dots / np.sqrt((bsq[:, None] * asq[None, :]).astype(np.float64))
+        cos = np.where(mask, cos, -np.inf)
+        flat_idx = np.argsort(cos, axis=None)[::-1][: k * 2]
+        r, c = np.unravel_index(flat_idx, cos.shape)
+        keep = mask[r, c]
+        r, c = r[keep][:k], c[keep][:k]
+        # recompute each kept cosine as the SCALAR expression the SQL
+        # states (float(dot) / sqrt(float(na*nb))) — the vectorized
+        # screen above may round differently, the emitted value not
+        cos_exact = np.array(
+            [float(dots[i, j]) / math.sqrt(float(int(bsq[i]) * int(asq[j])))
+             for i, j in zip(r, c)], dtype=np.float64)
+        return pa.table({
+            "vec_a": pa.array(bid[r]),
+            "vec_b": pa.array(aid[c]),
+            "cos": pa.array(cos_exact),
+        })
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=256).to_pandas()
+    out = parts.sort_values(["cos", "vec_a", "vec_b"],
+                            ascending=[False, True, True]).head(k)
+    return out.reset_index(drop=True) \
+        .astype({"vec_a": "int64", "vec_b": "int64"})
+
+
+QUERIES["top_cosine_pairs"] = top_cosine_pairs
+ORACLES["top_cosine_pairs"] = """
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding,
+                                     x -> CAST(ROUND(x*1024) AS BIGINT)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id,
+                 CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS sq
+          FROM q),
+    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 CAST(list_sum(list_transform(list_zip(a.v, b.v),
+                                              t -> t[1]*t[2])) AS BIGINT)
+                   AS dot
+          FROM q a JOIN q b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
+           CAST(dot AS DOUBLE)
+           / SQRT(CAST(na.sq * nb.sq AS DOUBLE)) AS cos
+    FROM p JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b
+    ORDER BY cos DESC, vec_a, vec_b LIMIT 20
+"""
+
+
+def weekend_distinct_users_by_type(sf_dir: str, num_buckets: int = 64
+                                   ) -> pd.DataFrame:
+    """Conditional distinct count — COUNT(DISTINCT user) FILTER
+    (weekend) per event type: the filter applies BEFORE per-batch pair
+    dedup, so the single (type, user)-pair exchange carries only
+    weekend pairs (predicate pushdown through a distinct aggregate);
+    each distinct pair lands in exactly one bucket, buckets collapse
+    to (type, n) partials."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    NT = np.int64(len(TYPES))
+    US_DAY = np.int64(86_400_000_000)
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        tu = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dow = ((tu // US_DAY) + 4) % 7
+        m = (dow == 0) | (dow == 6)
+        idx = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        g = idx.to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        u = t.column("user_id").to_numpy(zero_copy_only=False)[m]
+        key = np.unique(u * NT + g)
+        return pa.table({
+            "k": pa.array(key),
+            "__b": pa.array((_mix64(key.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(g["k"].to_numpy(dtype=np.int64))
+        t, n = np.unique(k % NT, return_counts=True)
+        return pd.DataFrame({"t": t, "n": n.astype(np.int64)})
+
+    parts = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("__b").map_groups(count, batch_format="pandas") \
+        .to_pandas()
+    agg = parts.groupby("t", as_index=False)["n"].sum()
+    lab = np.array(TYPES, dtype=object)
+    return pd.DataFrame({
+        "event_type": lab[agg["t"].to_numpy(dtype=np.int64)],
+        "n_weekend_users": agg["n"].astype("int64"),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["weekend_distinct_users_by_type"] = weekend_distinct_users_by_type
+ORACLES["weekend_distinct_users_by_type"] = """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_weekend_users
+    FROM events
+    WHERE dayofweek(ts) IN (0, 6)
+    GROUP BY event_type ORDER BY event_type
+"""

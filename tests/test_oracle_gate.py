@@ -107,6 +107,8 @@ FAST_SUBSET = [
     "acctbal_stats_by_nation",
     "longest_streak_by_user",
     "mad_value_by_event_type",
+    "top_cosine_pairs",
+    "weekend_distinct_users_by_type",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
