@@ -9353,3 +9353,167 @@ ORACLES["weekend_distinct_users_by_type"] = """
     WHERE dayofweek(ts) IN (0, 6)
     GROUP BY event_type ORDER BY event_type
 """
+
+
+def benford_order_prices(sf_dir: str) -> pd.DataFrame:
+    """Leading-digit (Benford) distribution of order prices — the
+    data-forensics screen for fabricated numeric columns: digit
+    extraction is EXACT integer arithmetic (searchsorted against the
+    19 powers of ten, then one integer divide) — no float log10,
+    whose boundary rounding at exact powers of ten could misclassify;
+    counts fold as a ≤9-cell zero-shuffle combiner. SQL extracts the
+    first character of the decimal string — a different exact method,
+    same answer."""
+    POW10 = np.array([10 ** i for i in range(19)], dtype=np.int64)
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digits(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        c = c[c > 0]
+        mag = np.searchsorted(POW10, c, side="right") - 1
+        d = c // POW10[mag]
+        cnt = np.bincount(d, minlength=10).astype(np.int64)
+        return pa.table({"digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                         "n": pa.array(cnt[1:])})
+
+    p = ds.map_batches(digits, batch_format="pyarrow").to_pandas() \
+        .groupby("digit", as_index=False)["n"].sum()
+    p = p[p["n"] > 0]
+    return p.sort_values("digit").reset_index(drop=True) \
+        .astype({"digit": "int64", "n": "int64"})
+
+
+QUERIES["benford_order_prices"] = benford_order_prices
+ORACLES["benford_order_prices"] = """
+    SELECT CAST(LEFT(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT)
+                          AS VARCHAR), 1) AS BIGINT) AS digit,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) > 0
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def ship_delay_quartiles(sf_dir: str, num_buckets: int = 64,
+                         num_bins: int = 4096) -> pd.DataFrame:
+    """Join-then-exact-percentiles composition: p25/p50/p75 of each
+    lineitem's ship delay (days from order date) — the delay needs the
+    orderkey join first (q12's 16-byte two-sided exchange), the joined
+    DELAYS materialize as a small int64-column dataset (one value per
+    lineitem, never the joined row), and the sort-free histogram
+    percentile layout (min/max pass → nonzero-bin partials → one
+    filtered gather) runs over it — PERCENTILE_DISC k=⌈q·n⌉−1 like
+    `exact_percentile_price`, but over a DERIVED column no read
+    pushdown could produce."""
+    import ray
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    US_DAY = np.int64(86_400_000_000)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(k),
+            "v": pc.cast(t.column("l_shipdate"), pa.int64()),
+            "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+            "__b": pa.array((_mix64(k.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(k),
+            "v": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            "__b": pa.array((_mix64(k.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def delays(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(dtype=np.int8)
+        lm, om = side == 0, side == 1
+        ok = g["k"].to_numpy(dtype=np.int64)[om]
+        oo = np.argsort(ok, kind="stable")
+        ok = ok[oo]
+        od = g["v"].to_numpy(dtype=np.int64)[om][oo]
+        lk = g["k"].to_numpy(dtype=np.int64)[lm]
+        lv = g["v"].to_numpy(dtype=np.int64)[lm]
+        if not len(ok) or not len(lk):
+            return pd.DataFrame({"d": pd.Series([], dtype="int64")})
+        pos = np.searchsorted(ok, lk)
+        pos_c = np.minimum(pos, len(ok) - 1)
+        hit = ok[pos_c] == lk
+        return pd.DataFrame({"d": (lv[hit] - od[pos_c][hit]) // US_DAY})
+
+    lat = li.map_batches(li_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(o_rows, batch_format="pyarrow")) \
+        .groupby("__b").map_groups(delays, batch_format="pandas") \
+        .materialize()
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = t.column("d").to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(v.min()) if len(v) else 0]),
+                         "hi": pa.array([int(v.max()) if len(v) else 0]),
+                         "n": pa.array([len(v)])})
+
+    meta = lat.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    meta = meta[meta["n"] > 0]
+    lo, hi = int(meta["lo"].min()), int(meta["hi"].max())
+    n = int(meta["n"].sum())
+    width = hi - lo + 1
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t.column("d").to_numpy(zero_copy_only=False)
+        b = (v - lo) * np.int64(num_bins) // np.int64(width)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(ub),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = lat.map_batches(hist, batch_format="pyarrow").to_pandas()
+    bins = np.zeros(num_bins, dtype=np.int64)
+    np.add.at(bins, parts["bin"].to_numpy(dtype=np.int64),
+              parts["cnt"].to_numpy(dtype=np.int64))
+    cum = np.cumsum(bins)
+    qs = (25, 50, 75)
+    ks = np.array([-(-q * n // 100) - 1 for q in qs], dtype=np.int64)
+    tb = np.searchsorted(cum, ks, side="right")
+    before = np.r_[0, cum][tb]
+    ref = ray.put(np.unique(tb))
+
+    def gather(t: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        v = t.column("d").to_numpy(zero_copy_only=False)
+        b = (v - lo) * np.int64(num_bins) // np.int64(width)
+        keep = np.isin(b, want)
+        return pa.table({"v": pa.array(v[keep]), "b": pa.array(b[keep])})
+
+    got = lat.map_batches(gather, batch_format="pyarrow").to_pandas()
+    gv = got["v"].to_numpy(dtype=np.int64)
+    gb = got["b"].to_numpy(dtype=np.int64)
+    out = []
+    for q, k, t_, bef in zip(qs, ks, tb, before):
+        inbin = np.sort(gv[gb == t_])
+        out.append({"p": np.int64(q),
+                    "delay_days": np.int64(inbin[k - bef])})
+    return pd.DataFrame(out).astype({"p": "int64", "delay_days": "int64"})
+
+
+QUERIES["ship_delay_quartiles"] = ship_delay_quartiles
+ORACLES["ship_delay_quartiles"] = """
+    WITH d AS (
+      SELECT CAST((epoch_us(l_shipdate) - epoch_us(o_orderdate))
+                  // 86400000000 AS BIGINT) AS delay
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT CAST(25 AS BIGINT) AS p,
+           CAST(quantile_disc(delay, 0.25) AS BIGINT) AS delay_days FROM d
+    UNION ALL
+    SELECT 50, CAST(quantile_disc(delay, 0.50) AS BIGINT) FROM d
+    UNION ALL
+    SELECT 75, CAST(quantile_disc(delay, 0.75) AS BIGINT) FROM d
+"""

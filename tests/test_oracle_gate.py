@@ -109,6 +109,8 @@ FAST_SUBSET = [
     "mad_value_by_event_type",
     "top_cosine_pairs",
     "weekend_distinct_users_by_type",
+    "benford_order_prices",
+    "ship_delay_quartiles",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
