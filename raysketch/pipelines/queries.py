@@ -9517,3 +9517,93 @@ ORACLES["ship_delay_quartiles"] = """
     UNION ALL
     SELECT 75, CAST(quantile_disc(delay, 0.75) AS BIGINT) FROM d
 """
+
+
+def gini_customer_spend(sf_dir: str, num_buckets: int = 64
+                        ) -> pd.DataFrame:
+    """Gini coefficient of per-customer spend — the inequality metric
+    over a DISTRIBUTED GLOBAL RANK: G = (2·Σ rᵢxᵢ − (n+1)·Σx) /
+    (n·Σx) needs every value's position in the global sort order, so
+    the rank comes from `ordered_prefix_scan` (count-prefix over the
+    unique composite key spend·2^20 + custkey — rank WITHOUT an
+    all-to-all sort), and both Gini terms fold as hi/lo-split int64
+    batch partials into Python-int driver sums. Emitted as the exact
+    (num, den) integer pair; ties resolve by custkey, stated
+    identically in the SQL ROW_NUMBER ordering. Bound: num/den fit
+    int64 through ~1e6 customers × 1e10 cents; past that the output
+    columns widen to strings of the Python ints."""
+    from ..stages.dedup import _splitmix64 as _mix64
+    from ..stages.scan import ordered_prefix_scan
+
+    CBITS = np.int64(20)
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        s = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        uc, inv = np.unique(c, return_inverse=True)
+        acc = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(acc, inv, s)
+        return pa.table({
+            "c": pa.array(uc), "s": pa.array(acc),
+            "__b": pa.array((_mix64(uc.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(dtype=np.int64)
+        s = g["s"].to_numpy(dtype=np.int64)
+        order = np.argsort(c, kind="stable")
+        c, s = c[order], s[order]
+        starts = np.r_[0, np.flatnonzero(c[1:] != c[:-1]) + 1]
+        c = c[starts]
+        s = np.add.reduceat(s, starts)
+        if (c >= (1 << 20)).any():
+            raise ValueError("custkey exceeds the 20-bit rank-key slot")
+        return pd.DataFrame({"key": (s << CBITS) | c,
+                             "one": np.ones(len(c), dtype=np.int64)})
+
+    spend = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(finish, batch_format="pandas")
+    ranked = ordered_prefix_scan(spend, "key", "one",
+                                 op="sum", num_buckets=num_buckets)
+
+    def terms(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        r = t.column("prefix").to_numpy(zero_copy_only=False)  # 0-based
+        x = key >> CBITS
+        p = (r + 1) * x
+        return pa.table({
+            "rx_hi": pa.array([int((p >> np.int64(32)).sum())]),
+            "rx_lo": pa.array([int((p & np.int64((1 << 32) - 1)).sum())]),
+            "sx": pa.array([int(x.sum())]),
+            "n": pa.array([len(x)]),
+        })
+
+    p = ranked.map_batches(terms, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    sx = int(p["sx"].sum())
+    rx = (int(p["rx_hi"].sum()) << 32) + int(p["rx_lo"].sum())
+    return _one_row(n=np.int64(n),
+                    gini_num=np.int64(2 * rx - (n + 1) * sx),
+                    gini_den=np.int64(n * sx))
+
+
+QUERIES["gini_customer_spend"] = gini_customer_spend
+ORACLES["gini_customer_spend"] = """
+    WITH sp AS (
+      SELECT o_custkey AS c,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS s
+      FROM orders GROUP BY o_custkey),
+    r AS (SELECT c, s, ROW_NUMBER() OVER (ORDER BY s, c) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM sp)
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(2 * SUM(CAST(rn AS HUGEINT) * s)
+                - (MAX(n) + 1) * SUM(CAST(s AS HUGEINT)) AS BIGINT)
+             AS gini_num,
+           CAST(MAX(n) * SUM(CAST(s AS HUGEINT)) AS BIGINT) AS gini_den
+    FROM r
+"""

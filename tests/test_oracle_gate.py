@@ -111,6 +111,7 @@ FAST_SUBSET = [
     "weekend_distinct_users_by_type",
     "benford_order_prices",
     "ship_delay_quartiles",
+    "gini_customer_spend",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
