@@ -112,6 +112,7 @@ FAST_SUBSET = [
     "benford_order_prices",
     "ship_delay_quartiles",
     "gini_customer_spend",
+    "rolling7_distinct_users",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
