@@ -9688,3 +9688,49 @@ ORACLES["rolling7_distinct_users"] = """
     FROM spine s JOIN act a ON a.d BETWEEN s.d - 6 AND s.d
     GROUP BY s.d ORDER BY day_us
 """
+
+
+def hll_rolling7_distinct(sf_dir: str, window: int = 7) -> pd.DataFrame:
+    """The SKETCH twin of `rolling7_distinct_users` — per-day HLL
+    states merged across each 7-day window: this is exactly where
+    mergeable sketches beat the exact path, because COUNT(DISTINCT)
+    doesn't decompose over overlapping windows but HLL union does —
+    ONE grouped sketch pass (per-batch ≤days partial rows, the only
+    exchange carries KB-size states), then every window is a driver-
+    side merge of ≤7 calendar-bounded states. No replication fan-out:
+    the exact path ships 7× the distinct user-days; this ships
+    days × 16 KB, independent of user count. pytest gates the
+    estimates against the exact twin at the published HLL error
+    bound."""
+    US_DAY = np.int64(86_400_000_000)
+
+    from ..sketches import HLL
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False) // US_DAY
+        return pa.table({"user_id": t.column("user_id"),
+                         "day": pa.array(d)})
+
+    daily = sketch_aggregate(ds.map_batches(prep, batch_format="pyarrow"),
+                             "hll", on="user_id", by="day",
+                             mode="bytes").to_pandas()
+    daily = daily.sort_values("day").reset_index(drop=True)
+    days = daily["day"].to_numpy(dtype=np.int64)
+    blobs = list(daily.iloc[:, 1])
+    out = []
+    for i, d in enumerate(days):
+        merged = HLL()
+        lo = d - window + 1
+        for j in range(len(days)):
+            if lo <= days[j] <= d:
+                merged.merge(HLL.from_bytes(blobs[j]))
+        out.append({"day_us": np.int64(d * US_DAY),
+                    "est_users_7d": np.int64(int(merged.count()))})
+    return pd.DataFrame(out).astype({"day_us": "int64",
+                                     "est_users_7d": "int64"})
+
+
+QUERIES["hll_rolling7_distinct"] = hll_rolling7_distinct

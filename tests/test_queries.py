@@ -258,3 +258,20 @@ def test_funnel_dropout_branches(ray_session, tmp_path):
     assert out["user_id"].tolist() == [1]
     assert out.iloc[0][["t_view_us", "t_click_us", "t_purchase_us"]].tolist() \
         == [2 * us, 5 * us, 9 * us]
+
+
+def test_hll_rolling7_matches_exact_within_bound(ray_session):
+    """The HLL rolling-window estimate tracks the exact rolling
+    distinct count within the published p=14 error bound (3σ ≈ 2.44%)
+    on every window day."""
+    import __ray_entry__ as entry
+
+    q = entry.queries()
+    exact = q["rolling7_distinct_users"]("/root/testdata/sf0.001")
+    est = q["hll_rolling7_distinct"]("/root/testdata/sf0.001")
+    merged = exact.merge(est, on="day_us")
+    assert len(merged) == len(exact) == len(est)
+    rel = (merged["est_users_7d"] - merged["n_users_7d"]).abs() \
+        / merged["n_users_7d"].clip(lower=1)
+    assert float(rel.max()) <= 3 * 1.04 / (2 ** 7), \
+        f"worst rel err {rel.max():.4f}"
