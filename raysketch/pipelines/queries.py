@@ -9734,3 +9734,117 @@ def hll_rolling7_distinct(sf_dir: str, window: int = 7) -> pd.DataFrame:
 
 
 QUERIES["hll_rolling7_distinct"] = hll_rolling7_distinct
+
+
+def embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-DIMENSION statistics of the vector column (min / max / sum
+    in exact fixed-point 2^24) — the feature-normalization precursor
+    (min-max scaling, per-dim clipping): one zero-shuffle pass whose
+    per-batch partial is three D-length int64 vectors from a zero-copy
+    reshape (columnwise min/max/sum), folded elementwise on the
+    driver. The SQL twin unnests n·D rows and re-groups."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    S = np.float64(1 << 24)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        n = len(col)
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(n, -1) * S
+        q = np.copysign(np.floor(np.abs(flat) + 0.5), flat) \
+            .astype(np.int64)
+        return pa.table({
+            "mn": pa.array([q.min(axis=0).tolist()]),
+            "mx": pa.array([q.max(axis=0).tolist()]),
+            "sm": pa.array([q.sum(axis=0).tolist()]),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    mn = np.min(np.stack(p["mn"].to_numpy()), axis=0).astype(np.int64)
+    mx = np.max(np.stack(p["mx"].to_numpy()), axis=0).astype(np.int64)
+    sm = np.sum(np.stack(p["sm"].to_numpy()), axis=0).astype(np.int64)
+    d = len(mn)
+    return pd.DataFrame({
+        "dim": np.arange(1, d + 1, dtype=np.int64),
+        "min_q": mn, "max_q": mx, "sum_q": sm,
+    })
+
+
+QUERIES["embedding_dim_stats"] = embedding_dim_stats
+ORACLES["embedding_dim_stats"] = """
+    WITH q AS (SELECT list_transform(embedding,
+                 x -> CAST(ROUND(x * 16777216) AS BIGINT)) AS v
+               FROM embeddings),
+    flat AS (SELECT unnest(v) AS x,
+                    unnest(range(1, len(v) + 1)) AS dim FROM q)
+    SELECT dim, CAST(MIN(x) AS BIGINT) AS min_q,
+           CAST(MAX(x) AS BIGINT) AS max_q,
+           CAST(SUM(x) AS BIGINT) AS sum_q
+    FROM flat GROUP BY dim ORDER BY dim
+"""
+
+
+def outlier_events_robust(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """ROBUST outlier filter — |c − median| > k·MAD per event type:
+    the heavy-tail-safe twin of `outlier_events_zscore` (one extreme
+    value inflates σ and hides its peers; the median/MAD pair doesn't
+    move). Composes the two grouped order-statistic passes of
+    `mad_value_by_event_type` with a third zero-shuffle filter pass
+    holding the ≤5-entry (median, MAD) table in its closure — all
+    integer compares, no float anywhere, oracle states the identical
+    inequality."""
+    med = mad_value_by_event_type(sf_dir)
+    idx = pd.Index(med["event_type"])
+    m_arr = med["median_cents"].to_numpy(dtype=np.int64)
+    mad_arr = med["mad_cents"].to_numpy(dtype=np.int64)
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        gi = idx.get_indexer(t.column("event_type").to_pandas())
+        if (gi < 0).any():
+            raise ValueError("event_type outside the robust-filter table")
+        c = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        keep = np.abs(c - m_arr[gi]) > np.int64(k) * mad_arr[gi]
+        kept = t.filter(pa.array(keep))
+        return pa.table({
+            "event_id": kept.column("event_id"),
+            "event_type": kept.column("event_type"),
+            "value_cents": _cents(kept.column("value")),
+        })
+
+    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        out = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                            "event_type": pd.Series([], dtype="object"),
+                            "value_cents": pd.Series([], dtype="int64")})
+    return out.sort_values("event_id").reset_index(drop=True) \
+        .astype({"event_id": "int64", "value_cents": "int64"})
+
+
+QUERIES["outlier_events_robust"] = outlier_events_robust
+ORACLES["outlier_events_robust"] = """
+    WITH v AS (SELECT event_id, event_type,
+                      CAST(ROUND(value*100) AS BIGINT) AS c FROM events),
+    m AS (
+      SELECT event_type, CAST(vc AS BIGINT) AS med FROM (
+        SELECT event_type, c AS vc,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM v)
+      WHERE rn = (cnt + 1) // 2),
+    d AS (SELECT v.event_type, ABS(v.c - m.med) AS a
+          FROM v JOIN m USING (event_type)),
+    md AS (
+      SELECT event_type, CAST(vc AS BIGINT) AS mad FROM (
+        SELECT event_type, a AS vc,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY a) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM d)
+      WHERE rn = (cnt + 1) // 2)
+    SELECT v.event_id, v.event_type, v.c AS value_cents
+    FROM v JOIN m USING (event_type) JOIN md USING (event_type)
+    WHERE ABS(v.c - m.med) > 3 * md.mad
+    ORDER BY v.event_id
+"""

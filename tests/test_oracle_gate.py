@@ -113,6 +113,8 @@ FAST_SUBSET = [
     "ship_delay_quartiles",
     "gini_customer_spend",
     "rolling7_distinct_users",
+    "embedding_dim_stats",
+    "outlier_events_robust",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
