@@ -9848,3 +9848,211 @@ ORACLES["outlier_events_robust"] = """
     WHERE ABS(v.c - m.med) > 3 * md.mad
     ORDER BY v.event_id
 """
+
+
+def shortest_paths_word_graph(sf_dir: str, hops: int = 3,
+                              num_buckets: int = 64) -> pd.DataFrame:
+    """Bounded-hop WEIGHTED shortest paths over the word graph (edge
+    weight = bigram occurrence count) — the MIN-PLUS semiring member
+    of the iterative-graph family (PageRank = sum-times, label-prop =
+    min, BFS = bool-or): edge weights need a counting fold, so bigram
+    pairs take one pair-hash exchange WITHOUT the distinct collapse
+    (per-batch count partials, per-bucket reduceat) and materialize
+    once; each Bellman-Ford round is then a zero-shuffle sweep — the
+    node-bounded distance vector broadcasts, every batch scatters
+    min(dist[w1] + w) into a candidate vector via np.minimum.at, the
+    driver folds elementwise-min. Exact int64 throughout; unreachable
+    nodes stay at the sentinel and are excluded like the SQL's
+    absent rows."""
+    import ray
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    INF = np.int64(2 ** 62)
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def bigram_counts(t: pa.Table) -> pa.Table:
+        w = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        n_per = pc.list_value_length(w).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(w)
+        if len(flat) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.int64())})
+        ends = np.cumsum(n_per) - 1
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        keep[ends[ends < len(keep)]] = False
+        a = flat.slice(0, len(flat) - 1).filter(pa.array(keep))
+        b = flat.slice(1).filter(pa.array(keep))
+        df = pd.DataFrame({"w1": a.to_pandas(), "w2": b.to_pandas()})
+        cnt = df.groupby(["w1", "w2"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        h = pd.util.hash_pandas_object(
+            cnt["w1"] + "\x00" + cnt["w2"], index=False).to_numpy()
+        cnt["__b"] = (_mix64(h) % np.uint64(num_buckets)).astype(np.int64)
+        cnt["n"] = cnt["n"].astype(np.int64)
+        return pa.Table.from_pandas(cnt, preserve_index=False)
+
+    def fold_counts(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["w1", "w2"], as_index=False)["n"].sum()
+        return agg
+
+    edges = ds.map_batches(bigram_counts, batch_format="pyarrow") \
+        .groupby("__b").map_groups(fold_counts, batch_format="pandas") \
+        .materialize()
+
+    vocab_set: set = set()
+    for b in edges.iter_batches(batch_format="pyarrow", batch_size=None):
+        vocab_set.update(b.column("w1").to_pylist())
+        vocab_set.update(b.column("w2").to_pylist())
+    vocab = pd.Index(sorted(vocab_set))
+    n = len(vocab)
+    vocab_b = ray.put(vocab)
+    src = vocab[0]
+
+    dist = np.full(n, INF, dtype=np.int64)
+    dist[vocab.get_indexer([src])[0]] = 0
+    for _ in range(hops):
+        dref = ray.put(dist)
+
+        def relax(t: pa.Table, _d=dref) -> pa.Table:
+            voc = ray.get(vocab_b)
+            d = ray.get(_d)
+            i = voc.get_indexer(t.column("w1").to_pandas())
+            j = voc.get_indexer(t.column("w2").to_pandas())
+            w = t.column("n").to_numpy(zero_copy_only=False)
+            cand = d.copy()
+            ok = d[i] < INF
+            np.minimum.at(cand, j[ok], d[i][ok] + w[ok])
+            return pa.table({"v": pa.array([cand.tolist()])})
+
+        nxt = dist
+        for b in edges.map_batches(relax, batch_format="pyarrow",
+                                   batch_size=None) \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            if b.num_rows:
+                nxt = np.minimum(
+                    nxt, np.asarray(b.column("v").to_pylist()[0],
+                                    dtype=np.int64))
+        dist = nxt
+
+    m = dist < INF
+    return pd.DataFrame({"word": vocab.to_numpy()[m],
+                         "dist": dist[m]}).sort_values("word") \
+        .reset_index(drop=True).astype({"dist": "int64"})
+
+
+QUERIES["shortest_paths_word_graph"] = shortest_paths_word_graph
+ORACLES["shortest_paths_word_graph"] = """
+    WITH lists AS (SELECT string_split(text, ' ') AS l FROM documents),
+    big AS (SELECT p[1] AS w1, p[2] AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+                  FROM lists)
+            GROUP BY 1, 2),
+    d0 AS (SELECT (SELECT MIN(w1) FROM big) AS w, CAST(0 AS BIGINT) AS d),
+    d1 AS (SELECT w, MIN(d) AS d FROM (
+      SELECT w, d FROM d0
+      UNION ALL
+      SELECT b.w2, d0.d + b.w FROM big b JOIN d0 ON d0.w = b.w1
+    ) GROUP BY w),
+    d2 AS (SELECT w, MIN(d) AS d FROM (
+      SELECT w, d FROM d1
+      UNION ALL
+      SELECT b.w2, d1.d + b.w FROM big b JOIN d1 ON d1.w = b.w1
+    ) GROUP BY w),
+    d3 AS (SELECT w, MIN(d) AS d FROM (
+      SELECT w, d FROM d2
+      UNION ALL
+      SELECT b.w2, d2.d + b.w FROM big b JOIN d2 ON d2.w = b.w1
+    ) GROUP BY w)
+    SELECT w AS word, CAST(d AS BIGINT) AS dist FROM d3 ORDER BY w
+"""
+
+
+def user_set_overlap_3way(sf_dir: str, num_buckets: int = 64
+                          ) -> pd.DataFrame:
+    """Three-way set overlap partition (view / click / purchase user
+    sets) — the inclusion-exclusion base: per-batch distinct
+    (user, type-bit) partials OR-fold per user-hash bucket
+    (`jaccard_sources_vocab`'s mask machinery at k=3), buckets
+    collapse to a ≤7-mask histogram, and the EXACT-mask counts
+    partition the user universe so every intersection/union follows by
+    addition — one exchange answers all 2³−1 combination queries."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    KINDS = ["view", "click", "purchase"]
+    CUT = 99.0  # high-value events only: makes each set sparse so all
+    # seven mask classes genuinely occur (without it every user holds
+    # every type and the partition degenerates to one row)
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("event_type"), value_set=pa.array(KINDS))
+        hv = pc.greater(t.column("value"), CUT).to_numpy(zero_copy_only=False)
+        m = pc.is_valid(idx).to_numpy(zero_copy_only=False) & hv
+        g = idx.to_numpy(zero_copy_only=False)[m].astype(np.int64)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)[m]
+        key = np.unique((u << np.int64(2)) | g)
+        uu = key >> np.int64(2)
+        bit = np.left_shift(np.int64(1), key & np.int64(3))
+        # collapse to per-user mask within the batch
+        uq, inv = np.unique(uu, return_inverse=True)
+        mask = np.zeros(len(uq), dtype=np.int64)
+        np.bitwise_or.at(mask, inv, bit)
+        return pa.table({
+            "u": pa.array(uq), "m": pa.array(mask),
+            "__b": pa.array((_mix64(uq.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        m = g["m"].to_numpy(dtype=np.int64)
+        order = np.argsort(u, kind="stable")
+        u, m = u[order], m[order]
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        masks = np.bitwise_or.reduceat(m, starts)
+        um, n = np.unique(masks, return_counts=True)
+        return pd.DataFrame({"m": um, "n": n.astype(np.int64)})
+
+    parts = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("__b").map_groups(fold, batch_format="pandas") \
+        .to_pandas().groupby("m", as_index=False)["n"].sum()
+    rows = []
+    for _, r in parts.iterrows():
+        m = int(r["m"])
+        rows.append({
+            "has_view": np.int64(bool(m & 1)),
+            "has_click": np.int64(bool(m & 2)),
+            "has_purchase": np.int64(bool(m & 4)),
+            "n_users": np.int64(int(r["n"])),
+        })
+    return pd.DataFrame(rows).sort_values(
+        ["has_view", "has_click", "has_purchase"]).reset_index(drop=True) \
+        .astype({"has_view": "int64", "has_click": "int64",
+                 "has_purchase": "int64", "n_users": "int64"})
+
+
+QUERIES["user_set_overlap_3way"] = user_set_overlap_3way
+ORACLES["user_set_overlap_3way"] = """
+    WITH f AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS has_view,
+             CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS has_click,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS has_purchase
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase') AND value > 99
+      GROUP BY user_id)
+    SELECT has_view, has_click, has_purchase,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""

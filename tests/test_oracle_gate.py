@@ -115,6 +115,8 @@ FAST_SUBSET = [
     "rolling7_distinct_users",
     "embedding_dim_stats",
     "outlier_events_robust",
+    "shortest_paths_word_graph",
+    "user_set_overlap_3way",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
