@@ -10056,3 +10056,133 @@ ORACLES["user_set_overlap_3way"] = """
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
+
+
+def profile_lineitem(sf_dir: str) -> pd.DataFrame:
+    """One-pass table profiler (the pre-training `describe`): n / min /
+    max / sum for every numeric measure of lineitem, all four columns
+    in ONE zero-shuffle streaming pass — each batch emits a single
+    12-integer partial row (exact cents / integer quantity), the
+    driver folds. Profiling before ingesting a corpus is the step
+    that catches unit errors and sentinel values; doing it in one
+    pass instead of per-column scans is what makes it free."""
+    COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    ds = _read(sf_dir, "lineitem", columns=COLS)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for c in COLS:
+            v = _cents(t.column(c)).to_numpy(zero_copy_only=False)
+            rows.append({"column": c, "n": len(v),
+                         "min_c": int(v.min()) if len(v) else 0,
+                         "max_c": int(v.max()) if len(v) else 0,
+                         "sum_c": int(v.sum())})
+        return pd.DataFrame(rows)
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = p.groupby("column").agg(
+        n=("n", "sum"), min_c=("min_c", "min"),
+        max_c=("max_c", "max"), sum_c=("sum_c", "sum")).reset_index()
+    return agg.sort_values("column").reset_index(drop=True) \
+        .astype({"n": "int64", "min_c": "int64", "max_c": "int64",
+                 "sum_c": "int64"})
+
+
+QUERIES["profile_lineitem"] = profile_lineitem
+ORACLES["profile_lineitem"] = """
+    SELECT 'l_discount' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS min_c,
+           CAST(MAX(CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS max_c,
+           CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_c
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+           CAST(MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT),
+           CAST(MAX(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT),
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+           CAST(MIN(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT),
+           CAST(MAX(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT),
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', CAST(COUNT(*) AS BIGINT),
+           CAST(MIN(CAST(ROUND(l_tax*100) AS BIGINT)) AS BIGINT),
+           CAST(MAX(CAST(ROUND(l_tax*100) AS BIGINT)) AS BIGINT),
+           CAST(SUM(CAST(ROUND(l_tax*100) AS BIGINT)) AS BIGINT)
+    FROM lineitem
+    ORDER BY "column"
+"""
+
+
+def join_size_lineitem_orders(sf_dir: str, num_buckets: int = 256
+                              ) -> pd.DataFrame:
+    """Join-cardinality WITHOUT the join — the optimizer/planning
+    primitive: |lineitem ⋈ orders| = Σₖ c_li(k)·c_o(k) needs only the
+    per-key COUNT vectors, so both sides combiner-reduce to (key, n)
+    partials (8+8 bytes), ONE orderkey exchange aligns them per bucket
+    (searchsorted), and the product-sum folds to a single integer —
+    the exchange carries counts where the actual join would carry
+    rows. The SQL oracle pays the real join; the numbers must agree
+    exactly."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    def side(col, s):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column(col).to_numpy(zero_copy_only=False)
+            uk, n = np.unique(k, return_counts=True)
+            return pa.table({
+                "k": pa.array(uk), "n": pa.array(n.astype(np.int64)),
+                "side": pa.array(np.full(len(uk), s, dtype=np.int8)),
+                "__b": pa.array((_mix64(uk.astype(np.uint64))
+                                 % np.uint64(num_buckets)).astype(np.int64)),
+            })
+        return f
+
+    def prodsum(g: pd.DataFrame) -> pd.DataFrame:
+        sd = g["side"].to_numpy(dtype=np.int8)
+        lm, om = sd == 0, sd == 1
+        lk = g["k"].to_numpy(dtype=np.int64)[lm]
+        ln = g["n"].to_numpy(dtype=np.int64)[lm]
+        lo = np.argsort(lk, kind="stable")
+        lk, ln = lk[lo], ln[lo]
+        starts = np.r_[0, np.flatnonzero(lk[1:] != lk[:-1]) + 1] \
+            if len(lk) else np.array([], dtype=np.int64)
+        if len(lk):
+            lk = lk[starts]
+            ln = np.add.reduceat(ln, starts)
+        ok = g["k"].to_numpy(dtype=np.int64)[om]
+        on = g["n"].to_numpy(dtype=np.int64)[om]
+        oo = np.argsort(ok, kind="stable")
+        ok, on = ok[oo], on[oo]
+        os_ = np.r_[0, np.flatnonzero(ok[1:] != ok[:-1]) + 1] \
+            if len(ok) else np.array([], dtype=np.int64)
+        if len(ok):
+            ok = ok[os_]
+            on = np.add.reduceat(on, os_)
+        if not len(lk) or not len(ok):
+            return pd.DataFrame({"s": [0]})
+        pos = np.searchsorted(ok, lk)
+        pos_c = np.minimum(pos, len(ok) - 1)
+        hit = ok[pos_c] == lk
+        return pd.DataFrame({"s": [int((ln[hit] * on[pos_c][hit]).sum())]})
+
+    both = li.map_batches(side("l_orderkey", 0), batch_format="pyarrow") \
+        .union(orders.map_batches(side("o_orderkey", 1),
+                                  batch_format="pyarrow"))
+    p = both.groupby("__b").map_groups(prodsum, batch_format="pandas") \
+        .to_pandas()
+    return _one_row(n_join_rows=np.int64(int(p["s"].sum())))
+
+
+QUERIES["join_size_lineitem_orders"] = join_size_lineitem_orders
+ORACLES["join_size_lineitem_orders"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_join_rows
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""

@@ -117,6 +117,8 @@ FAST_SUBSET = [
     "outlier_events_robust",
     "shortest_paths_word_graph",
     "user_set_overlap_3way",
+    "profile_lineitem",
+    "join_size_lineitem_orders",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
