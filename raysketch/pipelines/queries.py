@@ -10186,3 +10186,106 @@ ORACLES["join_size_lineitem_orders"] = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_join_rows
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
+
+
+def grep_docs(sf_dir: str, pattern: str = "scan") -> pd.DataFrame:
+    """Corpus grep — per-document SUBSTRING match counts for documents
+    containing the pattern at least once: one zero-shuffle pass, the
+    count from Arrow's C++ `count_substring` kernel (matches SQL's
+    length-difference formula exactly for non-overlapping counts of a
+    pattern with no self-overlap). The simplest corpus-search operator
+    and the building block of keyword-based decontamination."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        n = pc.count_substring(
+            pc.fill_null(t.column("text"), ""), pattern)
+        tt = pa.table({"doc_id": t.column("doc_id"),
+                       "n_matches": pc.cast(n, pa.int64())})
+        return tt.filter(pc.greater(tt.column("n_matches"), 0))
+
+    out = ds.map_batches(count, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "n_matches": "int64"})
+
+
+QUERIES["grep_docs"] = grep_docs
+ORACLES["grep_docs"] = """
+    SELECT doc_id,
+           CAST((length(text) - length(replace(text, 'scan', '')))
+                // length('scan') AS BIGINT) AS n_matches
+    FROM documents
+    WHERE text LIKE '%scan%'
+    ORDER BY doc_id
+"""
+
+
+def weighted_median_price(sf_dir: str) -> pd.DataFrame:
+    """WEIGHTED median — the order statistic where each value counts
+    with a weight (here: lineitem price weighted by quantity, 'the
+    price of the median unit SHIPPED' rather than the median line):
+    per-batch (price, Σweight) partials collapse duplicates early, one
+    price-hash exchange finishes per-value weight sums bounded by
+    DISTINCT prices, and the driver orders that value-bounded table to
+    find the first value whose doubled cumulative weight reaches the
+    total — the convention stated identically in the SQL window. At
+    unbounded value domains the histogram-percentile layout takes over
+    (weighted bins); here distinct prices ≪ rows so the exchange IS
+    the reduction."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    num_buckets = 64
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = _cents(t.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+        q = pc.cast(pc.round(t.column("l_quantity")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        up, inv = np.unique(p, return_inverse=True)
+        w = np.zeros(len(up), dtype=np.int64)
+        np.add.at(w, inv, q)
+        return pa.table({
+            "p": pa.array(up), "w": pa.array(w),
+            "__b": pa.array((_mix64(up.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        p = g["p"].to_numpy(dtype=np.int64)
+        w = g["w"].to_numpy(dtype=np.int64)
+        order = np.argsort(p, kind="stable")
+        p, w = p[order], w[order]
+        starts = np.r_[0, np.flatnonzero(p[1:] != p[:-1]) + 1]
+        return pd.DataFrame({"p": p[starts],
+                             "w": np.add.reduceat(w, starts)})
+
+    per_val = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(fold, batch_format="pandas").to_pandas()
+    p = per_val["p"].to_numpy(dtype=np.int64)
+    w = per_val["w"].to_numpy(dtype=np.int64)
+    order = np.argsort(p)
+    p, w = p[order], w[order]
+    cum = np.cumsum(w)
+    total = int(cum[-1])
+    at = int(np.searchsorted(2 * cum, total, side="left"))
+    return _one_row(total_weight=np.int64(total),
+                    weighted_median_cents=np.int64(p[at]))
+
+
+QUERIES["weighted_median_price"] = weighted_median_price
+ORACLES["weighted_median_price"] = """
+    WITH v AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS p,
+                      CAST(ROUND(l_quantity) AS BIGINT) AS q
+               FROM lineitem),
+    g AS (SELECT p, CAST(SUM(q) AS BIGINT) AS w FROM v GROUP BY p),
+    c AS (SELECT p, SUM(w) OVER (ORDER BY p
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(w) OVER () AS total
+          FROM g)
+    SELECT CAST(MAX(total) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cum >= total THEN p END) AS BIGINT)
+             AS weighted_median_cents
+    FROM c
+"""

@@ -119,6 +119,8 @@ FAST_SUBSET = [
     "user_set_overlap_3way",
     "profile_lineitem",
     "join_size_lineitem_orders",
+    "grep_docs",
+    "weighted_median_price",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
