@@ -10289,3 +10289,117 @@ ORACLES["weighted_median_price"] = """
              AS weighted_median_cents
     FROM c
 """
+
+
+def top_char_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k CHARACTER bigrams across the corpus — the first step of
+    BPE tokenizer training (the merge candidate table): the pair
+    domain is bounded (≤256² byte pairs for this ASCII corpus), so the
+    whole computation is a zero-shuffle bincount combiner — each batch
+    joins its texts with a NUL separator, views the bytes as uint8,
+    forms pairs by offset shift, masks pairs touching the separator,
+    and emits one 65536-long count partial; the driver folds vectors
+    and takes the (n desc, bigram asc) head. No per-character Python,
+    no exchange, no string materialization beyond the input."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        s = np.frombuffer("\x00".join(x or "" for x in texts)
+                          .encode("utf-8"), dtype=np.uint8)
+        if len(s) < 2:
+            return pa.table({"v": pa.array([[0] * 65536])})
+        a, b = s[:-1].astype(np.int64), s[1:].astype(np.int64)
+        m = (a != 0) & (b != 0)
+        cnt = np.bincount(a[m] * 256 + b[m], minlength=65536) \
+            .astype(np.int64)
+        return pa.table({"v": pa.array([cnt.tolist()])})
+
+    total = np.zeros(65536, dtype=np.int64)
+    for b in _read(sf_dir, "documents", columns=["text"]) \
+            .map_batches(counts, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows:
+            for row in b.column("v").to_pylist():
+                total += np.asarray(row, dtype=np.int64)
+    nz = np.flatnonzero(total)
+    grams = np.array([chr(c // 256) + chr(c % 256) for c in nz],
+                     dtype=object)
+    n = total[nz]
+    order = np.lexsort((grams, -n))[:k]
+    return pd.DataFrame({"bigram": grams[order],
+                         "n": n[order].astype(np.int64)})
+
+
+QUERIES["top_char_bigrams"] = top_char_bigrams
+ORACLES["top_char_bigrams"] = """
+    WITH pos AS (SELECT text,
+                        unnest(generate_series(1, length(text) - 1)) AS i
+                 FROM documents),
+    pairs AS (SELECT substring(text, i, 2) AS bigram FROM pos)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+def vocab_growth_docs(sf_dir: str, checkpoints=(10, 50, 100, 250, 500),
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Vocabulary growth curve (Heaps' law): distinct words seen after
+    the first k documents, for several k — the corpus statistic that
+    tells you whether more data still buys new vocabulary. Each word's
+    FIRST document is a per-word MIN (the novelty-scoring exchange);
+    buckets then collapse to ≤checkpoints (k, n) partials by one
+    searchsorted against the checkpoint vector — the driver never sees
+    words, only the ≤|checkpoints|·buckets count rows."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    cks = np.array(sorted(checkpoints), dtype=np.int64)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        w = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        cnt_w = pc.list_value_length(w).to_numpy(zero_copy_only=False)
+        flat = w.flatten()
+        doc = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False),
+                        cnt_w)
+        df = pd.DataFrame({"w": flat.to_pandas(), "d": doc})
+        df = df.groupby("w", as_index=False)["d"].min()
+        h = pd.util.hash_pandas_object(df["w"], index=False).to_numpy()
+        df["__b"] = (_mix64(h) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        w = g["w"].to_numpy()
+        d = g["d"].to_numpy(dtype=np.int64)
+        order = np.lexsort((d, w))
+        w, d = w[order], d[order]
+        starts = np.r_[0, np.flatnonzero(w[1:] != w[:-1]) + 1]
+        first = d[starts]
+        # words counted at every checkpoint k with first < k
+        n_at = np.array([(first < k).sum() for k in cks], dtype=np.int64)
+        return pd.DataFrame({"k": cks, "n": n_at})
+
+    parts = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("__b").map_groups(fold, batch_format="pandas") \
+        .to_pandas()
+    agg = parts.groupby("k", as_index=False)["n"].sum()
+    return agg.rename(columns={"k": "first_k_docs", "n": "n_vocab"}) \
+        .sort_values("first_k_docs").reset_index(drop=True) \
+        .astype({"first_k_docs": "int64", "n_vocab": "int64"})
+
+
+QUERIES["vocab_growth_docs"] = vocab_growth_docs
+ORACLES["vocab_growth_docs"] = """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    m AS (SELECT word, MIN(doc_id) AS first FROM w GROUP BY word),
+    ks(k) AS (VALUES (10), (50), (100), (250), (500))
+    SELECT CAST(ks.k AS BIGINT) AS first_k_docs,
+           CAST(SUM(CASE WHEN m.first < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_vocab
+    FROM ks CROSS JOIN m
+    GROUP BY ks.k ORDER BY first_k_docs
+"""

@@ -121,6 +121,8 @@ FAST_SUBSET = [
     "join_size_lineitem_orders",
     "grep_docs",
     "weighted_median_price",
+    "top_char_bigrams",
+    "vocab_growth_docs",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
