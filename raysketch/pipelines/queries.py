@@ -10403,3 +10403,146 @@ ORACLES["vocab_growth_docs"] = """
     FROM ks CROSS JOIN m
     GROUP BY ks.k ORDER BY first_k_docs
 """
+
+
+def gap_histogram_events(sf_dir: str, num_buckets: int = 64
+                         ) -> pd.DataFrame:
+    """Inter-arrival time distribution — the traffic-shape statistic
+    behind sessionization thresholds: per-user consecutive event gaps
+    (the LAG exchange) bucketed into DECADES of seconds (<1 s, <10 s,
+    …) by one searchsorted against exact integer thresholds (a float
+    log10 could misbucket exact decade boundaries); each bucket
+    collapses to ≤decades (bucket, n) partials. The histogram tells
+    you where the session gap threshold actually separates modes."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    TH = np.array([10 ** i * 1_000_000 for i in range(0, 7)],
+                  dtype=np.int64)  # 1s … 1e6s in µs
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": t.column("user_id"),
+            "tu": pc.cast(t.column("ts"), pa.int64()),
+            "e": t.column("event_id"),
+            "__b": pa.array((_mix64(uid.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        tu = g["tu"].to_numpy(dtype=np.int64)
+        e = g["e"].to_numpy(dtype=np.int64)
+        order = np.lexsort((e, tu, u))
+        u, tu = u[order], tu[order]
+        same = u[1:] == u[:-1]
+        d = (tu[1:] - tu[:-1])[same]
+        if not len(d):
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        b = np.searchsorted(TH, d, side="right")
+        ub, n = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bucket": ub.astype(np.int64),
+                             "n": n.astype(np.int64)})
+
+    parts = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(gaps, batch_format="pandas").to_pandas()
+    agg = parts.groupby("bucket", as_index=False)["n"].sum()
+    return agg.sort_values("bucket").reset_index(drop=True) \
+        .astype({"bucket": "int64", "n": "int64"})
+
+
+QUERIES["gap_histogram_events"] = gap_histogram_events
+ORACLES["gap_histogram_events"] = """
+    WITH g AS (
+      SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS d
+      FROM events),
+    b AS (SELECT CASE
+            WHEN d < 1000000 THEN 0
+            WHEN d < 10000000 THEN 1
+            WHEN d < 100000000 THEN 2
+            WHEN d < 1000000000 THEN 3
+            WHEN d < 10000000000 THEN 4
+            WHEN d < 100000000000 THEN 5
+            WHEN d < 1000000000000 THEN 6
+            ELSE 7 END AS bucket
+          FROM g WHERE d IS NOT NULL)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+def coverage_topk_words(sf_dir: str, ks=(10, 100),
+                        num_buckets: int = 64) -> pd.DataFrame:
+    """Token coverage curve — what fraction of all corpus tokens the
+    top-k vocabulary covers (the tokenizer-budget question): global
+    word counts form through per-batch count partials + one word-hash
+    exchange; each bucket emits only its local top-max(k) rows AND its
+    token-count subtotal (the coverage denominator costs nothing
+    extra), the driver merges ≤max(k)·buckets rows and reports each
+    k's covered tokens as an exact (covered, total) pair; (n desc,
+    word asc) boundary ties stated identically in SQL."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    kmax = max(ks)
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        w = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        flat = w.flatten()
+        df = pd.DataFrame({"w": flat.to_pandas()})
+        cnt = df.groupby("w", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        h = pd.util.hash_pandas_object(cnt["w"], index=False).to_numpy()
+        cnt["__b"] = (_mix64(h) % np.uint64(num_buckets)).astype(np.int64)
+        cnt["n"] = cnt["n"].astype(np.int64)
+        return pa.Table.from_pandas(cnt, preserve_index=False)
+
+    def local_top(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("w", as_index=False)["n"].sum()
+        tot = int(agg["n"].sum())
+        top = agg.sort_values(["n", "w"],
+                              ascending=[False, True]).head(kmax)
+        top = top.copy()
+        top["tot"] = np.int64(0)
+        head = pd.DataFrame({"w": ["\x00__bucket_total__"],
+                             "n": [np.int64(0)], "tot": [np.int64(tot)]})
+        return pd.concat([top, head], ignore_index=True)
+
+    parts = ds.map_batches(counts, batch_format="pyarrow") \
+        .groupby("__b").map_groups(local_top, batch_format="pandas") \
+        .to_pandas()
+    total = int(parts["tot"].sum())
+    words = parts[parts["w"] != "\x00__bucket_total__"]
+    words = words.sort_values(["n", "w"], ascending=[False, True])
+    out = []
+    for k in sorted(ks):
+        covered = int(words.head(k)["n"].sum())
+        out.append({"k": np.int64(k),
+                    "covered_tokens": np.int64(covered),
+                    "total_tokens": np.int64(total)})
+    return pd.DataFrame(out).astype({"k": "int64",
+                                     "covered_tokens": "int64",
+                                     "total_tokens": "int64"})
+
+
+QUERIES["coverage_topk_words"] = coverage_topk_words
+ORACLES["coverage_topk_words"] = """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word),
+    r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rn FROM c),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+    ks(k) AS (VALUES (10), (100))
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST((SELECT SUM(n) FROM r WHERE rn <= ks.k) AS BIGINT)
+             AS covered_tokens,
+           (SELECT total FROM t) AS total_tokens
+    FROM ks ORDER BY k
+"""

@@ -123,6 +123,8 @@ FAST_SUBSET = [
     "weighted_median_price",
     "top_char_bigrams",
     "vocab_growth_docs",
+    "gap_histogram_events",
+    "coverage_topk_words",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
