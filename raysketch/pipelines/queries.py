@@ -10546,3 +10546,87 @@ ORACLES["coverage_topk_words"] = """
            (SELECT total FROM t) AS total_tokens
     FROM ks ORDER BY k
 """
+
+
+def bpe_two_merges(sf_dir: str) -> pd.DataFrame:
+    """DISTRIBUTED BPE TOKENIZER TRAINING, two merge rounds — the
+    iterative corpus-transform pattern: each round (1) counts all
+    character bigrams with the zero-shuffle 65536-bincount combiner,
+    (2) picks the (n desc, bigram asc) winner on the driver, and
+    (3) REWRITES the corpus with one Arrow `replace_substring` kernel
+    — whose greedy left-to-right non-overlapping semantics are
+    verified identical to SQL `replace` (so 'aaa'→'\\x01a', never
+    '\\x01\\x01-overlap), making the learned merge table
+    value-hash-checkable end to end. The merged symbol is the unused
+    byte \\x01 (then \\x02), so round-2 counting runs on the SAME
+    byte-pair combiner; no re-read of the original corpus — the
+    rewritten Dataset streams straight into round 2."""
+    import ray.data
+
+    def counts_of(ds):
+        def counts(t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_pylist()
+            s = np.frombuffer("\x00".join(x or "" for x in texts)
+                              .encode("utf-8"), dtype=np.uint8)
+            if len(s) < 2:
+                return pa.table({"v": pa.array([[0] * 65536])})
+            a, b = s[:-1].astype(np.int64), s[1:].astype(np.int64)
+            m = (a != 0) & (b != 0)
+            cnt = np.bincount(a[m] * 256 + b[m], minlength=65536) \
+                .astype(np.int64)
+            return pa.table({"v": pa.array([cnt.tolist()])})
+
+        total = np.zeros(65536, dtype=np.int64)
+        for blk in ds.map_batches(counts, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            if blk.num_rows:
+                for row in blk.column("v").to_pylist():
+                    total += np.asarray(row, dtype=np.int64)
+        return total
+
+    def top_pair(total):
+        nz = np.flatnonzero(total)
+        grams = np.array([chr(c // 256) + chr(c % 256) for c in nz],
+                         dtype=object)
+        n = total[nz]
+        at = np.lexsort((grams, -n))[0]
+        return grams[at], int(n[at])
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    merges = []
+    for rnd, sym in ((1, "\x01"), (2, "\x02")):
+        pair, n = top_pair(counts_of(ds))
+        merges.append({"round": np.int64(rnd), "pair": pair,
+                       "n": np.int64(n)})
+        rep = pair  # capture per round
+
+        def rewrite(t: pa.Table, _p=rep, _s=sym) -> pa.Table:
+            return pa.table({"text": pc.replace_substring(
+                pc.fill_null(t.column("text"), ""), pattern=_p,
+                replacement=_s)})
+
+        ds = ds.map_batches(rewrite, batch_format="pyarrow")
+    return pd.DataFrame(merges).astype({"round": "int64", "n": "int64"})
+
+
+QUERIES["bpe_two_merges"] = bpe_two_merges
+ORACLES["bpe_two_merges"] = """
+    WITH p1 AS (
+      SELECT substring(text, i, 2) AS bg
+      FROM (SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+            FROM documents)),
+    t1 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n FROM p1
+           GROUP BY bg ORDER BY n DESC, bg LIMIT 1),
+    d2 AS (SELECT replace(text, (SELECT bg FROM t1), chr(1)) AS text
+           FROM documents),
+    p2 AS (
+      SELECT substring(text, i, 2) AS bg
+      FROM (SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+            FROM d2)),
+    t2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n FROM p2
+           GROUP BY bg ORDER BY n DESC, bg LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS round, bg AS pair, n FROM t1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), bg, n FROM t2
+    ORDER BY round
+"""

@@ -125,6 +125,7 @@ FAST_SUBSET = [
     "vocab_growth_docs",
     "gap_histogram_events",
     "coverage_topk_words",
+    "bpe_two_merges",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
