@@ -10630,3 +10630,126 @@ ORACLES["bpe_two_merges"] = """
     SELECT CAST(2 AS BIGINT), bg, n FROM t2
     ORDER BY round
 """
+
+
+def events_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Heterogeneous-SOURCE equivalence, oracle-checked: the events
+    table exported once to CSV (cached under /tmp), read back through
+    the `read_table` CSV front door with the parquet schema enforced
+    (CSV round-trips timestamps/doubles as strings otherwise), and
+    aggregated to per-type counts + exact cents — the oracle runs on
+    the PARQUET view, so the value-hash proves the CSV path is
+    bit-equivalent to the parquet path end to end."""
+    import tempfile
+
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import read_table
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = sf_of(sf_dir)
+    cache = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                         f"events_csv_{tag}")
+    csv_path = os.path.join(cache, "events.csv")
+    if not os.path.exists(csv_path):
+        os.makedirs(cache, exist_ok=True)
+        tmp = csv_path + ".tmp"
+        pacsv.write_csv(pq.read_table(src), tmp)
+        os.replace(tmp, csv_path)
+    schema = pq.read_schema(src)
+
+    ds = read_table(cache, fmt="csv", schema=schema)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "c": _cents(t.column("value")).to_numpy(zero_copy_only=False),
+        })
+        agg = df.groupby("event_type", as_index=False) \
+            .agg(n=("c", "size"), cents=("c", "sum"))
+        return agg
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = p.groupby("event_type", as_index=False)[["n", "cents"]].sum()
+    return agg.sort_values("event_type").reset_index(drop=True) \
+        .astype({"n": "int64", "cents": "int64"})
+
+
+QUERIES["events_csv_roundtrip"] = events_csv_roundtrip
+ORACLES["events_csv_roundtrip"] = """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def debounce_events(sf_dir: str, gap_s: int = 60,
+                    num_buckets: int = 64) -> pd.DataFrame:
+    """Debounce / throttle — drop events of the same (user, type) that
+    arrive within ``gap_s`` seconds of the PREVIOUS RAW event of that
+    key (LAG semantics, which SQL can state; a greedy kept-anchor
+    debounce is order-iterative and has no SQL twin): one
+    (user,type)-key-hash exchange, one within-bucket lexsort forms
+    every key's consecutive gaps, survivors counted per type. The
+    stream-hygiene operator in front of funnels and sessionization."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    NT = np.int64(len(TYPES))
+    GAP = np.int64(gap_s) * np.int64(1_000_000)
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        if idx.null_count:
+            raise ValueError("event_type outside the debounce domain")
+        g = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        key = u * NT + g
+        return pa.table({
+            "k": pa.array(key),
+            "tu": pc.cast(t.column("ts"), pa.int64()),
+            "e": t.column("event_id"),
+            "__b": pa.array((_mix64(key.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(dtype=np.int64)
+        tu = g["tu"].to_numpy(dtype=np.int64)
+        e = g["e"].to_numpy(dtype=np.int64)
+        order = np.lexsort((e, tu, k))
+        k, tu = k[order], tu[order]
+        first = np.r_[True, k[1:] != k[:-1]]
+        ok = first | np.r_[False, (tu[1:] - tu[:-1]) > GAP]
+        t_idx = (k % NT)[ok]
+        cnt = np.bincount(t_idx, minlength=int(NT)).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"t": nz, "n": cnt[nz]})
+
+    parts = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(keep, batch_format="pandas").to_pandas()
+    agg = parts.groupby("t", as_index=False)["n"].sum()
+    lab = np.array(TYPES, dtype=object)
+    return pd.DataFrame({
+        "event_type": lab[agg["t"].to_numpy(dtype=np.int64)],
+        "n_kept": agg["n"].astype("int64"),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["debounce_events"] = debounce_events
+ORACLES["debounce_events"] = """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS d
+      FROM events)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN d IS NULL OR d > 60000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM g GROUP BY event_type ORDER BY event_type
+"""

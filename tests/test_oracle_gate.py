@@ -126,6 +126,8 @@ FAST_SUBSET = [
     "gap_histogram_events",
     "coverage_topk_words",
     "bpe_two_merges",
+    "events_csv_roundtrip",
+    "debounce_events",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
