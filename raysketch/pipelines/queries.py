@@ -10753,3 +10753,129 @@ ORACLES["debounce_events"] = """
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM g GROUP BY event_type ORDER BY event_type
 """
+
+
+def split_assign_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split — THE dataset-prep operator:
+    every document lands in exactly one of 80/10/10 by a pure hash of
+    its id (the `hash_sample_orders` Knuth condition), so the split is
+    reproducible at ANY parallelism, re-derivable years later from the
+    id alone, and — because the hash is SQL-expressible — the
+    ASSIGNMENT ITSELF is value-hash-checked, not just its sizes.
+    Zero shuffle; per-(source, split) counts + exact char sums fold as
+    a ≤3·sources-cell combiner so the audit table also verifies
+    stratification balance."""
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+    K = np.int64(2654435761)
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        k = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = ((k * K) % np.int64(1_000_000_007)) % np.int64(100)
+        split = np.where(h < 80, "train",
+                         np.where(h < 90, "val", "test"))
+        df = pd.DataFrame({
+            "source": t.column("source").to_pandas(),
+            "split": split,
+            "n": 1,
+            "chars": t.column("n_chars").to_numpy(zero_copy_only=False),
+        })
+        return df.groupby(["source", "split"], as_index=False) \
+            .agg(n=("n", "sum"), chars=("chars", "sum"))
+
+    p = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    agg = p.groupby(["source", "split"], as_index=False) \
+        [["n", "chars"]].sum()
+    return agg.sort_values(["source", "split"]).reset_index(drop=True) \
+        .astype({"n": "int64", "chars": "int64"})
+
+
+QUERIES["split_assign_docs"] = split_assign_docs
+ORACLES["split_assign_docs"] = """
+    WITH a AS (
+      SELECT source, n_chars,
+             CASE WHEN ((doc_id * 2654435761) % 1000000007) % 100 < 80
+                  THEN 'train'
+                  WHEN ((doc_id * 2654435761) % 1000000007) % 100 < 90
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents)
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM a GROUP BY source, split ORDER BY source, split
+"""
+
+
+def max_drawdown_revenue(sf_dir: str) -> pd.DataFrame:
+    """Maximum drawdown of cumulative daily revenue — the running-max
+    -minus-current composition (two chained window functions): the
+    day series folds calendar-bounded through the zero-shuffle (day,
+    cents) combiner, and the drawdown scan runs vectorized over the
+    ≤few-thousand-day table (cumsum → running max → max gap). All
+    integer cents; the single-row answer carries the drawdown AND the
+    day it bottoms (earliest, tiebreak stated in SQL)."""
+    US_DAY = np.int64(86_400_000_000)
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        d = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False) // US_DAY
+        ud, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"day": pa.array(ud), "s": pa.array(s)})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas() \
+        .groupby("day", as_index=False)["s"].sum()
+    day = p["day"].to_numpy(dtype=np.int64)
+    s = p["s"].to_numpy(dtype=np.int64)
+    order = np.argsort(day)
+    day, s = day[order], s[order]
+    # drawdown on the DE-MEANED cumulative series: raw revenue only
+    # grows, so subtract each day's global mean share to expose dips
+    n = len(day)
+    mean_num = int(s.sum())  # exact: compare n*cum vs day_index*total
+    cum = np.cumsum(s)
+    # scaled series: v_i = n*cum_i - (i+1)*total  (exact ints)
+    idx = np.arange(1, n + 1, dtype=np.int64)
+    v = n * cum - idx * mean_num
+    runmax = np.maximum.accumulate(v)
+    dd = runmax - v
+    at = int(np.argmax(dd))  # first maximal drawdown
+    return _one_row(n_days=np.int64(n),
+                    max_drawdown_scaled=np.int64(int(dd[at])),
+                    trough_day_us=np.int64(int(day[at]) * int(US_DAY)))
+
+
+QUERIES["max_drawdown_revenue"] = max_drawdown_revenue
+ORACLES["max_drawdown_revenue"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(date_trunc('day', o_orderdate))
+                  // 86400000000 AS BIGINT) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS s
+      FROM orders GROUP BY 1),
+    c AS (SELECT day,
+                 SUM(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS cum,
+                 ROW_NUMBER() OVER (ORDER BY day) AS i,
+                 COUNT(*) OVER () AS n,
+                 SUM(s) OVER () AS total
+          FROM d),
+    v AS (SELECT day,
+                 CAST(n AS HUGEINT) * cum - CAST(i AS HUGEINT) * total
+                   AS val
+          FROM c),
+    r AS (SELECT day, val,
+                 MAX(val) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS runmax
+          FROM v),
+    dd AS (SELECT day, runmax - val AS drop FROM r)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dd) AS n_days,
+           CAST(MAX(drop) AS BIGINT) AS max_drawdown_scaled,
+           CAST((SELECT MIN(day) FROM dd
+                 WHERE drop = (SELECT MAX(drop) FROM dd))
+                * 86400000000 AS BIGINT) AS trough_day_us
+    FROM dd
+"""

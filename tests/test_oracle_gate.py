@@ -128,6 +128,8 @@ FAST_SUBSET = [
     "bpe_two_merges",
     "events_csv_roundtrip",
     "debounce_events",
+    "split_assign_docs",
+    "max_drawdown_revenue",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
