@@ -10879,3 +10879,101 @@ ORACLES["max_drawdown_revenue"] = """
                 * 86400000000 AS BIGINT) AS trough_day_us
     FROM dd
 """
+
+
+def length_weighted_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """LENGTH-WEIGHTED deterministic sampling — inclusion probability
+    proportional to document size (the token-budget sampler: long
+    documents carry more training signal per row): keep iff
+    hash(doc_id) mod M < n_chars·C, a pure per-row predicate — zero
+    shuffle, reproducible at any parallelism, and SQL-expressible so
+    THE SAMPLE ITSELF is value-hash-checked (ds.random_sample could
+    never be). The expected rate is Σ n_chars·C / M; the audit columns
+    carry both the kept count and kept chars so the weighting is
+    visible in the checked output."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    K = np.int64(2654435761)
+    P = np.int64(1_000_000_007)
+    M = np.int64(1_000_000)
+    C = np.int64(800)  # ~n_chars/1250 inclusion probability
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        m = ((k * K) % P) % M < nc * C
+        return pa.table({"doc_id": pa.array(k[m]),
+                         "n_chars": pa.array(nc[m])})
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "n_chars": "int64"})
+
+
+QUERIES["length_weighted_sample_docs"] = length_weighted_sample_docs
+ORACLES["length_weighted_sample_docs"] = """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE ((doc_id * 2654435761) % 1000000007) % 1000000
+          < n_chars * 800
+    ORDER BY doc_id
+"""
+
+
+def second_order_per_customer(sf_dir: str, num_buckets: int = 64
+                              ) -> pd.DataFrame:
+    """NTH_VALUE navigation — each customer's SECOND-most-expensive
+    order (the n=2 order statistic per partition, with the customers
+    who only have one order dropping out exactly as the SQL's rn=2
+    filter drops them): one custkey-hash exchange of (cust, cents,
+    okey) rows, one within-bucket lexsort by (cust, −cents, okey),
+    and the answer is a pure gather at segment start + 1 — no window
+    function, no per-group loop."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c": pa.array(c),
+            "k": t.column("o_orderkey"),
+            "p": _cents(t.column("o_totalprice")),
+            "__b": pa.array((_mix64(c.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def second(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(dtype=np.int64)
+        k = g["k"].to_numpy(dtype=np.int64)
+        p = g["p"].to_numpy(dtype=np.int64)
+        order = np.lexsort((k, -p, c))
+        c, k, p = c[order], k[order], p[order]
+        starts = np.r_[0, np.flatnonzero(c[1:] != c[:-1]) + 1]
+        cnt = np.diff(np.r_[starts, len(c)])
+        ok = cnt >= 2
+        at = starts[ok] + 1
+        return pd.DataFrame({"o_custkey": c[at],
+                             "second_orderkey": k[at],
+                             "second_price_cents": p[at]})
+
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(second, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True) \
+        .astype({"o_custkey": "int64", "second_orderkey": "int64",
+                 "second_price_cents": "int64"})
+
+
+QUERIES["second_order_per_customer"] = second_order_per_customer
+ORACLES["second_order_per_customer"] = """
+    SELECT o_custkey, o_orderkey AS second_orderkey,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS second_price_cents
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY ROUND(o_totalprice*100) DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn = 2 ORDER BY o_custkey
+"""

@@ -130,6 +130,8 @@ FAST_SUBSET = [
     "debounce_events",
     "split_assign_docs",
     "max_drawdown_revenue",
+    "length_weighted_sample_docs",
+    "second_order_per_customer",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
