@@ -10977,3 +10977,131 @@ ORACLES["second_order_per_customer"] = """
       FROM orders)
     WHERE rn = 2 ORDER BY o_custkey
 """
+
+
+def top2_balances_by_nation_ties(sf_dir: str, num_buckets: int = 32
+                                 ) -> pd.DataFrame:
+    """Grouped top-N KEEPING TIES (DENSE_RANK ≤ 2, the 'best two price
+    points and everyone at them' semantics — a row_number top-k drops
+    tied peers arbitrarily): one nationkey exchange; in each bucket a
+    lexsort finds every nation's two highest DISTINCT balances (values
+    dedup per segment via shifted compare) and a vectorized threshold
+    gather keeps all rows at or above the second one. Output size is
+    data-dependent (that's the point)."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        n = t.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "n": pa.array(n),
+            "c": t.column("c_custkey"),
+            "b": pc.cast(pc.round(pc.divide(t.column("c_acctbal"),
+                                            100.0)), pa.int64()),
+            "__b": pa.array((_mix64(n.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def topties(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        b = g["b"].to_numpy(dtype=np.int64)
+        order = np.lexsort((c, -b, n))
+        n, c, b = n[order], c[order], b[order]
+        seg_start = np.r_[True, n[1:] != n[:-1]]
+        # distinct-value rank within nation: increments where value
+        # changes, resets at nation boundaries
+        newval = np.r_[True, (b[1:] != b[:-1])] | seg_start
+        # dense rank = cumulative distinct-value count per segment
+        grp = np.cumsum(seg_start) - 1
+        dv = np.cumsum(newval)
+        seg_first_dv = dv[np.flatnonzero(seg_start)]
+        dense = dv - seg_first_dv[grp] + 1
+        keep = dense <= 2
+        return pd.DataFrame({"c_nationkey": n[keep],
+                             "c_custkey": c[keep],
+                             "bal_h": b[keep]})
+
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(topties, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True) \
+        .astype({"c_nationkey": "int64", "c_custkey": "int64",
+                 "bal_h": "int64"})
+
+
+QUERIES["top2_balances_by_nation_ties"] = top2_balances_by_nation_ties
+ORACLES["top2_balances_by_nation_ties"] = """
+    SELECT c_nationkey, c_custkey,
+           CAST(ROUND(c_acctbal/100) AS BIGINT) AS bal_h
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             DENSE_RANK() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY CAST(ROUND(c_acctbal/100) AS BIGINT) DESC) AS dr
+      FROM customer)
+    WHERE dr <= 2 ORDER BY c_custkey
+"""
+
+
+def embedding_top2_dims(sf_dir: str) -> pd.DataFrame:
+    """Per-vector argmax navigation over the LIST column: each
+    embedding's largest and second-largest dimension (index + value in
+    exact fixed-point 2^24, ties to the LOWER index exactly as SQL's
+    ordinality tiebreak) — a zero-shuffle vectorized pass (reshape,
+    one argmax, mask, second argmax); the feature-attribution /
+    routing primitive (which expert dim fires?). SQL pays
+    unnest-with-ordinality + two ROW_NUMBER picks over n·D rows."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    S = np.float64(1 << 24)
+
+    def top2(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        n = len(col)
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(n, -1) * S
+        q = np.copysign(np.floor(np.abs(flat) + 0.5), flat) \
+            .astype(np.int64)
+        i1 = q.argmax(axis=1)
+        rows = np.arange(n)
+        v1 = q[rows, i1]
+        q2 = q.copy()
+        q2[rows, i1] = np.int64(-2 ** 62)
+        i2 = q2.argmax(axis=1)
+        v2 = q2[rows, i2]
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "dim1": pa.array(i1.astype(np.int64) + 1),
+            "val1_q": pa.array(v1),
+            "dim2": pa.array(i2.astype(np.int64) + 1),
+            "val2_q": pa.array(v2),
+        })
+
+    out = ds.map_batches(top2, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True) \
+        .astype({"vec_id": "int64", "dim1": "int64", "val1_q": "int64",
+                 "dim2": "int64", "val2_q": "int64"})
+
+
+QUERIES["embedding_top2_dims"] = embedding_top2_dims
+ORACLES["embedding_top2_dims"] = """
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding,
+                                     x -> CAST(ROUND(x*16777216) AS BIGINT))
+                        AS v
+               FROM embeddings),
+    flat AS (SELECT vec_id, unnest(v) AS x,
+                    unnest(range(1, len(v) + 1)) AS dim FROM q),
+    r AS (SELECT vec_id, x, dim,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY x DESC, dim) AS rn
+          FROM flat)
+    SELECT a.vec_id,
+           CAST(a.dim AS BIGINT) AS dim1, a.x AS val1_q,
+           CAST(b.dim AS BIGINT) AS dim2, b.x AS val2_q
+    FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+    ORDER BY a.vec_id
+"""

@@ -132,6 +132,8 @@ FAST_SUBSET = [
     "max_drawdown_revenue",
     "length_weighted_sample_docs",
     "second_order_per_customer",
+    "top2_balances_by_nation_ties",
+    "embedding_top2_dims",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
