@@ -11105,3 +11105,152 @@ ORACLES["embedding_top2_dims"] = """
     FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
     ORDER BY a.vec_id
 """
+
+
+def distinct_users_rollup(sf_dir: str, num_buckets: int = 64
+                          ) -> pd.DataFrame:
+    """Hierarchical DISTINCT rollup — daily, weekly and global distinct
+    users from ONE exchange: COUNT(DISTINCT) doesn't roll up (a user
+    active 5 days is 5 daily counts but ONE weekly count), yet a
+    single user-hash exchange of deduped (user, day) pairs co-locates
+    each user entirely, so every bucket derives all three granularities
+    locally (per-user distinct days → day partials; days//7 → week
+    partials; +1 global partial) and the driver folds counts. Three
+    COUNT(DISTINCT) queries for the price of one shuffle."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    US_DAY = np.int64(86_400_000_000)
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False) // US_DAY
+        key = np.unique(u * np.int64(1 << 20) + d)
+        uu = key >> np.int64(20)
+        return pa.table({
+            "u": pa.array(uu),
+            "d": pa.array(key & np.int64((1 << 20) - 1)),
+            "__b": pa.array((_mix64(uu.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def levels(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        d = g["d"].to_numpy(dtype=np.int64)
+        key = np.unique(u * np.int64(1 << 20) + d)
+        u, d = key >> np.int64(20), key & np.int64((1 << 20) - 1)
+        out = []
+        ud, n = np.unique(d, return_counts=True)
+        out.append(pd.DataFrame({"level": "day", "key": ud,
+                                 "n": n.astype(np.int64)}))
+        wk = np.unique(u * np.int64(1 << 20) + d // 7)
+        uw, nw = np.unique(wk & np.int64((1 << 20) - 1),
+                           return_counts=True)
+        out.append(pd.DataFrame({"level": "week", "key": uw,
+                                 "n": nw.astype(np.int64)}))
+        out.append(pd.DataFrame({"level": "global",
+                                 "key": np.array([0], dtype=np.int64),
+                                 "n": np.array([len(np.unique(u))],
+                                               dtype=np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    parts = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("__b").map_groups(levels, batch_format="pandas") \
+        .to_pandas()
+    agg = parts.groupby(["level", "key"], as_index=False)["n"].sum()
+    return agg.sort_values(["level", "key"]).reset_index(drop=True) \
+        .astype({"key": "int64", "n": "int64"})
+
+
+QUERIES["distinct_users_rollup"] = distinct_users_rollup
+ORACLES["distinct_users_rollup"] = """
+    WITH act AS (SELECT DISTINCT user_id,
+                        CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+                 FROM events)
+    SELECT 'day' AS level, d AS key,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+    FROM act GROUP BY d
+    UNION ALL
+    SELECT 'week', d // 7, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM act GROUP BY d // 7
+    UNION ALL
+    SELECT 'global', 0, CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM act
+    ORDER BY level, key
+"""
+
+
+def first_last_transition_matrix(sf_dir: str, num_buckets: int = 64
+                                 ) -> pd.DataFrame:
+    """(first event type → last event type) user matrix — the
+    journey-endpoints summary behind acquisition/exit analysis: one
+    user-hash exchange, one within-bucket lexsort exposes each user's
+    first and last row simultaneously (segment boundaries + shifted
+    boundaries — the `events_first_last` gathers), and a bincount over
+    first·5+last collapses every bucket to ≤25 matrix partials."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    NT = np.int64(len(TYPES))
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        if idx.null_count:
+            raise ValueError("event_type outside the matrix domain")
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(u),
+            "tu": pc.cast(t.column("ts"), pa.int64()),
+            "e": t.column("event_id"),
+            "g": pc.cast(idx, pa.int8()),
+            "__b": pa.array((_mix64(u.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def matrix(gd: pd.DataFrame) -> pd.DataFrame:
+        u = gd["u"].to_numpy(dtype=np.int64)
+        tu = gd["tu"].to_numpy(dtype=np.int64)
+        e = gd["e"].to_numpy(dtype=np.int64)
+        g = gd["g"].to_numpy(dtype=np.int64)
+        order = np.lexsort((e, tu, u))
+        u, g = u[order], g[order]
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        ends = np.r_[starts[1:], len(u)] - 1
+        code = g[starts] * NT + g[ends]
+        cnt = np.bincount(code, minlength=int(NT * NT)).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"f": nz // NT, "l": nz % NT, "n": cnt[nz]})
+
+    parts = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(matrix, batch_format="pandas") \
+        .to_pandas()
+    agg = parts.groupby(["f", "l"], as_index=False)["n"].sum()
+    lab = np.array(TYPES, dtype=object)
+    return pd.DataFrame({
+        "first_type": lab[agg["f"].to_numpy(dtype=np.int64)],
+        "last_type": lab[agg["l"].to_numpy(dtype=np.int64)],
+        "n_users": agg["n"].astype("int64"),
+    }).sort_values(["first_type", "last_type"]).reset_index(drop=True)
+
+
+QUERIES["first_last_transition_matrix"] = first_last_transition_matrix
+ORACLES["first_last_transition_matrix"] = """
+    WITH fl AS (
+      SELECT user_id,
+             FIRST_VALUE(event_type) OVER w AS first_type,
+             LAST_VALUE(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING) AS last_type,
+             ROW_NUMBER() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT first_type, last_type, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM fl WHERE rn = 1
+    GROUP BY first_type, last_type
+    ORDER BY first_type, last_type
+"""

@@ -134,6 +134,8 @@ FAST_SUBSET = [
     "second_order_per_customer",
     "top2_balances_by_nation_ties",
     "embedding_top2_dims",
+    "distinct_users_rollup",
+    "first_last_transition_matrix",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
