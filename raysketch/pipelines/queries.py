@@ -11254,3 +11254,157 @@ ORACLES["first_last_transition_matrix"] = """
     GROUP BY first_type, last_type
     ORDER BY first_type, last_type
 """
+
+
+def purchases_next_hour_views(sf_dir: str, num_buckets: int = 64
+                              ) -> pd.DataFrame:
+    """FORWARD-looking range frame — for every purchase, how many
+    views the same user makes in the NEXT hour (strictly after, the
+    post-conversion browse signal; `views_before_purchase` looks the
+    other way): one user-hash exchange of mixed-type rows, the
+    partition-offset trick makes ONE global searchsorted pair resolve
+    every purchase's (ts, ts+1h] span, and the view count is a
+    cumsum-of-indicator gather difference — zero-filled purchases
+    included, like the SQL LEFT JOIN."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    HOUR = np.int64(3_600_000_000)
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("event_type"),
+                     value_set=pa.array(["purchase", "view"]))
+        t = t.filter(m)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "e": t.column("event_id"),
+            "u": pa.array(u),
+            "tu": pc.cast(t.column("ts"), pa.int64()),
+            "isv": pc.cast(pc.equal(t.column("event_type"), "view"),
+                           pa.int8()),
+            "__b": pa.array((_mix64(u.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def frames(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        tu = g["tu"].to_numpy(dtype=np.int64)
+        e = g["e"].to_numpy(dtype=np.int64)
+        isv = g["isv"].to_numpy(dtype=np.int8).astype(np.int64)
+        order = np.lexsort((e, tu, u))
+        u, tu, e, isv = u[order], tu[order], e[order], isv[order]
+        n = len(u)
+        if not n:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "n_views_next_hour": pd.Series([], dtype="int64")})
+        first = np.r_[True, u[1:] != u[:-1]]
+        pidx = np.cumsum(first) - 1
+        span = tu.max() - tu.min() + HOUR + 1
+        adj = tu + pidx * (span + HOUR + 1)
+        left = np.searchsorted(adj, adj, side="right")  # strictly after
+        right = np.searchsorted(adj, adj + HOUR, side="right")
+        vc = np.r_[np.int64(0), np.cumsum(isv)]
+        cnt = vc[right] - vc[left]
+        isp = isv == 0
+        return pd.DataFrame({"event_id": e[isp],
+                             "n_views_next_hour": cnt[isp]})
+
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(frames, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True) \
+        .astype({"event_id": "int64", "n_views_next_hour": "int64"})
+
+
+QUERIES["purchases_next_hour_views"] = purchases_next_hour_views
+ORACLES["purchases_next_hour_views"] = """
+    SELECT p.event_id,
+           CAST(COUNT(v.event_id) AS BIGINT) AS n_views_next_hour
+    FROM events p LEFT JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+      AND v.ts > p.ts AND v.ts <= p.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id ORDER BY p.event_id
+"""
+
+
+def weekend_value_ztest(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Welch z — the experiment-analysis primitive (is the
+    weekend purchase value distribution different from weekdays?):
+    per-arm exact integer moments fold in one zero-shuffle pass
+    (c² split hi/lo), and the z statistic is ONE float expression
+    from Python-int moments, mirrored token for token in the HUGEINT
+    SQL so the doubles match bit-for-bit — the definitive answer to
+    'can a distributed engine reproduce the analyst's number
+    exactly'."""
+    import math
+
+    US_DAY = np.int64(86_400_000_000)
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        m = pc.equal(t.column("event_type"), "purchase") \
+            .to_numpy(zero_copy_only=False)
+        tu = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)[m]
+        c = _cents(t.column("value")).to_numpy(zero_copy_only=False)[m]
+        dow = ((tu // US_DAY) + 4) % 7
+        wk = (dow == 0) | (dow == 6)
+        rows = []
+        for arm, sel in (("weekend", wk), ("weekday", ~wk)):
+            cc = c[sel]
+            sq = cc * cc
+            rows.append({
+                "arm": arm, "n": len(cc), "s": int(cc.sum()),
+                "hi": int((sq >> np.int64(32)).sum()),
+                "lo": int((sq & np.int64((1 << 32) - 1)).sum()),
+            })
+        return pd.DataFrame(rows)
+
+    p = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    st = {}
+    for arm in ("weekend", "weekday"):
+        r = p[p["arm"] == arm]
+        n = int(r["n"].sum())
+        s = int(r["s"].sum())
+        ss = (int(r["hi"].sum()) << 32) + int(r["lo"].sum())
+        st[arm] = (n, s, ss)
+    n1, s1, ss1 = st["weekend"]
+    n2, s2, ss2 = st["weekday"]
+    num = float(s1) / n1 - float(s2) / n2
+    v1 = float(n1 * ss1 - s1 * s1) / (float(n1) * (n1 - 1))
+    v2 = float(n2 * ss2 - s2 * s2) / (float(n2) * (n2 - 1))
+    z = num / math.sqrt(v1 / n1 + v2 / n2)
+    return _one_row(n_weekend=np.int64(n1), n_weekday=np.int64(n2),
+                    z=z)
+
+
+QUERIES["weekend_value_ztest"] = weekend_value_ztest
+ORACLES["weekend_value_ztest"] = """
+    WITH v AS (
+      SELECT CASE WHEN dayofweek(ts) IN (0, 6)
+                  THEN 'weekend' ELSE 'weekday' END AS arm,
+             CAST(ROUND(value*100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase'),
+    m AS (SELECT arm, CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(c) AS HUGEINT) AS s,
+                 SUM(CAST(c AS HUGEINT) * c) AS ss
+          FROM v GROUP BY arm),
+    w1 AS (SELECT * FROM m WHERE arm = 'weekend'),
+    w2 AS (SELECT * FROM m WHERE arm = 'weekday')
+    SELECT CAST(w1.n AS BIGINT) AS n_weekend,
+           CAST(w2.n AS BIGINT) AS n_weekday,
+           (CAST(w1.s AS DOUBLE) / CAST(w1.n AS DOUBLE)
+            - CAST(w2.s AS DOUBLE) / CAST(w2.n AS DOUBLE))
+           / SQRT(
+               CAST(w1.n*w1.ss - w1.s*w1.s AS DOUBLE)
+                 / (CAST(w1.n AS DOUBLE) * CAST(w1.n - 1 AS DOUBLE))
+                 / CAST(w1.n AS DOUBLE)
+               + CAST(w2.n*w2.ss - w2.s*w2.s AS DOUBLE)
+                 / (CAST(w2.n AS DOUBLE) * CAST(w2.n - 1 AS DOUBLE))
+                 / CAST(w2.n AS DOUBLE)) AS z
+    FROM w1 CROSS JOIN w2
+"""

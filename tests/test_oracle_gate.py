@@ -136,6 +136,8 @@ FAST_SUBSET = [
     "embedding_top2_dims",
     "distinct_users_rollup",
     "first_last_transition_matrix",
+    "purchases_next_hour_views",
+    "weekend_value_ztest",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
