@@ -11408,3 +11408,126 @@ ORACLES["weekend_value_ztest"] = """
                  / CAST(w2.n AS DOUBLE)) AS z
     FROM w1 CROSS JOIN w2
 """
+
+
+def ks_weekend_weekday(sf_dir: str) -> pd.DataFrame:
+    """EXACT Kolmogorov–Smirnov statistic between two arms — the
+    distribution-DRIFT detector a pipeline runs between snapshots:
+    KS = max |F₁(v) − F₂(v)| becomes, in integers, max |n₂·cum₁(v)
+    − n₁·cum₂(v)| / (n₁·n₂), so the scaled statistic and its argmax
+    value are exact and hash-checkable. The value domain is
+    cents-bounded, so per-batch (value, arm) count partials fold on
+    the driver (≤ distinct-values rows — the same bound the weighted
+    median exploits) and one vectorized cumsum pass finds the supremum
+    and the EARLIEST value attaining it (tiebreak stated in SQL)."""
+    US_DAY = np.int64(86_400_000_000)
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        m = pc.equal(t.column("event_type"), "purchase") \
+            .to_numpy(zero_copy_only=False)
+        tu = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)[m]
+        c = _cents(t.column("value")).to_numpy(zero_copy_only=False)[m]
+        dow = ((tu // US_DAY) + 4) % 7
+        wk = ((dow == 0) | (dow == 6)).astype(np.int64)
+        key = c * 2 + wk
+        uk, n = np.unique(key, return_counts=True)
+        return pd.DataFrame({"v": uk // 2, "arm": uk % 2,
+                             "n": n.astype(np.int64)})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas() \
+        .groupby(["v", "arm"], as_index=False)["n"].sum()
+    piv = p.pivot_table(index="v", columns="arm", values="n",
+                        fill_value=0).reset_index()
+    piv = piv.sort_values("v")
+    v = piv["v"].to_numpy(dtype=np.int64)
+    c_we = piv.get(1, pd.Series(np.zeros(len(v)))).to_numpy(dtype=np.int64)
+    c_wd = piv.get(0, pd.Series(np.zeros(len(v)))).to_numpy(dtype=np.int64)
+    n1, n2 = int(c_we.sum()), int(c_wd.sum())
+    cum1 = np.cumsum(c_we)
+    cum2 = np.cumsum(c_wd)
+    gap = np.abs(n2 * cum1 - n1 * cum2)
+    at = int(np.argmax(gap))  # first maximal
+    return _one_row(n_weekend=np.int64(n1), n_weekday=np.int64(n2),
+                    ks_scaled=np.int64(int(gap[at])),
+                    at_value_cents=np.int64(int(v[at])))
+
+
+QUERIES["ks_weekend_weekday"] = ks_weekend_weekday
+ORACLES["ks_weekend_weekday"] = """
+    WITH p AS (
+      SELECT CAST(ROUND(value*100) AS BIGINT) AS v,
+             CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS arm
+      FROM events WHERE event_type = 'purchase'),
+    g AS (SELECT v,
+                 CAST(SUM(arm) AS BIGINT) AS we,
+                 CAST(SUM(1 - arm) AS BIGINT) AS wd
+          FROM p GROUP BY v),
+    c AS (SELECT v,
+                 SUM(we) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cum1,
+                 SUM(wd) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cum2,
+                 SUM(we) OVER () AS n1, SUM(wd) OVER () AS n2
+          FROM g),
+    k AS (SELECT v, ABS(n2 * cum1 - n1 * cum2) AS gap, n1, n2 FROM c)
+    SELECT CAST(MAX(n1) AS BIGINT) AS n_weekend,
+           CAST(MAX(n2) AS BIGINT) AS n_weekday,
+           CAST(MAX(gap) AS BIGINT) AS ks_scaled,
+           CAST((SELECT MIN(v) FROM k
+                 WHERE gap = (SELECT MAX(gap) FROM k)) AS BIGINT)
+             AS at_value_cents
+    FROM k
+"""
+
+
+def hll_distinct_rollup(sf_dir: str) -> pd.DataFrame:
+    """The SKETCH twin of `distinct_users_rollup` — and the punchline
+    of mergeability: exact COUNT(DISTINCT) cannot roll up, but HLL
+    states CAN, so ONE grouped per-day fold yields the weekly and
+    global levels by pure state merges (no second pass over events,
+    no user-pair exchange at all — the only exchange carries ≤days
+    KB-size states). pytest gates every level against the exact
+    rollup at the p=14 bound."""
+    US_DAY = np.int64(86_400_000_000)
+
+    from ..sketches import HLL
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False) // US_DAY
+        return pa.table({"user_id": t.column("user_id"),
+                         "day": pa.array(d)})
+
+    daily = sketch_aggregate(ds.map_batches(prep, batch_format="pyarrow"),
+                             "hll", on="user_id", by="day",
+                             mode="bytes").to_pandas()
+    daily = daily.sort_values("day").reset_index(drop=True)
+    days = daily["day"].to_numpy(dtype=np.int64)
+    blobs = [HLL.from_bytes(b) for b in daily.iloc[:, 1]]
+    rows = []
+    for d, h in zip(days, blobs):
+        rows.append({"level": "day", "key": np.int64(d),
+                     "est": np.int64(int(h.count()))})
+    weeks = {}
+    for d, h in zip(days, blobs):
+        weeks.setdefault(int(d) // 7, []).append(h)
+    for wk in sorted(weeks):
+        m = HLL()
+        for h in weeks[wk]:
+            m.merge(h)
+        rows.append({"level": "week", "key": np.int64(wk),
+                     "est": np.int64(int(m.count()))})
+    g = HLL()
+    for h in blobs:
+        g.merge(h)
+    rows.append({"level": "global", "key": np.int64(0),
+                 "est": np.int64(int(g.count()))})
+    return pd.DataFrame(rows).astype({"key": "int64", "est": "int64"})
+
+
+QUERIES["hll_distinct_rollup"] = hll_distinct_rollup

@@ -138,6 +138,7 @@ FAST_SUBSET = [
     "first_last_transition_matrix",
     "purchases_next_hour_views",
     "weekend_value_ztest",
+    "ks_weekend_weekday",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",

@@ -275,3 +275,19 @@ def test_hll_rolling7_matches_exact_within_bound(ray_session):
         / merged["n_users_7d"].clip(lower=1)
     assert float(rel.max()) <= 3 * 1.04 / (2 ** 7), \
         f"worst rel err {rel.max():.4f}"
+
+
+def test_hll_rollup_matches_exact_within_bound(ray_session):
+    """Every level of the HLL rollup (day/week/global) tracks the
+    exact hierarchical distinct rollup within 3σ of the p=14 bound —
+    the mergeability claim, gated."""
+    import __ray_entry__ as entry
+
+    q = entry.queries()
+    exact = q["distinct_users_rollup"]("/root/testdata/sf0.001")
+    est = q["hll_distinct_rollup"]("/root/testdata/sf0.001")
+    m = exact.merge(est, on=["level", "key"])
+    assert len(m) == len(exact) == len(est)
+    rel = (m["est"] - m["n"]).abs() / m["n"].clip(lower=1)
+    assert float(rel.max()) <= 3 * 1.04 / (2 ** 7), \
+        f"worst rel err {rel.max():.4f}"
