@@ -11531,3 +11531,142 @@ def hll_distinct_rollup(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["hll_distinct_rollup"] = hll_distinct_rollup
+
+
+def upsert_orders_latest(sf_dir: str, num_buckets: int = 64
+                         ) -> pd.DataFrame:
+    """MERGE / upsert (latest-wins by key) — the lakehouse CDC
+    operator: a deterministic 'update stream' (every 10th order
+    re-priced +$1, version 1) merges over the base snapshot (version
+    0); per-batch partials keep each key's highest-version row seen
+    (combiner = argmax by version), ONE key-hash exchange finishes the
+    argmax per key, and the audit output (rows, Σcents per version
+    retained) proves base rows survive exactly where no update exists.
+    The SQL twin states latest-wins via ROW_NUMBER over the unioned
+    snapshots."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    base = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def both_versions(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        upd = k % 10 == 0
+        kk = np.concatenate([k, k[upd]])
+        cc = np.concatenate([c, c[upd] + 100])
+        vv = np.concatenate([np.zeros(len(k), dtype=np.int64),
+                             np.ones(int(upd.sum()), dtype=np.int64)])
+        # combiner: keep each key's highest-version row in this batch
+        order = np.lexsort((-vv, kk))
+        kk, cc, vv = kk[order], cc[order], vv[order]
+        keep = np.r_[True, kk[1:] != kk[:-1]]
+        kk, cc, vv = kk[keep], cc[keep], vv[keep]
+        return pa.table({
+            "k": pa.array(kk), "c": pa.array(cc), "v": pa.array(vv),
+            "__b": pa.array((_mix64(kk.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        v = g["v"].to_numpy(dtype=np.int64)
+        order = np.lexsort((-v, k))
+        k, c, v = k[order], c[order], v[order]
+        keep = np.r_[True, k[1:] != k[:-1]]
+        c, v = c[keep], v[keep]
+        out = []
+        for ver in (0, 1):
+            m = v == ver
+            out.append({"version": ver, "n": int(m.sum()),
+                        "cents": int(c[m].sum())})
+        return pd.DataFrame(out)
+
+    parts = base.map_batches(both_versions, batch_format="pyarrow") \
+        .groupby("__b").map_groups(latest, batch_format="pandas") \
+        .to_pandas()
+    agg = parts.groupby("version", as_index=False)[["n", "cents"]].sum()
+    return agg.sort_values("version").reset_index(drop=True) \
+        .astype({"version": "int64", "n": "int64", "cents": "int64"})
+
+
+QUERIES["upsert_orders_latest"] = upsert_orders_latest
+ORACLES["upsert_orders_latest"] = """
+    WITH snap AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS c,
+             0 AS v
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) + 100, 1
+      FROM orders WHERE o_orderkey % 10 = 0),
+    latest AS (SELECT k, c, v,
+                      ROW_NUMBER() OVER (PARTITION BY k
+                                         ORDER BY v DESC) AS rn
+               FROM snap)
+    SELECT CAST(v AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS cents
+    FROM latest WHERE rn = 1
+    GROUP BY v ORDER BY version
+"""
+
+
+def fk_containment(sf_dir: str, num_buckets: int = 256) -> pd.DataFrame:
+    """Foreign-key PROFILING — bidirectional containment between
+    lineitem.l_orderkey and orders.o_orderkey (the schema-inference
+    primitive: a true FK has zero orphans one way and possibly
+    childless parents the other): both sides dedup per batch, share
+    ONE key-hash exchange with a side bit, and each bucket classifies
+    its distinct keys by membership mask (the set-algebra reduceat) —
+    counts of both-sides / lineitem-only / orders-only keys."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    def side(col, bit):
+        def f(t: pa.Table) -> pa.Table:
+            k = np.unique(t.column(col).to_numpy(zero_copy_only=False))
+            return pa.table({
+                "k": pa.array(k),
+                "m": pa.array(np.full(len(k), bit, dtype=np.int64)),
+                "__b": pa.array((_mix64(k.astype(np.uint64))
+                                 % np.uint64(num_buckets)).astype(np.int64)),
+            })
+        return f
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(dtype=np.int64)
+        m = g["m"].to_numpy(dtype=np.int64)
+        order = np.argsort(k, kind="stable")
+        k, m = k[order], m[order]
+        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
+        mask = np.bitwise_or.reduceat(m, starts)
+        um, n = np.unique(mask, return_counts=True)
+        return pd.DataFrame({"mask": um, "n": n.astype(np.int64)})
+
+    both = li.map_batches(side("l_orderkey", 1), batch_format="pyarrow") \
+        .union(orders.map_batches(side("o_orderkey", 2),
+                                  batch_format="pyarrow"))
+    parts = both.groupby("__b").map_groups(
+        classify, batch_format="pandas").to_pandas()
+    agg = parts.groupby("mask", as_index=False)["n"].sum()
+    get = {int(r["mask"]): int(r["n"]) for _, r in agg.iterrows()}
+    return _one_row(n_both=np.int64(get.get(3, 0)),
+                    n_lineitem_only=np.int64(get.get(1, 0)),
+                    n_orders_only=np.int64(get.get(2, 0)))
+
+
+QUERIES["fk_containment"] = fk_containment
+ORACLES["fk_containment"] = """
+    WITH l AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    o AS (SELECT DISTINCT o_orderkey AS k FROM orders)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM l JOIN o USING (k))
+             AS n_both,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM l
+            WHERE k NOT IN (SELECT k FROM o)) AS n_lineitem_only,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM o
+            WHERE k NOT IN (SELECT k FROM l)) AS n_orders_only
+"""

@@ -139,6 +139,8 @@ FAST_SUBSET = [
     "purchases_next_hour_views",
     "weekend_value_ztest",
     "ks_weekend_weekday",
+    "upsert_orders_latest",
+    "fk_containment",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
