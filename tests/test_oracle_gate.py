@@ -141,6 +141,7 @@ FAST_SUBSET = [
     "ks_weekend_weekday",
     "upsert_orders_latest",
     "fk_containment",
+    "spearman_price_qty",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
