@@ -11773,3 +11773,88 @@ ORACLES["spearman_price_qty"] = """
                   * CAST(n*sqq - sq*sq AS DOUBLE)) AS spearman_rho
     FROM m
 """
+
+
+def bounce_rate_daily(sf_dir: str, gap_min: int = 30,
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Daily bounce rate — single-event sessions over total sessions,
+    keyed by the day each session STARTS (the engagement KPI that
+    composes sessionization with a calendar rollup): the one user-hash
+    exchange sessionizes (new-user OR gap>30min boundaries), every
+    session reduces in-bucket to (start_day, is_bounce) and then to
+    ≤days (day, n_sessions, n_bounce) partials; the rate ships as an
+    exact integer pair."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    GAP_US = np.int64(gap_min * 60 * 1_000_000)
+    US_DAY = np.int64(86_400_000_000)
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(u),
+            "tu": pc.cast(t.column("ts"), pa.int64()),
+            "e": t.column("event_id"),
+            "__b": pa.array((_mix64(u.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        tu = g["tu"].to_numpy(dtype=np.int64)
+        e = g["e"].to_numpy(dtype=np.int64)
+        order = np.lexsort((e, tu, u))
+        u, tu = u[order], tu[order]
+        n = len(u)
+        if not n:
+            return pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                                 "n_sessions": pd.Series([], dtype="int64"),
+                                 "n_bounce": pd.Series([], dtype="int64")})
+        new = np.r_[True, (u[1:] != u[:-1]) | ((tu[1:] - tu[:-1]) > GAP_US)]
+        starts = np.flatnonzero(new)
+        size = np.diff(np.r_[starts, n])
+        day = tu[starts] // US_DAY
+        ud, inv = np.unique(day, return_inverse=True)
+        tot = np.bincount(inv).astype(np.int64)
+        bnc = np.bincount(inv, weights=(size == 1).astype(np.int64)) \
+            .astype(np.int64)
+        return pd.DataFrame({"day": ud, "n_sessions": tot,
+                             "n_bounce": bnc})
+
+    parts = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(sessions, batch_format="pandas") \
+        .to_pandas()
+    agg = parts.groupby("day", as_index=False)[["n_sessions", "n_bounce"]] \
+        .sum()
+    return pd.DataFrame({
+        "day_us": agg["day"].to_numpy(dtype=np.int64) * US_DAY,
+        "n_sessions": agg["n_sessions"].astype("int64"),
+        "n_bounce": agg["n_bounce"].astype("int64"),
+    }).sort_values("day_us").reset_index(drop=True)
+
+
+QUERIES["bounce_rate_daily"] = bounce_rate_daily
+ORACLES["bounce_rate_daily"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, SUM(is_start) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e),
+    per AS (SELECT user_id, sid,
+                   CAST(epoch_us(MIN(ts)) // 86400000000 AS BIGINT) AS day,
+                   COUNT(*) AS sz
+            FROM s GROUP BY user_id, sid)
+    SELECT day * 86400000000 AS day_us,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce
+    FROM per GROUP BY day ORDER BY day_us
+"""

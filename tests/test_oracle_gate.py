@@ -142,6 +142,7 @@ FAST_SUBSET = [
     "upsert_orders_latest",
     "fk_containment",
     "spearman_price_qty",
+    "bounce_rate_daily",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
