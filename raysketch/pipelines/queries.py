@@ -11858,3 +11858,69 @@ ORACLES["bounce_rate_daily"] = """
              AS n_bounce
     FROM per GROUP BY day ORDER BY day_us
 """
+
+
+def audio_fingerprint_dedup(sf_dir: str, num_buckets: int = 64
+                            ) -> pd.DataFrame:
+    """Scale-invariant audio dedup over REAL WAV bytes — the audio leg
+    of the multimodal dedup triad (image aHash ✓, this ✓): payloads
+    decode in an actor pool (built-in RIFF/PCM codec), each clip
+    reduces to a 64-bit energy-difference-sign fingerprint
+    (`stages.multimodal.AudioFingerprint` — exact integer frame
+    energies, so AMPLITUDE CHANGES cannot move a single bit), and
+    duplicate groups resolve through one fingerprint-hash exchange.
+    The fixture plants amplitude-DOUBLED copies whose PCM ints are
+    exactly 2× the originals': byte/sample-hash dedup provably misses
+    them, this stage must catch every one — pytest asserts that
+    recall. Rows-only (no SQL decodes a WAV)."""
+    import glob as _glob
+    import tempfile
+
+    import ray.data
+
+    from ..stages.dedup import _splitmix64 as _mix64
+    from ..stages.multimodal import AudioFingerprint, make_dup_wav_table
+
+    n = max(32, int(4096 * sf_of(sf_dir)))
+    cache = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                         f"wavs_dup_n{n}_s7")
+    if not _glob.glob(os.path.join(cache, "*.parquet")):
+        import pyarrow.parquet as pq
+
+        os.makedirs(cache, exist_ok=True)
+        tmp = os.path.join(cache, "_part0.tmp")
+        pq.write_table(make_dup_wav_table(n, seed=7), tmp,
+                       row_group_size=max(32, n // 8))
+        os.replace(tmp, os.path.join(cache, "part0.parquet"))
+    ds = ray.data.read_parquet(cache)
+
+    fps = ds.map_batches(AudioFingerprint, batch_format="pyarrow",
+                         batch_size=64, concurrency=auto_concurrency())
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = t.column("afp").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__b", pa.array((_mix64(h.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)))
+
+    def groups(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["afp"].to_numpy(dtype=np.int64)
+        i = g["item_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((i, h))
+        h, i = h[order], i[order]
+        starts = np.r_[0, np.flatnonzero(h[1:] != h[:-1]) + 1]
+        cnt = np.diff(np.r_[starts, len(h)])
+        keep = cnt >= 2
+        return pd.DataFrame({"afp": h[starts][keep],
+                             "n_items": cnt[keep].astype(np.int64),
+                             "min_item_id": i[starts][keep]})
+
+    out = fps.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__b").map_groups(groups, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("afp").reset_index(drop=True) \
+        .astype({"afp": "int64", "n_items": "int64",
+                 "min_item_id": "int64"})
+
+
+QUERIES["audio_fingerprint_dedup"] = audio_fingerprint_dedup

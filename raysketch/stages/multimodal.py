@@ -429,3 +429,73 @@ class ImagePHash:
             "phash": pa.array(np.array([self._phash(im) for im in imgs],
                                        dtype=np.int64)),
         })
+
+
+def make_dup_wav_table(n: int, seed: int = 0, every: int = 8) -> pa.Table:
+    """Real 16-bit PCM WAVs (amplitude kept ≤ ~0.45 so doubling never
+    clips) plus planted AMPLITUDE-DOUBLED duplicates: the copy's PCM
+    integers are exactly 2× the original's, so its bytes (and any
+    byte/sample hash) differ while every scale-invariant feature is
+    preserved EXACTLY — frame energies scale by 4, so energy-difference
+    SIGNS are identical. Duplicate ids start at n."""
+    from .wavcodec import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, rates = [], [], []
+    for i in range(n):
+        rate = int(rng.choice([8000, 16000]))
+        dur = int(rng.integers(rate // 4, rate))
+        t = np.arange(dur) / rate
+        f0 = float(rng.uniform(100, 1000))
+        sig = (0.3 * np.sin(2 * np.pi * f0 * t)
+               + 0.05 * np.clip(rng.standard_normal(dur), -3, 3))
+        ids.append(i)
+        payloads.append(encode_wav(sig, rate, bits=16))
+        rates.append(rate)
+    for i in range(0, n, every):
+        x, rate = decode_wav(payloads[i])
+        k = np.round(x[:, 0] * 32767.0)
+        ids.append(n + i)
+        payloads.append(encode_wav((2.0 * k) / 32767.0, rate, bits=16))
+        rates.append(rate)
+    return pa.table({
+        "item_id": pa.array(np.array(ids, dtype=np.int64)),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "sample_rate": pa.array(np.array(rates, dtype=np.int32)),
+        "n_channels": pa.array(np.ones(len(ids), dtype=np.int32)),
+        "format": pa.array(["wav"] * len(ids)),
+    })
+
+
+class AudioFingerprint:
+    """Actor-pool stage: WAV payload → 64-bit SCALE-INVARIANT
+    fingerprint (the Shazam-landmark idea reduced to its exact core):
+    the clip splits into 65 equal frames, each frame's energy is the
+    exact int64 sum of squared PCM integers, and bit j is set iff
+    E[j+1] > E[j] — amplitude scaling multiplies every energy by the
+    same square, so the sign pattern (including ties) is EXACTLY
+    invariant, while payload bytes and sample hashes change."""
+
+    FRAMES = 65  # 64 difference bits
+
+    def _fp(self, payload: bytes) -> np.int64:
+        from .wavcodec import decode_wav
+
+        x, _ = decode_wav(payload)
+        k = np.round(x[:, 0] * 32767.0).astype(np.int64)
+        n = len(k)
+        edges = (np.arange(self.FRAMES + 1, dtype=np.int64) * n) \
+            // self.FRAMES
+        sq = np.r_[np.int64(0), np.cumsum(k * k)]
+        e = sq[edges[1:]] - sq[edges[:-1]]
+        bits = (e[1:] > e[:-1]).astype(np.uint64)
+        shifts = np.arange(63, -1, -1, dtype=np.uint64)
+        return np.bitwise_or.reduce(bits << shifts).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        return pa.table({
+            "item_id": batch.column("item_id"),
+            "afp": pa.array(np.array([self._fp(p) for p in payloads],
+                                     dtype=np.int64)),
+        })

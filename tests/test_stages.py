@@ -1104,3 +1104,43 @@ def test_image_phash_recall_on_reencoded_duplicates(ray_session):
     ghashes = set(out["phash"])
     for i in range(0, n, 8):
         assert hm[i] in ghashes
+
+
+def test_audio_fingerprint_recall_on_amplitude_doubled(ray_session):
+    """Planted duplicates are amplitude-DOUBLED (PCM ints exactly 2x):
+    payload bytes differ, the scale-invariant energy-sign fingerprint
+    must place every planted pair in the same group."""
+    import numpy as np
+
+    from raysketch.stages.multimodal import (AudioFingerprint,
+                                             make_dup_wav_table)
+    from raysketch.pipelines.queries import audio_fingerprint_dedup
+
+    n = 48
+    t = make_dup_wav_table(n, seed=7)
+    pay = t.column("payload").to_pylist()
+    ids = t.column("item_id").to_pylist()
+    pos = {v: k for k, v in enumerate(ids)}
+    fp = AudioFingerprint()
+    for i in range(0, n, 8):
+        assert pay[pos[i]] != pay[pos[n + i]], "bytes must differ"
+        assert fp._fp(pay[pos[i]]) == fp._fp(pay[pos[n + i]]), \
+            f"planted pair ({i},{n+i}) fingerprints split"
+
+    # and the query over ITS fixture (n=32 at sf0.001) reports every
+    # planted pair's fingerprint as a group of >= 2
+    out = audio_fingerprint_dedup("/root/testdata/sf0.001")
+    import os, tempfile
+    import pyarrow.parquet as pq
+
+    nq = max(32, int(4096 * 0.001))
+    cache = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                         f"wavs_dup_n{nq}_s7")
+    tq = pq.read_table(os.path.join(cache, "part0.parquet"))
+    payq = dict(zip(tq.column("item_id").to_pylist(),
+                    tq.column("payload").to_pylist()))
+    reported = set(int(x) for x in out["afp"])
+    for i in range(0, nq, 8):
+        f = int(fp._fp(payq[i]))
+        assert f == int(fp._fp(payq[nq + i]))
+        assert f in reported, f"planted pair ({i},{nq+i}) not reported"
