@@ -11924,3 +11924,68 @@ def audio_fingerprint_dedup(sf_dir: str, num_buckets: int = 64
 
 
 QUERIES["audio_fingerprint_dedup"] = audio_fingerprint_dedup
+
+
+def video_content_dedup(sf_dir: str, num_buckets: int = 64
+                        ) -> pd.DataFrame:
+    """Remux-invariant video dedup — the video leg of the multimodal
+    dedup triad (image aHash, audio energy-signs, now this): Y4M
+    payloads decode in an actor pool (built-in codec) and reduce to a
+    64-bit CONTENT hash over the luma planes only
+    (`stages.multimodal.VideoContentHash`), deliberately blind to
+    container metadata; duplicate groups resolve through one hash
+    exchange. The fixture plants REMUXED copies (identical pixels,
+    different framerate header — the realistic duplicate: the same
+    clip re-containered), which byte hashing provably misses; pytest
+    asserts that recall. Rows-only (no SQL decodes Y4M)."""
+    import glob as _glob
+    import tempfile
+
+    import ray.data
+
+    from ..stages.dedup import _splitmix64 as _mix64
+    from ..stages.multimodal import VideoContentHash, make_dup_y4m_table
+
+    n = max(32, int(4096 * sf_of(sf_dir)))
+    cache = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                         f"y4ms_dup_n{n}_s7")
+    if not _glob.glob(os.path.join(cache, "*.parquet")):
+        import pyarrow.parquet as pq
+
+        os.makedirs(cache, exist_ok=True)
+        tmp = os.path.join(cache, "_part0.tmp")
+        pq.write_table(make_dup_y4m_table(n, seed=7), tmp,
+                       row_group_size=max(32, n // 8))
+        os.replace(tmp, os.path.join(cache, "part0.parquet"))
+    ds = ray.data.read_parquet(cache)
+
+    hs = ds.map_batches(VideoContentHash, batch_format="pyarrow",
+                        batch_size=32, concurrency=auto_concurrency())
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = t.column("vch").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__b", pa.array((_mix64(h.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)))
+
+    def groups(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["vch"].to_numpy(dtype=np.int64)
+        i = g["item_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((i, h))
+        h, i = h[order], i[order]
+        starts = np.r_[0, np.flatnonzero(h[1:] != h[:-1]) + 1]
+        cnt = np.diff(np.r_[starts, len(h)])
+        keep = cnt >= 2
+        return pd.DataFrame({"vch": h[starts][keep],
+                             "n_items": cnt[keep].astype(np.int64),
+                             "min_item_id": i[starts][keep]})
+
+    out = hs.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__b").map_groups(groups, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("vch").reset_index(drop=True) \
+        .astype({"vch": "int64", "n_items": "int64",
+                 "min_item_id": "int64"})
+
+
+QUERIES["video_content_dedup"] = video_content_dedup

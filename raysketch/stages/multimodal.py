@@ -499,3 +499,70 @@ class AudioFingerprint:
             "afp": pa.array(np.array([self._fp(p) for p in payloads],
                                      dtype=np.int64)),
         })
+
+
+def make_dup_y4m_table(n: int, seed: int = 0, every: int = 8) -> pa.Table:
+    """`make_real_y4m_table` plus planted REMUXED duplicates: every
+    ``every``-th clip re-encoded with a different framerate header
+    (30000/1001 instead of 25/1) — identical pixel content, different
+    container bytes: the realistic video-duplicate case (the same clip
+    remuxed) that byte hashing misses. Duplicate ids start at n."""
+    from .y4mcodec import decode_y4m, encode_y4m
+
+    base = make_real_y4m_table(n, seed=seed)
+    ids = base.column("item_id").to_pylist()
+    payloads = base.column("payload").to_pylist()
+    nfr = base.column("n_frames").to_pylist()
+    ws = base.column("width").to_pylist()
+    hs = base.column("height").to_pylist()
+    for i in range(0, n, every):
+        luma, params = decode_y4m(payloads[i])
+        ids.append(n + i)
+        payloads.append(encode_y4m(luma, fps=(30000, 1001)))
+        nfr.append(nfr[i])
+        ws.append(ws[i])
+        hs.append(hs[i])
+    return pa.table({
+        "item_id": pa.array(np.array(ids, dtype=np.int64)),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "n_frames": pa.array(np.array(nfr, dtype=np.int32)),
+        "width": pa.array(np.array(ws, dtype=np.int32)),
+        "height": pa.array(np.array(hs, dtype=np.int32)),
+        "format": pa.array(["y4m"] * len(ids)),
+    })
+
+
+class VideoContentHash:
+    """Actor-pool stage: Y4M payload → 64-bit CONTENT hash over the
+    decoded luma planes only (shape + pixel bytes), deliberately blind
+    to container metadata — remuxing (framerate/interlace retag)
+    cannot move it, unlike a payload-byte hash. Splitmix-style mixing
+    over the frame bytes' FNV-1a, exact and batch-layout-independent."""
+
+    def _h(self, payload: bytes) -> np.int64:
+        from .y4mcodec import decode_y4m
+
+        luma, _ = decode_y4m(payload)
+        n, h, w = luma.shape
+        acc = np.uint64(1469598103934665603)  # FNV-1a offset basis
+        prime = np.uint64(1099511628211)
+        # fold shape then chunked pixel bytes (vectorized per frame)
+        with np.errstate(over="ignore"):
+            for v in (np.uint64(n), np.uint64(h), np.uint64(w)):
+                acc = (acc ^ v) * prime
+            flat = luma.reshape(n, -1).astype(np.uint64)
+            # per-frame polynomial fold (vectorized within frame)
+            weights = np.arange(1, flat.shape[1] + 1, dtype=np.uint64) \
+                * np.uint64(0x9E3779B97F4A7C15)
+            per_frame = (flat * weights[None, :]).sum(axis=1)
+            for v in per_frame:
+                acc = (acc ^ v) * prime
+        return acc.astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        return pa.table({
+            "item_id": batch.column("item_id"),
+            "vch": pa.array(np.array([self._h(p) for p in payloads],
+                                     dtype=np.int64)),
+        })

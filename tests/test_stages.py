@@ -1144,3 +1144,27 @@ def test_audio_fingerprint_recall_on_amplitude_doubled(ray_session):
         f = int(fp._fp(payq[i]))
         assert f == int(fp._fp(payq[nq + i]))
         assert f in reported, f"planted pair ({i},{nq+i}) not reported"
+
+
+def test_video_content_dedup_remux_recall(ray_session):
+    """Planted duplicates are REMUXED (identical luma, different
+    framerate header): payload bytes differ, the content hash must
+    group every planted pair; the query reports exactly those."""
+    from raysketch.stages.multimodal import (VideoContentHash,
+                                             make_dup_y4m_table)
+    from raysketch.pipelines.queries import video_content_dedup
+
+    n = 32
+    t = make_dup_y4m_table(n, seed=7)
+    pay = dict(zip(t.column("item_id").to_pylist(),
+                   t.column("payload").to_pylist()))
+    vh = VideoContentHash()
+    for i in range(0, n, 8):
+        assert pay[i] != pay[n + i], "remuxed bytes must differ"
+        assert int(vh._h(pay[i])) == int(vh._h(pay[n + i]))
+
+    out = video_content_dedup("/root/testdata/sf0.001")
+    reported = set(int(x) for x in out["vch"])
+    for i in range(0, n, 8):
+        assert int(vh._h(pay[i])) in reported
+    assert (out["n_items"] == 2).all()
