@@ -11989,3 +11989,109 @@ def video_content_dedup(sf_dir: str, num_buckets: int = 64
 
 
 QUERIES["video_content_dedup"] = video_content_dedup
+
+
+def view_to_purchase_latency_quartiles(sf_dir: str, num_buckets: int = 64
+                                       ) -> pd.DataFrame:
+    """Conversion-speed KPI — p25/p50/p75 of each user's first-view →
+    first-purchase-after-it latency (the funnel stage-gap composed
+    with exact order statistics): one user-hash exchange resolves
+    every user's first view and first strictly-later purchase
+    (the funnel searchsorted pattern), producing ONE latency per
+    converting user; the per-user latency table is user-bounded, so
+    quartiles resolve on the driver at the quantile_disc k=⌈q·n⌉−1
+    convention (the histogram-percentile layout takes over when even
+    that table outgrows the driver — documented)."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("event_type"),
+                     value_set=pa.array(["view", "purchase"]))
+        t = t.filter(m)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(u),
+            "tu": pc.cast(t.column("ts"), pa.int64()),
+            "e": t.column("event_id"),
+            "isp": pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                           pa.int8()),
+            "__b": pa.array((_mix64(u.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def latencies(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        tu = g["tu"].to_numpy(dtype=np.int64)
+        e = g["e"].to_numpy(dtype=np.int64)
+        isp = g["isp"].to_numpy(dtype=np.int8)
+        order = np.lexsort((e, tu, u))
+        u, tu, isp = u[order], tu[order], isp[order]
+        n = len(u)
+        if not n:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "d": pd.Series([], dtype="int64")})
+        # partition-offset composite (the range_window trick): each
+        # user's rows occupy a disjoint adj interval, so one global
+        # searchsorted resolves every "first purchase strictly after
+        # the first view" — robust at ANY time span / user id range
+        # (a naive u*M+ts composite silently breaks once the corpus
+        # spans more than M microseconds)
+        first = np.r_[True, u[1:] != u[:-1]]
+        pidx = np.cumsum(first) - 1
+        span = tu.max() - tu.min() + 1
+        adj = (tu - tu.min()) + pidx * (span + 1)
+        vm = isp == 0
+        uv, first_ix = np.unique(u[vm], return_index=True)
+        v_adj = adj[vm][first_ix]
+        v_t = tu[vm][first_ix]
+        pm = isp == 1
+        pu, pt, padj = u[pm], tu[pm], adj[pm]
+        out_u, out_d = [], []
+        if len(pu) and len(uv):
+            pos = np.searchsorted(padj, v_adj, side="right")
+            ok = pos < len(padj)
+            same = np.zeros(len(uv), dtype=bool)
+            same[ok] = pu[pos[ok]] == uv[ok]
+            lat = np.full(len(uv), -1, dtype=np.int64)
+            lat[same] = pt[pos[same]] - v_t[same]
+            keep = lat >= 0
+            out_u = uv[keep]
+            out_d = lat[keep]
+        return pd.DataFrame({"u": np.asarray(out_u, dtype=np.int64),
+                             "d": np.asarray(out_d, dtype=np.int64)})
+
+    lat = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(latencies, batch_format="pandas") \
+        .to_pandas()
+    d = np.sort(lat["d"].to_numpy(dtype=np.int64))
+    n = len(d)
+    out = []
+    for p in (25, 50, 75):
+        k = -(-p * n // 100) - 1
+        out.append({"p": np.int64(p), "latency_us": np.int64(int(d[k]))})
+    return pd.DataFrame(out).astype({"p": "int64", "latency_us": "int64"})
+
+
+QUERIES["view_to_purchase_latency_quartiles"] = \
+    view_to_purchase_latency_quartiles
+ORACLES["view_to_purchase_latency_quartiles"] = """
+    WITH fv AS (SELECT user_id, MIN(ts) AS vt FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    fp AS (SELECT fv.user_id,
+                  MIN(epoch_us(e.ts)) - MIN(epoch_us(fv.vt))
+                    AS lat
+           FROM fv JOIN events e
+             ON e.user_id = fv.user_id
+             AND e.event_type = 'purchase' AND e.ts > fv.vt
+           GROUP BY fv.user_id),
+    l AS (SELECT CAST(lat AS BIGINT) AS d FROM fp)
+    SELECT CAST(25 AS BIGINT) AS p,
+           CAST(quantile_disc(d, 0.25) AS BIGINT) AS latency_us FROM l
+    UNION ALL
+    SELECT 50, CAST(quantile_disc(d, 0.50) AS BIGINT) FROM l
+    UNION ALL
+    SELECT 75, CAST(quantile_disc(d, 0.75) AS BIGINT) FROM l
+"""

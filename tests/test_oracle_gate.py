@@ -143,6 +143,7 @@ FAST_SUBSET = [
     "fk_containment",
     "spearman_price_qty",
     "bounce_rate_daily",
+    "view_to_purchase_latency_quartiles",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
