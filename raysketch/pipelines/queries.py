@@ -12095,3 +12095,166 @@ ORACLES["view_to_purchase_latency_quartiles"] = """
     UNION ALL
     SELECT 75, CAST(quantile_disc(d, 0.75) AS BIGINT) FROM l
 """
+
+
+def nearest_error_to_purchase(sf_dir: str, num_buckets: int = 64
+                              ) -> pd.DataFrame:
+    """NEAREST-in-time join (either direction) — for each purchase,
+    the same user's closest error event by ABSOLUTE gap, ties to the
+    earlier one: the bidirectional completion of the as-of family
+    (purchases_asof_last_view looks back, purchases_near_errors tests
+    a band, this picks the argmin): one user-hash exchange, a single
+    sorted pass derives every purchase's previous-error and next-error
+    via vectorized forward/backward fills of error positions, and the
+    closer one wins by integer compare (≤ favours the earlier —
+    stated identically in SQL). Purchases with no same-user error drop
+    out like the SQL's WHERE."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("event_type"),
+                     value_set=pa.array(["purchase", "error"]))
+        t = t.filter(m)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(u),
+            "tu": pc.cast(t.column("ts"), pa.int64()),
+            "e": t.column("event_id"),
+            "iserr": pc.cast(pc.equal(t.column("event_type"), "error"),
+                             pa.int8()),
+            "__b": pa.array((_mix64(u.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def nearest(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        tu = g["tu"].to_numpy(dtype=np.int64)
+        e = g["e"].to_numpy(dtype=np.int64)
+        iserr = g["iserr"].to_numpy(dtype=np.int8)
+        order = np.lexsort((e, tu, u))
+        u, tu, e, iserr = u[order], tu[order], e[order], iserr[order]
+        n = len(u)
+        if not n:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "gap_us": pd.Series([], dtype="int64")})
+        first = np.r_[True, u[1:] != u[:-1]]
+        idx = np.arange(n)
+        # forward fill: index of the latest error at or before i,
+        # reset at partition starts
+        em = iserr == 1
+        prev_src = np.where(em, idx, -1)
+        prev_src[first & ~em] = -1
+        # segment-aware ffill: running max of (position or -1), with
+        # partition restarts handled by offsetting positions per user
+        pidx = np.cumsum(first) - 1
+        BIG = np.int64(n + 1)
+        tag = np.where(em, pidx * BIG + idx, -1)
+        run = np.maximum.accumulate(tag)
+        prev_ok = run >= pidx * BIG  # an error exists in THIS partition
+        prev_ix = np.where(prev_ok, run - pidx * BIG, -1)
+        # backward fill symmetric
+        tag_b = np.where(em, -(pidx * BIG + idx), np.iinfo(np.int64).min)
+        run_b = np.maximum.accumulate(tag_b[::-1])[::-1]
+        nxt_val = -run_b
+        nxt_ok = (run_b != np.iinfo(np.int64).min) & \
+            (nxt_val < (pidx + 1) * BIG)
+        nxt_ix = np.where(nxt_ok, nxt_val - pidx * BIG, -1)
+        pm = iserr == 0
+        rows_i = idx[pm]
+        p_prev = prev_ix[pm]
+        p_next = nxt_ix[pm]
+        gp = np.where(p_prev >= 0, tu[pm] - tu[np.maximum(p_prev, 0)],
+                      np.int64(2 ** 62))
+        gn = np.where(p_next >= 0, tu[np.maximum(p_next, 0)] - tu[pm],
+                      np.int64(2 ** 62))
+        has = (p_prev >= 0) | (p_next >= 0)
+        gap = np.where(gp <= gn, gp, gn)  # <= favours the earlier
+        return pd.DataFrame({"event_id": e[pm][has],
+                             "gap_us": gap[has]})
+
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(nearest, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True) \
+        .astype({"event_id": "int64", "gap_us": "int64"})
+
+
+QUERIES["nearest_error_to_purchase"] = nearest_error_to_purchase
+ORACLES["nearest_error_to_purchase"] = """
+    WITH p AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase'),
+    er AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+    SELECT p.event_id,
+           CAST(MIN(ABS(epoch_us(er.ts) - epoch_us(p.ts))) AS BIGINT)
+             AS gap_us
+    FROM p JOIN er ON er.user_id = p.user_id
+    GROUP BY p.event_id ORDER BY p.event_id
+"""
+
+
+def repeat_customer_revenue_share(sf_dir: str, num_buckets: int = 64
+                                  ) -> pd.DataFrame:
+    """Revenue share of REPEAT customers (≥2 orders) as an exact
+    (num, den) pair — the loyalty KPI: per-customer (n_orders, cents)
+    combiner partials take one custkey exchange, each bucket
+    classifies its customers and emits 4 integers (repeat/total ×
+    count/cents), driver folds."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        s = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        uc, inv = np.unique(c, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        rev = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(rev, inv, s)
+        return pa.table({
+            "c": pa.array(uc), "n": pa.array(cnt), "r": pa.array(rev),
+            "__b": pa.array((_mix64(uc.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(dtype=np.int64)
+        n = g["n"].to_numpy(dtype=np.int64)
+        r = g["r"].to_numpy(dtype=np.int64)
+        order = np.argsort(c, kind="stable")
+        c, n, r = c[order], n[order], r[order]
+        starts = np.r_[0, np.flatnonzero(c[1:] != c[:-1]) + 1]
+        nn = np.add.reduceat(n, starts)
+        rr = np.add.reduceat(r, starts)
+        rep = nn >= 2
+        return pd.DataFrame([{
+            "rep_cust": int(rep.sum()), "all_cust": len(nn),
+            "rep_cents": int(rr[rep].sum()), "all_cents": int(rr.sum()),
+        }])
+
+    p = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(fold, batch_format="pandas").to_pandas()
+    return _one_row(
+        n_repeat_customers=np.int64(int(p["rep_cust"].sum())),
+        n_customers=np.int64(int(p["all_cust"].sum())),
+        repeat_cents=np.int64(int(p["rep_cents"].sum())),
+        total_cents=np.int64(int(p["all_cents"].sum())))
+
+
+QUERIES["repeat_customer_revenue_share"] = repeat_customer_revenue_share
+ORACLES["repeat_customer_revenue_share"] = """
+    WITH per AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey)
+    SELECT CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN n >= 2 THEN cents ELSE 0 END) AS BIGINT)
+             AS repeat_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM per
+"""

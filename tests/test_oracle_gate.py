@@ -144,6 +144,8 @@ FAST_SUBSET = [
     "spearman_price_qty",
     "bounce_rate_daily",
     "view_to_purchase_latency_quartiles",
+    "nearest_error_to_purchase",
+    "repeat_customer_revenue_share",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
