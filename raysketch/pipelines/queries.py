@@ -12258,3 +12258,127 @@ ORACLES["repeat_customer_revenue_share"] = """
            CAST(SUM(cents) AS BIGINT) AS total_cents
     FROM per
 """
+
+
+def session_type_lift(sf_dir: str, gap_min: int = 30,
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Market-basket support counts over SESSIONS — the association-
+    rule primitive (lift's exact ingredients, no float): which event
+    types co-occur in a session more than independence predicts? One
+    user-hash exchange sessionizes AND reduces every session to a
+    5-bit type bitmask in-bucket (segment bitwise-OR over type bits);
+    buckets emit the ≤32-mask histogram, and the driver answers ALL
+    pairs' support counts (n_both, n_a, n_b, n_sessions) from it —
+    the k-set mask-histogram idea (jaccard_sources_vocab) applied to
+    baskets. Lift = n_both·n_sessions / (n_a·n_b) is left to the
+    caller as exact integers."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    NT = len(TYPES)
+    GAP_US = np.int64(gap_min * 60 * 1_000_000)
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        if idx.null_count:
+            raise ValueError("event_type outside the basket domain")
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(u),
+            "tu": pc.cast(t.column("ts"), pa.int64()),
+            "e": t.column("event_id"),
+            "g": pc.cast(idx, pa.int8()),
+            "__b": pa.array((_mix64(u.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def masks(gd: pd.DataFrame) -> pd.DataFrame:
+        u = gd["u"].to_numpy(dtype=np.int64)
+        tu = gd["tu"].to_numpy(dtype=np.int64)
+        e = gd["e"].to_numpy(dtype=np.int64)
+        g = gd["g"].to_numpy(dtype=np.int64)
+        order = np.lexsort((e, tu, u))
+        u, tu, g = u[order], tu[order], g[order]
+        n = len(u)
+        if not n:
+            return pd.DataFrame({"m": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        new = np.r_[True, (u[1:] != u[:-1]) | ((tu[1:] - tu[:-1]) > GAP_US)]
+        sid = np.cumsum(new) - 1
+        bit = np.left_shift(np.int64(1), g)
+        mask = np.zeros(int(sid[-1]) + 1, dtype=np.int64)
+        np.bitwise_or.at(mask, sid, bit)
+        um, cnt = np.unique(mask, return_counts=True)
+        return pd.DataFrame({"m": um, "n": cnt.astype(np.int64)})
+
+    parts = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(masks, batch_format="pandas") \
+        .to_pandas()
+    hist = parts.groupby("m", as_index=False)["n"].sum()
+    masks_arr = hist["m"].to_numpy(dtype=np.int64)
+    cnts = hist["n"].to_numpy(dtype=np.int64)
+    total = int(cnts.sum())
+    rows = []
+    for i in range(NT):
+        for j in range(i + 1, NT):
+            bi, bj = np.int64(1 << i), np.int64(1 << j)
+            rows.append({
+                "type_a": TYPES[i], "type_b": TYPES[j],
+                "n_both": int(cnts[(masks_arr & bi != 0)
+                                   & (masks_arr & bj != 0)].sum()),
+                "n_a": int(cnts[masks_arr & bi != 0].sum()),
+                "n_b": int(cnts[masks_arr & bj != 0].sum()),
+                "n_sessions": total,
+            })
+    return pd.DataFrame(rows).sort_values(["type_a", "type_b"]) \
+        .reset_index(drop=True) \
+        .astype({"n_both": "int64", "n_a": "int64", "n_b": "int64",
+                 "n_sessions": "int64"})
+
+
+QUERIES["session_type_lift"] = session_type_lift
+ORACLES["session_type_lift"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, SUM(is_start) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e),
+    f AS (SELECT user_id, sid,
+                 MAX(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS c,
+                 MAX(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS er,
+                 MAX(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS p,
+                 MAX(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS sg,
+                 MAX(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS v
+          FROM s GROUP BY user_id, sid),
+    pairs(type_a, type_b) AS (VALUES
+      ('click','error'), ('click','purchase'), ('click','signup'),
+      ('click','view'), ('error','purchase'), ('error','signup'),
+      ('error','view'), ('purchase','signup'), ('purchase','view'),
+      ('signup','view'))
+    SELECT type_a, type_b,
+           CAST(SUM((CASE type_a WHEN 'click' THEN c WHEN 'error' THEN er
+                     WHEN 'purchase' THEN p WHEN 'signup' THEN sg
+                     ELSE v END)
+                  * (CASE type_b WHEN 'click' THEN c WHEN 'error' THEN er
+                     WHEN 'purchase' THEN p WHEN 'signup' THEN sg
+                     ELSE v END)) AS BIGINT) AS n_both,
+           CAST(SUM(CASE type_a WHEN 'click' THEN c WHEN 'error' THEN er
+                    WHEN 'purchase' THEN p WHEN 'signup' THEN sg
+                    ELSE v END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE type_b WHEN 'click' THEN c WHEN 'error' THEN er
+                    WHEN 'purchase' THEN p WHEN 'signup' THEN sg
+                    ELSE v END) AS BIGINT) AS n_b,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS n_sessions
+    FROM pairs CROSS JOIN f
+    GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+"""

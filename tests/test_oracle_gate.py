@@ -146,6 +146,7 @@ FAST_SUBSET = [
     "view_to_purchase_latency_quartiles",
     "nearest_error_to_purchase",
     "repeat_customer_revenue_share",
+    "session_type_lift",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
