@@ -12382,3 +12382,155 @@ ORACLES["session_type_lift"] = """
     GROUP BY type_a, type_b
     ORDER BY type_a, type_b
 """
+
+
+def diversified_top_orders(sf_dir: str, k: int = 10, quota: int = 2,
+                           num_buckets: int = 64) -> pd.DataFrame:
+    """DIVERSIFIED top-k — the search-results rule 'at most ``quota``
+    per customer in the global top ``k``': the quota applies within
+    each customer's single bucket (per-bucket per-customer top-2 by
+    one lexsort + rank-within-segment mask), survivors compete in the
+    bucket's local top-k, and the driver folds ≤k·buckets rows —
+    sound for the same one-bucket-per-key reason as every local-top-k
+    here, because dropping a customer's 3rd-best can never promote a
+    worse global row. SQL states it as ROW_NUMBER-per-customer ≤ 2
+    then a global LIMIT."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c": pa.array(c),
+            "k": t.column("o_orderkey"),
+            "p": _cents(t.column("o_totalprice")),
+            "__b": pa.array((_mix64(c.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(dtype=np.int64)
+        kk = g["k"].to_numpy(dtype=np.int64)
+        p = g["p"].to_numpy(dtype=np.int64)
+        order = np.lexsort((kk, -p, c))
+        c, kk, p = c[order], kk[order], p[order]
+        starts = np.r_[0, np.flatnonzero(c[1:] != c[:-1]) + 1]
+        grp = np.repeat(np.arange(len(starts)),
+                        np.diff(np.r_[starts, len(c)]))
+        rank = np.arange(len(c)) - starts[grp]
+        keep = rank < quota
+        df = pd.DataFrame({"c": c[keep], "k": kk[keep], "p": p[keep]})
+        return df.sort_values(["p", "k"],
+                              ascending=[False, True]).head(k)
+
+    parts = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(local, batch_format="pandas") \
+        .to_pandas()
+    out = parts.sort_values(["p", "k"], ascending=[False, True]).head(k)
+    return out.rename(columns={"c": "o_custkey", "k": "o_orderkey",
+                               "p": "price_cents"}) \
+        [["o_orderkey", "o_custkey", "price_cents"]] \
+        .sort_values("o_orderkey").reset_index(drop=True) \
+        .astype({"o_orderkey": "int64", "o_custkey": "int64",
+                 "price_cents": "int64"})
+
+
+QUERIES["diversified_top_orders"] = diversified_top_orders
+ORACLES["diversified_top_orders"] = """
+    WITH r AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY ROUND(o_totalprice*100) DESC,
+                                         o_orderkey) AS rn
+      FROM orders)
+    SELECT o_orderkey, o_custkey, price_cents FROM r
+    WHERE rn <= 2
+    ORDER BY price_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+def rolling30_rev_cnt_corr(sf_dir: str, window: int = 30
+                           ) -> pd.DataFrame:
+    """Rolling 30-row correlation between daily revenue and daily
+    order count — time-series analytics with bit-matched floats: the
+    day series folds through the calendar-bounded zero-shuffle
+    combiner, every window's SIX moment sums are exact integers
+    (windowed cumsum differences), and each day's r is ONE float
+    division tree stated identically in the SQL windowed-SUM form —
+    per-row doubles, not a float sum, so order can't break the hash.
+    Emitted for days with a full window (ROWS 29 PRECEDING, matching
+    the SQL filter rn >= 30)."""
+    import math
+
+    US_DAY = np.int64(86_400_000_000)
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        d = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False) // US_DAY
+        ud, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(s, inv, c)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({"day": pa.array(ud), "s": pa.array(s),
+                         "n": pa.array(n)})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas() \
+        .groupby("day", as_index=False)[["s", "n"]].sum()
+    p = p.sort_values("day").reset_index(drop=True)
+    day = p["day"].to_numpy(dtype=np.int64)
+    x = p["s"].to_numpy(dtype=np.int64)   # daily revenue cents
+    y = p["n"].to_numpy(dtype=np.int64)   # daily order count
+    W = window
+
+    def wsum(a):
+        cs = np.r_[np.zeros(1, dtype=object), np.cumsum(a.astype(object))]
+        return cs[W:] - cs[:-W]
+
+    sx, sy = wsum(x), wsum(y)
+    sxx, syy, sxy = wsum(x * x), wsum(y * y), wsum(x * y)
+    out_day = day[W - 1:]
+    rows = []
+    for i in range(len(out_day)):
+        n_ = W
+        num = n_ * int(sxy[i]) - int(sx[i]) * int(sy[i])
+        vx = n_ * int(sxx[i]) - int(sx[i]) ** 2
+        vy = n_ * int(syy[i]) - int(sy[i]) ** 2
+        rows.append({
+            "day_us": np.int64(int(out_day[i]) * int(US_DAY)),
+            "corr": float(num) / math.sqrt(float(vx) * float(vy)),
+        })
+    return pd.DataFrame(rows).astype({"day_us": "int64"})
+
+
+QUERIES["rolling30_rev_cnt_corr"] = rolling30_rev_cnt_corr
+ORACLES["rolling30_rev_cnt_corr"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(date_trunc('day', o_orderdate))
+                  // 86400000000 AS BIGINT) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    w AS (SELECT day,
+                 ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                 SUM(CAST(x AS HUGEINT)) OVER win AS sx,
+                 SUM(CAST(y AS HUGEINT)) OVER win AS sy,
+                 SUM(CAST(x AS HUGEINT) * x) OVER win AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) OVER win AS syy,
+                 SUM(CAST(x AS HUGEINT) * y) OVER win AS sxy
+          FROM d
+          WINDOW win AS (ORDER BY day ROWS BETWEEN 29 PRECEDING
+                         AND CURRENT ROW))
+    SELECT day * 86400000000 AS day_us,
+           CAST(30*sxy - sx*sy AS DOUBLE)
+           / SQRT(CAST(30*sxx - sx*sx AS DOUBLE)
+                  * CAST(30*syy - sy*sy AS DOUBLE)) AS corr
+    FROM w WHERE rn >= 30
+    ORDER BY day_us
+"""

@@ -147,6 +147,8 @@ FAST_SUBSET = [
     "nearest_error_to_purchase",
     "repeat_customer_revenue_share",
     "session_type_lift",
+    "diversified_top_orders",
+    "rolling30_rev_cnt_corr",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
