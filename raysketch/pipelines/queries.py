@@ -12534,3 +12534,56 @@ ORACLES["rolling30_rev_cnt_corr"] = """
     FROM w WHERE rn >= 30
     ORDER BY day_us
 """
+
+
+def bootstrap_means_orders(sf_dir: str, B: int = 20) -> pd.DataFrame:
+    """DETERMINISTIC bootstrap — B resampled means of the order price,
+    where replicate b includes row k with multiplicity
+    m(k,b) ∈ {0,1,1,2} drawn from the Knuth hash of (k, b): mean
+    multiplicity 1 (the Poisson-bootstrap idea with a 4-point lattice),
+    zero shuffles (each batch folds all B replicates' (Σm, Σm·cents)
+    partials in one vectorized pass), reproducible at any parallelism,
+    and — because the multiplicity is a pure hash expression — the
+    ENTIRE resampling is value-hash-checked against SQL, which no
+    rng-based bootstrap could ever be. The replicate spread is the
+    caller's confidence interval; sums ship as exact integers."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    K = np.int64(2654435761)
+    K2 = np.int64(40503)
+    P = np.int64(1_000_000_007)
+    MAP = np.array([0, 1, 1, 2], dtype=np.int64)
+    bs = np.arange(1, B + 1, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        h = ((k[:, None] * K + bs[None, :] * K2) % P) % np.int64(4)
+        m = MAP[h]  # (n, B)
+        return pa.table({
+            "b": pa.array(bs),
+            "n_eff": pa.array(m.sum(axis=0).astype(np.int64)),
+            "cents": pa.array((m * c[:, None]).sum(axis=0)
+                              .astype(np.int64)),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas() \
+        .groupby("b", as_index=False)[["n_eff", "cents"]].sum()
+    return p.sort_values("b").reset_index(drop=True) \
+        .astype({"b": "int64", "n_eff": "int64", "cents": "int64"})
+
+
+QUERIES["bootstrap_means_orders"] = bootstrap_means_orders
+ORACLES["bootstrap_means_orders"] = """
+    WITH reps AS (SELECT unnest(generate_series(1, 20)) AS b),
+    m AS (
+      SELECT reps.b,
+             CASE ((o_orderkey * 2654435761 + reps.b * 40503)
+                   % 1000000007) % 4
+               WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS mult,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+      FROM orders CROSS JOIN reps)
+    SELECT CAST(b AS BIGINT) AS b,
+           CAST(SUM(mult) AS BIGINT) AS n_eff,
+           CAST(SUM(mult * c) AS BIGINT) AS cents
+    FROM m GROUP BY b ORDER BY b
+"""

@@ -149,6 +149,7 @@ FAST_SUBSET = [
     "session_type_lift",
     "diversified_top_orders",
     "rolling30_rev_cnt_corr",
+    "bootstrap_means_orders",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
