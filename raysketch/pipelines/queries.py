@@ -12587,3 +12587,95 @@ ORACLES["bootstrap_means_orders"] = """
            CAST(SUM(mult * c) AS BIGINT) AS cents
     FROM m GROUP BY b ORDER BY b
 """
+
+
+def bought_together_parts(sf_dir: str, k: int = 10,
+                          num_buckets: int = 64) -> pd.DataFrame:
+    """'Frequently bought together' — top-k part PAIRS co-occurring in
+    the same order: the item-level market basket (session_type_lift's
+    domain is 5 types; this one is unbounded parts, so masks don't
+    work and pairs must materialize — safely, because basket sizes
+    are small: an order's ≤7 distinct parts yield ≤21 pairs, a
+    BOUNDED fan-out unlike document shingles). One orderkey exchange
+    co-locates each basket, in-bucket pair generation reuses the
+    triangle-counting unranking (no per-order loop), a second
+    pair-hash exchange counts, and per-bucket local top-k bounds the
+    driver fold. (n desc, pair asc) tiebreak stated in SQL."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        key = np.unique(o * np.int64(1 << 22) + p)
+        oo = key >> np.int64(22)
+        return pa.table({
+            "o": pa.array(oo),
+            "p": pa.array(key & np.int64((1 << 22) - 1)),
+            "__b": pa.array((_mix64(oo.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def gen_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        o = g["o"].to_numpy(dtype=np.int64)
+        p = g["p"].to_numpy(dtype=np.int64)
+        key = np.unique(o * np.int64(1 << 22) + p)
+        o, p = key >> np.int64(22), key & np.int64((1 << 22) - 1)
+        starts = np.r_[0, np.flatnonzero(o[1:] != o[:-1]) + 1]
+        cnt = np.diff(np.r_[starts, len(o)])
+        m = cnt * (cnt - 1) // 2
+        tot = int(m.sum())
+        if tot == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        offs = np.cumsum(m) - m
+        seg = np.repeat(np.arange(len(m)), m)
+        q = np.arange(tot, dtype=np.int64) - offs[seg]
+        j = ((1.0 + np.sqrt(1.0 + 8.0 * q.astype(np.float64))) / 2.0) \
+            .astype(np.int64)
+        j = np.where(j * (j - 1) // 2 > q, j - 1, j)
+        j = np.where((j + 1) * j // 2 <= q, j + 1, j)
+        i = q - j * (j - 1) // 2
+        base = starts[seg]
+        # parts are sorted within the order segment, so i<j gives a<b
+        return pd.DataFrame({"a": p[base + i], "b": p[base + j]})
+
+    def count_top(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["a", "b"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg.sort_values(["n", "a", "b"],
+                               ascending=[False, True, True]).head(k)
+
+    pairs = li.map_batches(dedup_pairs, batch_format="pyarrow") \
+        .groupby("__b").map_groups(gen_pairs, batch_format="pandas")
+
+    def tag2(t: pa.Table) -> pa.Table:
+        key = (t.column("a").to_numpy(zero_copy_only=False)
+               * np.int64(1 << 22)
+               + t.column("b").to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "__b2", pa.array((_mix64(key.astype(np.uint64))
+                              % np.uint64(num_buckets)).astype(np.int64)))
+
+    parts = pairs.map_batches(tag2, batch_format="pyarrow") \
+        .groupby("__b2").map_groups(count_top, batch_format="pandas") \
+        .to_pandas()
+    out = parts.sort_values(["n", "a", "b"],
+                            ascending=[False, True, True]).head(k)
+    return out.rename(columns={"a": "part_a", "b": "part_b"}) \
+        .reset_index(drop=True) \
+        .astype({"part_a": "int64", "part_b": "int64", "n": "int64"})
+
+
+QUERIES["bought_together_parts"] = bought_together_parts
+ORACLES["bought_together_parts"] = """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n DESC, part_a, part_b LIMIT 10
+"""

@@ -150,6 +150,7 @@ FAST_SUBSET = [
     "diversified_top_orders",
     "rolling30_rev_cnt_corr",
     "bootstrap_means_orders",
+    "bought_together_parts",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
