@@ -12679,3 +12679,87 @@ ORACLES["bought_together_parts"] = """
     GROUP BY 1, 2
     ORDER BY n DESC, part_a, part_b LIMIT 10
 """
+
+
+def weekly_churn(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Weekly churn — users active in week w but NOT in week w+1 (the
+    retention family's exit side: cohorts measure who stays, this
+    measures who leaves): one user-hash exchange of deduped
+    (user, week) pairs co-locates each user's week set, a single
+    sorted pass marks weeks whose successor is absent (shifted
+    compare within user segments), and buckets collapse to ≤weeks
+    (week, n_active, n_churned) partials. The last observed week is
+    excluded on both sides — churn there is right-censored, not
+    real."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    US_DAY = np.int64(86_400_000_000)
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    # driver-folded max week (one int per block) for the censor bound
+    meta = ds.map_batches(
+        lambda t: pa.table({"m": pa.array([int(
+            pc.max(pc.cast(t.column("ts"), pa.int64())).as_py()
+            // int(US_DAY) // 7)])}),
+        batch_format="pyarrow").to_pandas()
+    wmax = int(meta["m"].max())
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        w = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False) // US_DAY // 7
+        key = np.unique(u * np.int64(1 << 16) + w)
+        uu = key >> np.int64(16)
+        return pa.table({
+            "u": pa.array(uu),
+            "w": pa.array(key & np.int64((1 << 16) - 1)),
+            "__b": pa.array((_mix64(uu.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def churn(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        w = g["w"].to_numpy(dtype=np.int64)
+        key = np.unique(u * np.int64(1 << 16) + w)
+        u, w = key >> np.int64(16), key & np.int64((1 << 16) - 1)
+        if not len(u):
+            return pd.DataFrame({"week": pd.Series([], dtype="int64"),
+                                 "n_active": pd.Series([], dtype="int64"),
+                                 "n_churned": pd.Series([], dtype="int64")})
+        nxt_same = np.r_[(u[1:] == u[:-1]) & (w[1:] == w[:-1] + 1), False]
+        m = w < wmax  # right-censor the final week
+        uw, inv = np.unique(w[m], return_inverse=True)
+        act = np.bincount(inv).astype(np.int64)
+        chn = np.bincount(inv, weights=(~nxt_same[m]).astype(np.int64)) \
+            .astype(np.int64)
+        return pd.DataFrame({"week": uw, "n_active": act,
+                             "n_churned": chn})
+
+    parts = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("__b").map_groups(churn, batch_format="pandas") \
+        .to_pandas()
+    agg = parts.groupby("week", as_index=False)[["n_active", "n_churned"]] \
+        .sum()
+    return agg.sort_values("week").reset_index(drop=True) \
+        .astype({"week": "int64", "n_active": "int64",
+                 "n_churned": "int64"})
+
+
+QUERIES["weekly_churn"] = weekly_churn
+ORACLES["weekly_churn"] = """
+    WITH act AS (SELECT DISTINCT user_id,
+                        CAST(epoch_us(ts) // 86400000000 // 7 AS BIGINT)
+                          AS w
+                 FROM events),
+    mx AS (SELECT MAX(w) AS wmax FROM act)
+    SELECT a.w AS week,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned
+    FROM act a
+    LEFT JOIN act b ON b.user_id = a.user_id AND b.w = a.w + 1
+    CROSS JOIN mx
+    WHERE a.w < mx.wmax
+    GROUP BY a.w ORDER BY week
+"""

@@ -151,6 +151,7 @@ FAST_SUBSET = [
     "rolling30_rev_cnt_corr",
     "bootstrap_means_orders",
     "bought_together_parts",
+    "weekly_churn",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
