@@ -12763,3 +12763,74 @@ ORACLES["weekly_churn"] = """
     WHERE a.w < mx.wmax
     GROUP BY a.w ORDER BY week
 """
+
+
+def consecutive_vcp_users(sf_dir: str, num_buckets: int = 64
+                          ) -> pd.DataFrame:
+    """STRICT consecutive-pattern matching — users whose event stream
+    contains view→click→purchase as ADJACENT events (the
+    MATCH_RECOGNIZE pattern with no gaps, stricter than the funnel's
+    'eventually after'): one user-hash exchange, one within-bucket
+    lexsort, and the triple test is two shifted compares masked at
+    user boundaries — per-batch match counts collapse to a user count
+    plus the matched-triple count (a user can match repeatedly; both
+    numbers are reported and both must hash-match)."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    V, C, P = 4, 0, 2  # indices in TYPES
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(u),
+            "tu": pc.cast(t.column("ts"), pa.int64()),
+            "e": t.column("event_id"),
+            "g": pc.cast(idx, pa.int8()),
+            "__b": pa.array((_mix64(u.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def match(gd: pd.DataFrame) -> pd.DataFrame:
+        u = gd["u"].to_numpy(dtype=np.int64)
+        tu = gd["tu"].to_numpy(dtype=np.int64)
+        e = gd["e"].to_numpy(dtype=np.int64)
+        g = gd["g"].to_numpy(dtype=np.int64)
+        order = np.lexsort((e, tu, u))
+        u, g = u[order], g[order]
+        n = len(u)
+        if n < 3:
+            return pd.DataFrame({"n_users": [0], "n_triples": [0]})
+        same3 = (u[2:] == u[:-2])
+        hit = same3 & (g[:-2] == V) & (g[1:-1] == C) & (g[2:] == P)
+        n_triples = int(hit.sum())
+        users = np.unique(u[:-2][hit])
+        return pd.DataFrame({"n_users": [len(users)],
+                             "n_triples": [n_triples]})
+
+    p = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(match, batch_format="pandas") \
+        .to_pandas()
+    return _one_row(n_users=np.int64(int(p["n_users"].sum())),
+                    n_triples=np.int64(int(p["n_triples"].sum())))
+
+
+QUERIES["consecutive_vcp_users"] = consecutive_vcp_users
+ORACLES["consecutive_vcp_users"] = """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    hits AS (SELECT user_id FROM s
+             WHERE event_type = 'view' AND t1 = 'click'
+               AND t2 = 'purchase')
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_triples
+    FROM hits
+"""

@@ -152,6 +152,7 @@ FAST_SUBSET = [
     "bootstrap_means_orders",
     "bought_together_parts",
     "weekly_churn",
+    "consecutive_vcp_users",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
