@@ -12834,3 +12834,118 @@ ORACLES["consecutive_vcp_users"] = """
            CAST(COUNT(*) AS BIGINT) AS n_triples
     FROM hits
 """
+
+
+def customer_hhi(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Herfindahl–Hirschman concentration of customer spend — the
+    market-concentration KPI HHI = Σ shareᵢ² = Σrᵢ² / (Σr)², shipped
+    as the exact integer pair (Σr², Σr) in whole DOLLARS (cents² of a
+    full dataset overflows int64; dollars keep both sides exact and
+    identical): per-customer totals through one custkey exchange,
+    each bucket emits (Σr² hi/lo-split, Σr, n) partials, driver folds
+    Python ints — the caller divides once."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = _cents(t.column("o_totalprice")) \
+            .to_numpy(zero_copy_only=False)
+        # whole dollars with SQL ROUND's half-away (= half-up for
+        # positive prices): integer arithmetic on exact cents — Arrow's
+        # pc.round defaults to half-to-even and silently disagrees
+        d = (cents + 50) // 100
+        uc, inv = np.unique(c, return_inverse=True)
+        s = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(s, inv, d)
+        return pa.table({
+            "c": pa.array(uc), "s": pa.array(s),
+            "__b": pa.array((_mix64(uc.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(dtype=np.int64)
+        s = g["s"].to_numpy(dtype=np.int64)
+        order = np.argsort(c, kind="stable")
+        c, s = c[order], s[order]
+        starts = np.r_[0, np.flatnonzero(c[1:] != c[:-1]) + 1]
+        tot = np.add.reduceat(s, starts)
+        sq = tot * tot
+        return pd.DataFrame([{
+            "n": len(tot), "sr": int(tot.sum()),
+            "hi": int((sq >> np.int64(32)).sum()),
+            "lo": int((sq & np.int64((1 << 32) - 1)).sum()),
+        }])
+
+    p = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(fold, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    sr = int(p["sr"].sum())
+    sr2 = (int(p["hi"].sum()) << 32) + int(p["lo"].sum())
+    return _one_row(n_customers=np.int64(n),
+                    sum_spend_dollars=np.int64(sr),
+                    sum_spend_sq=np.int64(sr2))
+
+
+QUERIES["customer_hhi"] = customer_hhi
+ORACLES["customer_hhi"] = """
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS s
+      FROM orders GROUP BY o_custkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(s) AS BIGINT) AS sum_spend_dollars,
+           CAST(SUM(CAST(s AS HUGEINT) * s) AS BIGINT) AS sum_spend_sq
+    FROM per
+"""
+
+
+def order_size_histogram(sf_dir: str, num_buckets: int = 64
+                         ) -> pd.DataFrame:
+    """Lines-per-order histogram — the fact-table fan-out profile that
+    sizes every lineitem⋈orders join plan: per-batch (okey, n)
+    combiner partials, one okey exchange finishes the counts, and
+    each bucket collapses straight to (size, n_orders) partials
+    bounded by the max basket size — the driver never sees an order
+    key (the Q13 count-of-counts discipline applied to the fact
+    table itself)."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        uk, n = np.unique(k, return_counts=True)
+        return pa.table({
+            "k": pa.array(uk), "n": pa.array(n.astype(np.int64)),
+            "__b": pa.array((_mix64(uk.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(dtype=np.int64)
+        n = g["n"].to_numpy(dtype=np.int64)
+        order = np.argsort(k, kind="stable")
+        k, n = k[order], n[order]
+        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
+        per = np.add.reduceat(n, starts)
+        us, cnt = np.unique(per, return_counts=True)
+        return pd.DataFrame({"n_lines": us,
+                             "n_orders": cnt.astype(np.int64)})
+
+    p = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(hist, batch_format="pandas").to_pandas()
+    agg = p.groupby("n_lines", as_index=False)["n_orders"].sum()
+    return agg.sort_values("n_lines").reset_index(drop=True) \
+        .astype({"n_lines": "int64", "n_orders": "int64"})
+
+
+QUERIES["order_size_histogram"] = order_size_histogram
+ORACLES["order_size_histogram"] = """
+    WITH per AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM lineitem GROUP BY l_orderkey)
+    SELECT n AS n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM per GROUP BY n ORDER BY n_lines
+"""

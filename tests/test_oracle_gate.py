@@ -153,6 +153,8 @@ FAST_SUBSET = [
     "bought_together_parts",
     "weekly_churn",
     "consecutive_vcp_users",
+    "customer_hhi",
+    "order_size_histogram",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
