@@ -12949,3 +12949,149 @@ ORACLES["order_size_histogram"] = """
     SELECT n AS n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM per GROUP BY n ORDER BY n_lines
 """
+
+
+def supplier_late_rates(sf_dir: str, late_days: int = 60,
+                        num_buckets: int = 64) -> pd.DataFrame:
+    """Per-SUPPLIER late-shipment rates (the vendor scorecard): 'late'
+    needs the order date, so lineitem crosses the single orderkey
+    exchange as (okey, suppkey, shipdate) rows; each bucket joins by
+    searchsorted and collapses straight to (suppkey, n_late, n_total)
+    partials — supplier cardinality is dimension-bounded, so the
+    driver fold is result-sized. Rates ship as exact integer pairs."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    US_DAY = np.int64(86_400_000_000)
+    CUT = np.int64(late_days) * US_DAY
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(k),
+            "s": t.column("l_suppkey"),
+            "v": pc.cast(t.column("l_shipdate"), pa.int64()),
+            "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+            "__b": pa.array((_mix64(k.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(k),
+            "s": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "v": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            "__b": pa.array((_mix64(k.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def rates(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(dtype=np.int8)
+        lm, om = side == 0, side == 1
+        ok = g["k"].to_numpy(dtype=np.int64)[om]
+        oo = np.argsort(ok, kind="stable")
+        ok = ok[oo]
+        od = g["v"].to_numpy(dtype=np.int64)[om][oo]
+        lk = g["k"].to_numpy(dtype=np.int64)[lm]
+        if not len(ok) or not len(lk):
+            return pd.DataFrame({"s": pd.Series([], dtype="int64"),
+                                 "late": pd.Series([], dtype="int64"),
+                                 "total": pd.Series([], dtype="int64")})
+        ls = g["s"].to_numpy(dtype=np.int64)[lm]
+        lv = g["v"].to_numpy(dtype=np.int64)[lm]
+        pos = np.searchsorted(ok, lk)
+        pos_c = np.minimum(pos, len(ok) - 1)
+        hit = ok[pos_c] == lk
+        s = ls[hit]
+        late = (lv[hit] - od[pos_c][hit] > CUT).astype(np.int64)
+        us, inv = np.unique(s, return_inverse=True)
+        tot = np.bincount(inv).astype(np.int64)
+        nl = np.bincount(inv, weights=late).astype(np.int64)
+        return pd.DataFrame({"s": us, "late": nl, "total": tot})
+
+    parts = li.map_batches(li_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(o_rows, batch_format="pyarrow")) \
+        .groupby("__b").map_groups(rates, batch_format="pandas") \
+        .to_pandas()
+    agg = parts.groupby("s", as_index=False)[["late", "total"]].sum()
+    return agg.rename(columns={"s": "l_suppkey", "late": "n_late",
+                               "total": "n_lines"}) \
+        .sort_values("l_suppkey").reset_index(drop=True) \
+        .astype({"l_suppkey": "int64", "n_late": "int64",
+                 "n_lines": "int64"})
+
+
+QUERIES["supplier_late_rates"] = supplier_late_rates
+ORACLES["supplier_late_rates"] = """
+    SELECT l_suppkey,
+           CAST(SUM(CASE WHEN l_shipdate - o_orderdate > INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+
+def median_customer_aov(sf_dir: str, num_buckets: int = 64
+                        ) -> pd.DataFrame:
+    """Median of per-GROUP averages — the two-level statistic (median
+    customer AOV) whose inner value is a FRACTION: exact median-of-
+    ratios needs cross-multiplied comparisons, so both engines instead
+    use the identical floor-scaled average aov = (100·Σcents) // n
+    (hundredths of a cent — deterministic, no float), and the median
+    over the customer-bounded table follows the quantile_disc
+    convention. Per-customer (Σ, n) through one custkey exchange;
+    the driver sees one int per customer."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        s = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        uc, inv = np.unique(c, return_inverse=True)
+        ss = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(ss, inv, s)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "c": pa.array(uc), "s": pa.array(ss), "n": pa.array(n),
+            "__b": pa.array((_mix64(uc.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def aov(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(dtype=np.int64)
+        s = g["s"].to_numpy(dtype=np.int64)
+        n = g["n"].to_numpy(dtype=np.int64)
+        order = np.argsort(c, kind="stable")
+        c, s, n = c[order], s[order], n[order]
+        starts = np.r_[0, np.flatnonzero(c[1:] != c[:-1]) + 1]
+        ss = np.add.reduceat(s, starts)
+        nn = np.add.reduceat(n, starts)
+        return pd.DataFrame({"a": (100 * ss) // nn})
+
+    p = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(aov, batch_format="pandas").to_pandas()
+    a = np.sort(p["a"].to_numpy(dtype=np.int64))
+    n = len(a)
+    k = -(-50 * n // 100) - 1
+    return _one_row(n_customers=np.int64(n),
+                    median_aov_x100=np.int64(int(a[k])))
+
+
+QUERIES["median_customer_aov"] = median_customer_aov
+ORACLES["median_customer_aov"] = """
+    WITH per AS (
+      SELECT o_custkey,
+             (100 * CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                    AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS a
+      FROM orders GROUP BY o_custkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(quantile_disc(a, 0.5) AS BIGINT) AS median_aov_x100
+    FROM per
+"""

@@ -155,6 +155,8 @@ FAST_SUBSET = [
     "consecutive_vcp_users",
     "customer_hhi",
     "order_size_histogram",
+    "supplier_late_rates",
+    "median_customer_aov",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
