@@ -13095,3 +13095,55 @@ ORACLES["median_customer_aov"] = """
            CAST(quantile_disc(a, 0.5) AS BIGINT) AS median_aov_x100
     FROM per
 """
+
+
+def ivf_recall_curve(sf_dir: str, k: int = 10, n_queries: int = 6
+                     ) -> pd.DataFrame:
+    """ANN EVALUATION harness — recall@k of the IVF index versus brute
+    force at every nprobe level: the measurement that justifies (or
+    vetoes) an approximate index before it touches production. Ground
+    truth comes from `brute_force_topk` over the same quantized
+    queries (the corpus's own first ``n_queries`` vectors — exact
+    self-match included, which any sane index must recall); the curve
+    must be monotone in nprobe and reach 1.0 at exhaustive probe,
+    both asserted in pytest. Deterministic end to end (seeded k-means
+    on a driver sample, hash-free scoring)."""
+    import tempfile
+
+    from ..stages.similarity import IVFIndex, brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = ds.take_batch(n_queries, batch_format="pyarrow")
+    qs = np.stack([np.asarray(v.as_py(), dtype=np.float64)
+                   for v in head["embedding"]])
+
+    idx_dir = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                           f"ivf_{sf_of(sf_dir)}")
+    if os.path.exists(os.path.join(idx_dir, "centroids.npy")):
+        idx = IVFIndex.load(idx_dir)
+    else:
+        idx = IVFIndex(idx_dir, n_centroids=8).build(ds, sample_size=256)
+
+    truth = brute_force_topk(ds, qs, k=k)
+    gt = {int(q): set(truth[truth["query_idx"] == q]["vec_id"]
+                      .to_numpy(dtype=np.int64))
+          for q in range(len(qs))}
+
+    rows = []
+    nprobe = 1
+    while nprobe <= idx.ncent:
+        hit = 0
+        for qi in range(len(qs)):
+            got = set(idx.search(qs[qi], k=k, nprobe=nprobe)["vec_id"]
+                      .to_numpy(dtype=np.int64))
+            hit += len(got & gt[qi])
+        rows.append({"nprobe": np.int64(nprobe),
+                     "n_hits": np.int64(hit),
+                     "n_truth": np.int64(k * len(qs))})
+        nprobe *= 2
+    return pd.DataFrame(rows).astype({"nprobe": "int64",
+                                      "n_hits": "int64",
+                                      "n_truth": "int64"})
+
+
+QUERIES["ivf_recall_curve"] = ivf_recall_curve

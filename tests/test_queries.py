@@ -291,3 +291,18 @@ def test_hll_rollup_matches_exact_within_bound(ray_session):
     rel = (m["est"] - m["n"]).abs() / m["n"].clip(lower=1)
     assert float(rel.max()) <= 3 * 1.04 / (2 ** 7), \
         f"worst rel err {rel.max():.4f}"
+
+
+def test_ivf_recall_curve_monotone_and_exhaustive(ray_session):
+    """Recall@10 must be non-decreasing in nprobe and exactly 1.0 at
+    exhaustive probe — the contract that makes an approximate index
+    trustworthy."""
+    import __ray_entry__ as entry
+
+    out = entry.queries()["ivf_recall_curve"]("/root/testdata/sf0.001",
+                                              n_queries=4)
+    hits = out["n_hits"].to_numpy()
+    assert (np.diff(hits) >= 0).all(), "recall must be monotone in nprobe"
+    assert int(out["n_hits"].iloc[-1]) == int(out["n_truth"].iloc[-1]), \
+        "exhaustive probe must equal brute force"
+import numpy as np  # noqa: E402  (used by the recall test above)
