@@ -13147,3 +13147,82 @@ def ivf_recall_curve(sf_dir: str, k: int = 10, n_queries: int = 6
 
 
 QUERIES["ivf_recall_curve"] = ivf_recall_curve
+
+
+def types_seen_so_far(sf_dir: str, num_buckets: int = 64
+                      ) -> pd.DataFrame:
+    """Per-row CUMULATIVE DISTINCT count — for every event, how many
+    distinct event types its user has produced up to and including it:
+    the window COUNT(DISTINCT … ) OVER that SQL engines refuse to run,
+    made exact here because the domain is bounded — each (user, type)
+    has ONE first occurrence, so after the user-hash exchange a single
+    sorted pass takes per-(user,type) first positions (unique on the
+    packed key) and each row's answer is 'how many of my user's five
+    first-positions are ≤ mine' — five searchsorted-free gathers, no
+    per-row loop. The SQL twin joins each event against the (user,
+    type, MIN order-rank) table."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    NT = np.int64(len(TYPES))
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(u),
+            "tu": pc.cast(t.column("ts"), pa.int64()),
+            "e": t.column("event_id"),
+            "g": pc.cast(idx, pa.int8()),
+            "__b": pa.array((_mix64(u.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def seen(gd: pd.DataFrame) -> pd.DataFrame:
+        u = gd["u"].to_numpy(dtype=np.int64)
+        tu = gd["tu"].to_numpy(dtype=np.int64)
+        e = gd["e"].to_numpy(dtype=np.int64)
+        g = gd["g"].to_numpy(dtype=np.int64)
+        order = np.lexsort((e, tu, u))
+        u, tu, e, g = u[order], tu[order], e[order], g[order]
+        n = len(u)
+        if not n:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "n_types_seen": pd.Series([], dtype="int64")})
+        idx = np.arange(n, dtype=np.int64)
+        # first position of each (user, type)
+        key = u * NT + g
+        uk, first = np.unique(key, return_index=True)
+        # per-user table of 5 first-positions (sentinel: after end)
+        uu = np.unique(u)
+        fp = np.full((len(uu), int(NT)), n, dtype=np.int64)
+        urow = np.searchsorted(uu, uk // NT)
+        fp[urow, (uk % NT)] = first
+        row_of = np.searchsorted(uu, u)
+        cnt = (fp[row_of] <= idx[:, None]).sum(axis=1).astype(np.int64)
+        return pd.DataFrame({"event_id": e, "n_types_seen": cnt})
+
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(seen, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True) \
+        .astype({"event_id": "int64", "n_types_seen": "int64"})
+
+
+QUERIES["types_seen_so_far"] = types_seen_so_far
+ORACLES["types_seen_so_far"] = """
+    WITH r AS (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    f AS (SELECT user_id, event_type, MIN(rn) AS first_rn
+          FROM r GROUP BY user_id, event_type)
+    SELECT r.event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types_seen
+    FROM r JOIN f ON f.user_id = r.user_id AND f.first_rn <= r.rn
+    GROUP BY r.event_id ORDER BY r.event_id
+"""

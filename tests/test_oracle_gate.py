@@ -157,6 +157,7 @@ FAST_SUBSET = [
     "order_size_histogram",
     "supplier_late_rates",
     "median_customer_aov",
+    "types_seen_so_far",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
