@@ -13226,3 +13226,96 @@ ORACLES["types_seen_so_far"] = """
     FROM r JOIN f ON f.user_id = r.user_id AND f.first_rn <= r.rn
     GROUP BY r.event_id ORDER BY r.event_id
 """
+
+
+def id_gaps_events(sf_dir: str, num_buckets: int = 256) -> pd.DataFrame:
+    """Sequence-integrity audit — does the event_id space have holes
+    or duplicates? (the ingestion check that catches dropped batches
+    and replays): min/max/count fold zero-shuffle; exact distinct
+    count via per-batch dedup + one small bucket exchange; missing =
+    span − distinct, duplicated rows = count − distinct. All integer,
+    all one pass over an 8-byte column."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(e.min()) if len(e) else 0]),
+                         "hi": pa.array([int(e.max()) if len(e) else 0]),
+                         "n": pa.array([len(e)])})
+
+    meta = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    meta = meta[meta["n"] > 0]
+    lo, hi = int(meta["lo"].min()), int(meta["hi"].max())
+    total = int(meta["n"].sum())
+
+    def keys(t: pa.Table) -> pa.Table:
+        k = np.unique(t.column("event_id").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "k": pa.array(k),
+            "__b": pa.array((_mix64(k.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def nuniq(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(g["k"].nunique())]})
+
+    d = ds.map_batches(keys, batch_format="pyarrow") \
+        .groupby("__b").map_groups(nuniq, batch_format="pandas") \
+        .to_pandas()
+    distinct = int(d["n"].sum())
+    return _one_row(min_id=np.int64(lo), max_id=np.int64(hi),
+                    n_rows=np.int64(total),
+                    n_missing=np.int64(hi - lo + 1 - distinct),
+                    n_dup_rows=np.int64(total - distinct))
+
+
+QUERIES["id_gaps_events"] = id_gaps_events
+ORACLES["id_gaps_events"] = """
+    SELECT CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(event_id) - MIN(event_id) + 1
+                - COUNT(DISTINCT event_id) AS BIGINT) AS n_missing,
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+             AS n_dup_rows
+    FROM events
+"""
+
+
+def word_length_by_source(sf_dir: str) -> pd.DataFrame:
+    """Average word length per source, as the exact (Σ word chars,
+    n words) pair — the text-profiling statistic behind tokenizer
+    fertility estimates: per-batch Arrow split + flatten + utf8_length
+    with a repeat-encoded source gather; zero shuffle, ≤sources
+    partials per batch."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        w = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        cnt = pc.list_value_length(w).to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(w.flatten()).to_numpy(zero_copy_only=False)
+        src = np.repeat(t.column("source").to_numpy(zero_copy_only=False),
+                        cnt)
+        df = pd.DataFrame({"source": src, "chars": lens})
+        agg = df.groupby("source", as_index=False) \
+            .agg(n_words=("chars", "size"), sum_chars=("chars", "sum"))
+        return agg
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = p.groupby("source", as_index=False)[["n_words", "sum_chars"]] \
+        .sum()
+    return agg.sort_values("source").reset_index(drop=True) \
+        .astype({"n_words": "int64", "sum_chars": "int64"})
+
+
+QUERIES["word_length_by_source"] = word_length_by_source
+ORACLES["word_length_by_source"] = """
+    WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+               FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(word)) AS BIGINT) AS sum_chars
+    FROM w GROUP BY source ORDER BY source
+"""

@@ -158,6 +158,8 @@ FAST_SUBSET = [
     "supplier_late_rates",
     "median_customer_aov",
     "types_seen_so_far",
+    "id_gaps_events",
+    "word_length_by_source",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
