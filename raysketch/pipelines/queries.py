@@ -13319,3 +13319,102 @@ ORACLES["word_length_by_source"] = """
            CAST(SUM(length(word)) AS BIGINT) AS sum_chars
     FROM w GROUP BY source ORDER BY source
 """
+
+
+def trimmed_mean_price(sf_dir: str, trim_pct: int = 5,
+                       num_bins: int = 8192) -> pd.DataFrame:
+    """EXACT two-sided trimmed mean (drop the lowest and highest 5% of
+    ROWS, sum the rest) — the robust location estimate between mean
+    and median, with the boundary handled TIE-CORRECTLY: trimming
+    m = n·5//100 rows means the m-th order statistic's value may be
+    only PARTIALLY trimmed, so sum_trimmed_low = Σ(v < v_m) +
+    (m − count(v < v_m))·v_m — every term exact from the histogram-
+    percentile machinery (min/max pass, nonzero-bin partials, one
+    filtered gather for the two boundary bins) plus a three-integer
+    conditional-sum pass. Output (n_kept, sum_kept_cents); SQL states
+    the identical row-rank trim via ROW_NUMBER."""
+    import ray
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def vals(t: pa.Table) -> np.ndarray:
+        return _cents(t.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = vals(t)
+        return pa.table({"lo": pa.array([int(v.min()) if len(v) else 0]),
+                         "hi": pa.array([int(v.max()) if len(v) else 0]),
+                         "n": pa.array([len(v)]),
+                         "s": pa.array([int(v.sum())])})
+
+    meta = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    meta = meta[meta["n"] > 0]
+    lo, hi = int(meta["lo"].min()), int(meta["hi"].max())
+    n = int(meta["n"].sum())
+    total = int(meta["s"].sum())
+    width = hi - lo + 1
+    m = n * trim_pct // 100
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = vals(t)
+        b = (v - lo) * np.int64(num_bins) // np.int64(width)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(ub),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    bins = np.zeros(num_bins, dtype=np.int64)
+    np.add.at(bins, parts["bin"].to_numpy(dtype=np.int64),
+              parts["cnt"].to_numpy(dtype=np.int64))
+    cum = np.cumsum(bins)
+    # order statistics at k = m-1 (m-th lowest) and n-m (m-th highest)
+    ks = np.array([m - 1, n - m], dtype=np.int64)
+    tb = np.searchsorted(cum, ks, side="right")
+    before = np.r_[0, cum][tb]
+    ref = ray.put(np.unique(tb))
+
+    def gather(t: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        v = vals(t)
+        b = (v - lo) * np.int64(num_bins) // np.int64(width)
+        keep = np.isin(b, want)
+        return pa.table({"v": pa.array(v[keep]), "b": pa.array(b[keep])})
+
+    got = ds.map_batches(gather, batch_format="pyarrow").to_pandas()
+    gv = got["v"].to_numpy(dtype=np.int64)
+    gb = got["b"].to_numpy(dtype=np.int64)
+    bound = []
+    for k, t_, bef in zip(ks, tb, before):
+        inbin = np.sort(gv[gb == t_])
+        bound.append(int(inbin[k - bef]))
+    v_lo, v_hi = bound  # m-th lowest value, m-th highest value
+
+    def cond(t: pa.Table) -> pa.Table:
+        v = vals(t)
+        return pa.table({
+            "s_below": pa.array([int(v[v < v_lo].sum())]),
+            "c_below": pa.array([int((v < v_lo).sum())]),
+            "s_above": pa.array([int(v[v > v_hi].sum())]),
+            "c_above": pa.array([int((v > v_hi).sum())]),
+        })
+
+    c = ds.map_batches(cond, batch_format="pyarrow").to_pandas()
+    s_below, c_below = int(c["s_below"].sum()), int(c["c_below"].sum())
+    s_above, c_above = int(c["s_above"].sum()), int(c["c_above"].sum())
+    low_trim = s_below + (m - c_below) * v_lo
+    high_trim = s_above + (m - c_above) * v_hi
+    return _one_row(n_kept=np.int64(n - 2 * m),
+                    sum_kept_cents=np.int64(total - low_trim - high_trim))
+
+
+QUERIES["trimmed_mean_price"] = trimmed_mean_price
+ORACLES["trimmed_mean_price"] = """
+    WITH v AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c
+               FROM lineitem),
+    r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+                 COUNT(*) OVER () AS n FROM v)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(c) AS BIGINT) AS sum_kept_cents
+    FROM r
+    WHERE rn > n * 5 // 100 AND rn <= n - n * 5 // 100
+"""

@@ -160,6 +160,7 @@ FAST_SUBSET = [
     "types_seen_so_far",
     "id_gaps_events",
     "word_length_by_source",
+    "trimmed_mean_price",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
