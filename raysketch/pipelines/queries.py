@@ -13418,3 +13418,115 @@ ORACLES["trimmed_mean_price"] = """
     FROM r
     WHERE rn > n * 5 // 100 AND rn <= n - n * 5 // 100
 """
+
+
+def spiky_customers(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """SELF-relative outlier groups — customers whose single largest
+    order exceeds twice their own average (spend spikes, not absolute
+    size): the per-group predicate n·max > 2·Σ is evaluated by integer
+    cross-multiplication so no division can flip a boundary; per-batch
+    (Σ, n, max) combiner partials, one custkey exchange, buckets fold
+    partials (sum-sum, max-max) and emit only qualifying customers.
+    Needs ≥2 orders or the max trivially equals the sum."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        s = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        uc, inv = np.unique(c, return_inverse=True)
+        ss = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(ss, inv, s)
+        mx = np.full(len(uc), -1, dtype=np.int64)
+        np.maximum.at(mx, inv, s)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "c": pa.array(uc), "s": pa.array(ss), "n": pa.array(n),
+            "m": pa.array(mx),
+            "__b": pa.array((_mix64(uc.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(dtype=np.int64)
+        s = g["s"].to_numpy(dtype=np.int64)
+        n = g["n"].to_numpy(dtype=np.int64)
+        m = g["m"].to_numpy(dtype=np.int64)
+        order = np.argsort(c, kind="stable")
+        c, s, n, m = c[order], s[order], n[order], m[order]
+        starts = np.r_[0, np.flatnonzero(c[1:] != c[:-1]) + 1]
+        cc = c[starts]
+        ss = np.add.reduceat(s, starts)
+        nn = np.add.reduceat(n, starts)
+        mm = np.maximum.reduceat(m, starts)
+        ok = (nn >= 2) & (nn * mm > 2 * ss)
+        return pd.DataFrame({"o_custkey": cc[ok], "n_orders": nn[ok],
+                             "sum_cents": ss[ok], "max_cents": mm[ok]})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(keep, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True) \
+        .astype({"o_custkey": "int64", "n_orders": "int64",
+                 "sum_cents": "int64", "max_cents": "int64"})
+
+
+QUERIES["spiky_customers"] = spiky_customers
+ORACLES["spiky_customers"] = """
+    WITH per AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             CAST(MAX(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, n_orders, sum_cents, max_cents
+    FROM per
+    WHERE n_orders >= 2 AND n_orders * max_cents > 2 * sum_cents
+    ORDER BY o_custkey
+"""
+
+
+def ttr_docs(sf_dir: str) -> pd.DataFrame:
+    """Type-token ratio per document — lexical diversity, the
+    quality-filter signal between repetition stats and novelty
+    scoring: exact (n_distinct_words, n_words) pair per doc, computed
+    zero-shuffle per batch (whole docs per row) via one lexsort over
+    (doc, word) and boundary counting; the ratio stays the caller's
+    division."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ttr(t: pa.Table) -> pd.DataFrame:
+        w = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        cnt = pc.list_value_length(w).to_numpy(zero_copy_only=False)
+        flat = w.flatten().to_numpy(zero_copy_only=False)
+        doc = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False),
+                        cnt)
+        order = np.lexsort((flat, doc))
+        doc_s, flat_s = doc[order], flat[order]
+        new_pair = np.r_[True, (doc_s[1:] != doc_s[:-1])
+                         | (flat_s[1:] != flat_s[:-1])]
+        ud, inv = np.unique(doc_s, return_inverse=True)
+        dis = np.bincount(inv, weights=new_pair.astype(np.int64)) \
+            .astype(np.int64)
+        tot = np.bincount(inv).astype(np.int64)
+        return pd.DataFrame({"doc_id": ud, "n_distinct_words": dis,
+                             "n_words": tot})
+
+    out = ds.map_batches(ttr, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "n_distinct_words": "int64",
+                 "n_words": "int64"})
+
+
+QUERIES["ttr_docs"] = ttr_docs
+ORACLES["ttr_docs"] = """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents)
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM w GROUP BY doc_id ORDER BY doc_id
+"""

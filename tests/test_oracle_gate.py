@@ -161,6 +161,8 @@ FAST_SUBSET = [
     "id_gaps_events",
     "word_length_by_source",
     "trimmed_mean_price",
+    "spiky_customers",
+    "ttr_docs",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
