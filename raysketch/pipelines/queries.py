@@ -13530,3 +13530,152 @@ ORACLES["ttr_docs"] = """
            CAST(COUNT(*) AS BIGINT) AS n_words
     FROM w GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def longest_same_type_run(sf_dir: str, num_buckets: int = 64
+                          ) -> pd.DataFrame:
+    """Longest CONSECUTIVE same-type run per user — gaps-and-islands
+    over a CATEGORICAL sequence (`longest_streak_by_user` runs over
+    calendar days; this runs over the event order itself — the
+    repetitive-behavior detector): one user-hash exchange, one
+    lexsort, run boundaries = new-user OR type-change, per-user max by
+    maximum.reduceat; output carries the run's type with a
+    deterministic (len desc, type asc) tiebreak stated in SQL."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("event_type"), value_set=pa.array(TYPES))
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(u),
+            "tu": pc.cast(t.column("ts"), pa.int64()),
+            "e": t.column("event_id"),
+            "g": pc.cast(idx, pa.int8()),
+            "__b": pa.array((_mix64(u.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def runs(gd: pd.DataFrame) -> pd.DataFrame:
+        u = gd["u"].to_numpy(dtype=np.int64)
+        tu = gd["tu"].to_numpy(dtype=np.int64)
+        e = gd["e"].to_numpy(dtype=np.int64)
+        g = gd["g"].to_numpy(dtype=np.int64)
+        order = np.lexsort((e, tu, u))
+        u, g = u[order], g[order]
+        n = len(u)
+        if not n:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "run_type": pd.Series([], dtype="object"),
+                                 "run_len": pd.Series([], dtype="int64")})
+        new = np.r_[True, (u[1:] != u[:-1]) | (g[1:] != g[:-1])]
+        starts = np.flatnonzero(new)
+        rlen = np.diff(np.r_[starts, n]).astype(np.int64)
+        ru, rg = u[starts], g[starts]
+        # winner per user: (len desc, type asc)
+        win = np.lexsort((rg, -rlen, ru))
+        ru, rg, rlen = ru[win], rg[win], rlen[win]
+        head = np.r_[True, ru[1:] != ru[:-1]]
+        lab = np.array(TYPES, dtype=object)
+        return pd.DataFrame({"user_id": ru[head],
+                             "run_type": lab[rg[head]],
+                             "run_len": rlen[head]})
+
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(runs, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True) \
+        .astype({"user_id": "int64", "run_len": "int64"})
+
+
+QUERIES["longest_same_type_run"] = longest_same_type_run
+ORACLES["longest_same_type_run"] = """
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+      FROM events),
+    runs AS (SELECT user_id, event_type,
+                    CAST(COUNT(*) AS BIGINT) AS run_len
+             FROM r GROUP BY user_id, event_type, grp),
+    best AS (SELECT user_id, event_type AS run_type, run_len,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY run_len DESC,
+                                                event_type) AS rn
+             FROM runs)
+    SELECT user_id, run_type, run_len FROM best
+    WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def export_split_partitions(sf_dir: str) -> pd.DataFrame:
+    """WRITE-path coverage, oracle-checked: documents export to
+    hive-partitioned parquet by train/val/test split (the resumable
+    layout the 100 TB contract demands — a failed run skips finished
+    partitions), then the partitions READ BACK and re-count; the
+    oracle recomputes the same (split, n, chars) from SQL, so the
+    value hash certifies the full write→read round trip, not just the
+    transform."""
+    import tempfile
+
+    import ray.data
+
+    K = np.int64(2654435761)
+
+    out_dir = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                           f"split_export_{sf_of(sf_dir)}")
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = ((k * K) % np.int64(1_000_000_007)) % np.int64(100)
+        split = np.where(h < 80, "train",
+                         np.where(h < 90, "val", "test"))
+        return t.append_column("split", pa.array(split))
+
+    done = os.path.join(out_dir, "_done")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        ds.map_batches(assign, batch_format="pyarrow") \
+            .write_parquet(out_dir, partition_cols=["split"])
+        open(done, "w").write("ok")
+
+    back = ray.data.read_parquet(out_dir)
+
+    def counts(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "split": np.asarray(t.column("split").to_pandas(), dtype=object),
+            "chars": t.column("n_chars").to_numpy(zero_copy_only=False),
+        })
+        return df.groupby("split", as_index=False) \
+            .agg(n=("chars", "size"), chars=("chars", "sum"))
+
+    p = back.map_batches(counts, batch_format="pyarrow").to_pandas()
+    agg = p.groupby("split", as_index=False)[["n", "chars"]].sum()
+    return agg.sort_values("split").reset_index(drop=True) \
+        .astype({"n": "int64", "chars": "int64"})
+
+
+QUERIES["export_split_partitions"] = export_split_partitions
+ORACLES["export_split_partitions"] = """
+    WITH a AS (
+      SELECT n_chars,
+             CASE WHEN ((doc_id * 2654435761) % 1000000007) % 100 < 80
+                  THEN 'train'
+                  WHEN ((doc_id * 2654435761) % 1000000007) % 100 < 90
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM a GROUP BY split ORDER BY split
+"""

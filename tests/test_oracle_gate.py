@@ -163,6 +163,8 @@ FAST_SUBSET = [
     "trimmed_mean_price",
     "spiky_customers",
     "ttr_docs",
+    "longest_same_type_run",
+    "export_split_partitions",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
