@@ -13679,3 +13679,82 @@ ORACLES["export_split_partitions"] = """
            CAST(SUM(n_chars) AS BIGINT) AS chars
     FROM a GROUP BY split ORDER BY split
 """
+
+
+def vocab_edit_distance_pairs(sf_dir: str, max_dist: int = 2,
+                              num_buckets: int = 64) -> pd.DataFrame:
+    """FUZZY string matching — vocabulary word pairs within Levenshtein
+    distance 2 (the typo-clustering primitive behind spelling
+    normalization): the vocabulary extracts distributed (per-batch
+    distinct words, one word-hash dedup exchange — node-bounded like
+    every graph vocabulary here), and the O(|V|²) distance matrix runs
+    VECTORIZED on the driver — the DP recurrence loops over the two
+    word lengths only, with every pair's lattice cell updated as one
+    numpy operation across the whole pair batch (no per-pair Python).
+    The scale path blocks the pair matrix across workers with the
+    broadcast-matrix layout; at this vocabulary it is driver math.
+    Exact integers, (a < b) canonical order."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def words(t: pa.Table) -> pa.Table:
+        w = pc.unique(pc.list_flatten(pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ")))
+        df = pd.DataFrame({"w": w.to_pandas()})
+        h = pd.util.hash_pandas_object(df["w"], index=False).to_numpy()
+        df["__b"] = (_mix64(h) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["w"]].drop_duplicates()
+
+    vocab = sorted(ds.map_batches(words, batch_format="pyarrow")
+                   .groupby("__b").map_groups(dedup, batch_format="pandas")
+                   .to_pandas()["w"])
+    V = len(vocab)
+    # byte matrix (ASCII corpus), padded
+    ml = max(len(w) for w in vocab)
+    M = np.zeros((V, ml), dtype=np.uint8)
+    L = np.zeros(V, dtype=np.int64)
+    for i, w in enumerate(vocab):
+        b = w.encode()
+        M[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        L[i] = len(b)
+    ia, ib = np.triu_indices(V, k=1)
+    A, B = M[ia], M[ib]
+    la, lb = L[ia], L[ib]
+    P = len(ia)
+    # vectorized Levenshtein over ALL pairs at once: dp rows of length
+    # ml+1 per pair, recurrence loops over positions only
+    prev = np.tile(np.arange(ml + 1, dtype=np.int64), (P, 1))
+    for i in range(1, ml + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        valid_i = i <= la
+        for j in range(1, ml + 1):
+            sub = prev[:, j - 1] + (A[:, i - 1] != B[:, j - 1])
+            ins = cur[:, j - 1] + 1
+            dele = prev[:, j] + 1
+            cur[:, j] = np.minimum(np.minimum(ins, dele), sub)
+        prev = np.where(valid_i[:, None], cur, prev)
+    d = prev[np.arange(P), lb]
+    keep = d <= max_dist
+    out = pd.DataFrame({
+        "word_a": np.array(vocab, dtype=object)[ia[keep]],
+        "word_b": np.array(vocab, dtype=object)[ib[keep]],
+        "dist": d[keep].astype(np.int64),
+    })
+    return out.sort_values(["word_a", "word_b"]).reset_index(drop=True)
+
+
+QUERIES["vocab_edit_distance_pairs"] = vocab_edit_distance_pairs
+ORACLES["vocab_edit_distance_pairs"] = """
+    WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+               FROM documents)
+    SELECT a.w AS word_a, b.w AS word_b,
+           CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+    FROM v a JOIN v b ON a.w < b.w
+    WHERE levenshtein(a.w, b.w) <= 2
+    ORDER BY word_a, word_b
+"""

@@ -165,6 +165,7 @@ FAST_SUBSET = [
     "ttr_docs",
     "longest_same_type_run",
     "export_split_partitions",
+    "vocab_edit_distance_pairs",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
