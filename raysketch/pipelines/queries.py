@@ -13758,3 +13758,189 @@ ORACLES["vocab_edit_distance_pairs"] = """
     WHERE levenshtein(a.w, b.w) <= 2
     ORDER BY word_a, word_b
 """
+
+
+def percentile_grid_price(sf_dir: str, num_bins: int = 8192
+                          ) -> pd.DataFrame:
+    """The FULL percentile grid (p1…p99) from the sort-free layout —
+    the point is amortization: 99 order statistics cost the SAME two
+    zero-shuffle passes plus ONE filtered gather as three did, because
+    all 99 target bins gather together (~99·n/8192 rows total); a
+    sort-based approach pays the all-to-all once regardless, but here
+    the whole grid costs O(n/bins) extra. Same ⌈q·n⌉−1 convention,
+    checked against DuckDB's list-form quantile_disc."""
+    import ray
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def vals(t: pa.Table) -> np.ndarray:
+        return _cents(t.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = vals(t)
+        return pa.table({"lo": pa.array([int(v.min()) if len(v) else 0]),
+                         "hi": pa.array([int(v.max()) if len(v) else 0]),
+                         "n": pa.array([len(v)])})
+
+    meta = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    meta = meta[meta["n"] > 0]
+    lo, hi = int(meta["lo"].min()), int(meta["hi"].max())
+    n = int(meta["n"].sum())
+    width = hi - lo + 1
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = vals(t)
+        b = (v - lo) * np.int64(num_bins) // np.int64(width)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(ub),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    bins = np.zeros(num_bins, dtype=np.int64)
+    np.add.at(bins, parts["bin"].to_numpy(dtype=np.int64),
+              parts["cnt"].to_numpy(dtype=np.int64))
+    cum = np.cumsum(bins)
+    ps = np.arange(1, 100, dtype=np.int64)
+    ks = -(-ps * n // 100) - 1
+    tb = np.searchsorted(cum, ks, side="right")
+    before = np.r_[0, cum][tb]
+    ref = ray.put(np.unique(tb))
+
+    def gather(t: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        v = vals(t)
+        b = (v - lo) * np.int64(num_bins) // np.int64(width)
+        keep = np.isin(b, want)
+        return pa.table({"v": pa.array(v[keep]), "b": pa.array(b[keep])})
+
+    got = ds.map_batches(gather, batch_format="pyarrow").to_pandas()
+    gv = got["v"].to_numpy(dtype=np.int64)
+    gb = got["b"].to_numpy(dtype=np.int64)
+    out = np.empty(len(ps), dtype=np.int64)
+    for i, (k, t_, bef) in enumerate(zip(ks, tb, before)):
+        inbin = np.sort(gv[gb == t_])
+        out[i] = inbin[k - bef]
+    return pd.DataFrame({"p": ps, "value_cents": out}) \
+        .astype({"p": "int64", "value_cents": "int64"})
+
+
+QUERIES["percentile_grid_price"] = percentile_grid_price
+ORACLES["percentile_grid_price"] = """
+    WITH q AS (
+      SELECT quantile_disc(CAST(ROUND(l_extendedprice*100) AS BIGINT),
+                           [x * 0.01 for x in range(1, 100)]) AS vs
+      FROM lineitem)
+    SELECT CAST(unnest(range(1, 100)) AS BIGINT) AS p,
+           CAST(unnest(vs) AS BIGINT) AS value_cents
+    FROM q
+"""
+
+
+def lineitem_corr_matrix(sf_dir: str) -> pd.DataFrame:
+    """Full pairwise correlation MATRIX of lineitem's four measures in
+    ONE zero-shuffle pass — the point is that adding columns to the
+    moments fold is free (18 integers per batch instead of 6): every
+    Σxᵢ, Σxᵢ², Σxᵢxⱼ is exact int64 (the price square splits hi/lo;
+    quantity/discount/tax products are bounded), the driver folds
+    Python ints and each of the 6 cells is one float expression
+    mirrored in HUGEINT SQL — six bit-matched doubles from one scan."""
+    import math
+
+    COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    NAMES = ["qty", "price", "disc", "tax"]
+
+    ds = _read(sf_dir, "lineitem", columns=COLS)
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        x = [(_cents(t.column(c)).to_numpy(zero_copy_only=False))
+             for c in COLS]
+        row = {"n": len(x[0])}
+        for i in range(4):
+            row[f"s{i}"] = int(x[i].sum())
+        for i in range(4):
+            for j in range(i, 4):
+                p = x[i] * x[j]
+                if i == j == 1:  # price² needs the split
+                    row["pp_hi"] = int((p >> np.int64(32)).sum())
+                    row["pp_lo"] = int((p & np.int64((1 << 32) - 1)).sum())
+                else:
+                    row[f"c{i}{j}"] = int(p.sum())
+        return pd.DataFrame([row])
+
+    p = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    s = [int(p[f"s{i}"].sum()) for i in range(4)]
+    cc = {}
+    for i in range(4):
+        for j in range(i, 4):
+            if i == j == 1:
+                cc[(1, 1)] = (int(p["pp_hi"].sum()) << 32) \
+                    + int(p["pp_lo"].sum())
+            else:
+                cc[(i, j)] = int(p[f"c{i}{j}"].sum())
+    rows = []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            num = n * cc[(i, j)] - s[i] * s[j]
+            vi = n * cc[(i, i)] - s[i] * s[i]
+            vj = n * cc[(j, j)] - s[j] * s[j]
+            rows.append({
+                "col_a": NAMES[i], "col_b": NAMES[j],
+                "corr": float(num) / math.sqrt(float(vi) * float(vj)),
+            })
+    return pd.DataFrame(rows).sort_values(["col_a", "col_b"]) \
+        .reset_index(drop=True)
+
+
+QUERIES["lineitem_corr_matrix"] = lineitem_corr_matrix
+ORACLES["lineitem_corr_matrix"] = """
+    WITH b AS (
+      SELECT CAST(ROUND(l_quantity*100) AS BIGINT) AS x0,
+             CAST(ROUND(l_extendedprice*100) AS BIGINT) AS x1,
+             CAST(ROUND(l_discount*100) AS BIGINT) AS x2,
+             CAST(ROUND(l_tax*100) AS BIGINT) AS x3
+      FROM lineitem),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(x0) AS HUGEINT) AS s0,
+                 CAST(SUM(x1) AS HUGEINT) AS s1,
+                 CAST(SUM(x2) AS HUGEINT) AS s2,
+                 CAST(SUM(x3) AS HUGEINT) AS s3,
+                 SUM(CAST(x0 AS HUGEINT)*x0) AS c00,
+                 SUM(CAST(x0 AS HUGEINT)*x1) AS c01,
+                 SUM(CAST(x0 AS HUGEINT)*x2) AS c02,
+                 SUM(CAST(x0 AS HUGEINT)*x3) AS c03,
+                 SUM(CAST(x1 AS HUGEINT)*x1) AS c11,
+                 SUM(CAST(x1 AS HUGEINT)*x2) AS c12,
+                 SUM(CAST(x1 AS HUGEINT)*x3) AS c13,
+                 SUM(CAST(x2 AS HUGEINT)*x2) AS c22,
+                 SUM(CAST(x2 AS HUGEINT)*x3) AS c23,
+                 SUM(CAST(x3 AS HUGEINT)*x3) AS c33
+          FROM b),
+    cells(col_a, col_b, num, vi, vj) AS (
+      SELECT 'disc', 'tax',
+             (SELECT CAST(n*c23 - s2*s3 AS DOUBLE) FROM m),
+             (SELECT CAST(n*c22 - s2*s2 AS DOUBLE) FROM m),
+             (SELECT CAST(n*c33 - s3*s3 AS DOUBLE) FROM m)
+      UNION ALL SELECT 'price', 'disc',
+             (SELECT CAST(n*c12 - s1*s2 AS DOUBLE) FROM m),
+             (SELECT CAST(n*c11 - s1*s1 AS DOUBLE) FROM m),
+             (SELECT CAST(n*c22 - s2*s2 AS DOUBLE) FROM m)
+      UNION ALL SELECT 'price', 'tax',
+             (SELECT CAST(n*c13 - s1*s3 AS DOUBLE) FROM m),
+             (SELECT CAST(n*c11 - s1*s1 AS DOUBLE) FROM m),
+             (SELECT CAST(n*c33 - s3*s3 AS DOUBLE) FROM m)
+      UNION ALL SELECT 'qty', 'disc',
+             (SELECT CAST(n*c02 - s0*s2 AS DOUBLE) FROM m),
+             (SELECT CAST(n*c00 - s0*s0 AS DOUBLE) FROM m),
+             (SELECT CAST(n*c22 - s2*s2 AS DOUBLE) FROM m)
+      UNION ALL SELECT 'qty', 'price',
+             (SELECT CAST(n*c01 - s0*s1 AS DOUBLE) FROM m),
+             (SELECT CAST(n*c00 - s0*s0 AS DOUBLE) FROM m),
+             (SELECT CAST(n*c11 - s1*s1 AS DOUBLE) FROM m)
+      UNION ALL SELECT 'qty', 'tax',
+             (SELECT CAST(n*c03 - s0*s3 AS DOUBLE) FROM m),
+             (SELECT CAST(n*c00 - s0*s0 AS DOUBLE) FROM m),
+             (SELECT CAST(n*c33 - s3*s3 AS DOUBLE) FROM m))
+    SELECT col_a, col_b, num / SQRT(vi * vj) AS corr
+    FROM cells ORDER BY col_a, col_b
+"""

@@ -166,6 +166,8 @@ FAST_SUBSET = [
     "longest_same_type_run",
     "export_split_partitions",
     "vocab_edit_distance_pairs",
+    "percentile_grid_price",
+    "lineitem_corr_matrix",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
