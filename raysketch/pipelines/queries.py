@@ -13944,3 +13944,93 @@ ORACLES["lineitem_corr_matrix"] = """
     SELECT col_a, col_b, num / SQRT(vi * vj) AS corr
     FROM cells ORDER BY col_a, col_b
 """
+
+
+def fd_violations_lineitem(sf_dir: str, num_buckets: int = 256
+                           ) -> pd.DataFrame:
+    """Functional-dependency MINING — does l_orderkey determine
+    l_suppkey / l_partkey / l_shipdate? (the schema-inference check
+    that, with `fk_containment`, reconstructs a table's keys from the
+    data alone): per-batch distinct (key, value-hash) pairs bound the
+    exchange, each orderkey bucket counts keys with >1 distinct value
+    per candidate column, and the driver folds three violation counts
+    — an FD holds iff its count is 0. Values compare by exact column
+    value (dates as µs), not a lossy hash."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_partkey",
+                        "l_shipdate"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        cols = {
+            0: t.column("l_suppkey").to_numpy(zero_copy_only=False),
+            1: t.column("l_partkey").to_numpy(zero_copy_only=False),
+            2: pc.cast(t.column("l_shipdate"), pa.int64())
+                 .to_numpy(zero_copy_only=False),
+        }
+        out_k, out_c, out_v = [], [], []
+        for ci, v in cols.items():
+            # distinct (k, col, v) triples per batch, exact values
+            df = pd.DataFrame({"k": k, "v": v}).drop_duplicates()
+            out_k.append(df["k"].to_numpy(dtype=np.int64))
+            out_c.append(np.full(len(df), ci, dtype=np.int64))
+            out_v.append(df["v"].to_numpy(dtype=np.int64))
+        kk = np.concatenate(out_k)
+        cc = np.concatenate(out_c)
+        vv = np.concatenate(out_v)
+        return pa.table({
+            "k": pa.array(kk), "c": pa.array(cc), "v": pa.array(vv),
+            "__b": pa.array((_mix64(kk.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def count_viol(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        v = g["v"].to_numpy(dtype=np.int64)
+        order = np.lexsort((v, c, k))
+        k, c, v = k[order], c[order], v[order]
+        newv = np.r_[True, (k[1:] != k[:-1]) | (c[1:] != c[:-1])
+                     | (v[1:] != v[:-1])]
+        k, c = k[newv], c[newv]
+        # per (k, c): count distinct values; violation if >1
+        starts = np.r_[0, np.flatnonzero((k[1:] != k[:-1])
+                                         | (c[1:] != c[:-1])) + 1]
+        cnt = np.diff(np.r_[starts, len(k)])
+        viol_c = c[starts][cnt > 1]
+        n = np.bincount(viol_c, minlength=3).astype(np.int64)
+        return pd.DataFrame({"col": np.arange(3, dtype=np.int64),
+                             "n": n})
+
+    parts = li.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("__b").map_groups(count_viol, batch_format="pandas") \
+        .to_pandas()
+    agg = parts.groupby("col", as_index=False)["n"].sum()
+    lab = np.array(["l_suppkey", "l_partkey", "l_shipdate"], dtype=object)
+    return pd.DataFrame({
+        "dependent": lab[agg["col"].to_numpy(dtype=np.int64)],
+        "n_violating_keys": agg["n"].astype("int64"),
+    }).sort_values("dependent").reset_index(drop=True)
+
+
+QUERIES["fd_violations_lineitem"] = fd_violations_lineitem
+ORACLES["fd_violations_lineitem"] = """
+    SELECT 'l_partkey' AS dependent,
+           CAST(COUNT(*) FILTER (WHERE c > 1) AS BIGINT)
+             AS n_violating_keys
+    FROM (SELECT l_orderkey, COUNT(DISTINCT l_partkey) AS c
+          FROM lineitem GROUP BY l_orderkey)
+    UNION ALL
+    SELECT 'l_shipdate',
+           CAST(COUNT(*) FILTER (WHERE c > 1) AS BIGINT)
+    FROM (SELECT l_orderkey, COUNT(DISTINCT l_shipdate) AS c
+          FROM lineitem GROUP BY l_orderkey)
+    UNION ALL
+    SELECT 'l_suppkey',
+           CAST(COUNT(*) FILTER (WHERE c > 1) AS BIGINT)
+    FROM (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS c
+          FROM lineitem GROUP BY l_orderkey)
+    ORDER BY dependent
+"""

@@ -168,6 +168,7 @@ FAST_SUBSET = [
     "vocab_edit_distance_pairs",
     "percentile_grid_price",
     "lineitem_corr_matrix",
+    "fd_violations_lineitem",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
