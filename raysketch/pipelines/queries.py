@@ -14034,3 +14034,164 @@ ORACLES["fd_violations_lineitem"] = """
           FROM lineitem GROUP BY l_orderkey)
     ORDER BY dependent
 """
+
+
+def order_cadence_by_customer(sf_dir: str, num_buckets: int = 64
+                              ) -> pd.DataFrame:
+    """Purchase cadence per customer — (n gaps, Σ gap-days, min, max)
+    over consecutive orders: the inter-purchase analog of the event
+    LAG family, on the ORDERS table keyed by date with orderkey
+    tiebreak; one custkey exchange, one lexsort forms every customer's
+    gaps, reduceat folds all four statistics. Averages stay caller
+    divisions of exact pairs; single-order customers drop out like
+    the SQL's WHERE."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    US_DAY = np.int64(86_400_000_000)
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c": pa.array(c),
+            "d": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "k": t.column("o_orderkey"),
+            "__b": pa.array((_mix64(c.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def cadence(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(dtype=np.int64)
+        d = g["d"].to_numpy(dtype=np.int64)
+        k = g["k"].to_numpy(dtype=np.int64)
+        order = np.lexsort((k, d, c))
+        c, d = c[order], d[order]
+        same = c[1:] == c[:-1]
+        pu = c[:-1][same]
+        if not len(pu):
+            return pd.DataFrame({"o_custkey": pd.Series([], dtype="int64"),
+                                 "n_gaps": pd.Series([], dtype="int64"),
+                                 "sum_gap_days": pd.Series([], dtype="int64"),
+                                 "min_gap_days": pd.Series([], dtype="int64"),
+                                 "max_gap_days": pd.Series([], dtype="int64")})
+        gap = ((d[1:] - d[:-1]) // US_DAY)[same]
+        starts = np.r_[0, np.flatnonzero(pu[1:] != pu[:-1]) + 1]
+        return pd.DataFrame({
+            "o_custkey": pu[starts],
+            "n_gaps": np.diff(np.r_[starts, len(pu)]).astype(np.int64),
+            "sum_gap_days": np.add.reduceat(gap, starts),
+            "min_gap_days": np.minimum.reduceat(gap, starts),
+            "max_gap_days": np.maximum.reduceat(gap, starts),
+        })
+
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(cadence, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True) \
+        .astype({c: "int64" for c in out.columns})
+
+
+QUERIES["order_cadence_by_customer"] = order_cadence_by_customer
+ORACLES["order_cadence_by_customer"] = """
+    WITH g AS (
+      SELECT o_custkey,
+             (epoch_us(o_orderdate) - LAG(epoch_us(o_orderdate)) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey)) // 86400000000 AS gap
+      FROM orders)
+    SELECT o_custkey,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) AS BIGINT) AS sum_gap_days,
+           CAST(MIN(gap) AS BIGINT) AS min_gap_days,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def top1pct_revenue_share(sf_dir: str, num_bins: int = 8192
+                          ) -> pd.DataFrame:
+    """Tail concentration — what share of lineitem revenue sits in the
+    top 1% of rows by price, TIE-CORRECTLY: m = n//100 rows counted
+    exactly even when ties straddle the cut (the trimmed-mean boundary
+    algebra, one-sided): boundary value from the histogram gather,
+    top-sum = Σ(v > v_b) + (m − count_above)·v_b; output the exact
+    (top_sum, total_sum, m) triple."""
+    import ray
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def vals(t: pa.Table) -> np.ndarray:
+        return _cents(t.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = vals(t)
+        return pa.table({"lo": pa.array([int(v.min()) if len(v) else 0]),
+                         "hi": pa.array([int(v.max()) if len(v) else 0]),
+                         "n": pa.array([len(v)]),
+                         "s": pa.array([int(v.sum())])})
+
+    meta = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    meta = meta[meta["n"] > 0]
+    lo, hi = int(meta["lo"].min()), int(meta["hi"].max())
+    n = int(meta["n"].sum())
+    total = int(meta["s"].sum())
+    width = hi - lo + 1
+    m = n // 100
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = vals(t)
+        b = (v - lo) * np.int64(num_bins) // np.int64(width)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(ub),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    bins = np.zeros(num_bins, dtype=np.int64)
+    np.add.at(bins, parts["bin"].to_numpy(dtype=np.int64),
+              parts["cnt"].to_numpy(dtype=np.int64))
+    cum = np.cumsum(bins)
+    k = n - m  # 0-based index of the boundary (m-th highest)
+    tb = int(np.searchsorted(cum, k, side="right"))
+    bef = int(np.r_[0, cum][tb])
+    ref = ray.put(np.array([tb], dtype=np.int64))
+
+    def gather(t: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        v = vals(t)
+        b = (v - lo) * np.int64(num_bins) // np.int64(width)
+        keep = np.isin(b, want)
+        return pa.table({"v": pa.array(v[keep])})
+
+    got = ds.map_batches(gather, batch_format="pyarrow").to_pandas()
+    inbin = np.sort(got["v"].to_numpy(dtype=np.int64))
+    v_b = int(inbin[k - bef])
+
+    def cond(t: pa.Table) -> pa.Table:
+        v = vals(t)
+        return pa.table({
+            "s_above": pa.array([int(v[v > v_b].sum())]),
+            "c_above": pa.array([int((v > v_b).sum())]),
+        })
+
+    c = ds.map_batches(cond, batch_format="pyarrow").to_pandas()
+    s_above, c_above = int(c["s_above"].sum()), int(c["c_above"].sum())
+    top = s_above + (m - c_above) * v_b
+    return _one_row(n_top=np.int64(m), top_cents=np.int64(top),
+                    total_cents=np.int64(total))
+
+
+QUERIES["top1pct_revenue_share"] = top1pct_revenue_share
+ORACLES["top1pct_revenue_share"] = """
+    WITH v AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c
+               FROM lineitem),
+    r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC) AS rn,
+                 COUNT(*) OVER () AS n FROM v)
+    SELECT CAST(MAX(n) // 100 AS BIGINT) AS n_top,
+           CAST(SUM(CASE WHEN rn <= n // 100 THEN c ELSE 0 END) AS BIGINT)
+             AS top_cents,
+           CAST(SUM(c) AS BIGINT) AS total_cents
+    FROM r
+"""

@@ -169,6 +169,8 @@ FAST_SUBSET = [
     "percentile_grid_price",
     "lineitem_corr_matrix",
     "fd_violations_lineitem",
+    "order_cadence_by_customer",
+    "top1pct_revenue_share",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
