@@ -14195,3 +14195,73 @@ ORACLES["top1pct_revenue_share"] = """
            CAST(SUM(c) AS BIGINT) AS total_cents
     FROM r
 """
+
+
+def weekly_autocorr_revenue(sf_dir: str) -> pd.DataFrame:
+    """Lag-7 autocorrelation of daily revenue — the seasonality-
+    strength statistic (is there a weekly cycle?): the day series
+    folds through the calendar combiner, PAIRS (t, t−7) form only
+    where both days exist (a LAG-7-rows would silently misalign
+    across gaps), and the correlation is one float expression over
+    exact Python-int moments of the paired values — mirrored in the
+    self-join HUGEINT SQL, bit-matched."""
+    import math
+
+    US_DAY = np.int64(86_400_000_000)
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        d = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False) // US_DAY
+        ud, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"day": pa.array(ud), "s": pa.array(s)})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas() \
+        .groupby("day", as_index=False)["s"].sum()
+    day = p["day"].to_numpy(dtype=np.int64)
+    s = p["s"].to_numpy(dtype=np.int64)
+    order = np.argsort(day)
+    day, s = day[order], s[order]
+    pos = np.searchsorted(day, day - 7)
+    pos_c = np.minimum(pos, len(day) - 1)
+    hit = day[pos_c] == day - 7
+    x = s[pos_c][hit].astype(object)  # revenue at t-7
+    y = s[hit].astype(object)         # revenue at t
+    n = len(y)
+    sx, sy = int(sum(x)), int(sum(y))
+    sxx = int(sum(a * a for a in x))
+    syy = int(sum(a * a for a in y))
+    sxy = int(sum(a * b for a, b in zip(x, y)))
+    num = n * sxy - sx * sy
+    rho = float(num) / math.sqrt(float(n * sxx - sx * sx)
+                                 * float(n * syy - sy * sy))
+    return _one_row(n_pairs=np.int64(n), autocorr_lag7=rho)
+
+
+QUERIES["weekly_autocorr_revenue"] = weekly_autocorr_revenue
+ORACLES["weekly_autocorr_revenue"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(date_trunc('day', o_orderdate))
+                  // 86400000000 AS BIGINT) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS s
+      FROM orders GROUP BY 1),
+    pr AS (SELECT a.s AS y, b.s AS x
+           FROM d a JOIN d b ON b.day = a.day - 7),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(x) AS HUGEINT) AS sx,
+                 CAST(SUM(y) AS HUGEINT) AS sy,
+                 SUM(CAST(x AS HUGEINT)*x) AS sxx,
+                 SUM(CAST(y AS HUGEINT)*y) AS syy,
+                 SUM(CAST(x AS HUGEINT)*y) AS sxy
+          FROM pr)
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+           / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                  * CAST(n*syy - sy*sy AS DOUBLE)) AS autocorr_lag7
+    FROM m
+"""

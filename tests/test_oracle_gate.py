@@ -171,6 +171,7 @@ FAST_SUBSET = [
     "fd_violations_lineitem",
     "order_cadence_by_customer",
     "top1pct_revenue_share",
+    "weekly_autocorr_revenue",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
