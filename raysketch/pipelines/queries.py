@@ -14265,3 +14265,51 @@ ORACLES["weekly_autocorr_revenue"] = """
                   * CAST(n*syy - sy*sy AS DOUBLE)) AS autocorr_lag7
     FROM m
 """
+
+
+def events_dow_hour_heatmap(sf_dir: str) -> pd.DataFrame:
+    """The ops-dashboard calendar heatmap — event counts + exact cents
+    per (weekday, hour) cell: a 168-cell domain-bounded combiner (one
+    nonzero-cell partial table per batch, zero shuffles), weekday and
+    hour both derived from the µs epoch in pure integer arithmetic
+    (Sunday=0 matching DuckDB dayofweek)."""
+    US_DAY = np.int64(86_400_000_000)
+    US_HOUR = np.int64(3_600_000_000)
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        tu = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        c = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        dow = ((tu // US_DAY) + 4) % 7
+        hr = (tu % US_DAY) // US_HOUR
+        code = dow * 24 + hr
+        n = np.bincount(code, minlength=168).astype(np.int64)
+        s = np.zeros(168, dtype=np.int64)
+        np.add.at(s, code, c)
+        nz = np.flatnonzero(n)
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(n[nz]),
+                         "cents": pa.array(s[nz])})
+
+    p = ds.map_batches(cells, batch_format="pyarrow").to_pandas() \
+        .groupby("cell", as_index=False)[["n", "cents"]].sum()
+    cell = p["cell"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "dow": cell // 24,
+        "hour": cell % 24,
+        "n": p["n"].astype("int64"),
+        "cents": p["cents"].astype("int64"),
+    }).sort_values(["dow", "hour"]).reset_index(drop=True) \
+        .astype({"dow": "int64", "hour": "int64"})
+
+
+QUERIES["events_dow_hour_heatmap"] = events_dow_hour_heatmap
+ORACLES["events_dow_hour_heatmap"] = """
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2 ORDER BY dow, hour
+"""

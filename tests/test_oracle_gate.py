@@ -172,6 +172,7 @@ FAST_SUBSET = [
     "order_cadence_by_customer",
     "top1pct_revenue_share",
     "weekly_autocorr_revenue",
+    "events_dow_hour_heatmap",
     "cheapest_supplier_per_part",
     "promo_revenue_ratio",
     "important_parts",
