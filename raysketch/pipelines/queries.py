@@ -5024,7 +5024,7 @@ def order_count_distribution(sf_dir: str) -> pd.DataFrame:
         uk = pk[starts]
         n_tot = np.add.reduceat(pn, starts) if len(starts) else pn
         counts = np.zeros(len(ck), dtype=np.int64)
-        if len(uk):
+        if len(uk) and len(ck):  # len(ck)==0: ck[...-1] would raise
             pos = np.searchsorted(ck, uk)
             ok = (pos < len(ck)) & (ck[np.minimum(pos, len(ck) - 1)] == uk)
             counts[pos[ok]] = n_tot[ok]
@@ -10996,11 +10996,15 @@ def top2_balances_by_nation_ties(sf_dir: str, num_buckets: int = 32
     def prep(t: pa.Table) -> pa.Table:
         n = t.column("c_nationkey").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        # half-AWAY rounding from exact cents (SQL ROUND semantics):
+        # acctbal/100 CAN land exactly on .5 (e.g. 7650.00), where
+        # Arrow pc.round's half-to-even silently disagrees
+        cents = _cents(t.column("c_acctbal")).to_numpy(zero_copy_only=False)
+        bal_h = np.sign(cents) * ((np.abs(cents) + 5000) // 10000)
         return pa.table({
             "n": pa.array(n),
             "c": t.column("c_custkey"),
-            "b": pc.cast(pc.round(pc.divide(t.column("c_acctbal"),
-                                            100.0)), pa.int64()),
+            "b": pa.array(bal_h.astype(np.int64)),
             "__b": pa.array((_mix64(n.astype(np.uint64))
                              % np.uint64(num_buckets)).astype(np.int64)),
         })

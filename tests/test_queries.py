@@ -305,4 +305,3 @@ def test_ivf_recall_curve_monotone_and_exhaustive(ray_session):
     assert (np.diff(hits) >= 0).all(), "recall must be monotone in nprobe"
     assert int(out["n_hits"].iloc[-1]) == int(out["n_truth"].iloc[-1]), \
         "exhaustive probe must equal brute force"
-import numpy as np  # noqa: E402  (used by the recall test above)
