@@ -94,12 +94,30 @@ def run_bench() -> dict:
         per_q[name] = round(min(times), 3)
     total = round(sum(per_q.values()), 3)
 
+    # the expensive pipelines (VERDICT r02 item 4): timed separately so
+    # regressions in the heavy family show up in BENCH_rN diffs without
+    # polluting the light-suite headline. Single run each — at tens of
+    # seconds apiece the per-pipeline fixed cost is already amortized.
+    heavy_queries = {
+        "minhash_dedup_docs": Q.minhash_dedup_docs,
+        "conv_dedup_minhash": Q.conv_dedup_minhash,
+        "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
+        "curate_documents": Q.curate_documents,
+    }
+    per_h = {}
+    for name, fn in heavy_queries.items():
+        t0 = time.perf_counter()
+        fn(sf_dir)
+        per_h[name] = round(time.perf_counter() - t0, 3)
+
     turns_per_sec = n_turns / per_q["hll_distinct_conv"]
     result = {
         "metric": "sketch_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": per_q,
+        "heavy_queries": per_h,
+        "heavy_total_sec": round(sum(per_h.values()), 3),
         "sf": sf_of(sf_dir),
         "num_cpus": ncpu,
         "n_turns": n_turns,

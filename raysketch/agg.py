@@ -229,8 +229,84 @@ try:
                 return acc.finalize()
             return self._mode(acc)
 
+    class KeyedSketchMerge(AggregateFnV2):
+        """Grouped merge for SMALL key domains as ONE global tree
+        reduction: the accumulator is a pickled ``{key_tuple: wire
+        bytes}`` dict (Arrow-native binary blob), so a 4-role grouped
+        HLL merge costs the same cheap global-aggregate path as the
+        ungrouped query instead of a sort-shuffle stage over tiny rows
+        (measured: the by-role shuffle added ~0.3 s fixed + scheduling
+        spikes at sf0.1). Scale-safe while ``n_groups × state_size``
+        fits one accumulator — ``max_groups`` guards misuse (use the
+        groupby path for real key cardinalities). Merge associativity
+        makes the result identical to the shuffle path."""
+
+        def __init__(self, sketch: str, by_cols: Sequence[str],
+                     on: str = "sketch", mode: Union[str, Callable] = "bytes",
+                     max_groups: int = 1024, **params):
+            self._sketch_name = sketch
+            self._cls = SKETCHES[sketch]
+            self._by_cols = list(by_cols)
+            self._state_col = on
+            self._params = params
+            self._mode = mode
+            self._max_groups = max_groups
+            # on=None: Ray pre-projects blocks to the target column when
+            # `on` is set, but this aggregate needs the key columns too
+            super().__init__(
+                f"{sketch}_keyed", on=None, ignore_nulls=True,
+                zero_factory=lambda: None,
+            )
+
+        def _check(self, d: dict):
+            if len(d) > self._max_groups:
+                raise ValueError(
+                    f"KeyedSketchMerge saw {len(d)} groups (max_groups="
+                    f"{self._max_groups}) — use the groupby shuffle path "
+                    "for high-cardinality keys")
+
+        def aggregate_block(self, block):
+            import pickle
+
+            t = BlockAccessor.for_block(block).to_arrow()
+            keys = list(zip(*[t.column(c).to_pylist() for c in self._by_cols]))
+            d: dict = {}
+            for key, blob in zip(keys, t.column(self._state_col).to_pylist()):
+                if blob is None:
+                    continue
+                sk = self._cls.from_bytes(blob)
+                cur = d.get(key)
+                d[key] = sk if cur is None else cur.merge(sk)
+            self._check(d)
+            return pickle.dumps({k: v.to_bytes() for k, v in d.items()})
+
+        def combine(self, current, new):
+            import pickle
+
+            if current is None:
+                return new
+            if new is None:
+                return current
+            a = pickle.loads(current)
+            for k, blob in pickle.loads(new).items():
+                if k in a:
+                    a[k] = self._cls.from_bytes(a[k]).merge(
+                        self._cls.from_bytes(blob)).to_bytes()
+                else:
+                    a[k] = blob
+            self._check(a)
+            return pickle.dumps(a)
+
+        def finalize(self, acc):
+            # pass the pickled dict through; sketch_aggregate decodes it
+            # into the (by..., value) result frame on the driver
+            import pickle
+
+            return acc if acc is not None else pickle.dumps({})
+
 except ImportError:  # pragma: no cover - ray always present in this env
     SketchMerge = None
+    KeyedSketchMerge = None
 
 
 def canonical_sketch_reduce(partials, sketch: str,
@@ -518,13 +594,20 @@ def sketch_aggregate(
     batch_size: Optional[int] = 32768,
     salt: Optional[int] = None,
     deterministic: bool = False,
+    by_mode: str = "shuffle",
     **params,
 ):
     """End-to-end sketch aggregation.
 
     - ``by=None``: returns the merged sketch/estimate (a plain value /
       dict) — the global union, computed without materializing raw rows.
-    - ``by=cols``: returns a Dataset with one row per group.
+    - ``by=cols``: returns a Dataset with one row per group
+      (``by_mode="shuffle"``, the default — scales to any key
+      cardinality), or a pandas DataFrame via ``by_mode="global"``:
+      the grouped merge runs as ONE global tree reduction with a
+      ``{key: state}`` dict accumulator (:class:`KeyedSketchMerge`) —
+      no shuffle stage at all, the right shape when the key domain is
+      tiny (roles, event types); guarded at 1024 groups.
     - ``salt=S``: two-stage skew defusal for hot group keys. Per-batch
       partials already bound each key to ≤1 row per batch, but at
       100 TB a zipf-hot conv_id still funnels ~n_batches partial rows
@@ -534,6 +617,33 @@ def sketch_aggregate(
       two-stage result identical to the direct one.
     """
     by_cols = [by] if isinstance(by, str) else (list(by) if by else None)
+    if by_cols and by_mode == "global":
+        import pickle
+
+        import pandas as pd
+
+        max_groups = params.pop("max_groups", 1024)
+        partials = fold_partials(ds, sketch, on, by_cols, weight,
+                                 batch_size, **params)
+        agg = KeyedSketchMerge(sketch, by_cols, on="sketch",
+                               max_groups=max_groups, **params)
+        result = partials.aggregate(agg)
+        blob = None if result is None else result.get(agg.name)
+        merged: dict = pickle.loads(blob) if blob is not None else {}
+        cls = SKETCHES[sketch]
+
+        def _fin(b: bytes):
+            sk = cls.from_bytes(b)
+            if mode == "bytes":
+                return sk.to_bytes()
+            if mode == "estimate":
+                return sk.finalize()
+            return mode(sk)
+
+        keys = sorted(merged)  # deterministic row order
+        out = {c: [k[i] for k in keys] for i, c in enumerate(by_cols)}
+        out[alias_name or f"{sketch}_merged"] = [_fin(merged[k]) for k in keys]
+        return pd.DataFrame(out)
     if deterministic and by_cols:
         raise ValueError(
             "deterministic=True with by-grouping is not supported on the "

@@ -441,10 +441,17 @@ def hll_distinct_conv(sf_dir: str) -> pd.DataFrame:
 
 
 def hll_distinct_conv_by_role(sf_dir: str) -> pd.DataFrame:
+    """Role domain is tiny (4 values), so the grouped merge runs as ONE
+    global tree reduction over a {role: state} dict accumulator
+    (by_mode="global") instead of a sort-shuffle stage over a handful
+    of partial rows — same result by merge associativity, without the
+    tiny-groupby fixed cost (+0.3 s and scheduling spikes at sf0.1;
+    VERDICT r02 item 7)."""
     ds = transcripts_ds(sf_dir, columns=["conv_id", "role"])
     out = sketch_aggregate(ds, "hll", on="conv_id", by="role",
-                           mode="estimate", alias_name="distinct_convs_est")
-    return out.to_pandas().sort_values("role").reset_index(drop=True)
+                           mode="estimate", alias_name="distinct_convs_est",
+                           by_mode="global")
+    return out.sort_values("role").reset_index(drop=True)
 
 
 def hll_distinct_role_tool_pairs(sf_dir: str) -> pd.DataFrame:
@@ -2013,6 +2020,53 @@ ORACLES["user_overlap_view_purchase"] = """
            CAST((SELECT COUNT(*) FROM i) AS DOUBLE)
              / (SELECT COUNT(*) FROM u) AS jaccard
 """
+
+
+def hll_overlap_view_purchase(sf_dir: str, p: int = 14) -> pd.DataFrame:
+    """HLL inclusion-exclusion twin of the exact/KMV
+    ``user_overlap_view_purchase`` (VERDICT r02 item 10): the same two
+    user populations sketched as HLLs in ONE pass (each batch emits both
+    sides' partial states — KBs each; the read dominates at scale),
+    max-merged, then |A∩B| ≈ |A| + |B| − |A∪B| via
+    ``HLL.intersection_estimate`` and Jaccard via
+    ``HLL.jaccard_estimate``. Rows-only driver entry — the estimator's
+    published band vs the exact populations is enforced in pytest
+    (intersection error is additive in the union's ±1.04/√m, the
+    documented caveat vs KMV's direct estimator)."""
+    from ..sketches.hll import HLL
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        blobs = []
+        for ev in ("view", "purchase"):
+            h = HLL(p)
+            h.add_batch(
+                t.filter(pc.equal(t.column("event_type"), ev)).column("user_id"))
+            blobs.append(h.to_bytes())
+        return pa.table({"view": pa.array([blobs[0]], type=pa.binary()),
+                         "purchase": pa.array([blobs[1]], type=pa.binary())})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    sides = {}
+    for ev in ("view", "purchase"):
+        h = HLL(p)
+        for blob in parts[ev]:
+            h.merge(HLL.from_bytes(blob))
+        sides[ev] = h
+    union = HLL.union([sides["view"], sides["purchase"]]).finalize()
+    inter = HLL.intersection_estimate(sides["view"], sides["purchase"])
+    return pd.DataFrame({
+        "n_view_est": [int(sides["view"].finalize())],
+        "n_purchase_est": [int(sides["purchase"].finalize())],
+        "n_union_est": [int(union)],
+        "n_intersection_est": [int(round(inter))],
+        "jaccard_est": [HLL.jaccard_estimate(sides["view"],
+                                             sides["purchase"])],
+    })
+
+
+QUERIES["hll_overlap_view_purchase"] = hll_overlap_view_purchase
 
 
 def dedup_rate_by_source(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
@@ -13723,19 +13777,57 @@ ORACLES["export_split_partitions"] = """
 """
 
 
+def _lev_pairs(M: np.ndarray, L: np.ndarray, ia: np.ndarray,
+               ib: np.ndarray, max_dist: int):
+    """Vectorized Levenshtein for index pairs into the padded byte
+    matrix ``M`` / length vector ``L``: the DP recurrence loops over
+    the two word lengths only, every pair's lattice cell updated as one
+    numpy op across the whole pair batch. Pairs with ``|la−lb| >
+    max_dist`` are pre-dropped (distance ≥ length gap). Returns the
+    (ia, ib, dist) triplets with dist ≤ max_dist."""
+    la, lb = L[ia], L[ib]
+    cand = np.abs(la - lb) <= max_dist
+    ia, ib, la, lb = ia[cand], ib[cand], la[cand], lb[cand]
+    P = len(ia)
+    if P == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    A, B = M[ia], M[ib]
+    ml = int(max(la.max(), lb.max()))
+    prev = np.tile(np.arange(ml + 1, dtype=np.int64), (P, 1))
+    for i in range(1, ml + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        valid_i = i <= la
+        for j in range(1, ml + 1):
+            sub = prev[:, j - 1] + (A[:, i - 1] != B[:, j - 1])
+            ins = cur[:, j - 1] + 1
+            dele = prev[:, j] + 1
+            cur[:, j] = np.minimum(np.minimum(ins, dele), sub)
+        prev = np.where(valid_i[:, None], cur, prev)
+    d = prev[np.arange(P), lb]
+    keep = d <= max_dist
+    return ia[keep], ib[keep], d[keep]
+
+
 def vocab_edit_distance_pairs(sf_dir: str, max_dist: int = 2,
-                              num_buckets: int = 64) -> pd.DataFrame:
+                              num_buckets: int = 64,
+                              block: int = 512) -> pd.DataFrame:
     """FUZZY string matching — vocabulary word pairs within Levenshtein
     distance 2 (the typo-clustering primitive behind spelling
     normalization): the vocabulary extracts distributed (per-batch
     distinct words, one word-hash dedup exchange — node-bounded like
-    every graph vocabulary here), and the O(|V|²) distance matrix runs
-    VECTORIZED on the driver — the DP recurrence loops over the two
-    word lengths only, with every pair's lattice cell updated as one
-    numpy operation across the whole pair batch (no per-pair Python).
-    The scale path blocks the pair matrix across workers with the
-    broadcast-matrix layout; at this vocabulary it is driver math.
-    Exact integers, (a < b) canonical order."""
+    every graph vocabulary here); the O(|V|²) distance matrix is
+    BLOCKED (VERDICT r02 item 6) — the padded byte matrix broadcasts
+    once via ``ray.put`` and a dataset of (block_i, block_j) tile
+    indices fans the vectorized DP (:func:`_lev_pairs`) out over
+    map_batches, so no task (and never the driver) holds more than one
+    ``block × block`` pair tile; only the ≤ max_dist survivors return.
+    Exact integers, (a < b) canonical order (vocab is sorted, tiles
+    have i < j)."""
+    import ray
+    import ray.data
+
     from ..stages.dedup import _splitmix64 as _mix64
 
     ds = _read(sf_dir, "documents", columns=["text"])
@@ -13763,31 +13855,44 @@ def vocab_edit_distance_pairs(sf_dir: str, max_dist: int = 2,
         b = w.encode()
         M[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
         L[i] = len(b)
-    ia, ib = np.triu_indices(V, k=1)
-    A, B = M[ia], M[ib]
-    la, lb = L[ia], L[ib]
-    P = len(ia)
-    # vectorized Levenshtein over ALL pairs at once: dp rows of length
-    # ml+1 per pair, recurrence loops over positions only
-    prev = np.tile(np.arange(ml + 1, dtype=np.int64), (P, 1))
-    for i in range(1, ml + 1):
-        cur = np.empty_like(prev)
-        cur[:, 0] = i
-        valid_i = i <= la
-        for j in range(1, ml + 1):
-            sub = prev[:, j - 1] + (A[:, i - 1] != B[:, j - 1])
-            ins = cur[:, j - 1] + 1
-            dele = prev[:, j] + 1
-            cur[:, j] = np.minimum(np.minimum(ins, dele), sub)
-        prev = np.where(valid_i[:, None], cur, prev)
-    d = prev[np.arange(P), lb]
-    keep = d <= max_dist
-    out = pd.DataFrame({
-        "word_a": np.array(vocab, dtype=object)[ia[keep]],
-        "word_b": np.array(vocab, dtype=object)[ib[keep]],
-        "dist": d[keep].astype(np.int64),
-    })
-    return out.sort_values(["word_a", "word_b"]).reset_index(drop=True)
+    ref = ray.put((M, L, np.array(vocab, dtype=object)))
+
+    nb = (V + block - 1) // block
+    tiles = [(bi, bj) for bi in range(nb) for bj in range(bi, nb)]
+    tile_ds = ray.data.from_pandas(pd.DataFrame(
+        {"bi": [t[0] for t in tiles], "bj": [t[1] for t in tiles]}))
+
+    def work(t: pa.Table) -> pa.Table:
+        Mb, Lb, wv = ray.get(ref)
+        oa, ob, od = [], [], []
+        for bi, bj in zip(t.column("bi").to_pylist(),
+                          t.column("bj").to_pylist()):
+            si, ei = bi * block, min((bi + 1) * block, V)
+            sj, ej = bj * block, min((bj + 1) * block, V)
+            if bi == bj:
+                a, b = np.triu_indices(ei - si, k=1)
+                ia, ib = a + si, b + si
+            else:
+                ia = np.repeat(np.arange(si, ei, dtype=np.int64), ej - sj)
+                ib = np.tile(np.arange(sj, ej, dtype=np.int64), ei - si)
+            ia, ib, d = _lev_pairs(Mb, Lb, ia, ib, max_dist)
+            oa.append(wv[ia])
+            ob.append(wv[ib])
+            od.append(d)
+        if not oa:
+            return pa.table({"word_a": pa.array([], type=pa.string()),
+                             "word_b": pa.array([], type=pa.string()),
+                             "dist": pa.array([], type=pa.int64())})
+        return pa.table({
+            "word_a": pa.array(np.concatenate(oa), type=pa.string()),
+            "word_b": pa.array(np.concatenate(ob), type=pa.string()),
+            "dist": pa.array(np.concatenate(od).astype(np.int64)),
+        })
+
+    out = tile_ds.map_batches(work, batch_format="pyarrow",
+                              batch_size=8).to_pandas()
+    return out.sort_values(["word_a", "word_b"]).reset_index(drop=True) \
+        .astype({"dist": "int64"})
 
 
 QUERIES["vocab_edit_distance_pairs"] = vocab_edit_distance_pairs
@@ -14355,3 +14460,57 @@ ORACLES["events_dow_hour_heatmap"] = """
            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents
     FROM events GROUP BY 1, 2 ORDER BY dow, hour
 """
+
+
+# ====================================================================
+# Driver-gate registration order
+# ====================================================================
+# CORRECTNESS_r{N}.json snapshots only the FIRST 50 queries() entries,
+# so the highest-value pipelines are front-loaded (VERDICT r02 item 3):
+# the 7 north-rule sketch queries (rows-only by design — pytest holds
+# their error bounds), then oracle-checked anchors covering all 22
+# TPC-H shapes, the window-function family, the planted-duplicate dedup
+# proofs, BPE tokenizer training, and the join family. Everything else
+# keeps its original relative order behind them.
+_GATE_PRIORITY = [
+    # north-rule sketch core (rows-only)
+    "hll_distinct_conv", "hll_distinct_conv_by_role",
+    "hll_distinct_role_tool_pairs", "cms_tool_top10",
+    "tdigest_text_len", "kll_text_len", "bloom_conv_membership",
+    # exact + HLL oracle twins
+    "exact_distinct_orders", "hll_distinct_nation",
+    "hll_distinct_event_type",
+    # all 22 TPC-H shapes (SURVEY.md §8.12 map)
+    "q1_pricing_summary", "cheapest_supplier_per_part",
+    "mktsegment_revenue", "q4_late_orders_by_priority",
+    "q5_local_supplier_revenue", "q6_forecast_revenue",
+    "q7_nation_pair_volume", "q8_market_share_by_year",
+    "q9_profit_by_nation_year", "q10_returned_revenue_customers",
+    "important_parts", "q12_ship_delay_priority",
+    "order_count_distribution", "promo_revenue_ratio",
+    "q15_top_supplier", "q16_supplier_counts_by_brand",
+    "q17_small_quantity_revenue", "big_orders_having",
+    "q19_disjunctive_revenue", "q20_majority_suppliers",
+    "sole_return_suppliers", "q22_idle_rich_customers",
+    "top_customer_by_nation",
+    # window-function family
+    "events_lag_delta", "events_window_frame", "events_range_window",
+    "rank_orders_by_date", "percent_rank_orders",
+    "ntile_orders_by_price", "events_first_last",
+    "rolling7_distinct_users", "cumulative_new_users",
+    # dedup / LLM-pipeline anchors
+    "dedup_docs_exact", "minhash_dedup_planted",
+    "embedding_dedup_planted", "ngram_jaccard_pairs",
+    "bpe_two_merges",
+    # join family + sessionization
+    "revenue_by_nation", "join_lineitem_orders", "sessionize_events",
+]
+
+
+def _front_load(reg: dict) -> dict:
+    out = {k: reg[k] for k in _GATE_PRIORITY if k in reg}
+    out.update((k, v) for k, v in reg.items() if k not in out)
+    return out
+
+
+QUERIES = _front_load(QUERIES)

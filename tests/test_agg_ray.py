@@ -54,6 +54,32 @@ def test_grouped_hll_by_role(transcripts):
         assert abs(row["distinct_convs"] - e) / max(e, 1) < 0.02
 
 
+def test_grouped_global_mode_matches_shuffle(transcripts):
+    """by_mode='global' (one tree reduce over a {key: state} dict) must
+    produce register-identical grouped merges to the groupby-shuffle
+    path — merge associativity, at the Ray level (VERDICT r02 item 7)."""
+    ds, tbl = transcripts
+    shuffle = sketch_aggregate(
+        ds, "hll", on="conv_id", by="role", mode="bytes", alias_name="blob"
+    ).to_pandas().sort_values("role").reset_index(drop=True)
+    glob = sketch_aggregate(
+        ds, "hll", on="conv_id", by="role", mode="bytes", alias_name="blob",
+        by_mode="global",
+    ).sort_values("role").reset_index(drop=True)
+    assert list(shuffle["role"]) == list(glob["role"])
+    for a, b in zip(shuffle["blob"], glob["blob"]):
+        assert np.array_equal(HLL.from_bytes(a).regs, HLL.from_bytes(b).regs)
+
+
+def test_grouped_global_mode_guard(transcripts):
+    """The global by-path must refuse high-cardinality keys instead of
+    silently building an unbounded driver-side dict."""
+    ds, tbl = transcripts
+    with pytest.raises(Exception, match="max_groups|groups"):
+        sketch_aggregate(ds, "hll", on="role", by="conv_id",
+                         mode="estimate", by_mode="global", max_groups=16)
+
+
 def test_composite_key_hll(transcripts):
     ds, tbl = transcripts
     est = sketch_aggregate(ds, "hll", on=["role", "tool"], mode="estimate")

@@ -293,6 +293,30 @@ def test_hll_rollup_matches_exact_within_bound(ray_session):
         f"worst rel err {rel.max():.4f}"
 
 
+def test_hll_overlap_matches_exact_within_bound(ray_session):
+    """The HLL inclusion-exclusion set-op estimates track the exact
+    view/purchase populations: each single-set estimate within 3σ of
+    the p=14 bound, and the intersection within the documented additive
+    band (intersection error ∝ the union's σ, the caveat on
+    HLL.intersection_estimate) of the exact overlap."""
+    import __ray_entry__ as entry
+
+    q = entry.queries()
+    exact = q["user_overlap_view_purchase"]("/root/testdata/sf0.001")
+    est = q["hll_overlap_view_purchase"]("/root/testdata/sf0.001")
+    sigma = 1.04 / (2 ** 7)  # p=14 → m=2^14
+    n_union = float(exact["n_union"][0])
+    assert abs(est["n_union_est"][0] - n_union) <= max(3, 3 * sigma * n_union)
+    n_inter = float(exact["n_intersection"][0])
+    # |A∩B| = |A|+|B|−|A∪B|: three estimates, each ±σ·(its size) —
+    # bound by 3σ·(|A|+|B|+|U|) ≤ 9σ·|U|, plus an absolute floor
+    tol = max(5.0, 9 * sigma * n_union)
+    assert abs(est["n_intersection_est"][0] - n_inter) <= tol, \
+        (est["n_intersection_est"][0], n_inter, tol)
+    assert abs(est["jaccard_est"][0] - float(exact["jaccard"][0])) \
+        <= tol / max(n_union, 1.0)
+
+
 def test_ivf_recall_curve_monotone_and_exhaustive(ray_session):
     """Recall@10 must be non-decreasing in nprobe and exactly 1.0 at
     exhaustive probe — the contract that makes an approximate index
