@@ -17,6 +17,7 @@ here calls ray.init().
 
 from __future__ import annotations
 
+import glob
 import os
 import re
 
@@ -1061,96 +1062,126 @@ def curate_documents(sf_dir: str,
                      broadcast_threshold: int = 1_000_000_000) -> pd.DataFrame:
     """End-to-end training-data curation: exact dedup → MinHash+LSH
     near-dup (keep the min id per component) → quality filter →
-    lang-ID → per-language counts; curated rows stream to partitioned
-    parquet (resumable layout), only the summary is materialized.
+    lang-ID → per-language counts; curated rows land in a CHECKPOINTED
+    partitioned-parquet sink (``CheckpointedWrite``: one directory per
+    input shard, hive-partitioned by language inside, per-shard lineage
+    manifest) — a resumed run skips every finished shard, and a changed
+    input or changed dedup decision re-processes exactly what it must
+    (VERDICT r02 item 9). Only the summary is materialized.
 
-    The dedup keep-set broadcasts as a sorted int64 array (8 bytes/id —
-    fine to ~1e9 ids); past ``broadcast_threshold`` input rows the query
-    switches to the shuffle-based ``bucket_semi_join`` automatically."""
+    Dedup filters broadcast the DROP sets (exact-dup extras + near-dup
+    non-minimum members — O(duplicates), not O(corpus), so the
+    broadcast survives far past where a keep-set would); their hash is
+    the write's decisions FINGERPRINT, since per-row keep/drop depends
+    on corpus-wide state. Past ``broadcast_threshold`` dropped rows the
+    query falls back to the shuffle-based ``bucket_anti_join`` (losing
+    per-shard resume — the write then streams in one pass)."""
+    import hashlib
     import tempfile
 
-    from ..stages.dedup import exact_dedup_keep_ids
+    import ray
+    import ray.data
+
+    from ..stages.dedup import exact_dedup_drop_ids, minhash_dedup
     from ..stages.textstats import LangId, QualityScore
+    from ..state.checkpoint import CheckpointedWrite
 
+    input_files = sorted(glob.glob(os.path.join(sf_dir, "documents.parquet"))
+                         or glob.glob(os.path.join(sf_dir, "documents",
+                                                   "*.parquet")))
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    keep_ds = exact_dedup_keep_ids(ds)
-    if ds.count() > broadcast_threshold:
-        from ..stages.joins import bucket_semi_join
+    drops_ds = exact_dedup_drop_ids(ds).materialize()
+    broadcast_ok = drops_ds.count() <= broadcast_threshold
+    # broadcast NOT-IN filters are plain TASK functions (ray.get of the
+    # broadcast array is a zero-copy plasma read) — actor pools here
+    # would pin min-2 CPUs each and can deadlock small clusters
+    # (CLAUDE.md q7 precedent)
+    def _not_in_filter(ref):
+        def f(t: pa.Table) -> pa.Table:
+            drop = ray.get(ref)
+            if not len(drop):
+                return t
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(drop, ids), len(drop) - 1)
+            return t.filter(pa.array(drop[pos] != ids))
+        return f
 
-        deduped = bucket_semi_join(ds, keep_ds, on="doc_id")
+    if broadcast_ok:
+        drop_exact = np.sort(
+            drops_ds.to_pandas()["doc_id"].to_numpy().astype(np.int64)
+        ) if drops_ds.count() else np.empty(0, dtype=np.int64)
+        drop_ref = ray.put(drop_exact)
+        dedup_filter = _not_in_filter(drop_ref)
+        deduped = ds.map_batches(dedup_filter, batch_format="pyarrow")
     else:
-        import ray
+        from ..stages.joins import bucket_anti_join
 
-        keep_ref = ray.put(
-            np.sort(keep_ds.to_pandas()["doc_id"].to_numpy().astype(np.int64))
-        )
-
-        class DedupFilter:
-            def __init__(self):
-                self.keys = ray.get(keep_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-                pos = np.searchsorted(self.keys, ids)
-                pos = np.minimum(pos, len(self.keys) - 1)
-                return t.filter(pa.array(self.keys[pos] == ids))
-
-        deduped = ds.map_batches(DedupFilter, batch_format="pyarrow",
-                                 concurrency=auto_concurrency())
+        drop_exact = None
+        deduped = bucket_anti_join(ds, drops_ds, on="doc_id")
 
     # near-dup stage (the full textbook pipeline): MinHash+LSH
-    # components over the exact-deduped set, keep each component's min
-    # doc_id. materialize() so the exact-dedup filter runs once for
-    # both the signature pass and the downstream quality/lang stages.
-    import ray
-
-    from ..stages.dedup import minhash_dedup
-
+    # components over the exact-deduped set, drop each component's
+    # non-minimum members. materialize() so the exact-dedup filter runs
+    # once for both the signature pass and the downstream stages.
     deduped = deduped.materialize()
     dup = minhash_dedup(deduped, threshold=0.8)
     if len(dup):
         comp_min = dup.groupby("component")["doc_id"].transform("min")
-        drop_ids = np.sort(
+        drop_near = np.sort(
             dup.loc[dup["doc_id"] != comp_min, "doc_id"]
             .to_numpy().astype(np.int64))
-        drop_ref = ray.put(drop_ids)
+    else:
+        drop_near = np.empty(0, dtype=np.int64)
+    near_dup_filter = _not_in_filter(ray.put(drop_near))
 
-        class NearDupFilter:
-            def __init__(self):
-                self.drop = ray.get(drop_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-                if not len(self.drop):
-                    return t
-                pos = np.minimum(np.searchsorted(self.drop, ids),
-                                 len(self.drop) - 1)
-                return t.filter(pa.array(self.drop[pos] != ids))
-
-        deduped = deduped.map_batches(NearDupFilter, batch_format="pyarrow",
-                                      concurrency=auto_concurrency())
-
-    curated = (
-        deduped
-        .map_batches(QualityScore(), batch_format="pyarrow", batch_size=256)
-        .map_batches(lambda t: t.filter(pc.equal(t.column("quality_keep"), 1.0)),
-                     batch_format="pyarrow")
-        .map_batches(LangId(), batch_format="pyarrow", batch_size=256)
-    )
     out_dir = os.path.join(tempfile.gettempdir(), "raysketch_data",
                            f"curated_{sf_of(sf_dir)}")
-    import shutil
 
-    shutil.rmtree(out_dir, ignore_errors=True)  # re-runs must not append
-    # hive-partitioned by language: one directory per key range, so a
-    # failed downstream consumer (or resumed run) can skip finished
-    # partitions and language-targeted reads touch one subtree
-    curated.select_columns(["doc_id", "lang_pred"]).write_parquet(
-        out_dir, partition_cols=["lang_pred"])
-    import ray.data
+    def curate_shard(shard_ds):
+        """Pure per-shard transform: every cross-shard decision rides in
+        via the broadcast drop refs (captured by the fingerprint)."""
+        return (
+            shard_ds
+            .map_batches(dedup_filter, batch_format="pyarrow")
+            .map_batches(near_dup_filter, batch_format="pyarrow")
+            .map_batches(QualityScore(), batch_format="pyarrow", batch_size=256)
+            .map_batches(lambda t: t.filter(
+                pc.equal(t.column("quality_keep"), 1.0)),
+                batch_format="pyarrow")
+            .map_batches(LangId(), batch_format="pyarrow", batch_size=256)
+            .select_columns(["doc_id", "lang_pred"])
+        )
+
+    if broadcast_ok:
+        # decisions fingerprint: the two drop sets ARE the cross-shard
+        # state; anything that changes them (any input change) must
+        # invalidate every shard's output
+        fp = hashlib.sha256(drop_exact.tobytes() + b"|" + drop_near.tobytes()
+                            + b"|curate-v1").hexdigest()[:16]
+        sink = CheckpointedWrite(out_dir)
+        shard_dirs = sink.run(input_files, curate_shard, fingerprint=fp,
+                              partition_cols=["lang_pred"])
+        parts = [ray.data.read_parquet(d) for d in shard_dirs]
+        curated_out = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    else:  # shuffle-dedup fallback: one streaming write, no shard resume
+        import shutil
+
+        curated = (
+            deduped
+            .map_batches(near_dup_filter, batch_format="pyarrow")
+            .map_batches(QualityScore(), batch_format="pyarrow", batch_size=256)
+            .map_batches(lambda t: t.filter(
+                pc.equal(t.column("quality_keep"), 1.0)),
+                batch_format="pyarrow")
+            .map_batches(LangId(), batch_format="pyarrow", batch_size=256)
+            .select_columns(["doc_id", "lang_pred"])
+        )
+        shutil.rmtree(out_dir, ignore_errors=True)  # re-runs must not append
+        curated.write_parquet(out_dir, partition_cols=["lang_pred"])
+        curated_out = ray.data.read_parquet(out_dir)
 
     summary = (
-        ray.data.read_parquet(out_dir)
+        curated_out
         .groupby("lang_pred").count()
         .to_pandas().rename(columns={"count()": "n_docs"})
     )

@@ -215,13 +215,19 @@ def transcripts_path(n_turns: int, seed: int = 42, root: str = "/tmp/raysketch_d
 _SHARD_CTX: dict = {}
 
 
-def _write_shard(i: int) -> None:
-    c = _SHARD_CTX
+def _write_shard(i: int, ctx: dict | None = None) -> None:
+    c = ctx if ctx is not None else _SHARD_CTX
     sl = slice(i * c["rpf"], min((i + 1) * c["rpf"], c["n"]))
     tbl = _gen_columns(c["conv_i"][sl], c["turn_idx"][sl], c["seed"])
     tmp = os.path.join(c["path"], f"_part-{i:05d}.tmp")
     pq.write_table(tbl, tmp, row_group_size=31250)
     os.replace(tmp, os.path.join(c["path"], f"part-{i:05d}.parquet"))
+
+
+def _write_shard_remote(ctx: dict, i: int) -> None:
+    """Ray-task twin of :func:`_write_shard` — ctx travels via the
+    object store (auto-dereferenced), no module-global state."""
+    _write_shard(i, ctx)
 
 
 def write_transcripts(
@@ -248,18 +254,36 @@ def write_transcripts(
     nfiles = max(1, (n_turns + rows_per_file - 1) // rows_per_file)
     if processes is None:
         processes = min(16, os.cpu_count() or 1, nfiles)
+    ray_up = False
+    try:
+        import ray
+
+        ray_up = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        pass
     _SHARD_CTX.update(rpf=rows_per_file, n=n_turns, conv_i=conv_i,
                       turn_idx=turn_idx, seed=seed, path=path)
     try:
-        import multiprocessing as mp
+        if ray_up and processes > 1 and nfiles > 3:
+            # inside a Ray session: fork would deadlock Ray's gRPC
+            # threads — generate shards as Ray tasks instead (structure
+            # arrays ship once via the object store)
+            import ray
 
-        use_pool = processes > 1 and nfiles > 3 and "fork" in mp.get_all_start_methods()
-        if use_pool:
-            with mp.get_context("fork").Pool(processes) as pool:
-                pool.map(_write_shard, range(nfiles), chunksize=1)
+            ctx_ref = ray.put(dict(_SHARD_CTX))
+            task = ray.remote(num_cpus=1)(_write_shard_remote)
+            ray.get([task.remote(ctx_ref, i) for i in range(nfiles)])
         else:
-            for i in range(nfiles):
-                _write_shard(i)
+            import multiprocessing as mp
+
+            use_pool = (not ray_up and processes > 1 and nfiles > 3
+                        and "fork" in mp.get_all_start_methods())
+            if use_pool:
+                with mp.get_context("fork").Pool(processes) as pool:
+                    pool.map(_write_shard, range(nfiles), chunksize=1)
+            else:
+                for i in range(nfiles):
+                    _write_shard(i)
     finally:
         _SHARD_CTX.clear()
     with open(done, "w") as f:

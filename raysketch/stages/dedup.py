@@ -30,6 +30,7 @@ from ..keys import canonical_flat_bytes
 
 __all__ = [
     "exact_dedup_keep_ids",
+    "exact_dedup_drop_ids",
     "MinHasher",
     "lsh_candidate_pairs",
     "SimHasher",
@@ -103,6 +104,48 @@ def exact_dedup_keep_ids(ds, text_col: str = "text", id_col: str = "doc_id",
         ds.map_batches(add_hash, batch_format="pyarrow")
         .groupby("__b")
         .map_groups(min_in_bucket, batch_format="pandas")
+    )
+
+
+def exact_dedup_drop_ids(ds, text_col: str = "text", id_col: str = "doc_id",
+                         num_buckets: int = 64):
+    """The COMPLEMENT of :func:`exact_dedup_keep_ids`: every id that is
+    NOT its content group's minimum — i.e. the rows exact dedup removes.
+
+    Same (hash, len) grouping and one bucket exchange; the point is the
+    SIZE asymmetry at scale: the keep set is O(corpus) while the drop
+    set is O(duplicates), so a broadcast NOT-IN filter over drops stays
+    viable (8 bytes/id on the driver) long after a keep-set broadcast
+    stops fitting — the curation sink's resumable write depends on the
+    filter being a pure per-shard broadcast op."""
+    import pandas as pd
+
+    from ..hashing import murmur64a
+    from ..keys import canonical_flat_bytes
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        data, offsets = canonical_flat_bytes(t.column(text_col))
+        h = murmur64a(data, offsets)
+        ln = offsets[1:] - offsets[:-1]
+        b = (_splitmix64(h) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({id_col: t.column(id_col),
+                         "content_hash": pa.array(h.astype(np.int64)),
+                         "content_len": pa.array(ln),
+                         "__b": pa.array(b)})
+
+    def drops_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ch = g["content_hash"].to_numpy()
+        cl = g["content_len"].to_numpy()
+        di = g[id_col].to_numpy()
+        order = np.lexsort((di, cl, ch))
+        ch, cl, di = ch[order], cl[order], di[order]
+        new_grp = np.r_[True, (ch[1:] != ch[:-1]) | (cl[1:] != cl[:-1])]
+        return pd.DataFrame({id_col: di[~new_grp]})  # all but each group min
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(drops_in_bucket, batch_format="pandas")
     )
 
 

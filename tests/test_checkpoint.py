@@ -228,3 +228,91 @@ def test_job_spec_query_mode(ray_session, tmp_path):
     assert t.num_rows == 5 and set(t.column_names) == {"event_type", "n"}
     with pytest.raises(ValueError, match="unknown query"):
         run({"query": "nope", "sf_dir": "/root/testdata/sf0.001"})
+
+
+# ------------------------------------------------ CheckpointedWrite sink
+
+def _identity_sink(tmp_path, name):
+    from raysketch.state.checkpoint import CheckpointedWrite
+
+    return CheckpointedWrite(str(tmp_path / name), shard_files_per_task=2)
+
+
+def _upper_roles(ds):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda t: pa.table({"conv_id": t.column("conv_id"),
+                            "role": pc.utf8_upper(t.column("role"))}),
+        batch_format="pyarrow")
+
+
+def test_checkpointed_write_resume_skips(shards, tmp_path):
+    """Second run with identical inputs + fingerprint skips every shard
+    and returns the same output rows (VERDICT r02 item 9)."""
+    import ray.data
+
+    sink = _identity_sink(tmp_path, "cw1")
+    outs1 = sink.run(shards, _upper_roles, fingerprint="fp-a")
+    assert sink.last_skipped == 0
+    n1 = ray.data.read_parquet(
+        sorted(glob.glob(str(tmp_path / "cw1" / "shards" / "*" / "*.parquet")))
+    ).count()
+    mtimes = {d: os.path.getmtime(d) for d in outs1}
+    outs2 = sink.run(shards, _upper_roles, fingerprint="fp-a")
+    assert outs2 == outs1
+    assert sink.last_skipped == len(outs1)  # nothing re-processed
+    assert {d: os.path.getmtime(d) for d in outs1} == mtimes
+    assert n1 == 30000
+    # lineage manifest records inputs + fingerprint + throughput
+    for e in sink.manifest():
+        assert e["fingerprint"] == "fp-a" and e["rows_out"] > 0
+        assert e["input_files"] and e["wall_sec"] >= 0
+
+
+def test_checkpointed_write_changed_input_reprocesses(shards, tmp_path):
+    """Positional shard ids: dropping a file shifts chunk membership, so
+    every shard whose recorded input_files changed must re-process —
+    and stale extra shards must not be returned."""
+    sink = _identity_sink(tmp_path, "cw2")
+    sink.run(shards, _upper_roles, fingerprint="fp-a")  # 6 files → 3 shards
+    new_files = shards[1:]  # 5 files → 3 shards, all chunks shifted
+    outs = sink.run(new_files, _upper_roles, fingerprint="fp-a")
+    assert sink.last_skipped == 0  # every chunk changed → all re-written
+    man = {e["shard_id"]: e for e in sink.manifest()}
+    for i in range(0, len(new_files), 2):
+        sid = f"shard-{i // 2:05d}"
+        assert man[sid]["input_files"] == sorted(new_files)[i:i + 2]
+    assert len(outs) == 3
+
+
+def test_checkpointed_write_fingerprint_invalidates_all(shards, tmp_path):
+    """A changed decisions fingerprint (the cross-shard dedup state)
+    must re-process EVERY shard even with identical input files — the
+    curation sink's correctness condition."""
+    sink = _identity_sink(tmp_path, "cw3")
+    sink.run(shards, _upper_roles, fingerprint="fp-a")
+    sink.run(shards, _upper_roles, fingerprint="fp-b")
+    assert sink.last_skipped == 0
+    assert all(e["fingerprint"] == "fp-b" for e in sink.manifest())
+
+
+def test_curate_documents_resumes(ray_session):
+    """The flagship curation sink skips its finished shard on a re-run
+    with unchanged input (manifest fingerprint match) and returns the
+    identical summary."""
+    import shutil
+
+    import pandas as pd
+
+    import __ray_entry__ as entry
+
+    shutil.rmtree("/tmp/raysketch_data/curated_0.001", ignore_errors=True)
+    q = entry.queries()["curate_documents"]
+    a = q("/root/testdata/sf0.001")
+    shard = "/tmp/raysketch_data/curated_0.001/shards/shard-00000"
+    m1 = os.path.getmtime(shard)
+    b = q("/root/testdata/sf0.001")
+    assert os.path.getmtime(shard) == m1  # shard skipped, not re-written
+    pd.testing.assert_frame_equal(a, b)
