@@ -1250,6 +1250,7 @@ def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     per conversation in a duplicate component."""
     from ..hashing import arrow_to_flat_bytes, murmur64a
     from ..stages.dedup import (DRIVER_PAIR_LIMIT, MinHasher,
+                                _dedupe_pair_rows, _dedupe_pairs_driver,
                                 estimate_pair_jaccard, lsh_candidate_pairs,
                                 minhash_agreement_scorer, propagate_components,
                                 score_pairs_distributed, union_find_components)
@@ -1271,15 +1272,29 @@ def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     # fixed by seed — signatures independent of batching/placement
 
     def concat_and_sign(g: pd.DataFrame):
-        g = g.sort_values(["conv_id", "turn_idx"])  # the stable order invariant
-        j = g.groupby("conv_id", sort=True)["text"].agg("\n".join)
-        cids = j.index.to_numpy()
-        data, offsets = arrow_to_flat_bytes(pa.array(cids, type=pa.string()))
-        ids = (murmur64a(data, offsets)
+        # the stable (conv_id, turn_idx) order invariant, fully
+        # vectorized: factorize conv ids, lexsort, build a ListArray
+        # over the sorted text column (contiguous non-overlapping
+        # segments share the values buffer) and join with Arrow's C++
+        # binary_join — the per-conv Python "\n".join this replaces was
+        # the pipeline's hottest loop (2M Python string ops at sf0.1)
+        codes, uniques = pd.factorize(g["conv_id"].to_numpy(), sort=True)
+        order = np.lexsort((g["turn_idx"].to_numpy(), codes))
+        codes_s = codes[order]
+        txt = pa.array(g["text"].to_numpy()[order], type=pa.large_string())
+        starts = np.nonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])[0] \
+            if len(codes_s) else np.array([], dtype=np.int64)
+        offsets = np.r_[starts, len(codes_s)].astype(np.int64)
+        lst = pa.LargeListArray.from_arrays(pa.array(offsets), txt)
+        joined = pc.cast(pc.binary_join(
+            lst, pa.scalar("\n", type=pa.large_string())), pa.string())
+        cids = np.asarray(uniques)
+        data, offsets_b = arrow_to_flat_bytes(pa.array(cids, type=pa.string()))
+        ids = (murmur64a(data, offsets_b)
                & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         sig_t = hasher(pa.table({
             "doc_id": pa.array(ids),
-            "text": pa.array(j.to_numpy(), type=pa.string()),
+            "text": joined,
         }))
         return sig_t.append_column("conv_id",
                                    pa.array(cids, type=pa.string()))
@@ -1293,13 +1308,18 @@ def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     # per-pair recall at J=0.9 is 1−(1−0.9⁸)¹⁶ ≈ 99.97% while mid-
     # similarity false candidates drop ~10× (the 32×4 default is tuned
     # for t≈0.5 and emitted 764k candidates for 60k convs at sf0.1)
-    pairs_ds = lsh_candidate_pairs(sigs, "doc_id", num_bands=16).materialize()
-    n_pairs = pairs_ds.count()
+    raw = lsh_candidate_pairs(sigs, "doc_id", num_bands=16,
+                              dedupe="raw").materialize()
+    n_pairs = raw.count()  # band-inflated upper bound on distinct pairs
     if n_pairs == 0:
         return pd.DataFrame({"conv_id": [], "component": []})
     if n_pairs > DRIVER_PAIR_LIMIT:
         # distributed verify + min-label components: neither the pair
         # set nor the signatures ever reach the driver (VERDICT r02 #1)
+        pairs_ds = _dedupe_pair_rows(raw, {
+            "n_bands": ("count", None),
+            "truncated_bucket": ("max", "truncated_bucket"),
+        })
         scored = score_pairs_distributed(pairs_ds, sigs, "doc_id", "minhash",
                                          minhash_agreement_scorer,
                                          "est_jaccard")
@@ -1313,7 +1333,11 @@ def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
         comp_ids = labels["node"].to_numpy(dtype=np.int64)
         comp_lab = labels["label"].to_numpy(dtype=np.int64)
     else:
-        pairs = estimate_pair_jaccard(pairs_ds.to_pandas(), sigs, "doc_id")
+        pairs = _dedupe_pairs_driver(raw.to_pandas(), {
+            "n_bands": ("count", None),
+            "truncated_bucket": ("max", "truncated_bucket"),
+        })
+        pairs = estimate_pair_jaccard(pairs, sigs, "doc_id")
         comp = union_find_components(pairs[pairs["est_jaccard"] >= 0.9])
         comp_ids = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
         comp_lab = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))

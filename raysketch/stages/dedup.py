@@ -263,9 +263,26 @@ class MinHasher:
         return pa.table({self.id_col: batch.column(self.id_col), "minhash": sig_col})
 
 
+def _dedupe_pairs_driver(df, reduce_spec: dict):
+    """Pandas twin of :func:`_dedupe_pair_rows` for the driver tier:
+    when the caller materializes the pair set next anyway (verify →
+    union-find), a distributed distinct is one pure-overhead shuffle
+    (the r02 ngram-join lesson, applied to every candidate generator)."""
+    import pandas as pd
+
+    cols = ["id_a", "id_b"] + list(reduce_spec)
+    if "id_a" not in df.columns:  # empty dataset loses its schema
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    named = {}
+    for out_col, (op, in_col) in reduce_spec.items():
+        named[out_col] = ("id_a", "size") if op == "count" else (in_col, op)
+    out = df.groupby(["id_a", "id_b"], as_index=False).agg(**named)
+    return out[cols]
+
+
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
                         sig_col: str = "minhash", max_bucket_size: int = 1000,
-                        num_salts: int = 256):
+                        num_salts: int = 256, dedupe: str = "shuffle"):
     """Signatures → LSH banding → candidate pairs with estimated Jaccard.
 
     The distributed shape follows the bucket-exchange LSH join of
@@ -302,6 +319,8 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
         _make_band_pair_emitter(id_col, max_bucket_size), batch_format="pandas"
     )
 
+    if dedupe == "raw":  # caller picks the dedupe tier after counting
+        return pairs
     # dedupe pairs found in multiple bands; keep the truncation marker
     return _dedupe_pair_rows(pairs, {
         "n_bands": ("count", None),
@@ -530,7 +549,7 @@ class SimHasher:
 
 
 def simhash_candidate_pairs(sim_ds, id_col: str = "doc_id", max_hamming: int = 3,
-                            num_salts: int = 256):
+                            num_salts: int = 256, dedupe: str = "shuffle"):
     """Bucket by 4 × 16-bit bands (pigeonhole: any pair within hamming
     ≤ 3 shares at least one intact band), then verify exact hamming.
 
@@ -593,6 +612,8 @@ def simhash_candidate_pairs(sim_ds, id_col: str = "doc_id", max_hamming: int = 3
                              "hamming": np.concatenate(out_h)})
 
     pairs = buckets.groupby(["band", "salt"]).map_groups(emit_band, batch_format="pandas")
+    if dedupe == "raw":
+        return pairs
     return _dedupe_pair_rows(pairs, {"hamming": ("min", "hamming")})
 
 
@@ -1009,12 +1030,20 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
         fn_constructor_kwargs={"mode": mode},
         batch_format="pyarrow", concurrency=auto_concurrency(),
     ).materialize()
-    pairs_ds = lsh_candidate_pairs(sigs, id_col, num_bands).materialize()
-    n_pairs = pairs_ds.count()
+    # raw (band-duplicated) pair rows: the dedupe tier is picked AFTER
+    # counting — on the driver tier the distinct would be a pure-
+    # overhead shuffle right before a to_pandas (ngram-join lesson)
+    raw = lsh_candidate_pairs(sigs, id_col, num_bands,
+                              dedupe="raw").materialize()
+    n_pairs = raw.count()  # band-inflated upper bound on distinct pairs
     if n_pairs == 0:
         return pd.DataFrame({id_col: [], "component": []})
     if components == "distributed" or (components == "auto"
                                        and n_pairs > driver_pair_limit):
+        pairs_ds = _dedupe_pair_rows(raw, {
+            "n_bands": ("count", None),
+            "truncated_bucket": ("max", "truncated_bucket"),
+        })
         if verify == "exact":
             scored = score_pairs_distributed(
                 pairs_ds, ds.select_columns([id_col, text_col]), id_col,
@@ -1031,7 +1060,10 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
                                                 pa.scalar(threshold))),
             batch_format="pyarrow")
         return _resolve_components(verified_ds, id_col)
-    pairs = pairs_ds.to_pandas()
+    pairs = _dedupe_pairs_driver(raw.to_pandas(), {
+        "n_bands": ("count", None),
+        "truncated_bucket": ("max", "truncated_bucket"),
+    })
     if verify == "exact":
         pairs = verify_pairs_exact_jaccard(pairs, ds, text_col, id_col, shingle_k)
         verified = pairs[pairs["jaccard"] >= threshold]
@@ -1055,14 +1087,17 @@ def simhash_dedup(ds, text_col="text", id_col="doc_id", max_hamming=3,
 
     sims = ds.map_batches(SimHasher, fn_constructor_args=(text_col, id_col),
                           batch_format="pyarrow", concurrency=auto_concurrency())
-    pairs_ds = simhash_candidate_pairs(sims, id_col, max_hamming).materialize()
-    n_pairs = pairs_ds.count()
+    raw = simhash_candidate_pairs(sims, id_col, max_hamming,
+                                  dedupe="raw").materialize()
+    n_pairs = raw.count()  # band-inflated upper bound
     if n_pairs == 0:  # empty corpus / no candidates: no columns either
         return pd.DataFrame({id_col: [], "component": []})
     if components == "distributed" or (components == "auto"
                                        and n_pairs > driver_pair_limit):
-        return _resolve_components(pairs_ds, id_col)
-    comp = union_find_components(pairs_ds.to_pandas())
+        return _resolve_components(
+            _dedupe_pair_rows(raw, {"hamming": ("min", "hamming")}), id_col)
+    comp = union_find_components(
+        _dedupe_pairs_driver(raw.to_pandas(), {"hamming": ("min", "hamming")}))
     return pd.DataFrame(
         {id_col: list(comp), "component": [comp[k] for k in comp]}
     ).sort_values(id_col).reset_index(drop=True)
@@ -1140,18 +1175,16 @@ def embedding_dedup(ds, vec_col="embedding", id_col="vec_id",
 
     buckets = sigs.map_batches(band_rows, batch_format="pyarrow")
 
-    pairs_ds = _dedupe_pair_rows(
-        buckets.groupby(["band", "salt"]).map_groups(
-            _make_band_pair_emitter(id_col, max_bucket_size=1000),
-            batch_format="pandas",
-        ),
-        {"n": ("count", None)},
+    raw = buckets.groupby(["band", "salt"]).map_groups(
+        _make_band_pair_emitter(id_col, max_bucket_size=1000),
+        batch_format="pandas",
     ).materialize()
-    n_pairs = pairs_ds.count()
+    n_pairs = raw.count()  # band-inflated upper bound
     if n_pairs == 0:
         return pd.DataFrame({id_col: [], "component": []})
     if components == "distributed" or (components == "auto"
                                        and n_pairs > driver_pair_limit):
+        pairs_ds = _dedupe_pair_rows(raw, {"n": ("count", None)})
         scored = score_pairs_distributed(
             pairs_ds, ds.select_columns([id_col, vec_col]), id_col, vec_col,
             cosine_scorer, "cosine")
@@ -1161,7 +1194,7 @@ def embedding_dedup(ds, vec_col="embedding", id_col="vec_id",
             batch_format="pyarrow")
         return _resolve_components(verified_ds, id_col)
 
-    pairs = pairs_ds.to_pandas()
+    pairs = _dedupe_pairs_driver(raw.to_pandas(), {"n": ("count", None)})
     # exact cosine verify on candidates (distributed broadcast-filter
     # gather — only candidate vectors reach the driver), scored as ONE
     # chunked matrix op (64k-pair chunks reuse the allocator pool; see
