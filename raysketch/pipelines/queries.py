@@ -1329,7 +1329,7 @@ def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
             batch_format="pyarrow").materialize()
         if verified.count() == 0:
             return pd.DataFrame({"conv_id": [], "component": []})
-        labels = propagate_components(verified, rounds=64).to_pandas()
+        labels = propagate_components(verified).to_pandas()
         comp_ids = labels["node"].to_numpy(dtype=np.int64)
         comp_lab = labels["label"].to_numpy(dtype=np.int64)
     else:

@@ -670,7 +670,8 @@ def _bucket_min_by_node(ds_in, key_col: str, val_col: str, num_buckets: int):
         .groupby("__mb").map_groups(mb, batch_format="pandas")
 
 
-def propagate_components(pairs_ds, rounds: int = 16, num_buckets: int = 64):
+def propagate_components(pairs_ds, rounds: int | None = None,
+                         num_buckets: int = 64):
     """Distributed min-label propagation for candidate-pair sets too
     large for driver-side union-find.
 
@@ -680,8 +681,16 @@ def propagate_components(pairs_ds, rounds: int = 16, num_buckets: int = 64):
     a vectorized ``np.searchsorted`` lookup — then takes the per-node
     min. Labels never touch the driver; convergence is detected with a
     scalar ``sum(label)`` aggregate (labels are monotone non-increasing,
-    so an unchanged sum means a fixed point). O(diameter) rounds; LSH
-    duplicate clusters are near-cliques so diameter is tiny.
+    so an unchanged sum means a fixed point).
+
+    Every round ALSO feeds the label table back as jump edges
+    ``(v → label(v))`` so a node adopts ``label(label(v))`` — pointer
+    jumping, which collapses long chains in O(log diameter) rounds
+    (the hash-to-min idea of Rastogi et al., ICDE'13) instead of
+    O(diameter). ``rounds=None`` (default) runs to the fixed point —
+    always terminating, since integer labels are bounded below and
+    strictly decrease in sum until convergence; an explicit ``rounds``
+    caps the iteration for tests.
     """
     import pandas as pd
 
@@ -719,6 +728,18 @@ def propagate_components(pairs_ds, rounds: int = 16, num_buckets: int = 64):
             "__side": pa.array(np.ones(t.num_rows, dtype=bool)),
         })
 
+    def jump_bucket(t: pa.Table) -> pa.Table:
+        # pointer-jump edges (v → label(v)): v reads label(label(v))
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        b = (lab.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({
+            "node": t.column("node"),
+            "peer": t.column("label"),
+            "label": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "__b": pa.array(b),
+            "__side": pa.array(np.zeros(t.num_rows, dtype=bool)),
+        })
+
     def relabel_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lab = g[g["__side"]]
         ed = g[~g["__side"]]
@@ -745,18 +766,31 @@ def propagate_components(pairs_ds, rounds: int = 16, num_buckets: int = 64):
         batch_format="pyarrow",
     ).materialize()
     prev_sum = labels.sum("label")
-    for _ in range(rounds):
+    # per-round coalesce target: labels are 16-byte rows, one per node,
+    # constant across rounds — ~1M rows per block, floor 2, cap 512
+    n_nodes = labels.count()
+    label_blocks = int(max(2, min(512, n_nodes // 1_000_000 + 2)))
+    labels = labels.repartition(label_blocks).materialize()
+    r = 0
+    while rounds is None or r < rounds:
+        r += 1
         tagged = labels.map_batches(label_bucket, batch_format="pyarrow")
+        jumps = labels.map_batches(jump_bucket, batch_format="pyarrow")
         nxt = _bucket_min_by_node(
-            edges.union(tagged)
+            edges.union(jumps).union(tagged)
             .groupby("__b").map_groups(relabel_bucket, batch_format="pandas"),
             "node", "label", num_buckets,
         )
+        # coalesce to a FIXED block count before materializing: the
+        # label table feeds two map_batches branches next round, and
+        # groupby/map_groups preserve input block counts, so without
+        # this the per-round block count (and wall time) doubles —
+        # 12→28→60→…→1020 blocks by round 7 on a 200-node chain.
         nxt = nxt.map_batches(
             lambda t: pa.table({"node": t.column("node"),
                                 "label": pc.min_element_wise(t.column("node"), t.column("label"))}),
             batch_format="pyarrow",
-        ).materialize()
+        ).repartition(label_blocks).materialize()
         new_sum = nxt.sum("label")
         labels = nxt
         if new_sum == prev_sum:
@@ -977,11 +1011,10 @@ def _resolve_components(verified_pairs_ds, id_col: str):
     verified_pairs_ds = verified_pairs_ds.materialize()
     if verified_pairs_ds.count() == 0:
         return pd.DataFrame({id_col: [], "component": []})
-    # rounds=64 is a safety cap only: the loop fixpoint-breaks as soon
-    # as labels stop changing (LSH clusters are near-cliques, diameter
-    # is tiny)
+    # run to the fixed point (pointer jumping makes that O(log
+    # diameter) rounds; LSH clusters are near-cliques anyway)
     return _components_frame(
-        propagate_components(verified_pairs_ds, rounds=64), id_col)
+        propagate_components(verified_pairs_ds), id_col)
 
 
 # ------------------------------------------------------------ end-to-end

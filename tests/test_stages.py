@@ -450,6 +450,27 @@ class TestDistributedComponents:
         assert len(a) > 0
 
 
+def test_propagate_components_long_chain(ray_session):
+    """A 200-node chain: naive min-label propagation needs 199 rounds
+    (the old 16-round cap silently mislabeled the tail) — pointer
+    jumping + run-to-fixpoint must converge to the exact union-find
+    answer in O(log n) rounds."""
+    import ray.data
+
+    from raysketch.stages.dedup import propagate_components, union_find_components
+
+    n = 200
+    ids = np.arange(n, dtype=np.int64)[::-1] + 1000  # descending, offset
+    pairs = pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
+    ds = ray.data.from_pandas(pairs).repartition(4)
+    labels = propagate_components(ds).to_pandas()
+    exp = union_find_components(pairs)
+    got = dict(zip(labels["node"], labels["label"]))
+    assert len(got) == len(exp)
+    for node, root in exp.items():
+        assert got[node] == root == 1000, (node, got[node], root)
+
+
 def test_minhash_oph_mode(docs_ds, ray_session):
     """OPH signatures: same LSH pipeline finds the gold near-dup cluster,
     and identical texts get identical signatures."""
