@@ -14517,6 +14517,126 @@ ORACLES["events_dow_hour_heatmap"] = """
 """
 
 
+def incremental_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Incremental exact dedup against a PERSISTED fingerprint index
+    (stages/incremental.py): even-id documents are the already-ingested
+    corpus — fingerprinted once into hash-sharded parquet under /tmp —
+    and odd-id documents arrive as the next ingest batch, classified
+    kept / dup_of_index / dup_in_batch without ever re-reading the old
+    corpus bodies. The batch additionally PLANTS copies so every status
+    is exercised at any sf (the corpus's natural dups need not cross
+    the parity split): a copy of each doc_id%20==0 indexed doc
+    (→ dup_of_index) and a copy of each doc_id%20==1 batch doc
+    (→ dup_in_batch unless its text is also indexed). The batch's
+    hashes prune the index read to touched shards; one bucket exchange
+    of 24-byte fingerprint rows does the classification. SQL oracle
+    states the same batch (UNION ALL plants) and three-way CASE over
+    text equality directly."""
+    import tempfile
+
+    from ..stages.incremental import ExactDedupIndex
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def evens(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 2 == 0))
+
+    def new_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        odd = t.filter(pa.array(ids % 2 == 1))
+        p_idx = t.filter(pa.array(ids % 20 == 0))  # indexed content
+        p_bat = t.filter(pa.array(ids % 20 == 1))  # batch content
+        parts = [odd]
+        for src, off in ((p_idx, 10_000_000), (p_bat, 20_000_000)):
+            i = src.column("doc_id").to_numpy(zero_copy_only=False)
+            parts.append(pa.table({"doc_id": pa.array(i + off),
+                                   "text": src.column("text")}))
+        return pa.concat_tables(parts)
+
+    idx_dir = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                           f"incr_exact_{sf_of(sf_dir)}")
+    if os.path.exists(os.path.join(idx_dir, "meta.json")):
+        idx = ExactDedupIndex.load(idx_dir)
+    else:
+        idx = ExactDedupIndex(idx_dir).build(
+            ds.map_batches(evens, batch_format="pyarrow"))
+    out = idx.dedup_new(
+        ds.map_batches(new_batch, batch_format="pyarrow")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "status": "str"})
+
+
+QUERIES["incremental_dedup_docs"] = incremental_dedup_docs
+ORACLES["incremental_dedup_docs"] = """
+    WITH newb AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 20 = 0
+        UNION ALL
+        SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 20 = 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN EXISTS (SELECT 1 FROM documents o
+                             WHERE o.doc_id % 2 = 0 AND o.text = d.text)
+                THEN 'dup_of_index'
+                WHEN EXISTS (SELECT 1 FROM newb n2
+                             WHERE n2.text = d.text
+                               AND n2.doc_id < d.doc_id)
+                THEN 'dup_in_batch'
+                ELSE 'kept' END AS status
+    FROM newb d
+    ORDER BY d.doc_id
+"""
+
+
+def incremental_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental NEAR-dup detection against a persisted MinHash-LSH
+    band index: the full documents table is indexed once (band rows +
+    signatures, hash-sharded parquet under /tmp); the incoming batch is
+    a deterministic perturbation of every 10th long document (one
+    sentence appended, ids offset by 10,000,000) — near- but not
+    exact-duplicates, so byte hashing provably misses them. New docs
+    are signed with the INDEX's stored hash family, bucket-joined
+    against only the touched band shards, and candidates verified by
+    the distributed pair scorer. Returns matched (new_id, old_id)
+    pairs; pytest asserts every planted doc is recalled against its
+    source (rows-only driver check — minhash is not SQL-expressible)."""
+    import tempfile
+
+    from ..stages.incremental import MinHashBandIndex
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idx_dir = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                           f"incr_minhash_{sf_of(sf_dir)}")
+    if os.path.exists(os.path.join(idx_dir, "meta.json")):
+        idx = MinHashBandIndex.load(idx_dir)
+    else:
+        idx = MinHashBandIndex(idx_dir).build(ds)
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = t.column("text").combine_chunks()
+        ln = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        sel = np.nonzero((ids % 10 == 0) & (ln >= 200))[0]
+        sub = txt.take(pa.array(sel))
+        appended = pc.binary_join_element_wise(
+            sub.cast(pa.string()), " incremental ingest near copy.", "")
+        return pa.table({"doc_id": pa.array(ids[sel] + 10_000_000),
+                         "text": appended})
+
+    out = idx.match_new(
+        ds.map_batches(perturb, batch_format="pyarrow"),
+        threshold=0.8).to_pandas()
+    if "new_id" not in out.columns:  # 0-row to_pandas drops columns
+        out = pd.DataFrame({"new_id": [], "old_id": []})
+    out = out[["new_id", "old_id"]].astype("int64")
+    return out.sort_values(["new_id", "old_id"]).reset_index(drop=True)
+
+
+QUERIES["incremental_minhash_dedup"] = incremental_minhash_dedup
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================
@@ -14556,7 +14676,7 @@ _GATE_PRIORITY = [
     # dedup / LLM-pipeline anchors
     "dedup_docs_exact", "minhash_dedup_planted",
     "embedding_dedup_planted", "ngram_jaccard_pairs",
-    "bpe_two_merges",
+    "incremental_dedup_docs", "bpe_two_merges",
     # join family + sessionization
     "revenue_by_nation", "join_lineitem_orders", "sessionize_events",
 ]

@@ -13,6 +13,7 @@ from .dedup import (
     union_find_components,
     word_ngram_jaccard,
 )
+from .incremental import ExactDedupIndex, MinHashBandIndex
 from .multimodal import (AudioFrameSample, ImageDecode, ImageFeatures,
                          ImageResize, VideoFrameSample)
 from .similarity import IVFIndex, brute_force_topk
@@ -24,6 +25,7 @@ __all__ = [
     "ngram_jaccard_join", "prefix_filter_candidates",
     "simhash_candidate_pairs", "simhash_dedup", "union_find_components",
     "word_ngram_jaccard",
+    "ExactDedupIndex", "MinHashBandIndex",
     "AudioFrameSample", "ImageDecode", "ImageFeatures", "ImageResize",
     "VideoFrameSample",
     "IVFIndex", "brute_force_topk",

@@ -1,0 +1,182 @@
+"""Incremental dedup indexes (stages/incremental.py): persisted
+exact-fingerprint and MinHash-band indexes, classification of incoming
+batches against them, appends, and param round-trips."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def tmp_index_dir(tmp_path):
+    return str(tmp_path / "idx")
+
+
+def _mk_ds(rows):
+    import ray.data
+
+    return ray.data.from_pandas(pd.DataFrame(rows)).repartition(2)
+
+
+class TestExactDedupIndex:
+    def test_statuses_match_brute_force(self, ray_session, tmp_index_dir):
+        from raysketch.stages.incremental import ExactDedupIndex
+
+        old = _mk_ds({"doc_id": [0, 2, 4, 6],
+                      "text": ["alpha", "beta", "gamma", "alpha"]})
+        idx = ExactDedupIndex(tmp_index_dir, num_shards=8).build(old)
+        # new batch: 11=old content, 13=new content, 15=dup of 13,
+        # 17=new content, 19=old content AND dup-in-batch of nothing
+        new = _mk_ds({"doc_id": [11, 13, 15, 17, 19],
+                      "text": ["beta", "delta", "delta", "epsilon",
+                               "alpha"]})
+        out = idx.dedup_new(new).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        got = dict(zip(out["doc_id"], out["status"]))
+        assert got == {11: "dup_of_index", 13: "kept", 15: "dup_in_batch",
+                       17: "kept", 19: "dup_of_index"}
+
+    def test_index_dup_beats_batch_dup(self, ray_session, tmp_index_dir):
+        """Content both in the index and duplicated within the batch is
+        dup_of_index for EVERY batch occurrence (matches the SQL CASE
+        order of the incremental_dedup_docs oracle)."""
+        from raysketch.stages.incremental import ExactDedupIndex
+
+        idx = ExactDedupIndex(tmp_index_dir, num_shards=4).build(
+            _mk_ds({"doc_id": [2], "text": ["x"]}))
+        out = idx.dedup_new(
+            _mk_ds({"doc_id": [1, 3], "text": ["x", "x"]})).to_pandas()
+        assert set(out["status"]) == {"dup_of_index"}
+
+    def test_append_extends_index(self, ray_session, tmp_index_dir):
+        from raysketch.stages.incremental import ExactDedupIndex
+
+        idx = ExactDedupIndex(tmp_index_dir, num_shards=8).build(
+            _mk_ds({"doc_id": [0], "text": ["alpha"]}))
+        idx.append(_mk_ds({"doc_id": [100], "text": ["zeta"]}))
+        out = idx.dedup_new(
+            _mk_ds({"doc_id": [201, 203], "text": ["zeta", "eta"]})
+        ).to_pandas()
+        got = dict(zip(out["doc_id"], out["status"]))
+        assert got == {201: "dup_of_index", 203: "kept"}
+
+    def test_load_roundtrip(self, ray_session, tmp_index_dir):
+        from raysketch.stages.incremental import ExactDedupIndex
+
+        ExactDedupIndex(tmp_index_dir, text_col="text", id_col="doc_id",
+                        num_shards=16).build(
+            _mk_ds({"doc_id": [0], "text": ["alpha"]}))
+        idx = ExactDedupIndex.load(tmp_index_dir)
+        assert idx.num_shards == 16 and idx.exists()
+        out = idx.dedup_new(
+            _mk_ds({"doc_id": [1], "text": ["alpha"]})).to_pandas()
+        assert list(out["status"]) == ["dup_of_index"]
+
+    def test_large_ids_survive(self, ray_session, tmp_index_dir):
+        """Ids beyond 2^53 must come back exact (the int64→float64
+        pandas upcast trap: no nulls may enter the group frames)."""
+        from raysketch.stages.incremental import ExactDedupIndex
+
+        big = (1 << 60) + 7
+        idx = ExactDedupIndex(tmp_index_dir, num_shards=4).build(
+            _mk_ds({"doc_id": [big], "text": ["alpha"]}))
+        out = idx.dedup_new(
+            _mk_ds({"doc_id": [big + 1], "text": ["beta"]})).to_pandas()
+        assert out["doc_id"].dtype == np.int64
+        assert list(out["doc_id"]) == [big + 1]
+        assert list(out["status"]) == ["kept"]
+
+
+class TestMinHashBandIndex:
+    CORPUS = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a completely different document about distributed data systems",
+        "ray data pipelines stream arrow record batches through workers",
+        "minhash signatures approximate jaccard similarity of shingle sets",
+        "parquet files store columnar data with row group statistics",
+    ]
+
+    def test_exact_copies_matched(self, ray_session, tmp_index_dir):
+        from raysketch.stages.incremental import MinHashBandIndex
+
+        old = _mk_ds({"doc_id": list(range(len(self.CORPUS))),
+                      "text": self.CORPUS})
+        idx = MinHashBandIndex(tmp_index_dir, num_shards=8).build(old)
+        # copies of docs 0 and 2, plus one unrelated new doc
+        new = _mk_ds({
+            "doc_id": [1000, 1002, 1999],
+            "text": [self.CORPUS[0], self.CORPUS[2],
+                     "zzz entirely novel content qqq xyzzy plugh"],
+        })
+        out = idx.match_new(new, threshold=0.9).to_pandas()
+        got = set(zip(out["new_id"], out["old_id"]))
+        assert (1000, 0) in got and (1002, 2) in got
+        assert not any(a == 1999 for a, _ in got)
+        est = dict(zip(zip(out["new_id"], out["old_id"]),
+                       out["est_jaccard"]))
+        assert est[(1000, 0)] == 1.0 and est[(1002, 2)] == 1.0
+
+    def test_near_copy_matched_below_exact(self, ray_session,
+                                           tmp_index_dir):
+        from raysketch.stages.incremental import MinHashBandIndex
+
+        long_doc = " ".join(self.CORPUS) * 3
+        old = _mk_ds({"doc_id": [7], "text": [long_doc]})
+        idx = MinHashBandIndex(tmp_index_dir, num_shards=8).build(old)
+        out = idx.match_new(
+            _mk_ds({"doc_id": [1007], "text": [long_doc + " extra tail"]}),
+            threshold=0.5).to_pandas()
+        got = dict(zip(zip(out["new_id"], out["old_id"]),
+                       out["est_jaccard"]))
+        assert (1007, 7) in got
+        assert 0.5 <= got[(1007, 7)] <= 1.0
+
+    def test_no_match_empty_result(self, ray_session, tmp_index_dir):
+        from raysketch.stages.incremental import MinHashBandIndex
+
+        idx = MinHashBandIndex(tmp_index_dir, num_shards=8).build(
+            _mk_ds({"doc_id": [0], "text": [self.CORPUS[0]]}))
+        out_ds = idx.match_new(
+            _mk_ds({"doc_id": [1000],
+                    "text": ["totally unrelated words here friend"]}),
+            threshold=0.9)
+        # Ray's to_pandas drops columns on 0-row datasets; the schema
+        # itself must stay intact
+        assert out_ds.schema().names == ["new_id", "old_id", "est_jaccard"]
+        assert len(out_ds.to_pandas()) == 0
+
+    def test_query_planted_recall(self, ray_session):
+        """incremental_minhash_dedup's docstring promise: every planted
+        perturbed doc is recalled against its source id."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from raysketch.pipelines.queries import incremental_minhash_dedup
+
+        sf = "/root/testdata/sf0.001"
+        out = incremental_minhash_dedup(sf)
+        t = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        ids = t.column("doc_id").to_numpy()
+        ln = pc.utf8_length(t.column("text")).to_numpy()
+        planted = ids[(ids % 10 == 0) & (ln >= 200)]
+        assert len(planted) > 0
+        got = set(zip(out["new_id"], out["old_id"]))
+        missing = [int(d) for d in planted
+                   if (int(d) + 10_000_000, int(d)) not in got]
+        assert missing == []
+
+    def test_load_uses_stored_hash_family(self, ray_session,
+                                          tmp_index_dir):
+        """A reloaded index must sign new docs with the ORIGINAL seed —
+        signatures from a different family never agree."""
+        from raysketch.stages.incremental import MinHashBandIndex
+
+        MinHashBandIndex(tmp_index_dir, seed=123, num_shards=8).build(
+            _mk_ds({"doc_id": [0], "text": [self.CORPUS[3]]}))
+        idx = MinHashBandIndex.load(tmp_index_dir)
+        assert idx.seed == 123
+        out = idx.match_new(
+            _mk_ds({"doc_id": [1000], "text": [self.CORPUS[3]]}),
+            threshold=0.99).to_pandas()
+        assert set(zip(out["new_id"], out["old_id"])) == {(1000, 0)}
