@@ -103,6 +103,9 @@ def run_bench() -> dict:
         "conv_dedup_minhash": Q.conv_dedup_minhash,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
         "curate_documents": Q.curate_documents,
+        # 2M-turn fingerprint-index build + 200k-turn batch classify
+        # (rebuilds the index every call by design)
+        "incremental_dedup_turns": Q.incremental_dedup_turns,
     }
     per_h = {}
     for name, fn in heavy_queries.items():

@@ -14637,6 +14637,65 @@ def incremental_minhash_dedup(sf_dir: str) -> pd.DataFrame:
 QUERIES["incremental_minhash_dedup"] = incremental_minhash_dedup
 
 
+def incremental_dedup_turns(sf_dir: str) -> pd.DataFrame:
+    """Transcript-scale incremental exact dedup — the heavy-bench twin
+    of incremental_dedup_docs (documents caps at 5k rows; transcripts
+    reach 2M turns at sf0.1). ~90% of conversations (by conv-id hash)
+    are the already-ingested corpus, fingerprinted into a fresh
+    hash-sharded index; the other ~10% arrive as the next ingest batch
+    and every turn is classified kept / dup_of_index / dup_in_batch.
+    The index is REBUILT each call (the benchmark times build +
+    classify honestly). Returns per-status counts — the 2M
+    classification rows are reduced distributed (per-batch value
+    counts folded on the driver), never materialized. Rows-only
+    driver check: transcripts are not a DuckDB view; the docs twin
+    carries the oracle for the identical classification logic."""
+    import tempfile
+
+    from ..hashing import murmur64a
+    from ..keys import canonical_flat_bytes
+    from ..stages.dedup import _splitmix64 as _mix64
+    from ..stages.incremental import ExactDedupIndex
+
+    ds = transcripts_ds(sf_dir, columns=["conv_id", "turn_idx", "text"])
+
+    def split(new_side: bool):
+        def f(t: pa.Table) -> pa.Table:
+            data, off = canonical_flat_bytes(t.column("conv_id"))
+            h = murmur64a(data, off)
+            is_new = (_mix64(h) % np.uint64(10)) == 0
+            tix = t.column("turn_idx").to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            # deterministic 63-bit turn id: conv hash high bits | turn_idx
+            tid = (((h >> np.uint64(1)) & ~np.uint64(0xFFF))
+                   | (tix & np.uint64(0xFFF))).astype(np.int64)
+            m = is_new if new_side else ~is_new
+            return pa.table({"turn_id": pa.array(tid[m]),
+                             "text": t.column("text").filter(pa.array(m))})
+        return f
+
+    idx_dir = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                           f"incr_turns_{sf_of(sf_dir)}")
+    idx = ExactDedupIndex(idx_dir, id_col="turn_id").build(
+        ds.map_batches(split(False), batch_format="pyarrow"))
+    out = idx.dedup_new(ds.map_batches(split(True), batch_format="pyarrow"))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("status"))
+        return pa.table({"status": vc.field("values"),
+                         "n": vc.field("counts")})
+
+    parts = out.map_batches(count_partial, batch_format="pyarrow") \
+        .to_pandas()
+    agg = parts.groupby("status", as_index=False)["n"].sum() \
+        if len(parts) else pd.DataFrame({"status": [], "n": []})
+    return agg.sort_values("status").reset_index(drop=True) \
+        .astype({"status": "str", "n": "int64"})
+
+
+QUERIES["incremental_dedup_turns"] = incremental_dedup_turns
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -87,6 +87,43 @@ class TestExactDedupIndex:
         assert list(out["status"]) == ["kept"]
 
 
+def test_incremental_turns_matches_brute_force(ray_session):
+    """incremental_dedup_turns' distributed per-status counts equal an
+    independent pandas classification of the same split (dup_of_index =
+    text anywhere in the corpus side; dup_in_batch = otherwise not the
+    smallest turn_id for its text within the batch)."""
+    import pyarrow.parquet as pq
+
+    from raysketch.hashing import murmur64a
+    from raysketch.keys import canonical_flat_bytes
+    from raysketch.pipelines.queries import (incremental_dedup_turns,
+                                             transcripts_ds)
+    from raysketch.stages.dedup import _splitmix64
+
+    sf = "/root/testdata/sf0.001"
+    got = incremental_dedup_turns(sf)
+
+    df = transcripts_ds(sf, columns=["conv_id", "turn_idx", "text"]) \
+        .to_pandas()
+    import pyarrow as pa
+
+    data, off = canonical_flat_bytes(pa.array(df["conv_id"], type=pa.string()))
+    h = murmur64a(data, off)
+    is_new = (_splitmix64(h) % np.uint64(10)) == 0
+    tid = (((h >> np.uint64(1)) & ~np.uint64(0xFFF))
+           | (df["turn_idx"].to_numpy().astype(np.uint64)
+              & np.uint64(0xFFF))).astype(np.int64)
+    corpus_texts = set(df["text"][~is_new])
+    batch = pd.DataFrame({"tid": tid[is_new],
+                          "text": df["text"][is_new].to_numpy()})
+    min_tid = batch.groupby("text")["tid"].transform("min")
+    status = np.where(
+        batch["text"].isin(corpus_texts), "dup_of_index",
+        np.where(batch["tid"] == min_tid, "kept", "dup_in_batch"))
+    exp = pd.Series(status).value_counts().to_dict()
+    assert dict(zip(got["status"], got["n"])) == exp
+
+
 class TestMinHashBandIndex:
     CORPUS = [
         "the quick brown fox jumps over the lazy dog near the river bank",
