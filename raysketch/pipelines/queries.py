@@ -14696,6 +14696,63 @@ def incremental_dedup_turns(sf_dir: str) -> pd.DataFrame:
 QUERIES["incremental_dedup_turns"] = incremental_dedup_turns
 
 
+def span_dedup_stats(sf_dir: str) -> pd.DataFrame:
+    """Span-level exact dedup (Lee et al. ACL'22 "Deduplicating
+    Training Data Makes Language Models Better"): every 5-token window
+    whose content occurs ≥2 times corpus-wide is removed EXCEPT its
+    first occurrence by (doc_id, position); per doc, report total
+    tokens and the union size of removed windows' token intervals.
+    Doc-level dedup misses boilerplate shared by otherwise-distinct
+    docs — this is the operator that catches it. Distributed shape:
+    O(tokens) fixed-width (gram_hash, doc, pos) rows + two hash-bucket
+    exchanges; text never shuffles (stages/spans.py)."""
+    from ..stages.spans import span_removal_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return span_removal_stats(ds, text_col="text", id_col="doc_id", k=5)
+
+
+QUERIES["span_dedup_stats"] = span_dedup_stats
+ORACLES["span_dedup_stats"] = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(p AS BIGINT) - 1 AS pos,
+             list_extract(words, CAST(p AS INT))     || ' ' ||
+             list_extract(words, CAST(p AS INT) + 1) || ' ' ||
+             list_extract(words, CAST(p AS INT) + 2) || ' ' ||
+             list_extract(words, CAST(p AS INT) + 3) || ' ' ||
+             list_extract(words, CAST(p AS INT) + 4) AS gram
+      FROM (SELECT doc_id, words,
+                   unnest(range(1, greatest(len(words) - 4, 0) + 1)) AS p
+            FROM w)
+    ),
+    marked AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY gram) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, pos) AS rn
+        FROM g
+      ) WHERE cnt >= 2 AND rn > 1
+    ),
+    cov AS (
+      SELECT doc_id, SUM(LEAST(nxt - pos, 5)) AS n_removed FROM (
+        SELECT doc_id, pos,
+               LEAD(pos, 1, pos + 5) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) AS nxt
+        FROM marked
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_removed, 0) AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN cov c USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

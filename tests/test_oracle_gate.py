@@ -58,6 +58,7 @@ FAST_SUBSET = [
     "events_first_last",
     "mode_event_type_by_user",
     "exact_percentile_price",
+    "span_dedup_stats",
     "histogram_order_price",
     "funnel_view_click_purchase",
     "kmeans_assign_embeddings",

@@ -1277,3 +1277,64 @@ def test_video_content_dedup_remux_recall(ray_session):
     for i in range(0, n, 8):
         assert int(vh._h(pay[i])) in reported
     assert (out["n_items"] == 2).all()
+
+
+class TestSpanDedup:
+    """Span-level exact dedup (stages/spans.py): repeated k-token
+    windows marked corpus-wide, first occurrence kept."""
+
+    @staticmethod
+    def _brute(texts: dict, k: int):
+        """Pure-python reference: per-doc (n_tokens, n_removed)."""
+        occ = {}
+        for i in sorted(texts):
+            w = texts[i].split(" ")
+            for p in range(max(0, len(w) - k + 1)):
+                occ.setdefault(tuple(w[p: p + k]), []).append((i, p))
+        removed = {}
+        for g, locs in occ.items():
+            if len(locs) >= 2:
+                for i, p in sorted(locs)[1:]:
+                    removed.setdefault(i, set()).update(range(p, p + k))
+        return {i: (len(texts[i].split(" ")), len(removed.get(i, set())))
+                for i in texts}
+
+    def test_matches_brute_force(self, docs_ds, ray_session):
+        from raysketch.stages.spans import span_removal_stats
+
+        ds, tbl, _ = docs_ds
+        out = span_removal_stats(ds, k=5)
+        texts = dict(zip(tbl.column("doc_id").to_pylist(),
+                         tbl.column("text").to_pylist()))
+        exp = self._brute(texts, 5)
+        assert len(out) == len(texts)
+        for _, r in out.iterrows():
+            nt, nr = exp[int(r["doc_id"])]
+            assert int(r["n_tokens"]) == nt
+            assert int(r["n_removed"]) == nr
+
+    def test_planted_boilerplate(self, ray_session):
+        """Docs sharing only a boilerplate sentence: doc-level exact
+        dedup keeps all (contents differ), span dedup marks exactly
+        the boilerplate tokens in every doc after the first."""
+        import ray.data
+
+        from raysketch.stages.dedup import exact_dedup_keep_ids
+        from raysketch.stages.spans import span_removal_stats
+
+        rng = np.random.default_rng(3)
+        vocab = [f"tok{i:03d}" for i in range(500)]
+        boiler = "click here to subscribe to our newsletter today"  # 8 tokens
+        texts = [" ".join(rng.choice(vocab, size=40)) + " " + boiler
+                 for _ in range(6)]
+        tbl = pa.table({"doc_id": pa.array(np.arange(6, dtype=np.int64)),
+                        "text": pa.array(texts)})
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        keep = exact_dedup_keep_ids(ds).to_pandas()
+        assert len(keep) == 6, "doc-level dedup must miss shared spans"
+        out = span_removal_stats(ds, k=5).set_index("doc_id")
+        assert int(out.loc[0, "n_removed"]) == 0  # first occurrence kept
+        for i in range(1, 6):
+            # 8 boilerplate tokens + the 4 bridge windows reaching back
+            # into the random prefix are all it may remove
+            assert 8 <= int(out.loc[i, "n_removed"]) <= 12
