@@ -14753,6 +14753,171 @@ ORACLES["span_dedup_stats"] = """
 """
 
 
+def semdedup_embeddings(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (arXiv:2303.09540) with a SQL-checkable answer: exact
+    copies of every 50th vector are planted in-query (vec_id +
+    1,000,000 — the embedding_dedup_planted pattern; corpus max
+    pairwise cosine ≈ 0.51 at sf0.01, far under the 0.95 threshold, so
+    the planted pairs are the only matches). Clustering is
+    deterministic fixed-seed assignment (16 smallest-id vectors as
+    centroids, argmax cosine, exact ties → smaller seed id), so the
+    whole operator — assignment included — value-hash-checks against a
+    ROW_NUMBER-argmax SQL oracle. A planted copy lands in its
+    original's cluster (identical vector → identical similarities) and
+    is removed with dup_of = the original; the copies of seed vectors
+    exercise the seed-self-match case. Floats never enter the output
+    (ids only)."""
+    from ..stages.dedup import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        sel = np.nonzero(ids % 50 == 0)[0]
+        copies = t.take(pa.array(sel))
+        copies = copies.set_column(
+            copies.schema.get_field_index("vec_id"), "vec_id",
+            pa.array(ids[sel] + 1_000_000))
+        return pa.concat_tables([t, copies])
+
+    aug = ds.map_batches(plant, batch_format="pyarrow")
+    return semdedup(aug, n_seeds=16, threshold=0.95)
+
+
+QUERIES["semdedup_embeddings"] = semdedup_embeddings
+ORACLES["semdedup_embeddings"] = """
+    WITH aug AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    seeds AS (
+      SELECT vec_id AS sid, e AS se FROM aug ORDER BY vec_id LIMIT 16
+    ),
+    assign AS (
+      SELECT vec_id, sid AS cluster FROM (
+        SELECT a.vec_id, s.sid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_cosine_similarity(a.e, s.se) DESC, s.sid
+               ) AS rn
+        FROM aug a CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    removed AS (
+      SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+      FROM aug a
+      JOIN assign ca ON ca.vec_id = a.vec_id
+      JOIN assign cb ON cb.cluster = ca.cluster
+      JOIN aug b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+      GROUP BY b.vec_id
+    )
+    SELECT r.vec_id, c.cluster, r.dup_of
+    FROM removed r JOIN assign c USING (vec_id)
+    ORDER BY r.vec_id
+"""
+
+
+def token_budget_select(sf_dir: str) -> pd.DataFrame:
+    """Token-budget corpus selection — the data-mixing step after
+    scoring: rank every document by quality (exact distinct-word
+    count, ties → smaller doc_id) and keep documents greedily while
+    the running token total stays within budget = corpus_tokens // 10.
+    This is the global-constraint selection no per-row filter can
+    express — every kept/dropped decision depends on the token mass of
+    ALL better-ranked documents. Distributed shape: per-doc (tokens,
+    distinct words) are one vectorized zero-shuffle pass (the ttr_docs
+    lexsort kernel); the global running total is
+    :func:`~raysketch.stages.scan.ordered_prefix_scan` over the
+    composite rank key ((max_score − score) << 32 | doc_id) — only
+    16-byte (key, tokens) rows ever shuffle, the cut applies in-bucket,
+    and the result is exactly SQL's SUM OVER (ORDER BY score DESC,
+    doc_id)."""
+    from ..stages.scan import ordered_prefix_scan
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        # per-doc (token count, exact distinct-word count), the ttr_docs
+        # lexsort kernel. Doc ids are unique within a batch and every
+        # doc splits to ≥1 token ("" → [""]), so the sorted-segment
+        # counts map back to row order through one argsort.
+        w = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cnt = pc.list_value_length(w).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = w.flatten().to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, cnt)
+        order = np.lexsort((flat, doc))
+        doc_s, flat_s = doc[order], flat[order]
+        new_pair = np.r_[True, (doc_s[1:] != doc_s[:-1])
+                         | (flat_s[1:] != flat_s[:-1])]
+        starts = np.nonzero(np.r_[True, doc_s[1:] != doc_s[:-1]])[0]
+        dis = np.zeros(len(ids), dtype=np.int64)
+        dis[np.argsort(ids, kind="stable")] = np.add.reduceat(
+            new_pair.astype(np.int64), starts) if len(starts) \
+            else np.zeros(0, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_tokens": pa.array(cnt),
+                         "score": pa.array(dis)})
+
+    per_doc = ds.map_batches(stats, batch_format="pyarrow").materialize()
+    total = per_doc.sum("n_tokens")
+    budget = int(total) // 10
+    SBITS = np.int64(1) << np.int64(32)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        s = t.column("score").to_numpy(zero_copy_only=False)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        key = (np.int64(1 << 21) - s.astype(np.int64)) * SBITS \
+            + d.astype(np.int64)
+        return pa.table({"key": pa.array(key),
+                         "n_tokens": t.column("n_tokens")})
+
+    scanned = ordered_prefix_scan(
+        per_doc.map_batches(keyed, batch_format="pyarrow"),
+        "key", "n_tokens", op="sum")
+
+    def cut(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        p = t.column("prefix").to_numpy(zero_copy_only=False)
+        keep = p + n <= budget
+        return pa.table({
+            "doc_id": pa.array((k[keep] % SBITS).astype(np.int64)),
+            "score": pa.array(
+                (np.int64(1 << 21) - k[keep] // SBITS).astype(np.int64)),
+            "n_tokens": pa.array(n[keep].astype(np.int64))})
+
+    out = scanned.map_batches(cut, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "score": "int64", "n_tokens": "int64"})
+
+
+QUERIES["token_budget_select"] = token_budget_select
+ORACLES["token_budget_select"] = """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS score
+      FROM documents
+    ),
+    b AS (SELECT CAST(SUM(n_tokens) // 10 AS BIGINT) AS budget FROM t),
+    c AS (
+      SELECT doc_id, score, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum
+      FROM t
+    )
+    SELECT doc_id, score, n_tokens FROM c, b
+    WHERE cum <= budget ORDER BY doc_id
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

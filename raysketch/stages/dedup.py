@@ -45,6 +45,7 @@ __all__ = [
     "verify_pairs_exact_jaccard",
     "simhash_dedup",
     "embedding_dedup",
+    "semdedup",
     "ngram_jaccard",
     "DRIVER_PAIR_LIMIT",
 ]
@@ -1905,3 +1906,105 @@ def crossdoc_gram_stats(ds, text_col: str = "text", id_col: str = "doc_id",
             .drop_columns(["token"]))
     return marked.map_batches(ib, batch_format="pyarrow") \
         .groupby("__ib").map_groups(per_doc, batch_format="pandas")
+
+
+# ------------------------------------------------------------ SemDeDup
+def semdedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+             n_seeds: int = 16, threshold: float = 0.95,
+             block: int = 2048):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): partition the embedding space into clusters, then
+    inside each cluster remove every item whose cosine similarity to an
+    EARLIER (smaller-id) cluster member meets ``threshold`` — pairwise
+    comparison cost drops from O(n²) corpus-wide to O(Σ m_c²) within
+    clusters.
+
+    Clustering here is deterministic fixed-seed assignment: the
+    ``n_seeds`` vectors with the globally smallest ids are the
+    centroids and every vector joins the seed maximizing cosine (exact
+    ties → smaller seed id, = numpy argmax-first). Unlike iterative
+    k-means this keeps the whole operator expressible as a SQL oracle
+    (argmax via ROW_NUMBER over a cross join) while preserving the
+    SemDeDup shape; swap the seed matrix for trained centroids
+    (similarity.IVFIndex._train) when oracle parity is not required.
+
+    Distributed shape: seed selection is a per-batch local bottom-k by
+    id (≤ n_seeds rows/block reach the driver); the normalized seed
+    matrix is ONE broadcast (ray.put, read via ray.get inside plain
+    task fns — no actor pool, setup is just a plasma read); assignment
+    is one matmul per batch; members exchange ONCE keyed on cluster id;
+    the in-cluster pairwise check runs blockwise (m × ``block``
+    matmuls) so task memory stays O(m·block) doubles regardless of
+    cluster size. ``n_seeds`` should scale with the corpus so expected
+    cluster size n/n_seeds stays bounded. Returns only the REMOVED
+    rows: (id, cluster seed id, dup_of = smallest qualifying earlier
+    member).
+    """
+    import pandas as pd
+    import ray
+
+    def local_seeds(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) > n_seeds:
+            sel = np.sort(np.argpartition(ids, n_seeds)[:n_seeds])
+            t = t.take(pa.array(sel))
+        return t.select([id_col, vec_col])
+
+    cand = ds.map_batches(local_seeds, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(id_col).head(n_seeds)
+    seed_ids = cand[id_col].to_numpy().astype(np.int64)
+    S = np.stack(cand[vec_col].to_numpy()).astype(np.float64)
+    S /= np.linalg.norm(S, axis=1, keepdims=True) + 1e-300
+    ref = ray.put((seed_ids, S))
+
+    def assign(t: pa.Table) -> pa.Table:
+        sids, Sm = ray.get(ref)
+        X = np.asarray(t.column(vec_col).combine_chunks().flatten()
+                       .to_numpy(zero_copy_only=False)) \
+            .reshape(t.num_rows, -1).astype(np.float64)
+        Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-300)
+        cl = sids[np.argmax(Xn @ Sm.T, axis=1)]
+        return pa.table({id_col: t.column(id_col),
+                         "cluster": pa.array(cl.astype(np.int64)),
+                         vec_col: t.column(vec_col)})
+
+    empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                          "cluster": pd.Series([], dtype="int64"),
+                          "dup_of": pd.Series([], dtype="int64")})
+
+    def dedup_cluster(g: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.argsort(g[id_col].to_numpy(), kind="stable")
+        ids = g[id_col].to_numpy()[order].astype(np.int64)
+        V = np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True) + 1e-300
+        m = len(ids)
+        if m < 2:
+            return empty.copy()
+        out_id, out_dup = [], []
+        for j0 in range(1, m, block):
+            j1 = min(j0 + block, m)
+            G = V[:j1] @ V[j0:j1].T            # (j1, j1-j0)
+            cols = np.arange(j0, j1)
+            hit = (G >= threshold) & (np.arange(j1)[:, None] < cols)
+            any_ = hit.any(axis=0)
+            first = hit.argmax(axis=0)         # min index = min id (sorted)
+            out_id.append(ids[cols[any_]])
+            out_dup.append(ids[first[any_]])
+        rid = np.concatenate(out_id)
+        if not len(rid):
+            return empty.copy()
+        return pd.DataFrame({
+            id_col: rid,
+            "cluster": np.full(len(rid), int(g["cluster"].iloc[0]),
+                               dtype=np.int64),
+            "dup_of": np.concatenate(out_dup)})
+
+    removed = ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("cluster").map_groups(dedup_cluster, batch_format="pandas") \
+        .to_pandas()
+    if not len(removed):
+        return empty.copy()
+    return removed.astype({id_col: "int64", "cluster": "int64",
+                           "dup_of": "int64"}) \
+        .sort_values(id_col).reset_index(drop=True)

@@ -59,6 +59,8 @@ FAST_SUBSET = [
     "mode_event_type_by_user",
     "exact_percentile_price",
     "span_dedup_stats",
+    "semdedup_embeddings",
+    "token_budget_select",
     "histogram_order_price",
     "funnel_view_click_purchase",
     "kmeans_assign_embeddings",

@@ -1338,3 +1338,91 @@ class TestSpanDedup:
             # 8 boilerplate tokens + the 4 bridge windows reaching back
             # into the random prefix are all it may remove
             assert 8 <= int(out.loc[i, "n_removed"]) <= 12
+
+
+class TestSemDeDup:
+    """SemDeDup (stages/dedup.py semdedup): fixed-seed clustering +
+    within-cluster cosine dedup, removed = non-first ≥-threshold."""
+
+    @staticmethod
+    def _brute(ids, V, n_seeds, tau):
+        """Pure-numpy reference over the SAME semantics."""
+        order = np.argsort(ids)
+        ids, V = ids[order], V[order]
+        Vn = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-300)
+        sid = ids[:n_seeds]
+        S = Vn[:n_seeds]
+        cl = sid[np.argmax(Vn @ S.T, axis=1)]
+        out = {}
+        for j in range(len(ids)):
+            for i in range(j):
+                if cl[i] == cl[j] and float(Vn[i] @ Vn[j]) >= tau:
+                    out[int(ids[j])] = (int(cl[j]), int(ids[i]))
+                    break
+        return out
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(7)
+        n, d = 300, 16
+        V = rng.standard_normal((n, d)).astype(np.float32)
+        # plant near-dup families: tiny perturbations (NOT exact copies
+        # — byte/hash dedup provably misses these) of vectors 10 and 11
+        for k, src in ((100, 10), (150, 10), (200, 11)):
+            V[k] = V[src] + rng.standard_normal(d).astype(np.float32) * 0.01
+        ids = np.arange(n, dtype=np.int64) * 7 + 3  # non-contiguous ids
+        tbl = pa.table({"vec_id": pa.array(ids),
+                        "embedding": pa.array([v for v in V],
+                                              type=pa.list_(pa.float32()))})
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        from raysketch.stages.dedup import semdedup
+
+        out = semdedup(ds, n_seeds=8, threshold=0.9, block=64)
+        exp = self._brute(ids.copy(), V.astype(np.float64), 8, 0.9)
+        got = {int(r["vec_id"]): (int(r["cluster"]), int(r["dup_of"]))
+               for _, r in out.iterrows()}
+        assert got == exp
+        # the perturbed copies must be among the removed (cos ≈ 0.9997)
+        for k in (100, 150, 200):
+            assert int(ids[k]) in got
+
+    def test_empty_and_identity(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(1)
+        V = rng.standard_normal((40, 8)).astype(np.float32)
+        tbl = pa.table({"vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                        "embedding": pa.array([v for v in V],
+                                              type=pa.list_(pa.float32()))})
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        from raysketch.stages.dedup import semdedup
+
+        out = semdedup(ds, n_seeds=4, threshold=0.999999)
+        assert len(out) == 0
+        assert list(out.columns) == ["vec_id", "cluster", "dup_of"]
+
+
+class TestTokenBudgetSelect:
+    def test_matches_greedy(self, ray_session, sf_dir):
+        import __ray_entry__ as e
+
+        out = e.queries()["token_budget_select"](sf_dir)
+        # brute force: pandas greedy over the same stats
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"]).to_pandas()
+        t["words"] = t["text"].fillna("").str.split(" ")
+        t["n_tokens"] = t["words"].str.len()
+        t["score"] = t["words"].apply(lambda w: len(set(w)))
+        budget = int(t["n_tokens"].sum()) // 10
+        t = t.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+        cum = t["n_tokens"].cumsum()
+        sel = t[cum <= budget].sort_values("doc_id").reset_index(drop=True)
+        assert list(out["doc_id"]) == list(sel["doc_id"])
+        assert list(out["n_tokens"]) == list(sel["n_tokens"])
+        assert list(out["score"]) == list(sel["score"])
+        # the selection is a proper subset that exhausts the budget
+        assert out["n_tokens"].sum() <= budget
