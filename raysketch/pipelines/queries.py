@@ -14918,6 +14918,97 @@ ORACLES["token_budget_select"] = """
 """
 
 
+def audit_transcript_ds(ds) -> pd.DataFrame:
+    """Conversation well-formedness audit — the data-quality gate an
+    ingest pipeline runs before training (`dq_orders_violations`' twin
+    on the graft payload): one summary row counting
+      * empty-text turns,
+      * tool-column contract violations (role=='tool' XOR tool!=''),
+      * adjacent same-role turns within a conversation,
+      * timestamp regressions against turn order,
+      * turn-index gaps and conversations not starting at turn 0.
+    Row-local flags fold as per-batch combiner partials (zero
+    shuffle); adjacency checks co-locate each conversation with ONE
+    conv-hash bucket exchange of fixed-width rows (conv hash,
+    turn_idx, role idx, ts) — text never shuffles. Conv-hash
+    collisions merge two convs' timelines with probability
+    ~n_convs²/2⁶⁴ (the exact-dedup collision argument)."""
+    from ..hashing import arrow_to_flat_bytes, murmur64a
+
+    ROLES = ["assistant", "system", "tool", "user"]
+    NB = 64
+
+    def local_flags(t: pa.Table) -> pa.Table:
+        is_tool_role = pc.equal(t.column("role"), "tool")
+        has_tool = pc.not_equal(pc.fill_null(t.column("tool"), ""), "")
+        bad_tool = pc.sum(pc.cast(
+            pc.xor(is_tool_role, has_tool), pa.int64())).as_py() or 0
+        empty = pc.sum(pc.cast(
+            pc.equal(pc.fill_null(t.column("text"), ""), ""),
+            pa.int64())).as_py() or 0
+        return pa.table({"n_turns": pa.array([t.num_rows]),
+                         "n_empty_text": pa.array([int(empty)]),
+                         "n_tool_violations": pa.array([int(bad_tool)])})
+
+    def adjacency_rows(t: pa.Table) -> pa.Table:
+        data, offsets = arrow_to_flat_bytes(t.column("conv_id"))
+        cv = murmur64a(data, offsets).astype(np.int64)
+        ri = pc.index_in(t.column("role"),
+                         value_set=pa.array(ROLES))
+        return pa.table({
+            "cv": pa.array(cv),
+            "ti": pc.cast(t.column("turn_idx"), pa.int64()),
+            "ri": pc.cast(ri, pa.int8()),
+            "tsu": pc.cast(t.column("ts"), pa.int64()),
+            "__b": pa.array((cv.astype(np.uint64)
+                             % np.uint64(NB)).astype(np.int64)),
+        })
+
+    def audit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cv = g["cv"].to_numpy()
+        ti = g["ti"].to_numpy()
+        ri = g["ri"].to_numpy()
+        ts = g["tsu"].to_numpy()
+        order = np.lexsort((ti, cv))
+        cv, ti, ri, ts = cv[order], ti[order], ri[order], ts[order]
+        same = cv[1:] == cv[:-1]
+        new = np.r_[True, ~same]
+        return pd.DataFrame({
+            "n_convs": [int(new.sum())],
+            "n_same_role_adjacent": [int((same & (ri[1:] == ri[:-1])).sum())],
+            "n_ts_regressions": [int((same & (ts[1:] <= ts[:-1])).sum())],
+            "n_turn_gaps": [int((same & (ti[1:] != ti[:-1] + 1)).sum())],
+            "n_bad_start": [int((ti[new] != 0).sum())],
+        })
+
+    loc = ds.map_batches(local_flags, batch_format="pyarrow").to_pandas()
+    adj = ds.map_batches(adjacency_rows, batch_format="pyarrow") \
+        .groupby("__b").map_groups(audit_bucket, batch_format="pandas") \
+        .to_pandas()
+    return _one_row(
+        n_turns=int(loc["n_turns"].sum()),
+        n_convs=int(adj["n_convs"].sum()),
+        n_empty_text=int(loc["n_empty_text"].sum()),
+        n_tool_violations=int(loc["n_tool_violations"].sum()),
+        n_same_role_adjacent=int(adj["n_same_role_adjacent"].sum()),
+        n_ts_regressions=int(adj["n_ts_regressions"].sum()),
+        n_turn_gaps=int(adj["n_turn_gaps"].sum()),
+        n_bad_start=int(adj["n_bad_start"].sum()),
+    )
+
+
+def transcript_audit(sf_dir: str) -> pd.DataFrame:
+    """Driver entry for :func:`audit_transcript_ds` over the sf-tier
+    transcript table (rows-only: the table is generated, not an oracle
+    view; pytest locks equality against a pandas brute force)."""
+    ds = transcripts_ds(sf_dir, columns=["conv_id", "turn_idx", "role",
+                                         "text", "tool", "ts"])
+    return audit_transcript_ds(ds)
+
+
+QUERIES["transcript_audit"] = transcript_audit
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -329,3 +329,41 @@ def test_ivf_recall_curve_monotone_and_exhaustive(ray_session):
     assert (np.diff(hits) >= 0).all(), "recall must be monotone in nprobe"
     assert int(out["n_hits"].iloc[-1]) == int(out["n_truth"].iloc[-1]), \
         "exhaustive probe must equal brute force"
+
+
+class TestTranscriptAudit:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from raysketch.pipelines.queries import audit_transcript_ds
+        from raysketch.sources.transcripts import gen_transcripts
+
+        tbl = gen_transcripts(5000, seed=42)
+        out = audit_transcript_ds(
+            ray.data.from_arrow(tbl).repartition(6)).iloc[0]
+        df = tbl.to_pandas().sort_values(["conv_id", "turn_idx"])
+        g = df.groupby("conv_id", sort=False)
+        same = df["conv_id"].to_numpy()[1:] == df["conv_id"].to_numpy()[:-1]
+        role = df["role"].to_numpy()
+        ts = df["ts"].astype("int64").to_numpy()
+        ti = df["turn_idx"].astype("int64").to_numpy()
+        assert out["n_turns"] == len(df)
+        assert out["n_convs"] == df["conv_id"].nunique()
+        assert out["n_empty_text"] == int((df["text"] == "").sum())
+        assert out["n_tool_violations"] == int(
+            ((df["role"] == "tool") != (df["tool"] != "")).sum())
+        assert out["n_same_role_adjacent"] == int(
+            (same & (role[1:] == role[:-1])).sum())
+        assert out["n_ts_regressions"] == int(
+            (same & (ts[1:] <= ts[:-1])).sum())
+        assert out["n_turn_gaps"] == int(
+            (same & (ti[1:] != ti[:-1] + 1)).sum())
+        assert out["n_bad_start"] == int((g["turn_idx"].min() != 0).sum())
+        # the generator's contracts: monotone ts, contiguous turns,
+        # tool set iff role=='tool' — and real findings where expected
+        assert out["n_ts_regressions"] == 0
+        assert out["n_turn_gaps"] == 0
+        assert out["n_bad_start"] == 0
+        assert out["n_tool_violations"] == 0
+        assert out["n_empty_text"] > 0
+        assert out["n_same_role_adjacent"] > 0
