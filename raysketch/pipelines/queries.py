@@ -15009,6 +15009,79 @@ def transcript_audit(sf_dir: str) -> pd.DataFrame:
 QUERIES["transcript_audit"] = transcript_audit
 
 
+def quality_classifier_docs(sf_dir: str) -> pd.DataFrame:
+    """Trained quality-filter classifier — the fastText-style model
+    pipeline (CCNet / GPT-3 data curation): a weak-supervision rule
+    (here: ≥2 occurrences of the low-quality markers 'slow'/'dup')
+    labels a deterministic 256-doc seed sample; a hashed-bag-of-words
+    logistic regression trains on the driver (bounded sample, the
+    IVF-k-means precedent); the weight vector broadcasts ONCE and the
+    full corpus scores in one vectorized inference pass (murmur-hash
+    tokens → np.add.reduceat of gathered weights per doc). Output is a
+    single integer row: held-out confusion counts + train accuracy —
+    the rule is computable everywhere, so the classifier's
+    generalization is measured exactly. Deterministic end-to-end
+    (hash sample, fixed-iteration float64 GD, per-doc pure-function
+    scores); rows-only driver entry (SQL cannot train), pytest asserts
+    held-out accuracy."""
+    from ..stages.linear import (deterministic_sample, score_logreg,
+                                 train_logreg_hashed)
+
+    DIM = 65536
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rule_counts(texts) -> np.ndarray:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        w = pc.split_pattern(pc.fill_null(texts, ""), " ")
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        hit = pc.cast(pc.is_in(w.flatten(),
+                               value_set=pa.array(["slow", "dup"])),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        off = w.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(hit)))
+        return cum[off[1:]] - cum[off[:-1]]
+
+    sample = deterministic_sample(ds, "doc_id", ["doc_id", "text"],
+                                  k=256, seed=11)
+    y_train = (rule_counts(pa.array(sample["text"].tolist(),
+                                    type=pa.string())) >= 2)
+    w, b = train_logreg_hashed(sample["text"].tolist(),
+                               y_train.astype(np.float64), dim=DIM,
+                               iters=400, lr=1.0)
+    train_ids = np.sort(sample["doc_id"].to_numpy().astype(np.int64))
+
+    def extra(t: pa.Table) -> dict:
+        return {"y": (rule_counts(t.column("text")) >= 2)
+                .astype(np.int8)}
+
+    scored = score_logreg(ds, "text", "doc_id", w, b, DIM, extra_fn=extra)
+
+    def confusion(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pred = t.column("pred").to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        y = t.column("y").to_numpy(zero_copy_only=False).astype(bool)
+        tr = np.isin(ids.astype(np.int64), train_ids)
+        te = ~tr
+        return pa.table({
+            "n_docs": pa.array([len(ids)]),
+            "n_train": pa.array([int(tr.sum())]),
+            "train_correct": pa.array([int((tr & (pred == y)).sum())]),
+            "test_tp": pa.array([int((te & pred & y).sum())]),
+            "test_fp": pa.array([int((te & pred & ~y).sum())]),
+            "test_fn": pa.array([int((te & ~pred & y).sum())]),
+            "test_tn": pa.array([int((te & ~pred & ~y).sum())]),
+        })
+
+    c = scored.map_batches(confusion, batch_format="pyarrow").to_pandas()
+    return _one_row(**{k: int(c[k].sum()) for k in c.columns})
+
+
+QUERIES["quality_classifier_docs"] = quality_classifier_docs
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

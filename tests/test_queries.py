@@ -367,3 +367,17 @@ class TestTranscriptAudit:
         assert out["n_tool_violations"] == 0
         assert out["n_empty_text"] > 0
         assert out["n_same_role_adjacent"] > 0
+
+
+class TestQualityClassifier:
+    def test_generalizes_heldout(self, ray_session, sf_dir):
+        import __ray_entry__ as e
+
+        r = e.queries()["quality_classifier_docs"](sf_dir).iloc[0]
+        assert r["n_train"] == 256
+        # the rule is exactly linearly representable in raw hashed
+        # counts, so the train set must be perfectly separated
+        assert r["train_correct"] == r["n_train"]
+        te = r["test_tp"] + r["test_fp"] + r["test_fn"] + r["test_tn"]
+        assert te == r["n_docs"] - r["n_train"]
+        assert (r["test_tp"] + r["test_tn"]) / te >= 0.9
