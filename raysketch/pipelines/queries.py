@@ -15082,6 +15082,150 @@ def quality_classifier_docs(sf_dir: str) -> pd.DataFrame:
 QUERIES["quality_classifier_docs"] = quality_classifier_docs
 
 
+def max_repeat_run_docs(sf_dir: str) -> pd.DataFrame:
+    """De-looping detector — the generation-artifact filter for
+    model-written text (a degenerate decoder repeats one token):
+    per document, the length of the longest run of CONSECUTIVE
+    identical tokens (and the token, ties → first occurrence).
+    Zero-shuffle: each batch holds whole docs, runs fall out of one
+    boundary mask + reduceat per batch; the SQL twin is the classic
+    gaps-and-islands (pos − ROW_NUMBER within (doc, word))."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def runs(t: pa.Table) -> pa.Table:
+        w = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cnt = pc.list_value_length(w).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = w.flatten()
+        fw = flat.to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, cnt)
+        # run starts: new doc OR token != previous token
+        new = np.r_[True, (doc[1:] != doc[:-1]) | (fw[1:] != fw[:-1])] \
+            if len(fw) else np.zeros(0, dtype=bool)
+        starts = np.nonzero(new)[0]
+        rlen = np.diff(np.r_[starts, len(fw)])
+        rdoc = doc[starts]
+        # per-doc argmax run length, first occurrence wins: runs are
+        # already in (doc, position) order, lexsort by (-len) stable
+        # within doc keeps the earliest among ties
+        order = np.lexsort((-rlen, rdoc))
+        rd, rl = rdoc[order], rlen[order]
+        first = np.r_[True, rd[1:] != rd[:-1]]
+        tok = flat.take(pa.array(starts[order][first]))
+        return pa.table({"doc_id": pa.array(rd[first]),
+                         "max_run": pa.array(rl[first]),
+                         "run_token": tok})
+
+    out = ds.map_batches(runs, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "max_run": "int64"})
+
+
+QUERIES["max_repeat_run_docs"] = max_repeat_run_docs
+ORACLES["max_repeat_run_docs"] = """
+    WITH g AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS pos,
+             list_extract(string_split(text, ' '), CAST(p AS INT)) AS word
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
+            FROM documents)
+    ),
+    runs AS (
+      SELECT doc_id, word, MIN(pos) AS run_start,
+             CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM (
+        SELECT doc_id, pos, word,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id, word
+                                        ORDER BY pos) AS grp
+        FROM g
+      ) GROUP BY doc_id, word, grp
+    )
+    SELECT doc_id, run_len AS max_run, word AS run_token FROM (
+      SELECT doc_id, word, run_len,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY run_len DESC, run_start) AS rn
+      FROM runs
+    ) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def decontaminate_fuzzy_docs(sf_dir: str) -> pd.DataFrame:
+    """FUZZY train/benchmark decontamination — the near-dup twin of the
+    exact-overlap `decontaminate_docs`: a benchmark set is planted as
+    the 40-word PREFIX of every 25th document (doc_id + 2,000,000 —
+    high n-gram overlap with its source but NOT byte-equal, so exact
+    dedup provably misses it), and every (train, bench) pair with exact
+    word-3-gram Jaccard ≥ 0.6 is flagged with its similarity. Candidates
+    via the distributed prefix-filter join (provably complete — no LSH
+    recall to forgive), cross-set pairs kept by a post-filter on the id
+    range; the whole operator value-hash-checks against the O(n²) SQL
+    shingle join (same integer division ⇒ bit-identical doubles)."""
+    from ..stages.dedup import ngram_jaccard_join
+
+    BENCH = 2_000_000
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = np.nonzero(ids % 25 == 0)[0]
+        src = t.take(pa.array(sel))
+        words = pc.split_pattern(
+            pc.fill_null(src.column("text"), ""), " ").combine_chunks()
+        prefix = pc.binary_join(pc.list_slice(words, 0, 40), " ")
+        bench = pa.table({"doc_id": pa.array(ids[sel] + BENCH),
+                          "text": prefix})
+        return pa.concat_tables([t.select(["doc_id", "text"]), bench])
+
+    aug = ds.map_batches(plant, batch_format="pyarrow")
+    pairs = ngram_jaccard_join(aug, k=3, threshold=0.6, unit="word")
+    out = pairs[(pairs["id_a"] < BENCH) & (pairs["id_b"] >= BENCH)]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True) \
+        .astype({"id_a": "int64", "id_b": "int64"})
+
+
+QUERIES["decontaminate_fuzzy_docs"] = decontaminate_fuzzy_docs
+ORACLES["decontaminate_fuzzy_docs"] = """
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000,
+             array_to_string(list_slice(string_split(text, ' '), 1, 40),
+                             ' ')
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM aug),
+    pos AS (
+      SELECT doc_id, words,
+             unnest(range(1, greatest(len(words) - 1, 1))) AS p
+      FROM w
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             list_extract(words, CAST(p AS INT)) || ' ' ||
+             list_extract(words, CAST(p AS INT) + 1) || ' ' ||
+             list_extract(words, CAST(p AS INT) + 2) AS gram
+      FROM pos
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+      AND id_a < 2000000 AND id_b >= 2000000
+    ORDER BY id_a, id_b
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -61,6 +61,8 @@ FAST_SUBSET = [
     "span_dedup_stats",
     "semdedup_embeddings",
     "token_budget_select",
+    "max_repeat_run_docs",
+    "decontaminate_fuzzy_docs",
     "histogram_order_price",
     "funnel_view_click_purchase",
     "kmeans_assign_embeddings",
