@@ -30,7 +30,7 @@ from .sketches import SKETCHES
 
 __all__ = ["fold_partials", "SketchMerge", "sketch_aggregate", "multi_sketch_aggregate", "make_fold_fn", "canonical_sketch_reduce", "actor_pool_fold"]
 
-_HASH_SKETCHES = {"hll", "bloom", "countmin"}  # fold hashed byte elements
+_HASH_SKETCHES = {"hll", "bloom", "countmin", "countsketch"}  # fold hashed byte elements
 _VALUE_SKETCHES = {"kll", "tdigest"}  # fold numeric values
 
 
@@ -88,7 +88,7 @@ def make_fold_fn(
             else:
                 data, offsets = composite_flat_bytes([batch.column(c) for c in on_cols])
             hashes = murmur64a(data, offsets, HLL_SEED)
-            if sketch in ("bloom", "countmin"):
+            if sketch in ("bloom", "countmin", "countsketch"):
                 from .sketches.bloom import _SEED2
 
                 hashes2 = murmur64a(data, offsets, _SEED2)
@@ -110,7 +110,7 @@ def make_fold_fn(
                 sk.add_hashes(hashes[rows])
             elif sketch == "bloom":
                 sk.add_hash_pairs(hashes[rows], hashes2[rows])
-            elif sketch == "countmin":
+            elif sketch in ("countmin", "countsketch"):
                 sk.add_hash_pairs(hashes[rows], hashes2[rows],
                                   wts[rows] if wts is not None else None)
             else:

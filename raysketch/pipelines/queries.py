@@ -15226,6 +15226,80 @@ ORACLES["decontaminate_fuzzy_docs"] = """
 """
 
 
+def f2_exact_user_events(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Exact second frequency moment (self-join size) of events.user_id
+    — F₂ = Σᵤ cᵤ², the number a join planner needs before it picks a
+    strategy for any user_id⋈user_id equi-join, and the exact twin the
+    Count-Sketch estimate below is graded against. Same shape as
+    customer_hhi: per-batch (user, n) combiner partials, ONE user-hash
+    exchange, each bucket emits (Σc² hi/lo-split, Σc, n_users) and the
+    driver folds Python ints."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        uu, cnt = np.unique(u, return_counts=True)
+        return pa.table({
+            "u": pa.array(uu), "c": pa.array(cnt.astype(np.int64)),
+            "__b": pa.array((_mix64(uu.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        order = np.argsort(u, kind="stable")
+        u, c = u[order], c[order]
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        tot = np.add.reduceat(c, starts)
+        sq = tot * tot
+        return pd.DataFrame([{
+            "n": len(tot), "sc": int(tot.sum()),
+            "hi": int((sq >> np.int64(32)).sum()),
+            "lo": int((sq & np.int64((1 << 32) - 1)).sum()),
+        }])
+
+    p = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(fold, batch_format="pandas").to_pandas()
+    sj = (int(p["hi"].sum()) << 32) + int(p["lo"].sum())
+    return _one_row(n_users=np.int64(int(p["n"].sum())),
+                    n_events=np.int64(int(p["sc"].sum())),
+                    selfjoin_size=np.int64(sj))
+
+
+QUERIES["f2_exact_user_events"] = f2_exact_user_events
+ORACLES["f2_exact_user_events"] = """
+    WITH per AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS selfjoin_size
+    FROM per
+"""
+
+
+def f2_countsketch_user_events(sf_dir: str) -> pd.DataFrame:
+    """Count-Sketch (AMS) self-join-size estimate of events.user_id —
+    the streaming twin of f2_exact_user_events: one pass, no groupby,
+    8192×5 signed counters whose element-wise-add merge makes the
+    estimate bit-identical at any parallelism (pure integer sums).
+    Rows-only entry; pytest holds the AMS error band against the exact
+    value (Var ≤ 2F₂²/w per row, median over 5 rows)."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = sketch_aggregate(ds, "countsketch", on="user_id",
+                           mode="estimate", width=1 << 13, depth=5)
+    return _one_row(f2_estimate=np.int64(est["f2_estimate"]),
+                    n_events=np.int64(est["total"]),
+                    width=np.int64(est["width"]),
+                    depth=np.int64(est["depth"]))
+
+
+QUERIES["f2_countsketch_user_events"] = f2_countsketch_user_events
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -2,6 +2,7 @@ from .base import MergeableSketch, hash_column, hash_composite
 from .bloom import BloomFilter
 from .bottomk import BottomK, set_op_estimates
 from .cms import CountMin
+from .countsketch import CountSketch
 from .hll import HLL
 from .setsketch import ExactSet
 from .kll import KLL
@@ -14,6 +15,7 @@ SKETCHES = {
     "bottomk": BottomK,
     "bloom": BloomFilter,
     "countmin": CountMin,
+    "countsketch": CountSketch,
     "kll": KLL,
     "tdigest": TDigest,
     "set": ExactSet,
@@ -25,6 +27,7 @@ __all__ = [
     "BottomK", "set_op_estimates",
     "BloomFilter",
     "CountMin",
+    "CountSketch",
     "KLL",
     "TDigest",
     "ExactSet",

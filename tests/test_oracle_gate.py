@@ -108,6 +108,7 @@ FAST_SUBSET = [
     "q16_supplier_counts_by_brand",
     "q9_profit_by_nation_year",
     "q20_majority_suppliers",
+    "f2_exact_user_events",
     "novelty_score_docs",
     "acctbal_stats_by_nation",
     "longest_streak_by_user",

@@ -381,3 +381,18 @@ class TestQualityClassifier:
         te = r["test_tp"] + r["test_fp"] + r["test_fn"] + r["test_tn"]
         assert te == r["n_docs"] - r["n_train"]
         assert (r["test_tp"] + r["test_tn"]) / te >= 0.9
+
+
+def test_countsketch_f2_matches_exact_within_band(ray_session):
+    """The Count-Sketch self-join-size estimate tracks the exact F₂:
+    per-row AMS variance ≤ 2F₂²/w → σ/F₂ ≈ 1.56% at w=8192; median of
+    5 rows. Deterministic hash family → the measured error is stable;
+    assert the 4σ band."""
+    import __ray_entry__ as entry
+
+    q = entry.queries()
+    exact = q["f2_exact_user_events"]("/root/testdata/sf0.001")
+    est = q["f2_countsketch_user_events"]("/root/testdata/sf0.001")
+    f2 = int(exact["selfjoin_size"][0])
+    assert int(est["n_events"][0]) == int(exact["n_events"][0])
+    assert abs(int(est["f2_estimate"][0]) - f2) <= 0.063 * f2

@@ -505,3 +505,100 @@ class TestMisraGries:
         assert mg.decr == 0
         assert mg.counters == {b"a": 3, b"b": 2, b"c": 1}
         assert mg.finalize()["candidates"][0] == ("a", 3)
+
+
+# --------------------------------------------------------- Count-Sketch
+class TestCountSketch:
+    """AMS Count-Sketch: unbiased two-sided point estimates, F₂
+    (self-join size) within the published variance band, bit-exact
+    merge commutativity (pure integer adds), wire round-trip."""
+
+    def _zipf(self, n=200_000, seed=3):
+        import pyarrow as pa
+
+        rng = np.random.default_rng(seed)
+        z = np.clip(rng.zipf(1.3, size=n), 1, 400)
+        return pa.array([f"u{int(v):03d}" for v in z])
+
+    def test_f2_within_band(self):
+        import collections
+
+        from raysketch.sketches import CountSketch
+
+        col = self._zipf()
+        cs = CountSketch(width=1 << 13, depth=5)
+        cs.add_batch(col)
+        true = collections.Counter(col.to_pylist())
+        f2 = sum(c * c for c in true.values())
+        # per-row Var ≤ 2F₂²/w → σ/F₂ ≈ 1.56% at w=8192; median of 5
+        # rows. 4σ ≈ 6.3% — deterministic hashes make this stable.
+        assert abs(cs.f2_estimate() - f2) <= 0.063 * f2
+        assert cs.total == len(col)
+
+    def test_point_estimates_two_sided_band(self):
+        import collections
+
+        from raysketch.sketches import CountSketch
+
+        col = self._zipf()
+        cs = CountSketch(width=1 << 13, depth=5)
+        cs.add_batch(col)
+        true = collections.Counter(col.to_pylist())
+        f2 = sum(c * c for c in true.values())
+        noise = 3 * (f2 / (1 << 13)) ** 0.5
+        import pyarrow as pa
+
+        keys = sorted(true)
+        ests = cs.estimate_batch(pa.array(keys))
+        errs = np.array([abs(int(e) - true[k]) for k, e in zip(keys, ests)])
+        # median-of-5 rows: the 3σ-per-row band holds for ~all keys
+        assert (errs <= noise).mean() >= 0.99
+        # unlike CMS the error is two-sided: under a deliberately tiny
+        # width (forced collisions) some estimates undershoot and some
+        # overshoot — CMS can only overshoot
+        tiny = CountSketch(width=1 << 6, depth=3)
+        tiny.add_batch(col)
+        t_ests = tiny.estimate_batch(pa.array(keys))
+        signed = np.array([int(e) - true[k] for k, e in zip(keys, t_ests)])
+        assert (signed < 0).any() and (signed > 0).any()
+
+    def test_merge_partition_invariance_bitexact(self):
+        from raysketch.sketches import CountSketch
+
+        col = self._zipf(n=70_000)
+        whole = CountSketch(width=1 << 10, depth=3)
+        whole.add_batch(col)
+        merged = CountSketch(width=1 << 10, depth=3)
+        for i in range(7):
+            p = CountSketch(width=1 << 10, depth=3)
+            p.add_batch(col.slice(i * 10_000, 10_000))
+            merged.merge(p)
+        assert np.array_equal(whole.table, merged.table)
+        assert whole.f2_estimate() == merged.f2_estimate()
+        assert whole.total == merged.total
+
+    def test_weights_equal_repetition(self):
+        import pyarrow as pa
+
+        from raysketch.sketches import CountSketch
+
+        a = CountSketch(width=1 << 8, depth=3)
+        a.add_batch(pa.array(["x", "y"]), weights=[3, 2])
+        b = CountSketch(width=1 << 8, depth=3)
+        b.add_batch(pa.array(["x", "x", "x", "y", "y"]))
+        assert np.array_equal(a.table, b.table) and a.total == b.total
+
+    def test_bytes_roundtrip_and_errors(self):
+        from raysketch.sketches import CountSketch
+
+        cs = CountSketch(width=1 << 9, depth=5)
+        cs.add_batch(self._zipf(n=5000))
+        rt = CountSketch.from_bytes(cs.to_bytes())
+        assert np.array_equal(rt.table, cs.table)
+        assert (rt.d, rt.w, rt.total) == (cs.d, cs.w, cs.total)
+        with pytest.raises(ValueError):
+            cs.merge(CountSketch(width=1 << 8, depth=5))
+        with pytest.raises(ValueError):
+            CountSketch.from_bytes(b"nope")
+        with pytest.raises(ValueError):
+            CountSketch(width=64, depth=4)  # even depth: no median row
