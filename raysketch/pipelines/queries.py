@@ -15300,6 +15300,116 @@ def f2_countsketch_user_events(sf_dir: str) -> pd.DataFrame:
 QUERIES["f2_countsketch_user_events"] = f2_countsketch_user_events
 
 
+def _pca_eig(sf_dir: str):
+    """Shared PCA front end: ONE zero-shuffle streaming pass emits each
+    batch's exact fixed-point moments (n, Σq, qᵀq at 2^12 — the
+    gram_matrix_embeddings quantization), the driver folds Python ints,
+    and the 64×64 covariance eigendecomposition runs once on the
+    driver (the IVF-k-means precedent: O(D²) driver math, never O(n)).
+    The covariance numerator M = n·G − s·sᵀ is exact integer, so the
+    doubles handed to eigh — and every eigenvalue/component — are
+    bit-identical at ANY batch partitioning. Eigenvector signs are
+    canonicalized (largest-|loading| entry positive, first on ties)
+    because LAPACK's sign choice is arbitrary."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    Q = np.float64(1 << 12)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        n = len(col)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        y = flat * Q
+        q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64) \
+            .reshape(n, -1)
+        g = q.T @ q
+        return pa.table({"g": pa.array([g.ravel().tolist()]),
+                         "s": pa.array([q.sum(axis=0).tolist()]),
+                         "n": pa.array([n]), "d": pa.array([g.shape[0]])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    d = int(parts["d"].iloc[0])
+    n = int(parts["n"].sum())
+    G = [0] * (d * d)
+    S = [0] * d
+    for grow, srow in zip(parts["g"], parts["s"]):
+        for k, v in enumerate(grow):
+            G[k] += int(v)
+        for k, v in enumerate(srow):
+            S[k] += int(v)
+    Gm = np.array(G, dtype=np.float64).reshape(d, d)
+    Sv = np.array(S, dtype=np.float64)
+    # population covariance in ORIGINAL units: (n·G − s·sᵀ) / (n²·Q²)
+    cov = (n * Gm - np.outer(Sv, Sv)) / (float(n) * n * float(Q) * Q)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]  # eigenvalues descending
+    w, V = w[order], V[:, order]
+    for j in range(d):
+        i_max = int(np.argmax(np.abs(V[:, j])))
+        if V[i_max, j] < 0:
+            V[:, j] = -V[:, j]
+    mean = Sv / (float(n) * Q)
+    return w, V, mean, n, d
+
+
+def pca_embeddings(sf_dir: str) -> pd.DataFrame:
+    """PCA spectrum of the embedding corpus — the whitening /
+    dimensionality-reduction precursor (how many dimensions carry the
+    signal?): eigenvalues, explained-variance ratios and each
+    component's dominant dimension, from the exact-moment covariance
+    (_pca_eig). Rows-only entry (SQL has no eigendecomposition);
+    pytest checks the spectrum against direct full-table numpy PCA,
+    orthonormality, trace identity and the projection-variance law."""
+    w, V, _mean, n, d = _pca_eig(sf_dir)
+    top_dim = np.argmax(np.abs(V), axis=0)
+    return pd.DataFrame({
+        "component": np.arange(1, d + 1, dtype=np.int64),
+        "eigenvalue": w,
+        "explained_ratio": w / w.sum(),
+        "top_dim": (top_dim + 1).astype(np.int64),
+        "top_loading": V[top_dim, np.arange(d)],
+        "n_vectors": np.full(d, n, dtype=np.int64),
+    })
+
+
+QUERIES["pca_embeddings"] = pca_embeddings
+
+
+def pca_project_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed PCA projection: every embedding's coordinates along
+    the top-2 principal components — the 2-D corpus map behind every
+    embedding-space visualization and the front half of PCA whitening.
+    The (mean, V₂) pair broadcasts once via ray.put and a plain
+    map_batches task projects each batch (per-row dot products in a
+    fixed dim order — batch-boundary independent, so the doubles are
+    run-to-run identical). The centering happens inside the projection
+    as (x−μ)ᵀv = xᵀv − μᵀv with the scalar μᵀv precomputed on the
+    driver from exact moments."""
+    import ray as _ray
+
+    w, V, mean, _n, _d = _pca_eig(sf_dir)
+    V2 = np.ascontiguousarray(V[:, :2])
+    off = mean @ V2  # exact-moment scalars, same bits every run
+    ref = _ray.put((V2, off))
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def project(t: pa.Table) -> pa.Table:
+        v2, o = _ray.get(ref)
+        col = t.column("embedding").combine_chunks()
+        n = len(col)
+        x = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(n, -1)
+        p = x @ v2 - o
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "pc1": pa.array(p[:, 0]),
+                         "pc2": pa.array(p[:, 1])})
+
+    out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+QUERIES["pca_project_embeddings"] = pca_project_embeddings
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

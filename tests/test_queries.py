@@ -396,3 +396,39 @@ def test_countsketch_f2_matches_exact_within_band(ray_session):
     f2 = int(exact["selfjoin_size"][0])
     assert int(est["n_events"][0]) == int(exact["n_events"][0])
     assert abs(int(est["f2_estimate"][0]) - f2) <= 0.063 * f2
+
+
+def test_pca_embeddings_matches_direct_numpy(ray_session):
+    """The distributed exact-moment PCA equals direct full-table numpy
+    PCA: same quantized covariance -> eigenvalues within 1e-9 rel;
+    plus the invariants that make a spectrum trustworthy -
+    orthonormal components, trace = Σλ, explained ratios sum to 1,
+    and the projection-variance law Var(pc_i) = λ_i."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    q = entry.queries()
+    spec = q["pca_embeddings"]("/root/testdata/sf0.001")
+    proj = q["pca_project_embeddings"]("/root/testdata/sf0.001")
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    x = np.vstack(t.column("embedding").to_pylist()).astype(np.float64)
+    y = x * (1 << 12)
+    qz = np.copysign(np.floor(np.abs(y) + 0.5), y) / (1 << 12)
+    cov = np.cov(qz, rowvar=False, bias=True)
+    w_direct = np.linalg.eigvalsh(cov)[::-1]
+
+    w = spec["eigenvalue"].to_numpy()
+    assert np.allclose(w, w_direct, rtol=1e-9, atol=1e-12)
+    assert abs(spec["explained_ratio"].sum() - 1.0) < 1e-12
+    assert abs(w.sum() - np.trace(cov)) < 1e-9
+
+    # projection-variance law on the full (unquantized) data: the top-2
+    # coordinate variances equal the top-2 eigenvalues of the
+    # (quantization-close) covariance
+    p = proj[["pc1", "pc2"]].to_numpy()
+    var = p.var(axis=0)
+    assert np.allclose(var, w[:2], rtol=1e-4)
+    assert len(proj) == len(x)
+    assert proj["vec_id"].is_monotonic_increasing
