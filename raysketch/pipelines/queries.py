@@ -15410,6 +15410,217 @@ def pca_project_embeddings(sf_dir: str) -> pd.DataFrame:
 QUERIES["pca_project_embeddings"] = pca_project_embeddings
 
 
+def _word_undirected_edges(sf_dir: str, num_buckets: int = 64):
+    """Simple undirected word graph for the peeling family: canonical
+    (min, max) pairs from the globally-distinct directed bigram edges,
+    self-loops dropped, one more pair-hash exchange for the global
+    undirected dedup ((u,v) and (v,u) may arrive in different blocks).
+    Returns (indexed edge Dataset with int64 columns i<j, vocab Index)
+    — node-bounded vocab on the driver, edge set materialized once so
+    iterative consumers sweep it per pass (the PageRank precedent)."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    edges = _word_edge_dataset(sf_dir, num_buckets)
+
+    def canon(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["w1"] != df["w2"]]
+        a = df["w1"].to_numpy()
+        b = df["w2"].to_numpy()
+        out = pd.DataFrame({"u": np.minimum(a, b),
+                            "v": np.maximum(a, b)}).drop_duplicates()
+        h = pd.util.hash_pandas_object(
+            out["u"] + "\x00" + out["v"], index=False).to_numpy()
+        out["__b"] = (_mix64(h) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    und = (edges.map_batches(canon, batch_format="pyarrow")
+           .groupby("__b")
+           .map_groups(lambda g: g[["u", "v"]].drop_duplicates(),
+                       batch_format="pandas"))
+
+    vocab_set: set = set()
+    batches = []
+    for b in und.iter_batches(batch_format="pyarrow", batch_size=None):
+        vocab_set.update(b.column("u").to_pylist())
+        vocab_set.update(b.column("v").to_pylist())
+        batches.append(b)
+    vocab = pd.Index(sorted(vocab_set))
+
+    import ray as _ray
+    vocab_b = _ray.put(vocab)
+
+    def index_pairs(t: pa.Table) -> pa.Table:
+        voc = _ray.get(vocab_b)
+        i = voc.get_indexer(t.column("u").to_pandas()).astype(np.int64)
+        j = voc.get_indexer(t.column("v").to_pandas()).astype(np.int64)
+        return pa.table({"i": pa.array(i), "j": pa.array(j)})
+
+    import ray.data as _rd
+    idx = _rd.from_arrow(batches).map_batches(
+        index_pairs, batch_format="pyarrow").materialize()
+    return idx, vocab
+
+
+def _alive_degree(idx_edges, alive: np.ndarray) -> np.ndarray:
+    """One zero-shuffle sweep over the indexed edge set: per-batch
+    bincount partials of each alive node's degree among alive
+    neighbors, elementwise-summed on the driver (node-bounded)."""
+    import ray as _ray
+
+    n = len(alive)
+    aref = _ray.put(alive)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        al = _ray.get(aref)
+        i = t.column("i").to_numpy(zero_copy_only=False)
+        j = t.column("j").to_numpy(zero_copy_only=False)
+        m = al[i] & al[j]
+        deg = (np.bincount(i[m], minlength=n)
+               + np.bincount(j[m], minlength=n))
+        return pa.table({"d": pa.array([deg.tolist()])})
+
+    total = np.zeros(n, dtype=np.int64)
+    for b in idx_edges.map_batches(sweep, batch_format="pyarrow",
+                                   batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows:
+            for row in b.column("d").to_pylist():
+                total += np.asarray(row, dtype=np.int64)
+    return total
+
+
+def coreness_words(sf_dir: str) -> pd.DataFrame:
+    """Full k-core decomposition of the undirected word graph — the
+    coreness of each word (max k such that the word survives repeated
+    deletion of all degree-<k nodes), graph mining's density ladder
+    and the missing iterative-peeling shape in the graph family
+    (PageRank/BFS/shortest-paths/triangles/CC are all here already).
+
+    Direct peeling costs one distributed sweep per REMOVAL ROUND
+    (dozens of fixed-overhead Ray jobs); instead this runs the H-index
+    iteration (Lü–Chen–Ren–Zhang–Zhou–Stanley, "The H-index of a
+    network node and its relation to degree and coreness", Nature
+    Communications 2016): h₀ = degree, hₜ₊₁(v) = H-index of the
+    neighbors' hₜ — monotonically non-increasing and convergent to the
+    coreness, one sweep per ITERATION. Each sweep ships node-bounded
+    n×(C+1) histograms of clipped neighbor values (elementwise-sum
+    partials), with C = the degree-sequence H-index, a sound cap
+    because max coreness k* has ≥ k* nodes of degree ≥ k*. Rounds are
+    data-dependent, so no SQL twin exists — kcore3_peel_words below is
+    the fixed-round oracle-checked variant; pytest holds equality to
+    brute-force peeling."""
+    import ray as _ray
+
+    idx, vocab = _word_undirected_edges(sf_dir)
+    n = len(vocab)
+    if n == 0:
+        return pd.DataFrame({"word": pd.array([], dtype=object),
+                             "coreness": pd.array([], dtype=np.int64)})
+    deg = _alive_degree(idx, np.ones(n, dtype=bool))
+    # degree-sequence H-index: largest C with ≥ C nodes of degree ≥ C
+    ds_sorted = np.sort(deg)[::-1]
+    C = int(np.max(np.minimum(ds_sorted,
+                              np.arange(1, n + 1)))) if n else 0
+    h = np.minimum(deg, C).astype(np.int64)
+
+    while True:
+        href = _ray.put(h)
+
+        def hist_sweep(t: pa.Table, _h=href) -> pa.Table:
+            cur = _ray.get(_h)
+            i = t.column("i").to_numpy(zero_copy_only=False)
+            j = t.column("j").to_numpy(zero_copy_only=False)
+            # node-major histogram of neighbor h values (already ≤ C)
+            flat = np.concatenate([i * (C + 1) + cur[j],
+                                   j * (C + 1) + cur[i]])
+            hist = np.bincount(flat, minlength=n * (C + 1)) \
+                .astype(np.int64)
+            # zero-copy list wrap (tolist of n·(C+1) ints is the slow path)
+            arr = pa.ListArray.from_arrays(
+                pa.array([0, len(hist)], pa.int32()), pa.array(hist))
+            return pa.table({"hist": arr})
+
+        hist = np.zeros(n * (C + 1), dtype=np.int64)
+        for b in idx.map_batches(hist_sweep, batch_format="pyarrow",
+                                 batch_size=None) \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            if b.num_rows:
+                flat = b.column("hist").combine_chunks() \
+                    .flatten().to_numpy(zero_copy_only=False)
+                hist += flat.reshape(-1, n * (C + 1)).sum(axis=0)
+        hm = hist.reshape(n, C + 1)
+        # R[v, x] = #neighbors with h ≥ x; new h = max x with R ≥ x
+        r = np.cumsum(hm[:, ::-1], axis=1)[:, ::-1]
+        x = np.arange(C + 1)
+        nxt = np.max(np.where(r >= x, x, 0), axis=1).astype(np.int64)
+        if np.array_equal(nxt, h):
+            break
+        h = nxt
+
+    return pd.DataFrame({"word": vocab.to_numpy(), "coreness": h}) \
+        .sort_values("word").reset_index(drop=True)
+
+
+QUERIES["coreness_words"] = coreness_words
+
+
+def kcore3_peel_words(sf_dir: str, k: int = 3, rounds: int = 3
+                      ) -> pd.DataFrame:
+    """SQL-checkable window into the peeling kernel: exactly `rounds`
+    deletion rounds at fixed k=3 (the label_propagation fixed-iters
+    trick — run to a fixpoint and this IS the 3-core). Emits every
+    word with the round that removed it (1-based) or 0 if it survives
+    all three rounds; each round is one streaming degree sweep over
+    the same materialized edge index."""
+    idx, vocab = _word_undirected_edges(sf_dir)
+    n = len(vocab)
+    alive = np.ones(n, dtype=bool)
+    removed = np.zeros(n, dtype=np.int64)
+    for r in range(1, rounds + 1):
+        deg = _alive_degree(idx, alive)
+        rm = alive & (deg < k)
+        removed[rm] = r
+        alive[rm] = False
+    return pd.DataFrame({"word": vocab.to_numpy(),
+                         "removed_round": removed}) \
+        .sort_values("word").reset_index(drop=True)
+
+
+QUERIES["kcore3_peel_words"] = kcore3_peel_words
+ORACLES["kcore3_peel_words"] = """
+    WITH lists AS (SELECT string_split(text, ' ') AS l FROM documents),
+    big AS (SELECT DISTINCT p[1] AS w1, p[2] AS w2 FROM (
+      SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p FROM lists
+    )),
+    e AS (SELECT DISTINCT LEAST(w1, w2) AS u, GREATEST(w1, w2) AS v
+          FROM big WHERE w1 <> w2),
+    adj AS (SELECT u AS w, v AS nb FROM e UNION ALL
+            SELECT v AS w, u AS nb FROM e),
+    nodes AS (SELECT DISTINCT w FROM adj),
+    d1 AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
+    r1 AS (SELECT w FROM d1 WHERE d < 3),
+    a1 AS (SELECT w FROM nodes EXCEPT SELECT w FROM r1),
+    d2 AS (SELECT adj.w, COUNT(*) AS d FROM adj
+           JOIN a1 x ON x.w = adj.w JOIN a1 y ON y.w = adj.nb
+           GROUP BY adj.w),
+    r2 AS (SELECT w FROM a1 LEFT JOIN d2 USING (w)
+           WHERE COALESCE(d, 0) < 3),
+    a2 AS (SELECT w FROM a1 EXCEPT SELECT w FROM r2),
+    d3 AS (SELECT adj.w, COUNT(*) AS d FROM adj
+           JOIN a2 x ON x.w = adj.w JOIN a2 y ON y.w = adj.nb
+           GROUP BY adj.w),
+    r3 AS (SELECT w FROM a2 LEFT JOIN d3 USING (w)
+           WHERE COALESCE(d, 0) < 3)
+    SELECT w AS word,
+           CAST(CASE WHEN w IN (SELECT w FROM r1) THEN 1
+                     WHEN w IN (SELECT w FROM r2) THEN 2
+                     WHEN w IN (SELECT w FROM r3) THEN 3
+                     ELSE 0 END AS BIGINT) AS removed_round
+    FROM nodes ORDER BY word
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -109,6 +109,7 @@ FAST_SUBSET = [
     "q9_profit_by_nation_year",
     "q20_majority_suppliers",
     "f2_exact_user_events",
+    "kcore3_peel_words",
     "novelty_score_docs",
     "acctbal_stats_by_nation",
     "longest_streak_by_user",

@@ -432,3 +432,56 @@ def test_pca_embeddings_matches_direct_numpy(ray_session):
     assert np.allclose(var, w[:2], rtol=1e-4)
     assert len(proj) == len(x)
     assert proj["vec_id"].is_monotonic_increasing
+
+
+def test_coreness_words_equals_bruteforce_peel(ray_session):
+    """The distributed H-index iteration (Lü et al. 2016) lands on the
+    textbook definition: repeatedly delete degree-<k nodes and record
+    each node's removal level. Brute-force peel on the same undirected
+    simple graph built straight from the sf0.001 documents text, plus
+    the 3-round fixed-k oracle variant's consistency with coreness
+    (removed in ≤3 rounds at k=3 -> coreness < 3; survivors of the
+    full 3-core -> coreness >= 3)."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    q = entry.queries()
+    got = q["coreness_words"]("/root/testdata/sf0.001")
+    peel3 = q["kcore3_peel_words"]("/root/testdata/sf0.001")
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    edges = set()
+    for txt in t.column("text").to_pylist():
+        w = (txt or "").split(" ")
+        for a, b in zip(w, w[1:]):
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    nodes = sorted({x for e in edges for x in e})
+    adj = {v: set() for v in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    core = {}
+    alive = set(nodes)
+    k = 1
+    while alive:
+        while True:
+            rm = [v for v in alive
+                  if sum(u in alive for u in adj[v]) < k]
+            if not rm:
+                break
+            for v in rm:
+                core[v] = k - 1
+                alive.discard(v)
+        k += 1
+
+    got_map = dict(zip(got["word"], got["coreness"]))
+    assert got_map == core
+    # fixed-round variant consistency: the 3-core fixpoint refines it
+    p3 = dict(zip(peel3["word"], peel3["removed_round"]))
+    assert set(p3) == set(core)
+    for w_, r_ in p3.items():
+        if r_ > 0:
+            assert core[w_] < 3  # removed at k=3 -> not in the 3-core
