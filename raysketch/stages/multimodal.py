@@ -28,6 +28,7 @@ __all__ = [
     "ImageResize",
     "ImageFeatures",
     "AudioFrameSample",
+    "AudioSpectralFeatures",
 ]
 
 IMAGE_META = {"width": pa.int32(), "height": pa.int32(), "format": pa.string()}
@@ -271,6 +272,73 @@ class AudioFrameSample:
             "item_id": pa.array(rows_id, type=pa.int64()),
             "frame_idx": pa.array(rows_frame, type=pa.int32()),
             "energy": pa.array(rows_energy, type=pa.float64()),
+        })
+
+
+class AudioSpectralFeatures:
+    """Per-clip spectral features — the DSP step past frame energy:
+    Hann-windowed numpy rFFT over the leading ``nfft`` samples of the
+    decoded mono signal, emitting the dominant frequency (argmax
+    magnitude past DC), spectral centroid and spectral bandwidth in
+    Hz. Real path decodes PCM WAV with the built-in codec
+    (:mod:`.wavcodec`); other formats need a real audio library.
+    Deterministic: numpy FFT is a pure function of the payload bytes.
+    ``deterministic_fake=True`` keeps the hash-seeded stand-in for
+    plumbing-only pipelines (the AudioFrameSample convention)."""
+
+    def __init__(self, nfft: int = 4096, deterministic_fake: bool = True):
+        self.nfft = nfft
+        self.fake = deterministic_fake
+
+    def _features_real(self, payload: bytes, fmt: str):
+        if fmt != "wav":
+            raise NotImplementedError(
+                f"no audio codec for format {fmt!r} in this environment"
+            )
+        from .wavcodec import decode_wav
+
+        samples, rate = decode_wav(payload)
+        mono = samples.mean(axis=1)
+        n = min(len(mono), self.nfft)
+        if n < 8:
+            return 0.0, 0.0, 0.0
+        x = mono[:n]
+        k = np.arange(n)
+        w = 0.5 - 0.5 * np.cos(2 * np.pi * k / (n - 1))  # Hann
+        spec = np.abs(np.fft.rfft(x * w))
+        freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+        dom = int(np.argmax(spec[1:])) + 1  # skip DC
+        tot = float(spec.sum())
+        if tot <= 0.0:
+            return float(freqs[dom]), 0.0, 0.0
+        cent = float((freqs * spec).sum() / tot)
+        bw = float(np.sqrt((spec * (freqs - cent) ** 2).sum() / tot))
+        return float(freqs[dom]), cent, bw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("item_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        fmts = (batch.column("format").to_pylist()
+                if not self.fake and "format" in batch.column_names
+                else [None] * len(ids))
+        dom, cent, bw = [], [], []
+        for p, fmt in zip(payloads, fmts):
+            if self.fake:
+                seed = int.from_bytes(p[:8].ljust(8, b"\0"), "little")
+                rng = np.random.default_rng(seed)
+                d, c, b = (float(rng.uniform(50, 4000)),
+                           float(rng.uniform(50, 4000)),
+                           float(rng.uniform(10, 500)))
+            else:
+                d, c, b = self._features_real(p, fmt)
+            dom.append(d)
+            cent.append(c)
+            bw.append(b)
+        return pa.table({
+            "item_id": pa.array(ids, type=pa.int64()),
+            "dominant_freq_hz": pa.array(dom, type=pa.float64()),
+            "spectral_centroid_hz": pa.array(cent, type=pa.float64()),
+            "spectral_bandwidth_hz": pa.array(bw, type=pa.float64()),
         })
 
 

@@ -1426,3 +1426,63 @@ class TestTokenBudgetSelect:
         assert list(out["score"]) == list(sel["score"])
         # the selection is a proper subset that exhausts the budget
         assert out["n_tokens"].sum() <= budget
+
+
+class TestAudioSpectralFeatures:
+    def _clip_table(self, freqs, rate=8000, dur_s=1.0):
+        import pyarrow as pa
+
+        from raysketch.stages.wavcodec import encode_wav
+
+        t = np.arange(int(rate * dur_s)) / rate
+        payloads = [encode_wav(0.8 * np.sin(2 * np.pi * f * t), rate)
+                    for f in freqs]
+        n = len(freqs)
+        return pa.table({
+            "item_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "sample_rate": pa.array(np.full(n, rate, dtype=np.int32)),
+            "n_channels": pa.array(np.ones(n, dtype=np.int32)),
+            "format": pa.array(["wav"] * n),
+        })
+
+    def test_recovers_generator_frequency_within_one_bin(self):
+        """The rFFT stage RECOVERS each pure tone's frequency: the
+        dominant bin lands within one bin width (rate/nfft) of the
+        generator f0, the centroid sits near the tone, and the pure
+        tone's bandwidth is small (Hann leakage only)."""
+        from raysketch.stages.multimodal import AudioSpectralFeatures
+
+        rate = 8000
+        freqs = [220.0, 440.0, 997.0, 1500.0, 3210.0]
+        out = AudioSpectralFeatures(deterministic_fake=False)(
+            self._clip_table(freqs, rate=rate)).to_pandas()
+        bin_hz = rate / 4096
+        for f, d, c, b in zip(freqs, out["dominant_freq_hz"],
+                              out["spectral_centroid_hz"],
+                              out["spectral_bandwidth_hz"]):
+            assert abs(d - f) <= bin_hz, (f, d)
+            assert abs(c - f) <= 15 * bin_hz  # leakage pulls the mean
+            assert 0 < b < 40 * bin_hz
+
+    def test_fake_path_and_format_gate(self):
+        import pyarrow as pa
+
+        from raysketch.stages.multimodal import AudioSpectralFeatures
+
+        tbl = self._clip_table([440.0])
+        fake = AudioSpectralFeatures()(tbl)
+        assert fake.num_rows == 1  # deterministic stand-in runs
+        bad = tbl.set_column(tbl.schema.get_field_index("format"),
+                             "format", pa.array(["mp3"]))
+        with pytest.raises(NotImplementedError):
+            AudioSpectralFeatures(deterministic_fake=False)(bad)
+
+    def test_query_end_to_end(self, ray_session):
+        import __ray_entry__ as entry
+
+        q = entry.queries()
+        out = q["audio_spectral_stats"]("/root/testdata/sf0.001")
+        assert len(out) >= 32
+        assert (out["dominant_freq_hz"] > 0).all()
+        assert out["item_id"].is_monotonic_increasing
