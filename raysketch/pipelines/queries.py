@@ -1241,69 +1241,232 @@ def image_features_stats(sf_dir: str) -> pd.DataFrame:
     })
 
 
-def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
-    """Conversation-level near-dup detection: reconstruct each
-    conversation's full text in stable (conv_id, turn_idx) order —
-    the per-row ordering invariant the north rule names — via
-    ``groupby(conv_id).map_groups`` (sort by turn_idx, join turns),
-    then MinHash+LSH over the conversation documents. Returns one row
-    per conversation in a duplicate component."""
+def _concat_sign_run(conv_np: np.ndarray, turn_np: np.ndarray,
+                     text_arr, hasher, require_one_run: bool = False
+                     ) -> pa.Table:
+    """(conv_id, turn_idx, text) rows → one MinHash signature row per
+    conversation, reconstructed in stable (conv_id, turn_idx) order —
+    the per-row ordering invariant the north rule names. Fully
+    vectorized: factorize conv ids, lexsort, build a LargeListArray
+    over the sorted text (contiguous segments share the values buffer)
+    and join with Arrow's C++ binary_join. ``require_one_run`` asserts
+    each conversation's rows are contiguous in the INPUT order (the
+    segmented fast path's per-file validity check)."""
     from ..hashing import arrow_to_flat_bytes, murmur64a
-    from ..stages.dedup import (DRIVER_PAIR_LIMIT, MinHasher,
-                                _dedupe_pair_rows, _dedupe_pairs_driver,
-                                estimate_pair_jaccard, lsh_candidate_pairs,
-                                minhash_agreement_scorer, propagate_components,
-                                score_pairs_distributed, union_find_components)
 
-    ds = transcripts_ds(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    codes, uniques = pd.factorize(conv_np, sort=True)
+    if require_one_run and len(codes):
+        n_runs = 1 + int(np.count_nonzero(codes[1:] != codes[:-1]))
+        if n_runs != len(uniques):
+            raise ValueError(
+                "transcript file is not conversation-contiguous")
+    order = np.lexsort((turn_np, codes))
+    codes_s = codes[order]
+    if isinstance(text_arr, pa.ChunkedArray):
+        text_arr = text_arr.combine_chunks()
+    txt = pc.take(pc.cast(text_arr, pa.large_string()),
+                  pa.array(order, type=pa.int64()))
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    starts = np.nonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])[0] \
+        if len(codes_s) else np.array([], dtype=np.int64)
+    offsets = np.r_[starts, len(codes_s)].astype(np.int64)
+    lst = pa.LargeListArray.from_arrays(pa.array(offsets), txt)
+    joined = pc.cast(pc.binary_join(
+        lst, pa.scalar("\n", type=pa.large_string())), pa.string())
+    cids = np.asarray(uniques)
+    data, offsets_b = arrow_to_flat_bytes(pa.array(cids, type=pa.string()))
+    ids = (murmur64a(data, offsets_b)
+           & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    sig_t = hasher(pa.table({
+        "doc_id": pa.array(ids),
+        "text": joined,
+    }))
+    return sig_t.append_column("conv_id", pa.array(cids, type=pa.string()))
 
-    # bucket-shuffle + within-bucket vectorized reconstruction: a
-    # groupby(conv_id).map_groups pays Ray's per-GROUP call cost ×
-    # n_convs (measured 237 s at sf0.1's ~80k convs); per-bucket pandas
-    # agg-join is one call per bucket. MinHash signatures are computed
-    # IN the same bucket task — the reconstructed conversation text
-    # never materializes or re-reads (one pass over the corpus total).
+
+def _conv_file_plan(files):
+    """Footer-only planning for the segmented reconstruction: per-file
+    (min conv_id, max conv_id) from parquet row-group statistics — no
+    data read. Returns [(min, max, path)] sorted by min if every file
+    carries stats AND the ranges are disjoint except at endpoints
+    (conversation-clustered layout); None otherwise (→ shuffle path)."""
+    import pyarrow.parquet as pq
+
+    plan = []
+    for f in files:
+        try:
+            md = pq.ParquetFile(f).metadata
+        except Exception:
+            return None
+        ci = next((i for i in range(md.num_columns)
+                   if md.schema.column(i).name == "conv_id"), None)
+        if ci is None:
+            return None
+        mns, mxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mns.append(st.min)
+            mxs.append(st.max)
+        mn, mx = min(mns), max(mxs)
+        if isinstance(mn, bytes):
+            mn, mx = mn.decode(), mx.decode()
+        plan.append((mn, mx, f))
+    plan.sort()
+    for a, b in zip(plan, plan[1:]):
+        if a[1] > b[0]:  # interior overlap → not clustered
+            return None
+    return plan
+
+
+def _conv_signatures(sf_dir: str):
+    """Per-conversation MinHash signatures over the transcript table.
+
+    Fast path (the 100-TB shape): transcript shards are written
+    conversation-contiguous (turns append in order), so parquet footer
+    stats prove each file owns a disjoint conv_id range — whole
+    conversations reconstruct INSIDE per-file tasks with ZERO text
+    shuffle, and only the ≤1-per-file-boundary conversations that
+    straddle adjacent shards go through a tiny repair stage (filtered
+    row-group-pruned reads of just the affected files). This replaced a
+    full-corpus 64-bucket text exchange that dominated the pipeline
+    (~40-60 s of the 42-100 s wall at sf0.1).
+
+    Falls back to the bucket-shuffle reconstruction whenever stats are
+    missing, file ranges overlap, or a file fails the in-task
+    contiguity check — identical signatures either way (OPH is fixed
+    by seed; the joined text is the same), locked by a pytest equality
+    test."""
+    import glob as _glob
+
+    import ray
+    import ray.data
+
+    from ..stages.dedup import MinHasher
+
+    n_turns = max(1000, int(sf_of(sf_dir) * _TURNS_PER_SF))
+    path = write_transcripts(n_turns)
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    hasher = MinHasher("text", "doc_id", 128, 5, mode="oph")  # tiny
+    # state, fixed by seed — signatures independent of batching/placement
+
+    plan = _conv_file_plan(files)
+    if plan is not None:
+        try:
+            return _conv_sigs_segmented(plan, hasher)
+        except (ValueError, ray.exceptions.RayTaskError):
+            pass  # not contiguous after all → general shuffle path
+    ds = ray.data.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+    return _conv_sigs_shuffle(ds, hasher)
+
+
+def _empty_sig_table(hasher) -> pa.Table:
+    return _concat_sign_run(np.array([], dtype=object),
+                            np.array([], dtype=np.int64),
+                            pa.array([], type=pa.string()), hasher)
+
+
+def _conv_sigs_segmented(plan, hasher):
+    import ray.data
+
+    boundary = {plan[i][1] for i in range(len(plan) - 1)
+                if plan[i][1] == plan[i + 1][0]}
+    bound_list = sorted(boundary)
+
+    def sign_file(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        out = []
+        for fp in batch.column("path").to_pylist():
+            t = _pq.read_table(fp, columns=["conv_id", "turn_idx", "text"])
+            conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+            if bound_list:
+                keep = ~np.isin(conv, bound_list)
+                t = t.filter(pa.array(keep))
+                conv = conv[keep]
+            if t.num_rows:
+                out.append(_concat_sign_run(
+                    conv,
+                    t.column("turn_idx").to_numpy(zero_copy_only=False),
+                    t.column("text"), hasher, require_one_run=True))
+        return pa.concat_tables(out) if out else _empty_sig_table(hasher)
+
+    files = [f for _, _, f in plan]
+    sigs = ray.data.from_items(
+        [{"path": f} for f in files],
+        override_num_blocks=len(files)).map_batches(
+            sign_file, batch_format="pyarrow")
+
+    if bound_list:
+        repairs = [{"b": b, "files": [f for mn, mx, f in plan
+                                      if mn <= b <= mx]}
+                   for b in bound_list]
+
+        def sign_boundary(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq
+
+            out = []
+            for b, fl in zip(batch.column("b").to_pylist(),
+                             batch.column("files").to_pylist()):
+                parts = [_pq.read_table(
+                    f, columns=["conv_id", "turn_idx", "text"],
+                    filters=[("conv_id", "==", b)]) for f in fl]
+                t = pa.concat_tables(parts)
+                out.append(_concat_sign_run(
+                    t.column("conv_id").to_numpy(zero_copy_only=False),
+                    t.column("turn_idx").to_numpy(zero_copy_only=False),
+                    t.column("text"), hasher))
+            return pa.concat_tables(out) if out else _empty_sig_table(hasher)
+
+        rep = ray.data.from_items(
+            repairs, override_num_blocks=len(repairs)).map_batches(
+                sign_boundary, batch_format="pyarrow")
+        sigs = sigs.union(rep)
+    return sigs.materialize()
+
+
+def _conv_sigs_shuffle(ds, hasher):
+    """General-layout reconstruction: one 64-bucket text exchange, then
+    per-bucket vectorized concat+sign (a groupby(conv_id).map_groups
+    pays Ray's per-GROUP call cost × n_convs — measured 237 s at
+    sf0.1's ~80k convs; per-bucket pandas agg-join is one call per
+    bucket). Signatures are computed IN the bucket task — the
+    reconstructed text never materializes or re-reads."""
+    from ..hashing import arrow_to_flat_bytes, murmur64a
+
     def add_bucket(t: pa.Table) -> pa.Table:
         data, offsets = arrow_to_flat_bytes(t.column("conv_id"))
         b = (murmur64a(data, offsets) % np.uint64(64)).astype(np.int64)
         return t.append_column("__b", pa.array(b))
 
-    hasher = MinHasher("text", "doc_id", 128, 5, mode="oph")  # tiny state,
-    # fixed by seed — signatures independent of batching/placement
-
     def concat_and_sign(g: pd.DataFrame):
-        # the stable (conv_id, turn_idx) order invariant, fully
-        # vectorized: factorize conv ids, lexsort, build a ListArray
-        # over the sorted text column (contiguous non-overlapping
-        # segments share the values buffer) and join with Arrow's C++
-        # binary_join — the per-conv Python "\n".join this replaces was
-        # the pipeline's hottest loop (2M Python string ops at sf0.1)
-        codes, uniques = pd.factorize(g["conv_id"].to_numpy(), sort=True)
-        order = np.lexsort((g["turn_idx"].to_numpy(), codes))
-        codes_s = codes[order]
-        txt = pa.array(g["text"].to_numpy()[order], type=pa.large_string())
-        starts = np.nonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])[0] \
-            if len(codes_s) else np.array([], dtype=np.int64)
-        offsets = np.r_[starts, len(codes_s)].astype(np.int64)
-        lst = pa.LargeListArray.from_arrays(pa.array(offsets), txt)
-        joined = pc.cast(pc.binary_join(
-            lst, pa.scalar("\n", type=pa.large_string())), pa.string())
-        cids = np.asarray(uniques)
-        data, offsets_b = arrow_to_flat_bytes(pa.array(cids, type=pa.string()))
-        ids = (murmur64a(data, offsets_b)
-               & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
-        sig_t = hasher(pa.table({
-            "doc_id": pa.array(ids),
-            "text": joined,
-        }))
-        return sig_t.append_column("conv_id",
-                                   pa.array(cids, type=pa.string()))
+        return _concat_sign_run(
+            g["conv_id"].to_numpy(), g["turn_idx"].to_numpy(),
+            pa.array(g["text"].to_numpy(), type=pa.string()), hasher)
 
-    import ray.data
-
-    sigs = ds.map_batches(add_bucket, batch_format="pyarrow") \
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("__b").map_groups(
             concat_and_sign, batch_format="pandas").materialize()
+
+
+def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    """Conversation-level near-dup detection: reconstruct each
+    conversation's full text in stable (conv_id, turn_idx) order —
+    the per-row ordering invariant the north rule names — segmented
+    per-file when footer stats prove the conversation-contiguous
+    layout (zero text shuffle; see _conv_signatures), else via one
+    bucket exchange — then MinHash+LSH over the conversation
+    documents. Returns one row per conversation in a duplicate
+    component."""
+    from ..stages.dedup import (DRIVER_PAIR_LIMIT,
+                                _dedupe_pair_rows, _dedupe_pairs_driver,
+                                estimate_pair_jaccard, lsh_candidate_pairs,
+                                minhash_agreement_scorer, propagate_components,
+                                score_pairs_distributed, union_find_components)
+
+    sigs = _conv_signatures(sf_dir)
     # 16 bands × 8 rows: banding matched to the 0.9 verify threshold —
     # per-pair recall at J=0.9 is 1−(1−0.9⁸)¹⁶ ≈ 99.97% while mid-
     # similarity false candidates drop ~10× (the 32×4 default is tuned

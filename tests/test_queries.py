@@ -485,3 +485,64 @@ def test_coreness_words_equals_bruteforce_peel(ray_session):
     for w_, r_ in p3.items():
         if r_ > 0:
             assert core[w_] < 3  # removed at k=3 -> not in the 3-core
+
+
+def test_conv_signatures_segmented_equals_shuffle(ray_session, tmp_path):
+    """The zero-shuffle segmented reconstruction (footer-stats file
+    plan + boundary repair) produces EXACTLY the signatures of the
+    bucket-shuffle path, on a table whose shard cuts straddle
+    conversations (5 shards, at least one boundary conversation)."""
+    import glob as _glob
+
+    import ray.data
+
+    from raysketch.pipelines.queries import (_conv_file_plan,
+                                             _conv_sigs_segmented,
+                                             _conv_sigs_shuffle)
+    from raysketch.sources.transcripts import write_transcripts
+    from raysketch.stages.dedup import MinHasher
+
+    path = write_transcripts(30_000, seed=7, root=str(tmp_path),
+                             rows_per_file=7_000)
+    files = sorted(_glob.glob(path + "/*.parquet"))
+    assert len(files) == 5
+    plan = _conv_file_plan(files)
+    assert plan is not None
+    assert any(plan[i][1] == plan[i + 1][0] for i in range(len(plan) - 1))
+
+    hasher = MinHasher("text", "doc_id", 128, 5, mode="oph")
+    seg = _conv_sigs_segmented(plan, hasher).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    ds = ray.data.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+    shuf = _conv_sigs_shuffle(ds, hasher).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+
+    assert list(seg["conv_id"]) == list(shuf["conv_id"])
+    assert list(seg["doc_id"]) == list(shuf["doc_id"])
+    assert np.array_equal(np.vstack(seg["minhash"].to_numpy()),
+                          np.vstack(shuf["minhash"].to_numpy()))
+
+
+def test_conv_file_plan_rejects_unclustered(tmp_path):
+    """Footer planning refuses overlapping conv ranges (the shuffled
+    layout) so the fast path can never mis-reconstruct."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raysketch.pipelines.queries import _conv_file_plan
+
+    t1 = pa.table({"conv_id": ["conv-a", "conv-c"], "turn_idx": [0, 0],
+                   "text": ["x", "y"]})
+    t2 = pa.table({"conv_id": ["conv-b", "conv-d"], "turn_idx": [0, 0],
+                   "text": ["x", "y"]})
+    f1, f2 = str(tmp_path / "p1.parquet"), str(tmp_path / "p2.parquet")
+    pq.write_table(t1, f1)
+    pq.write_table(t2, f2)
+    assert _conv_file_plan([f1, f2]) is None
+    # disjoint ranges pass
+    t3 = pa.table({"conv_id": ["conv-e", "conv-f"], "turn_idx": [0, 0],
+                   "text": ["x", "y"]})
+    f3 = str(tmp_path / "p3.parquet")
+    pq.write_table(t3, f3)
+    plan = _conv_file_plan([f1, f3])
+    assert plan is not None and plan[0][2] == f1
