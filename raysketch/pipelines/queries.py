@@ -15827,6 +15827,118 @@ def audio_spectral_stats(sf_dir: str) -> pd.DataFrame:
 QUERIES["audio_spectral_stats"] = audio_spectral_stats
 
 
+def cooccur_window_words(sf_dir: str) -> pd.DataFrame:
+    """Windowed word co-occurrence counts — the word2vec / GloVe
+    preprocessing operator: every unordered word pair appearing within
+    a 5-token sliding window (position gap 1..4) in any document, with
+    exact occurrence counts plus each word's corpus unigram count (the
+    PMI numerator/denominator components as exact ints, so any
+    downstream PMI ranking is engine-independent — no float log sums
+    cross the wire).
+
+    Scale shape: per-batch fully vectorized pair expansion (documents
+    split once; 4 shifted comparisons over the flattened token stream,
+    doc boundaries masked via the repeat-encoded parent) → per-batch
+    factorized pair value_counts partials (≤ distinct-pairs rows leave
+    each batch, the combiner bound) → ONE pair-hash-bucketed exchange
+    summed by Arrow C++ group_by. Unigram counts ride the same batches
+    as a second tiny partial; text is read exactly once."""
+    from ..hashing import arrow_to_flat_bytes, murmur64a
+    from ..stages.dedup import _splitmix64
+
+    W, B = 4, 32
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        codes, uniq = pd.factorize(
+            flat.to_numpy(zero_copy_only=False), sort=True)
+        # sort=True ⇒ code order IS lexicographic word order, so the
+        # unordered pair canonicalization (lo, hi) is exact min/max on
+        # int codes — no per-element string comparisons
+        nz = uniq != ""   # '' tokens hold a position but never pair
+        v = np.int64(len(uniq))
+        keys = []
+        for d in range(1, W + 1):
+            if len(codes) <= d:
+                break
+            a, b = codes[:-d], codes[d:]
+            ok = (parent[:-d] == parent[d:]) & nz[a] & nz[b]
+            lo = np.minimum(a[ok], b[ok]).astype(np.int64)
+            hi = np.maximum(a[ok], b[ok]).astype(np.int64)
+            keys.append(lo * v + hi)
+        key = np.concatenate(keys) if keys else np.empty(0, np.int64)
+        uk, c = np.unique(key, return_counts=True)
+        w1 = pa.array(uniq[(uk // v)], type=pa.string())
+        w2 = pa.array(uniq[(uk % v)], type=pa.string())
+        joined = pc.binary_join_element_wise(w1, w2, " ")
+        data, offs = arrow_to_flat_bytes(joined)
+        bkt = (murmur64a(data, offs) % np.uint64(B)).astype(np.int64)
+        # unigram partials share the exchange under pair-impossible
+        # bucket ids (B + word-hash bucket): one pipeline, one pass
+        ucode, ucnt = np.unique(codes[nz[codes]], return_counts=True)
+        uw = pa.array(uniq[ucode], type=pa.string())
+        ud, uo = arrow_to_flat_bytes(uw)
+        ubkt = (B + (murmur64a(ud, uo) % np.uint64(B))).astype(np.int64)
+        return pa.table({
+            "w1": pa.concat_arrays([w1, uw]),
+            "w2": pa.concat_arrays(
+                [w2, pa.array([""] * len(uw), type=pa.string())]),
+            "c": pa.array(np.concatenate([c, ucnt])),
+            "__b": pa.array(np.concatenate([bkt, ubkt])),
+        })
+
+    def bucket_sum(g: pa.Table) -> pa.Table:
+        out = g.group_by(["w1", "w2"]).aggregate([("c", "sum")])
+        return pa.table({
+            "w1": out.column("w1"),
+            "w2": out.column("w2"),
+            "c": pc.cast(out.column("c_sum"), pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    folded = ds.map_batches(pair_partials, batch_format="pyarrow") \
+        .groupby("__b").map_groups(bucket_sum, batch_format="pyarrow") \
+        .to_pandas()
+    uni = folded[folded["w2"] == ""].set_index("w1")["c"]
+    pairs = folded[folded["w2"] != ""].copy()
+    pairs["c1"] = uni.reindex(pairs["w1"]).to_numpy()
+    pairs["c2"] = uni.reindex(pairs["w2"]).to_numpy()
+    pairs = pairs.rename(columns={"c": "c_ab"}).astype(
+        {"c_ab": "int64", "c1": "int64", "c2": "int64"})
+    return pairs[["w1", "w2", "c_ab", "c1", "c2"]] \
+        .sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+QUERIES["cooccur_window_words"] = cooccur_window_words
+ORACLES["cooccur_window_words"] = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+    p AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                 list_extract(words, CAST(p AS INT)) AS w
+          FROM (SELECT doc_id, words,
+                       unnest(range(1, len(words) + 1)) AS p FROM w)),
+    pp AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+           FROM p a JOIN p b
+             ON a.doc_id = b.doc_id AND b.pos > a.pos
+            AND b.pos <= a.pos + 4
+           WHERE a.w <> '' AND b.w <> ''),
+    uni AS (SELECT w, COUNT(*) AS c FROM p WHERE w <> '' GROUP BY w),
+    pc2 AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pp GROUP BY w1, w2)
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2
+    FROM pc2
+    JOIN uni u1 ON u1.w = pc2.w1
+    JOIN uni u2 ON u2.w = pc2.w2
+    ORDER BY w1, w2
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -546,3 +546,48 @@ def test_conv_file_plan_rejects_unclustered(tmp_path):
     pq.write_table(t3, f3)
     plan = _conv_file_plan([f1, f3])
     assert plan is not None and plan[0][2] == f1
+
+
+def test_cooccur_window_words_bruteforce(ray_session, tmp_path):
+    """Windowed co-occurrence counts ≡ an O(n·W) Python brute force on
+    a contrived corpus exercising the edges: empty tokens from double
+    spaces (occupy a position, never pair), same-word pairs inside a
+    window, docs shorter than the window, and cross-doc isolation."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raysketch.pipelines.queries import cooccur_window_words
+
+    texts = [
+        "a b a  c b",          # double space → empty position
+        "x",                    # shorter than window
+        "b b b b b b",          # same-word pairs, runs past window
+        "",                     # empty doc
+        "c a x y z a c",
+    ]
+    d = tmp_path / "sfco"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }), str(d / "documents.parquet"))
+
+    pair_c = collections.Counter()
+    uni_c = collections.Counter()
+    for t in texts:
+        toks = t.split(" ")
+        for i, w in enumerate(toks):
+            if w:
+                uni_c[w] += 1
+            for j in range(i + 1, min(i + 5, len(toks))):
+                if w and toks[j]:
+                    pair_c[tuple(sorted((w, toks[j])))] += 1
+
+    got = cooccur_window_words(str(d))
+    assert len(got) == len(pair_c)
+    for _, r in got.iterrows():
+        assert pair_c[(r["w1"], r["w2"])] == r["c_ab"]
+        assert uni_c[r["w1"]] == r["c1"]
+        assert uni_c[r["w2"]] == r["c2"]
