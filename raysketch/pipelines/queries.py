@@ -1286,11 +1286,19 @@ def _concat_sign_run(conv_np: np.ndarray, turn_np: np.ndarray,
 
 
 def _conv_file_plan(files):
-    """Footer-only planning for the segmented reconstruction: per-file
-    (min conv_id, max conv_id) from parquet row-group statistics — no
-    data read. Returns [(min, max, path)] sorted by min if every file
-    carries stats AND the ranges are disjoint except at endpoints
-    (conversation-clustered layout); None otherwise (→ shuffle path)."""
+    """Footer-only planning for the segmented reconstruction: one unit
+    per ROW GROUP with its (min conv_id, max conv_id) from parquet
+    statistics — no data read. Returns [(min, max, path, rg_index)]
+    sorted if every row group carries stats AND the ranges are disjoint
+    except at endpoints (conversation-clustered layout); None otherwise
+    (→ shuffle path).
+
+    Row-group (not file) granularity matters on this sandbox: a
+    whole-file unit allocates ~1.3 GB of fresh working set inside ONE
+    task and first-touch page faults run ~70 MB/s here (CLAUDE.md), so
+    16 file-tasks measured 131 s CPU each where the same work costs
+    9.6 s warm; 31250-row units keep allocations pool-sized and restore
+    full task parallelism (16 files → 64 units at sf0.1)."""
     import pyarrow.parquet as pq
 
     plan = []
@@ -1303,17 +1311,14 @@ def _conv_file_plan(files):
                    if md.schema.column(i).name == "conv_id"), None)
         if ci is None:
             return None
-        mns, mxs = [], []
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
             if st is None or not st.has_min_max:
                 return None
-            mns.append(st.min)
-            mxs.append(st.max)
-        mn, mx = min(mns), max(mxs)
-        if isinstance(mn, bytes):
-            mn, mx = mn.decode(), mx.decode()
-        plan.append((mn, mx, f))
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn, mx = mn.decode(), mx.decode()
+            plan.append((mn, mx, f, rg))
     plan.sort()
     for a, b in zip(plan, plan[1:]):
         if a[1] > b[0]:  # interior overlap → not clustered
@@ -1375,12 +1380,14 @@ def _conv_sigs_segmented(plan, hasher):
                 if plan[i][1] == plan[i + 1][0]}
     bound_list = sorted(boundary)
 
-    def sign_file(batch: pa.Table) -> pa.Table:
+    def sign_unit(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as _pq
 
         out = []
-        for fp in batch.column("path").to_pylist():
-            t = _pq.read_table(fp, columns=["conv_id", "turn_idx", "text"])
+        for fp, rg in zip(batch.column("path").to_pylist(),
+                          batch.column("rg").to_pylist()):
+            t = _pq.ParquetFile(fp).read_row_group(
+                rg, columns=["conv_id", "turn_idx", "text"])
             conv = t.column("conv_id").to_numpy(zero_copy_only=False)
             if bound_list:
                 keep = ~np.isin(conv, bound_list)
@@ -1393,15 +1400,16 @@ def _conv_sigs_segmented(plan, hasher):
                     t.column("text"), hasher, require_one_run=True))
         return pa.concat_tables(out) if out else _empty_sig_table(hasher)
 
-    files = [f for _, _, f in plan]
     sigs = ray.data.from_items(
-        [{"path": f} for f in files],
-        override_num_blocks=len(files)).map_batches(
-            sign_file, batch_format="pyarrow")
+        [{"path": f, "rg": rg} for _, _, f, rg in plan],
+        override_num_blocks=len(plan)).map_batches(
+            sign_unit, batch_format="pyarrow")
 
     if bound_list:
-        repairs = [{"b": b, "files": [f for mn, mx, f in plan
-                                      if mn <= b <= mx]}
+        # a boundary conv may span several units of one file — read
+        # each distinct file once, row-group-pruned by the filter
+        repairs = [{"b": b, "files": sorted({f for mn, mx, f, _ in plan
+                                             if mn <= b <= mx})}
                    for b in bound_list]
 
         def sign_boundary(batch: pa.Table) -> pa.Table:

