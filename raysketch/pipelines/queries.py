@@ -1378,39 +1378,60 @@ def _conv_sigs_segmented(plan, hasher):
 
     boundary = {plan[i][1] for i in range(len(plan) - 1)
                 if plan[i][1] == plan[i + 1][0]}
-    bound_list = sorted(boundary)
+
+    # A boundary conversation is always a unit ENDPOINT (sorted units
+    # whose ranges only touch at endpoints form a non-decreasing chain,
+    # so no interior conv_id can equal another unit's endpoint) — each
+    # unit therefore ships its ≤2 drop values inline instead of
+    # broadcasting the full boundary list to every task (O(#units)
+    # strings per task at 100-TB unit counts).
+    items = [{"path": f, "rg": rg,
+              "drop": [v for v in dict.fromkeys((mn, mx))
+                       if v in boundary]}
+             for mn, mx, f, rg in plan]
 
     def sign_unit(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as _pq
 
         out = []
-        for fp, rg in zip(batch.column("path").to_pylist(),
-                          batch.column("rg").to_pylist()):
+        for fp, rg, drop in zip(batch.column("path").to_pylist(),
+                                batch.column("rg").to_pylist(),
+                                batch.column("drop").to_pylist()):
             t = _pq.ParquetFile(fp).read_row_group(
                 rg, columns=["conv_id", "turn_idx", "text"])
-            conv = t.column("conv_id").to_numpy(zero_copy_only=False)
-            if bound_list:
-                keep = ~np.isin(conv, bound_list)
-                t = t.filter(pa.array(keep))
-                conv = conv[keep]
+            for v in drop:
+                t = t.filter(pc.not_equal(t.column("conv_id"), v))
             if t.num_rows:
                 out.append(_concat_sign_run(
-                    conv,
+                    t.column("conv_id").to_numpy(zero_copy_only=False),
                     t.column("turn_idx").to_numpy(zero_copy_only=False),
                     t.column("text"), hasher, require_one_run=True))
         return pa.concat_tables(out) if out else _empty_sig_table(hasher)
 
     sigs = ray.data.from_items(
-        [{"path": f, "rg": rg} for _, _, f, rg in plan],
-        override_num_blocks=len(plan)).map_batches(
+        items, override_num_blocks=len(items)).map_batches(
             sign_unit, batch_format="pyarrow")
 
-    if bound_list:
-        # a boundary conv may span several units of one file — read
-        # each distinct file once, row-group-pruned by the filter
-        repairs = [{"b": b, "files": sorted({f for mn, mx, f, _ in plan
-                                             if mn <= b <= mx})}
-                   for b in bound_list]
+    if boundary:
+        # each boundary conv's units form one CONSECUTIVE run in the
+        # sorted plan (chain property above), so the affected-file scan
+        # is O(#units) total, not O(#boundaries × #units); a conv may
+        # span several units of one file — read each file once,
+        # row-group-pruned by the filter
+        repairs, seen, n_units = [], set(), len(plan)
+        for i in range(n_units - 1):
+            b = plan[i][1]
+            if b != plan[i + 1][0] or b in seen:
+                continue
+            seen.add(b)
+            j = i
+            while j >= 0 and plan[j][1] == b:
+                j -= 1
+            k2 = i + 1
+            while k2 < n_units and plan[k2][0] == b:
+                k2 += 1
+            repairs.append({"b": b, "files": sorted(
+                {plan[u][2] for u in range(j + 1, k2)})})
 
         def sign_boundary(batch: pa.Table) -> pa.Table:
             import pyarrow.parquet as _pq

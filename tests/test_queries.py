@@ -591,3 +591,56 @@ def test_cooccur_window_words_bruteforce(ray_session, tmp_path):
         assert pair_c[(r["w1"], r["w2"])] == r["c_ab"]
         assert uni_c[r["w1"]] == r["c1"]
         assert uni_c[r["w2"]] == r["c2"]
+
+
+def test_conv_segmented_conv_spanning_three_units(ray_session, tmp_path):
+    """A conversation occupying an ENTIRE middle shard (min == max ==
+    boundary on both sides) exercises the consecutive-run repair scan:
+    its rows must be dropped from all three units and reassembled once,
+    and the middle unit contributes zero non-boundary rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from raysketch.pipelines.queries import (_conv_file_plan,
+                                             _conv_sigs_segmented,
+                                             _conv_sigs_shuffle)
+    from raysketch.stages.dedup import MinHasher
+
+    def tbl(rows):
+        return pa.table({
+            "conv_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], type=pa.int64()),
+            "text": pa.array([r[2] for r in rows], type=pa.string()),
+        })
+
+    f1 = str(tmp_path / "p1.parquet")
+    f2 = str(tmp_path / "p2.parquet")
+    f3 = str(tmp_path / "p3.parquet")
+    pq.write_table(tbl([("conv-a", 0, "alpha words here"),
+                        ("conv-a", 1, "beta words here"),
+                        ("conv-b", 0, "first turn of the long one")]), f1)
+    pq.write_table(tbl([("conv-b", 1, "middle turn one of the long one"),
+                        ("conv-b", 2, "middle turn two of the long one")]),
+                   f2)
+    pq.write_table(tbl([("conv-b", 3, "last turn of the long one"),
+                        ("conv-c", 0, "gamma words here"),
+                        ("conv-c", 1, "delta words here")]), f3)
+
+    plan = _conv_file_plan([f1, f2, f3])
+    assert plan is not None and len(plan) == 3
+    assert plan[1][0] == plan[1][1] == "conv-b"
+
+    hasher = MinHasher("text", "doc_id", 128, 5, mode="oph")
+    seg = _conv_sigs_segmented(plan, hasher).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    assert list(seg["conv_id"]) == ["conv-a", "conv-b", "conv-c"]
+    # exactly one signature row for the spanning conv (no duplicates
+    # from the two boundary pairs it creates)
+    ds = ray.data.read_parquet([f1, f2, f3],
+                               columns=["conv_id", "turn_idx", "text"])
+    shuf = _conv_sigs_shuffle(ds, hasher).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    assert list(seg["doc_id"]) == list(shuf["doc_id"])
+    assert np.array_equal(np.vstack(seg["minhash"].to_numpy()),
+                          np.vstack(shuf["minhash"].to_numpy()))
