@@ -15856,7 +15856,7 @@ def audio_spectral_stats(sf_dir: str) -> pd.DataFrame:
 QUERIES["audio_spectral_stats"] = audio_spectral_stats
 
 
-def cooccur_window_words(sf_dir: str) -> pd.DataFrame:
+def cooccur_window_words(sf_dir: str, min_count: int = 1) -> pd.DataFrame:
     """Windowed word co-occurrence counts — the word2vec / GloVe
     preprocessing operator: every unordered word pair appearing within
     a 5-token sliding window (position gap 1..4) in any document, with
@@ -15871,7 +15871,13 @@ def cooccur_window_words(sf_dir: str) -> pd.DataFrame:
     factorized pair value_counts partials (≤ distinct-pairs rows leave
     each batch, the combiner bound) → ONE pair-hash-bucketed exchange
     summed by Arrow C++ group_by. Unigram counts ride the same batches
-    as a second tiny partial; text is read exactly once."""
+    as a second tiny partial; text is read exactly once.
+
+    ``min_count`` is applied INSIDE the bucket stage, so on a
+    large-vocabulary corpus the driver materializes only the
+    thresholded pair table (the GloVe workflow's standard cut), never
+    the full O(V²) tail; unigram rows are exempt so every surviving
+    pair still finds its counts."""
     from ..hashing import arrow_to_flat_bytes, murmur64a
     from ..stages.dedup import _splitmix64
 
@@ -15924,11 +15930,15 @@ def cooccur_window_words(sf_dir: str) -> pd.DataFrame:
 
     def bucket_sum(g: pa.Table) -> pa.Table:
         out = g.group_by(["w1", "w2"]).aggregate([("c", "sum")])
-        return pa.table({
-            "w1": out.column("w1"),
-            "w2": out.column("w2"),
-            "c": pc.cast(out.column("c_sum"), pa.int64()),
-        })
+        c = pc.cast(out.column("c_sum"), pa.int64())
+        out = pa.table({"w1": out.column("w1"),
+                        "w2": out.column("w2"), "c": c})
+        if min_count > 1:
+            keep = pc.or_(pc.greater_equal(out.column("c"),
+                                           pa.scalar(min_count)),
+                          pc.equal(out.column("w2"), pa.scalar("")))
+            out = out.filter(keep)
+        return out
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     folded = ds.map_batches(pair_partials, batch_format="pyarrow") \

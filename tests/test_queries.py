@@ -592,6 +592,12 @@ def test_cooccur_window_words_bruteforce(ray_session, tmp_path):
         assert uni_c[r["w1"]] == r["c1"]
         assert uni_c[r["w2"]] == r["c2"]
 
+    # min_count prunes inside the bucket stage; unigram counts survive
+    thr = cooccur_window_words(str(d), min_count=2)
+    assert len(thr) == sum(1 for v in pair_c.values() if v >= 2)
+    for _, r in thr.iterrows():
+        assert r["c_ab"] >= 2 and uni_c[r["w1"]] == r["c1"]
+
 
 def test_conv_segmented_conv_spanning_three_units(ray_session, tmp_path):
     """A conversation occupying an ENTIRE middle shard (min == max ==
