@@ -1430,27 +1430,38 @@ def _conv_sigs_segmented(plan, hasher):
             k2 = i + 1
             while k2 < n_units and plan[k2][0] == b:
                 k2 += 1
-            repairs.append({"b": b, "files": sorted(
-                {plan[u][2] for u in range(j + 1, k2)})})
+            repairs.append((b, tuple(sorted(
+                {plan[u][2] for u in range(j + 1, k2)}))))
+
+        # one repair task per distinct FILE SET, not per boundary conv:
+        # with row-group units most boundaries are intra-file, so this
+        # collapses ~#units repair tasks to ~#files reads, each
+        # row-group-pruned by an IN filter over its boundary convs
+        grouped: dict = {}
+        for b, fs in repairs:
+            grouped.setdefault(fs, []).append(b)
+        rep_items = [{"files": list(fs), "bs": sorted(bs)}
+                     for fs, bs in sorted(grouped.items())]
 
         def sign_boundary(batch: pa.Table) -> pa.Table:
             import pyarrow.parquet as _pq
 
             out = []
-            for b, fl in zip(batch.column("b").to_pylist(),
-                             batch.column("files").to_pylist()):
+            for fl, bs in zip(batch.column("files").to_pylist(),
+                              batch.column("bs").to_pylist()):
                 parts = [_pq.read_table(
                     f, columns=["conv_id", "turn_idx", "text"],
-                    filters=[("conv_id", "==", b)]) for f in fl]
+                    filters=[("conv_id", "in", bs)]) for f in fl]
                 t = pa.concat_tables(parts)
-                out.append(_concat_sign_run(
-                    t.column("conv_id").to_numpy(zero_copy_only=False),
-                    t.column("turn_idx").to_numpy(zero_copy_only=False),
-                    t.column("text"), hasher))
+                if t.num_rows:
+                    out.append(_concat_sign_run(
+                        t.column("conv_id").to_numpy(zero_copy_only=False),
+                        t.column("turn_idx").to_numpy(zero_copy_only=False),
+                        t.column("text"), hasher))
             return pa.concat_tables(out) if out else _empty_sig_table(hasher)
 
         rep = ray.data.from_items(
-            repairs, override_num_blocks=len(repairs)).map_batches(
+            rep_items, override_num_blocks=len(rep_items)).map_batches(
                 sign_boundary, batch_format="pyarrow")
         sigs = sigs.union(rep)
     return sigs.materialize()
