@@ -1331,19 +1331,21 @@ def _conv_signatures(sf_dir: str):
 
     Fast path (the 100-TB shape): transcript shards are written
     conversation-contiguous (turns append in order), so parquet footer
-    stats prove each file owns a disjoint conv_id range — whole
-    conversations reconstruct INSIDE per-file tasks with ZERO text
-    shuffle, and only the ≤1-per-file-boundary conversations that
-    straddle adjacent shards go through a tiny repair stage (filtered
-    row-group-pruned reads of just the affected files). This replaced a
-    full-corpus 64-bucket text exchange that dominated the pipeline
-    (~40-60 s of the 42-100 s wall at sf0.1).
+    row-group statistics prove each ROW GROUP owns a disjoint conv_id
+    range — whole conversations reconstruct INSIDE per-row-group tasks
+    with ZERO text shuffle, and only the ≤1-per-unit-boundary
+    conversations that straddle adjacent units go through a tiny
+    repair stage (one read per distinct file set, row-group-pruned IN
+    filters). This replaced a full-corpus 64-bucket text exchange that
+    dominated the pipeline (~40-60 s of the 42-100 s wall at sf0.1);
+    row-group (not file) units keep per-task allocations pool-sized on
+    this fault-bound sandbox and quadruple task parallelism.
 
     Falls back to the bucket-shuffle reconstruction whenever stats are
-    missing, file ranges overlap, or a file fails the in-task
+    missing, unit ranges overlap, or a unit fails the in-task
     contiguity check — identical signatures either way (OPH is fixed
-    by seed; the joined text is the same), locked by a pytest equality
-    test."""
+    by seed; the joined text is the same), locked by pytest equality
+    tests incl. a conversation spanning three units."""
     import glob as _glob
 
     import ray
