@@ -1466,7 +1466,13 @@ def _conv_sigs_segmented(plan, hasher):
             rep_items, override_num_blocks=len(rep_items)).map_batches(
                 sign_boundary, batch_format="pyarrow")
         sigs = sigs.union(rep)
-    return sigs.materialize()
+    # coalesce: one ~1k-row block per unit (plus 1-row repair blocks)
+    # makes every downstream operator pay per-task scheduling × #units
+    # — at 256 units the LSH + verify stages spent ~100 s in pure task
+    # overhead on 380 tiny blocks. ~8k signature rows per block keeps
+    # task counts flat without hurting parallelism.
+    n_blocks = max(8, min(64, len(plan) // 8 + 1))
+    return sigs.repartition(n_blocks).materialize()
 
 
 def _conv_sigs_shuffle(ds, hasher):
@@ -1502,11 +1508,12 @@ def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     bucket exchange — then MinHash+LSH over the conversation
     documents. Returns one row per conversation in a duplicate
     component."""
-    from ..stages.dedup import (DRIVER_PAIR_LIMIT,
-                                _dedupe_pair_rows, _dedupe_pairs_driver,
-                                estimate_pair_jaccard, lsh_candidate_pairs,
-                                minhash_agreement_scorer, propagate_components,
-                                score_pairs_distributed, union_find_components)
+    from ..stages.dedup import (DRIVER_PAIR_LIMIT, _dedupe_pair_rows,
+                                _dedupe_pairs_driver, _resolve_components,
+                                band_floor_filter, estimate_pair_jaccard,
+                                lsh_candidate_pairs, minhash_agreement_scorer,
+                                minhash_band_floor, score_pairs_distributed,
+                                union_find_components)
 
     sigs = _conv_signatures(sf_dir)
     # 16 bands × 8 rows: banding matched to the 0.9 verify threshold —
@@ -1519,24 +1526,31 @@ def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     if n_pairs == 0:
         return pd.DataFrame({"conv_id": [], "component": []})
     if n_pairs > DRIVER_PAIR_LIMIT:
-        # distributed verify + min-label components: neither the pair
-        # set nor the signatures ever reach the driver (VERDICT r02 #1)
+        # distributed verify + components: neither the pair set nor the
+        # signatures ever reach the driver unless the VERIFIED set fits
+        # the driver tier (VERDICT r02 #1; _resolve_components re-tiers)
         pairs_ds = _dedupe_pair_rows(raw, {
             "n_bands": ("count", None),
             "truncated_bucket": ("max", "truncated_bucket"),
         })
+        # provably output-preserving cut (16 bands × 8 rows, est ≥ 0.9
+        # over the same 128 components ⇒ ≥4 fully-colliding bands):
+        # drops the ~95% of 1-band accidental collisions before the
+        # payload-attach exchanges — see dedup.minhash_band_floor
+        pairs_ds = band_floor_filter(
+            pairs_ds, minhash_band_floor(128, 16, 0.9))
         scored = score_pairs_distributed(pairs_ds, sigs, "doc_id", "minhash",
                                          minhash_agreement_scorer,
                                          "est_jaccard")
         verified = scored.map_batches(
             lambda t: t.filter(pc.greater_equal(t.column("est_jaccard"),
                                                 pa.scalar(0.9))),
-            batch_format="pyarrow").materialize()
-        if verified.count() == 0:
+            batch_format="pyarrow")
+        comps = _resolve_components(verified, "doc_id")
+        if len(comps) == 0:
             return pd.DataFrame({"conv_id": [], "component": []})
-        labels = propagate_components(verified).to_pandas()
-        comp_ids = labels["node"].to_numpy(dtype=np.int64)
-        comp_lab = labels["label"].to_numpy(dtype=np.int64)
+        comp_ids = comps["doc_id"].to_numpy(dtype=np.int64)
+        comp_lab = comps["component"].to_numpy(dtype=np.int64)
     else:
         pairs = _dedupe_pairs_driver(raw.to_pandas(), {
             "n_bands": ("count", None),

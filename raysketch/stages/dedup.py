@@ -39,6 +39,8 @@ __all__ = [
     "propagate_components",
     "score_pairs_distributed",
     "minhash_agreement_scorer",
+    "minhash_band_floor",
+    "band_floor_filter",
     "cosine_scorer",
     "make_exact_jaccard_scorer",
     "minhash_dedup",
@@ -922,8 +924,64 @@ def score_pairs_distributed(pairs_ds, payload_ds, id_col: str,
 
     payload = payload_ds.select_columns([id_col, payload_col]) \
         .map_batches(prune, batch_format="pyarrow").materialize()
+    # a fragmented payload (many tiny blocks, e.g. one per input shard)
+    # multiplies every downstream task count through the two exchanges
+    # — coalesce to the bucket count before tagging
+    if payload.num_blocks() > 2 * num_buckets:
+        payload = payload.repartition(num_buckets).materialize()
     vtype = dict(zip(payload.schema().names,
                      payload.schema().types))[payload_col]
+
+    # Fixed-size-list payloads (minhash signatures, fixed-dim
+    # embeddings) travel as large_binary on the wire: pa.nulls() for a
+    # fixed-size list ALLOCATES the full child storage, so the pair
+    # side of exchange 1 was shipping payload_width bytes of null
+    # padding PER PAIR (measured 1.04 GB of nulls for 1M pairs × 128
+    # u64 — the exchange cost ~142 s at 8M turns). As binary, payload
+    # rows carry their raw bytes and pair rows carry zero-length
+    # strings; buckets reconstruct the typed array zero-copy.
+    if pa.types.is_fixed_size_list(vtype):
+        _W = vtype.list_size
+        _vdt = np.dtype(vtype.value_type.to_pandas_dtype())
+        _BW = _W * _vdt.itemsize
+        wire_type = pa.large_binary()
+        _empty_fsl = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.empty(0, dtype=_vdt)), _W)
+
+        def _to_wire(col):
+            a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            if len(a) == 0:
+                return pa.array([], type=wire_type)
+            flat = np.ascontiguousarray(
+                a.flatten().to_numpy(zero_copy_only=False))
+            offs = np.arange(0, (len(a) + 1) * _BW, _BW, dtype=np.int64)
+            return pa.LargeBinaryArray.from_buffers(
+                wire_type, len(a),
+                [None, pa.py_buffer(offs), pa.py_buffer(flat.view(np.uint8))])
+
+        def _from_wire(arr):
+            a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+                else arr
+            if len(a) == 0:
+                return _empty_fsl
+            offs = np.frombuffer(a.buffers()[1], dtype=np.int64,
+                                 count=len(a) + 1, offset=a.offset * 8)
+            raw = np.frombuffer(a.buffers()[2], dtype=np.uint8,
+                                count=int(offs[-1] - offs[0]),
+                                offset=int(offs[0]))
+            return pa.FixedSizeListArray.from_arrays(
+                pa.array(raw.view(_vdt)), _W)
+    else:
+        wire_type = vtype
+
+        def _to_wire(col):
+            a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            return a.cast(vtype)
+
+        def _from_wire(arr):
+            return arr
 
     def _kb(k_np: np.ndarray) -> pa.Array:
         return pa.array((_splitmix64(k_np.astype(np.uint64)) % B)
@@ -934,7 +992,7 @@ def score_pairs_distributed(pairs_ds, payload_ds, id_col: str,
         return pa.table({
             "k": k,
             "o": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-            "v": t.column(payload_col).combine_chunks().cast(vtype),
+            "v": _to_wire(t.column(payload_col)),
             "s": pa.array(np.ones(t.num_rows, dtype=bool)),
             "__b": _kb(k.to_numpy(zero_copy_only=False)),
         })
@@ -944,7 +1002,7 @@ def score_pairs_distributed(pairs_ds, payload_ds, id_col: str,
         o = t.column("id_b").combine_chunks().cast(pa.int64())
         return pa.table({
             "k": k, "o": o,
-            "v": pa.nulls(t.num_rows, type=vtype),  # never read (pair side)
+            "v": pa.nulls(t.num_rows, type=wire_type),  # never read
             "s": pa.array(np.zeros(t.num_rows, dtype=bool)),
             "__b": _kb(k.to_numpy(zero_copy_only=False)),
         })
@@ -984,7 +1042,8 @@ def score_pairs_distributed(pairs_ds, payload_ds, id_col: str,
     def score_b(g: pa.Table) -> pa.Table:
         ed, vb = _attach(g)
         va = ed.column("v").combine_chunks()
-        sc = scorer(va, vb) if len(vb) else np.empty(0, dtype=np.float64)
+        sc = scorer(_from_wire(va), _from_wire(vb)) if len(vb) \
+            else np.empty(0, dtype=np.float64)
         return pa.table({
             "id_a": ed.column("o").combine_chunks(),
             "id_b": ed.column("k").combine_chunks(),
@@ -1013,15 +1072,64 @@ def _components_frame(labels_ds, id_col: str):
         .astype({id_col: "int64", "component": "int64"})
 
 
+def minhash_band_floor(num_perms: int, num_bands: int,
+                       threshold: float) -> int:
+    """Sound candidate pre-filter for signature-AGREEMENT verification
+    (the bands and the scorer read the same ``num_perms`` components):
+    a pair passing est = agree/P ≥ t disagrees on at most
+    P − ceil(t·P) components, each of which can break at most one
+    band, so it must fully collide in ≥ B − (P − ceil(t·P)) bands —
+    and a fully-equal band always emits the pair (equal rows ⇒ equal
+    band hash, truncation aside). Filtering candidates to n_bands ≥
+    this floor before the payload-attach exchanges is therefore
+    exactly output-preserving; callers must keep truncated-bucket
+    pairs unconditionally (truncation undercounts n_bands). The
+    epsilon only ever LOWERS the floor (keeps more), so float error
+    cannot break soundness. Returns 1 when the bound is vacuous
+    (e.g. the 32×4 t≈0.5 default). Does NOT apply to exact-text
+    verification — there the scorer reads different evidence."""
+    import math
+
+    agree_min = math.ceil(threshold * num_perms - 1e-9)
+    return max(1, num_bands - (num_perms - agree_min))
+
+
+def band_floor_filter(pairs_ds, floor_b: int):
+    """Apply :func:`minhash_band_floor` to deduped pair rows
+    (n_bands / truncated_bucket columns), keeping truncated buckets."""
+    if floor_b <= 1:
+        return pairs_ds
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.or_(
+            pc.greater_equal(t.column("n_bands"), pa.scalar(floor_b)),
+            pc.cast(t.column("truncated_bucket"), pa.bool_())))
+
+    return pairs_ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _resolve_components(verified_pairs_ds, id_col: str):
-    """Verified pairs Dataset → {id, component} via the distributed
-    min-label propagation (labels never touch the driver; the returned
-    frame is the RESULT set — O(duplicate docs), not O(corpus))."""
+    """Verified pairs Dataset → {id, component}. Re-tiers on the
+    VERIFIED count (the module-docstring contract): at ≤
+    ``DRIVER_PAIR_LIMIT`` verified pairs the frame gathers to the
+    driver for vectorized union-find (one Ray round trip beats the
+    O(log diameter) propagate rounds); past it, distributed min-label
+    propagation (labels never touch the driver; the returned frame is
+    the RESULT set — O(duplicate docs), not O(corpus)). Both tiers
+    produce identical components (root = component min id)."""
     import pandas as pd
 
     verified_pairs_ds = verified_pairs_ds.materialize()
-    if verified_pairs_ds.count() == 0:
+    n = verified_pairs_ds.count()
+    if n == 0:
         return pd.DataFrame({id_col: [], "component": []})
+    if n <= DRIVER_PAIR_LIMIT:
+        comp = union_find_components(
+            verified_pairs_ds.select_columns(["id_a", "id_b"]).to_pandas())
+        return pd.DataFrame(
+            {id_col: list(comp), "component": [comp[k] for k in comp]}
+        ).sort_values(id_col).reset_index(drop=True) \
+            .astype({id_col: "int64", "component": "int64"})
     # run to the fixed point (pointer jumping makes that O(log
     # diameter) rounds; LSH clusters are near-cliques anyway)
     return _components_frame(
@@ -1095,6 +1203,11 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
                 "jaccard")
             col = "jaccard"
         else:
+            # provably output-preserving candidate cut before the
+            # payload-attach exchanges (see minhash_band_floor)
+            pairs_ds = band_floor_filter(
+                pairs_ds,
+                minhash_band_floor(num_perms, num_bands, threshold))
             scored = score_pairs_distributed(
                 pairs_ds, sigs, id_col, "minhash",
                 minhash_agreement_scorer, "est_jaccard")

@@ -1486,3 +1486,64 @@ class TestAudioSpectralFeatures:
         assert len(out) >= 32
         assert (out["dominant_freq_hz"] > 0).all()
         assert out["item_id"].is_monotonic_increasing
+
+
+def test_minhash_band_floor_output_preserving(ray_session):
+    """The band-count floor (est ≥ t over the same P components ⇒
+    ≥ B − (P − ceil(tP)) fully-colliding bands) drops candidates but
+    NEVER a pair that passes verification: planted near-dups at
+    component distances 0..20 from a base signature, plus junk."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from raysketch.stages.dedup import (_dedupe_pair_rows,
+                                        band_floor_filter,
+                                        lsh_candidate_pairs,
+                                        minhash_agreement_scorer,
+                                        minhash_band_floor,
+                                        score_pairs_distributed)
+
+    rng = np.random.default_rng(11)
+    P, B, t = 128, 16, 0.9
+    base = rng.integers(0, 2**63, size=P, dtype=np.uint64)
+    rows, ids = [], []
+    for d in range(0, 21):           # d disagreeing components
+        s = base.copy()
+        pos = rng.choice(P, size=d, replace=False)
+        s[pos] = rng.integers(0, 2**63, size=d, dtype=np.uint64)
+        rows.append(s)
+        ids.append(100 + d)
+    for j in range(30):              # unrelated junk
+        rows.append(rng.integers(0, 2**63, size=P, dtype=np.uint64))
+        ids.append(500 + j)
+    flat = pa.array(np.concatenate(rows))
+    sig_col = pa.FixedSizeListArray.from_arrays(flat, P)
+    sigs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.array(ids, dtype=np.int64)),
+        "minhash": sig_col}))
+
+    raw = lsh_candidate_pairs(sigs, "doc_id", num_bands=B,
+                              dedupe="raw").materialize()
+    pairs = _dedupe_pair_rows(raw, {
+        "n_bands": ("count", None),
+        "truncated_bucket": ("max", "truncated_bucket")}).materialize()
+    floor_b = minhash_band_floor(P, B, t)
+    assert floor_b == 4
+    cut = band_floor_filter(pairs, floor_b).materialize()
+    assert cut.count() < pairs.count()   # the filter actually prunes
+
+    def verified(pds):
+        scored = score_pairs_distributed(
+            pds, sigs, "doc_id", "minhash",
+            minhash_agreement_scorer, "est_jaccard")
+        df = scored.to_pandas()
+        df = df[df["est_jaccard"] >= t]
+        return set(zip(df["id_a"], df["id_b"]))
+
+    v_all, v_cut = verified(pairs), verified(cut)
+    assert v_all == v_cut                # output-preserving
+    # sanity: the verified set is non-trivial (near-dup pairs exist)
+    assert any(p[0] < 500 and p[1] < 500 for p in v_cut)
