@@ -15981,6 +15981,50 @@ def cooccur_window_words(sf_dir: str, min_count: int = 1) -> pd.DataFrame:
         .sort_values(["w1", "w2"]).reset_index(drop=True)
 
 
+def recluster_transcripts(sf_dir: str) -> pd.DataFrame:
+    """The WRITE side of the segmented-reconstruction contract:
+    re-cluster the transcript table into the conversation-contiguous
+    range-partitioned layout whose parquet footer statistics the
+    zero-shuffle reader (:func:`_conv_file_plan`) accepts —
+    :func:`~raysketch.stages.sortsink.sorted_partitioned_write` over
+    the composite (conv_number << 20 | turn_idx) integer key: one
+    range exchange, per-bucket vectorized sort, one stats-bearing
+    parquet file per bucket, deterministic pure-integer bucket bounds
+    (no sampling). Bucket cuts may land mid-conversation — exactly the
+    boundary-straddling case the reader's repair stage handles, which
+    the round-trip test exercises end-to-end. Returns the manifest
+    decoded to conversation numbers (rows-only driver check:
+    transcripts are not a DuckDB view)."""
+    import glob as _glob
+    import tempfile
+
+    from ..stages.sortsink import sorted_partitioned_write
+
+    ds = transcripts_ds(sf_dir, columns=["conv_id", "turn_idx", "text"])
+
+    def ckey(t: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(
+            t.column("conv_id"), 5, 32), pa.int64())
+        k = pc.add(pc.shift_left(num, pa.scalar(20, type=pa.int64())),
+                   pc.cast(t.column("turn_idx"), pa.int64()))
+        return t.append_column("ckey", k)
+
+    out_dir = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                           f"reclustered_{sf_of(sf_dir)}")
+    for stale in _glob.glob(os.path.join(out_dir, "*.parquet")):
+        os.unlink(stale)
+    man = sorted_partitioned_write(
+        ds.map_batches(ckey, batch_format="pyarrow"), "ckey", out_dir,
+        num_buckets=32)
+    return pd.DataFrame({
+        "bucket": man["bucket"],
+        "n_rows": man["n_rows"],
+        "conv_lo": man["key_min"] // (1 << 20),
+        "conv_hi": man["key_max"] // (1 << 20),
+    })
+
+
+QUERIES["recluster_transcripts"] = recluster_transcripts
 QUERIES["cooccur_window_words"] = cooccur_window_words
 ORACLES["cooccur_window_words"] = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
