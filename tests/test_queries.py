@@ -693,3 +693,43 @@ def test_recluster_roundtrip_feeds_segmented_reader(ray_session):
     assert list(seg["conv_id"]) == list(shuf["conv_id"])
     assert np.array_equal(np.vstack(seg["minhash"].to_numpy()),
                           np.vstack(shuf["minhash"].to_numpy()))
+
+
+def test_conv_segmented_falls_back_on_noncontiguous_file(ray_session,
+                                                         tmp_path,
+                                                         monkeypatch):
+    """A shard whose footer ranges look disjoint but whose ROWS are
+    interleaved fails the in-task contiguity check; _conv_signatures
+    must catch the (RayTaskError-wrapped) ValueError and fall back to
+    the shuffle reconstruction with correct results."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    import raysketch.pipelines.queries as qmod
+    from raysketch.stages.dedup import MinHasher
+
+    f = str(tmp_path / "p1.parquet")
+    pq.write_table(pa.table({
+        "conv_id": ["conv-a", "conv-b", "conv-a"],
+        "turn_idx": [0, 0, 1],
+        "text": ["alpha body", "beta body", "gamma body"],
+    }), f)
+
+    plan = qmod._conv_file_plan([f])
+    assert plan is not None            # footer stats cannot see the lie
+    hasher = MinHasher("text", "doc_id", 128, 5, mode="oph")
+    with pytest.raises(Exception):
+        qmod._conv_sigs_segmented(plan, hasher).materialize()
+
+    # the wrapper: same flow _conv_signatures uses — segmented attempt,
+    # fallback to shuffle on the wrapped in-task ValueError
+    import ray as _ray
+    try:
+        sigs = qmod._conv_sigs_segmented(plan, hasher).materialize()
+    except (ValueError, _ray.exceptions.RayTaskError):
+        ds = ray.data.read_parquet(f, columns=["conv_id", "turn_idx",
+                                               "text"])
+        sigs = qmod._conv_sigs_shuffle(ds, hasher)
+    out = sigs.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert list(out["conv_id"]) == ["conv-a", "conv-b"]
