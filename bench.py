@@ -205,7 +205,47 @@ def run_scaling_workload() -> dict:
             "turns_per_sec": round(n_turns / med)}
 
 
-def run_scaling() -> dict:
+def run_dedup_workload() -> dict:
+    """conv_dedup_minhash end-to-end over the 8M-turn table — the
+    dedup-family twin of the sketch scaling workload: segmented
+    reconstruction, OPH signing, LSH banding, band-floor cut,
+    distributed verify, components. Best-of-2 (the first run also pays
+    page-cache/allocator warm-up)."""
+    import time as _t
+
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "16"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from raysketch.pipelines.queries import sf_of
+    from raysketch.sources.transcripts import write_transcripts
+
+    n_turns = max(1000, int(sf_of(sf_dir) * 80_000_000))
+    write_transcripts(n_turns)
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from raysketch.pipelines.queries import conv_dedup_minhash
+
+    # the query derives its turn count from the sf token in the dir
+    # name; sf×4 matches the 80M-per-sf sizing above
+    fake_dir = f"/tmp/x/sf{sf_of(sf_dir) * 4:g}"
+    reps = []
+    for _ in range(2):
+        t0 = _t.perf_counter()
+        conv_dedup_minhash(fake_dir)
+        reps.append(round(_t.perf_counter() - t0, 3))
+    best = min(reps)
+    ray.shutdown()
+    return {"metric": "dedup_scaling_workload_sec", "value": best,
+            "reps": reps, "unit": "sec", "num_cpus": ncpu,
+            "n_turns": n_turns,
+            "turns_per_sec": round(n_turns / best)}
+
+
+def run_scaling(workload_env: str = "RAYSKETCH_SCALING_WORKLOAD") -> dict:
     """N vs 4N parallelism in fresh processes (sandbox stand-in for the
     N- vs 4N-node cluster criterion). 4 vs 16 stays within the host's
     physical cores — 32 'CPUs' here are 16 cores + SMT, which caps
@@ -213,8 +253,8 @@ def run_scaling() -> dict:
     lo, hi = 4, 16
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   RAYSKETCH_SCALING_WORKLOAD="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env[workload_env] = "1"
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
@@ -239,8 +279,12 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-dedup" in sys.argv:
+        print(json.dumps(run_scaling("RAYSKETCH_DEDUP_WORKLOAD")))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif os.environ.get("RAYSKETCH_DEDUP_WORKLOAD"):
+        print(json.dumps(run_dedup_workload()))
     elif os.environ.get("RAYSKETCH_SCALING_WORKLOAD"):
         print(json.dumps(run_scaling_workload()))
     else:
