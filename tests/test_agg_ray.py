@@ -390,3 +390,54 @@ def test_canonical_reduce_cells_path(ray_session):
     k1 = canonical_sketch_reduce(pk, "kll", mode="bytes", driver_merge_max=0)
     k2 = canonical_sketch_reduce(pk, "kll", mode="bytes", driver_merge_max=0)
     assert k1 == k2
+
+
+def test_worker_death_retry_preserves_results(ray_session, tmp_path):
+    """Fault tolerance at the Ray layer: a worker process dying
+    mid-batch (os._exit — a system failure, not an app exception) is
+    retried transparently, the aggregate over the re-executed task is
+    exact, AND the HLL fold is bit-identical to an undisturbed run —
+    per-file partials + canonical reduce make re-execution invisible
+    (the at-least-once story the 100-TB checkpoint layer relies on)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from raysketch.agg import sketch_aggregate
+
+    marker = str(tmp_path / "died_once")
+
+    def flaky(t: pa.Table) -> pa.Table:
+        if not os.path.exists(marker):
+            open(marker, "w").write("x")
+            os._exit(1)
+        return t
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = ray.data.read_parquet(path, columns=["l_quantity", "l_orderkey"])
+    total = ds.map_batches(flaky, batch_format="pyarrow").sum("l_quantity")
+    import duckdb
+
+    exact = duckdb.sql(
+        f"SELECT SUM(l_quantity) FROM '{path}'").fetchone()[0]
+    assert abs(total - exact) < 1e-9
+    assert os.path.exists(marker)          # the death actually happened
+
+    # sketch fold twin: estimate bit-identical with and without a death
+    marker2 = str(tmp_path / "died_twice")
+
+    def flaky2(t: pa.Table) -> pa.Table:
+        if not os.path.exists(marker2):
+            open(marker2, "w").write("x")
+            os._exit(1)
+        return t
+
+    base = ray.data.read_parquet(path, columns=["l_orderkey"])
+    est_clean = sketch_aggregate(base, "hll", on="l_orderkey",
+                                 mode="estimate")
+    est_flaky = sketch_aggregate(
+        base.map_batches(flaky2, batch_format="pyarrow"), "hll",
+        on="l_orderkey", mode="estimate")
+    assert os.path.exists(marker2)
+    assert est_clean == est_flaky
