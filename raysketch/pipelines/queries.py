@@ -519,6 +519,36 @@ def _text_len_quantiles(sf_dir: str, sketch: str, **params) -> pd.DataFrame:
     return _one_row(**est)
 
 
+def kll_text_len_by_role(sf_dir: str) -> pd.DataFrame:
+    """GROUPED order-statistics sketching — per-ROLE text-length
+    quantiles via KLL, the grouped cell of the sketch×grouping matrix
+    (HLL has its by-role twin; quantile sketches did not). One partial
+    per (file, role), lexicographic per-group blob merges
+    (`sketch_aggregate_files(by=...)`) keep grouped results
+    byte-identical at any parallelism despite KLL's order-sensitive
+    compaction. Rows-only driver entry; pytest holds a per-role rank
+    band vs exact and equality of the 'user' role with a direct
+    single-group fold."""
+    import glob
+
+    from ..agg import sketch_aggregate_files
+
+    n_turns = max(1000, int(sf_of(sf_dir) * _TURNS_PER_SF))
+    tpath = write_transcripts(n_turns)
+    files = sorted(glob.glob(os.path.join(tpath, "*.parquet")))
+    out = sketch_aggregate_files(
+        files, "kll", on="text", by=["role"],
+        column_fn=lambda t: pc.cast(pc.utf8_length(t.column("text")),
+                                    pa.int64()),
+        mode=lambda acc: acc.finalize(), k=256,
+    ).to_pandas()
+    q = pd.DataFrame(list(out["kll_merged"]))
+    res = pd.concat([out[["role"]].reset_index(drop=True),
+                     q.reset_index(drop=True)], axis=1)
+    return res.astype({"n": "int64"}) \
+        .sort_values("role").reset_index(drop=True)
+
+
 def tdigest_text_len(sf_dir: str) -> pd.DataFrame:
     return _text_len_quantiles(sf_dir, "tdigest", compression=200)
 
@@ -16024,6 +16054,7 @@ def recluster_transcripts(sf_dir: str) -> pd.DataFrame:
     })
 
 
+QUERIES["kll_text_len_by_role"] = kll_text_len_by_role
 QUERIES["recluster_transcripts"] = recluster_transcripts
 QUERIES["cooccur_window_words"] = cooccur_window_words
 ORACLES["cooccur_window_words"] = """

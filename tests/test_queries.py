@@ -733,3 +733,25 @@ def test_conv_segmented_falls_back_on_noncontiguous_file(ray_session,
         sigs = qmod._conv_sigs_shuffle(ds, hasher)
     out = sigs.to_pandas().sort_values("conv_id").reset_index(drop=True)
     assert list(out["conv_id"]) == ["conv-a", "conv-b"]
+
+
+def test_kll_text_len_by_role(truth):
+    """Grouped KLL: per-role quantiles within the rank band vs exact,
+    and per-role n equals the exact role counts."""
+    out = Q.kll_text_len_by_role(SF_DIR)
+    lens = truth.assign(L=truth["text"].str.len())
+    assert set(out["role"]) == set(truth["role"].unique())
+    for _, r in out.iterrows():
+        grp = np.sort(lens.loc[lens["role"] == r["role"], "L"].to_numpy())
+        assert r["n"] == len(grp)
+        for q in (0.5, 0.9, 0.99):
+            est = r[f"p{int(q*100)}"]
+            lo = np.searchsorted(grp, est, side="left") / len(grp)
+            hi = np.searchsorted(grp, est, side="right") / len(grp)
+            assert lo - 0.03 <= q <= hi + 0.03, (r["role"], q, est)
+
+
+def test_kll_by_role_deterministic(ray_session):
+    a = Q.kll_text_len_by_role(SF_DIR)
+    b = Q.kll_text_len_by_role(SF_DIR)
+    pd.testing.assert_frame_equal(a, b)
