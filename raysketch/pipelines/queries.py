@@ -16116,7 +16116,7 @@ _GATE_PRIORITY = [
     # FAST_SUBSET still gate the rest)
     "events_lag_delta", "events_window_frame", "events_range_window",
     "rank_orders_by_date", "rolling7_distinct_users",
-    "cumulative_new_users",
+    "cooccur_window_words",
     # dedup / LLM-pipeline anchors (round-3 additions front-loaded:
     # span dedup, SemDeDup, fuzzy decontamination, budget selection)
     "dedup_docs_exact", "minhash_dedup_planted",
