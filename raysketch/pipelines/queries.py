@@ -16056,6 +16056,52 @@ def recluster_transcripts(sf_dir: str) -> pd.DataFrame:
 
 QUERIES["kll_text_len_by_role"] = kll_text_len_by_role
 QUERIES["recluster_transcripts"] = recluster_transcripts
+def top_pmi_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k word pairs by PMI over the windowed co-occurrence counts —
+    ranked WITHOUT floats: PMI = log(c_ab·T/(c1·c2)) is monotone in the
+    rational c_ab·T/(c1·c2), so the rank key is the exact fixed-point
+    integer c_ab·T·10⁶ // (c1·c2) (Python ints on the tiny driver-side
+    pair table ≡ DuckDB HUGEINT; float log sums would make the ranking
+    engine-dependent at ties and near-ties). T = total window pair
+    instances. Ties break on (w1, w2)."""
+    pairs = cooccur_window_words(sf_dir)
+    T = int(pairs["c_ab"].sum())
+    key = [c_ab * T * 10**6 // (c1 * c2)
+           for c_ab, c1, c2 in zip(pairs["c_ab"], pairs["c1"],
+                                   pairs["c2"])]
+    pairs = pairs.assign(pmi_fp6=pd.array(key, dtype="int64"))
+    out = pairs.sort_values(["pmi_fp6", "w1", "w2"],
+                            ascending=[False, True, True]).head(k)
+    return out[["w1", "w2", "c_ab", "pmi_fp6"]].reset_index(drop=True)
+
+
+QUERIES["top_pmi_pairs"] = top_pmi_pairs
+ORACLES["top_pmi_pairs"] = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+    p AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                 list_extract(words, CAST(p AS INT)) AS w
+          FROM (SELECT doc_id, words,
+                       unnest(range(1, len(words) + 1)) AS p FROM w)),
+    pp AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+           FROM p a JOIN p b
+             ON a.doc_id = b.doc_id AND b.pos > a.pos
+            AND b.pos <= a.pos + 4
+           WHERE a.w <> '' AND b.w <> ''),
+    uni AS (SELECT w, COUNT(*) AS c FROM p WHERE w <> '' GROUP BY w),
+    pc2 AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pp GROUP BY w1, w2),
+    tot AS (SELECT CAST(SUM(c_ab) AS HUGEINT) AS T FROM pc2)
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(CAST(c_ab AS HUGEINT) * T * 1000000
+                // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS pmi_fp6
+    FROM pc2, tot
+    JOIN uni u1 ON u1.w = pc2.w1
+    JOIN uni u2 ON u2.w = pc2.w2
+    ORDER BY pmi_fp6 DESC, w1, w2
+    LIMIT 20
+"""
+
+
 QUERIES["cooccur_window_words"] = cooccur_window_words
 ORACLES["cooccur_window_words"] = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
