@@ -553,6 +553,31 @@ def tdigest_text_len(sf_dir: str) -> pd.DataFrame:
     return _text_len_quantiles(sf_dir, "tdigest", compression=200)
 
 
+def tdigest_text_len_by_role(sf_dir: str) -> pd.DataFrame:
+    """t-digest twin of :func:`kll_text_len_by_role` — same
+    per-(file, role) partials + lexicographic per-group merges, so the
+    OTHER order-sensitive quantile family is grouped-deterministic
+    too."""
+    import glob
+
+    from ..agg import sketch_aggregate_files
+
+    n_turns = max(1000, int(sf_of(sf_dir) * _TURNS_PER_SF))
+    tpath = write_transcripts(n_turns)
+    files = sorted(glob.glob(os.path.join(tpath, "*.parquet")))
+    out = sketch_aggregate_files(
+        files, "tdigest", on="text", by=["role"],
+        column_fn=lambda t: pc.cast(pc.utf8_length(t.column("text")),
+                                    pa.int64()),
+        mode=lambda acc: acc.finalize(), compression=200,
+    ).to_pandas()
+    q = pd.DataFrame(list(out["tdigest_merged"]))
+    res = pd.concat([out[["role"]].reset_index(drop=True),
+                     q.reset_index(drop=True)], axis=1)
+    return res.astype({"n": "int64"}) \
+        .sort_values("role").reset_index(drop=True)
+
+
 def kll_text_len(sf_dir: str) -> pd.DataFrame:
     return _text_len_quantiles(sf_dir, "kll", k=256)
 
@@ -16055,6 +16080,7 @@ def recluster_transcripts(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["kll_text_len_by_role"] = kll_text_len_by_role
+QUERIES["tdigest_text_len_by_role"] = tdigest_text_len_by_role
 QUERIES["recluster_transcripts"] = recluster_transcripts
 def top_pmi_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Top-k word pairs by PMI over the windowed co-occurrence counts —

@@ -755,3 +755,18 @@ def test_kll_by_role_deterministic(ray_session):
     a = Q.kll_text_len_by_role(SF_DIR)
     b = Q.kll_text_len_by_role(SF_DIR)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_tdigest_text_len_by_role(truth):
+    """t-digest grouped twin: per-role n exact, quantiles in band."""
+    out = Q.tdigest_text_len_by_role(SF_DIR)
+    lens = truth.assign(L=truth["text"].str.len())
+    for _, r in out.iterrows():
+        grp = np.sort(lens.loc[lens["role"] == r["role"], "L"].to_numpy())
+        assert r["n"] == len(grp)
+        for q in (0.5, 0.9, 0.99):
+            est = r[f"p{int(q*100)}"]
+            lo = np.searchsorted(grp, est, side="left") / len(grp)
+            hi = np.searchsorted(grp, est, side="right") / len(grp)
+            assert lo - 0.03 <= q <= hi + 0.03, (r["role"], q, est)
+    pd.testing.assert_frame_equal(out, Q.tdigest_text_len_by_role(SF_DIR))
