@@ -217,10 +217,14 @@ def run_dedup_workload() -> dict:
 
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "16"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from raysketch.pipelines.queries import sf_of
+    from raysketch.pipelines.queries import _TURNS_PER_SF, sf_of
     from raysketch.sources.transcripts import write_transcripts
 
-    n_turns = max(1000, int(sf_of(sf_dir) * 80_000_000))
+    # one source of truth for sizing (ADVICE r03): the workload runs the
+    # query against a dir token of sf×4, and the query derives its turn
+    # count as sf_token × _TURNS_PER_SF — pre-generate exactly that table
+    sf4 = sf_of(sf_dir) * 4
+    n_turns = max(1000, int(sf4 * _TURNS_PER_SF))
     write_transcripts(n_turns)
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
@@ -230,8 +234,8 @@ def run_dedup_workload() -> dict:
     from raysketch.pipelines.queries import conv_dedup_minhash
 
     # the query derives its turn count from the sf token in the dir
-    # name; sf×4 matches the 80M-per-sf sizing above
-    fake_dir = f"/tmp/x/sf{sf_of(sf_dir) * 4:g}"
+    # name; sf×4 matches the n_turns pre-generated above
+    fake_dir = f"/tmp/x/sf{sf4:g}"
     reps = []
     for _ in range(2):
         t0 = _t.perf_counter()

@@ -1565,22 +1565,32 @@ def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     component."""
     from ..stages.dedup import (DRIVER_PAIR_LIMIT, _dedupe_pair_rows,
                                 _dedupe_pairs_driver, _resolve_components,
-                                band_floor_filter, estimate_pair_jaccard,
-                                lsh_candidate_pairs, minhash_agreement_scorer,
-                                minhash_band_floor, score_pairs_distributed,
-                                union_find_components)
+                                band_floor_filter, collapse_exact_signatures,
+                                estimate_pair_jaccard, lsh_candidate_pairs,
+                                minhash_agreement_scorer, minhash_band_floor,
+                                score_pairs_distributed, union_find_components)
 
-    sigs = _conv_signatures(sf_dir)
+    sigs = _conv_signatures(sf_dir).materialize()
+    # collapse identical-signature conversations first (one 479-copy
+    # cluster at sf0.1 would otherwise emit ~1.8M full-clique pair rows
+    # per run); exactly output-preserving for signature-agreement
+    # verification — see dedup.collapse_exact_signatures
+    reps, exact_edges, n_exact = collapse_exact_signatures(sigs, "doc_id",
+                                                           "minhash")
     # 16 bands × 8 rows: banding matched to the 0.9 verify threshold —
     # per-pair recall at J=0.9 is 1−(1−0.9⁸)¹⁶ ≈ 99.97% while mid-
     # similarity false candidates drop ~10× (the 32×4 default is tuned
     # for t≈0.5 and emitted 764k candidates for 60k convs at sf0.1)
-    raw = lsh_candidate_pairs(sigs, "doc_id", num_bands=16,
-                              dedupe="raw").materialize()
+    raw = lsh_candidate_pairs(reps, "doc_id", num_bands=16, dedupe="raw",
+                              screen_threshold=0.9).materialize()
     n_pairs = raw.count()  # band-inflated upper bound on distinct pairs
-    if n_pairs == 0:
+    if n_pairs == 0 and n_exact == 0:
         return pd.DataFrame({"conv_id": [], "component": []})
-    if n_pairs > DRIVER_PAIR_LIMIT:
+    if n_pairs == 0:  # only exact-signature duplicate conversations
+        comps = _resolve_components(exact_edges, "doc_id")
+        comp_ids = comps["doc_id"].to_numpy(dtype=np.int64)
+        comp_lab = comps["component"].to_numpy(dtype=np.int64)
+    elif n_pairs + n_exact > DRIVER_PAIR_LIMIT:
         # distributed verify + components: neither the pair set nor the
         # signatures ever reach the driver unless the VERIFIED set fits
         # the driver tier (VERDICT r02 #1; _resolve_components re-tiers)
@@ -1594,13 +1604,16 @@ def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
         # payload-attach exchanges — see dedup.minhash_band_floor
         pairs_ds = band_floor_filter(
             pairs_ds, minhash_band_floor(128, 16, 0.9))
-        scored = score_pairs_distributed(pairs_ds, sigs, "doc_id", "minhash",
+        scored = score_pairs_distributed(pairs_ds, reps, "doc_id", "minhash",
                                          minhash_agreement_scorer,
                                          "est_jaccard")
         verified = scored.map_batches(
             lambda t: t.filter(pc.greater_equal(t.column("est_jaccard"),
                                                 pa.scalar(0.9))),
             batch_format="pyarrow")
+        if n_exact:
+            verified = verified.select_columns(["id_a", "id_b"]) \
+                .union(exact_edges)
         comps = _resolve_components(verified, "doc_id")
         if len(comps) == 0:
             return pd.DataFrame({"conv_id": [], "component": []})
@@ -1611,8 +1624,13 @@ def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
             "n_bands": ("count", None),
             "truncated_bucket": ("max", "truncated_bucket"),
         })
-        pairs = estimate_pair_jaccard(pairs, sigs, "doc_id")
-        comp = union_find_components(pairs[pairs["est_jaccard"] >= 0.9])
+        pairs = estimate_pair_jaccard(pairs, reps, "doc_id")
+        verified = pairs[pairs["est_jaccard"] >= 0.9]
+        if n_exact:
+            verified = pd.concat([verified[["id_a", "id_b"]],
+                                  exact_edges.to_pandas()],
+                                 ignore_index=True)
+        comp = union_find_components(verified)
         comp_ids = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
         comp_lab = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))
     if len(comp_ids) == 0:

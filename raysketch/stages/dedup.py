@@ -295,7 +295,9 @@ def _dedupe_pairs_driver(df, reduce_spec: dict):
 
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
                         sig_col: str = "minhash", max_bucket_size: int = 1000,
-                        num_salts: int = 256, dedupe: str = "shuffle"):
+                        num_salts: int = 256, dedupe: str = "shuffle",
+                        screen_threshold: float | None = None,
+                        defer_above: int = 64):
     """Signatures → LSH banding → candidate pairs with estimated Jaccard.
 
     The distributed shape follows the bucket-exchange LSH join of
@@ -309,7 +311,11 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
     such a bucket is truncated to its ``max_bucket_size`` smallest ids
     and an explicit ``truncated_bucket`` marker row is emitted so the
     cap is never silent — downstream treats the surviving clique as one
-    duplicate group, which is semantically what a mega-bucket is.
+    duplicate group, which is semantically what a mega-bucket is. Every
+    non-truncated bucket emits its FULL clique — the marker flags exactly
+    the buckets whose pair emission is incomplete, so n_bands-based
+    filters (band_floor_filter) stay output-preserving by keeping
+    flagged pairs unconditionally.
 
     Pair emission groups on the salted key ``(band, bucket % num_salts)``
     — the salt is a pure function of the bucket, so a bucket never spans
@@ -317,6 +323,14 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
     per-band grouping, but parallelism is ``num_bands × num_salts``
     (scales with data) and no single ``map_groups`` task ever holds more
     than ~``1/num_salts`` of the corpus's bucket rows.
+
+    ``screen_threshold`` (signature-agreement est, ONLY valid when the
+    downstream verifier keeps exactly est ≥ that threshold): buckets
+    bigger than ``defer_above`` skip clique emission and are instead
+    exactly verified in place by :func:`_screen_deferred_buckets`, which
+    emits only their est-passing pairs (flagged to bypass n_bands
+    filters) — output-identical to full-clique emission + est-verify,
+    without materializing O(m²) pair rows for template mega-buckets.
     """
     buckets = sig_ds.map_batches(
         _make_minhash_band_rows(id_col, sig_col, num_bands, num_salts),
@@ -329,8 +343,25 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
     # bucket column with numpy and emits pairs only for multi-member
     # buckets.
     pairs = buckets.groupby(["band", "salt"]).map_groups(
-        _make_band_pair_emitter(id_col, max_bucket_size), batch_format="pandas"
+        _make_band_pair_emitter(
+            id_col, max_bucket_size,
+            defer_above=defer_above if screen_threshold is not None else None),
+        batch_format="pandas",
     )
+
+    if screen_threshold is not None:
+        pairs = pairs.materialize()
+        deferred = pairs.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t.column("truncated_bucket"), pa.scalar(_MARK_DEFER))),
+            batch_format="pyarrow")
+        pairs = pairs.map_batches(
+            lambda t: t.filter(pc.less(
+                t.column("truncated_bucket"), pa.scalar(_MARK_DEFER))),
+            batch_format="pyarrow")
+        if deferred.count() > 0:
+            pairs = pairs.union(_screen_deferred_buckets(
+                deferred, sig_ds, id_col, sig_col, screen_threshold))
 
     if dedupe == "raw":  # caller picks the dedupe tier after counting
         return pairs
@@ -339,6 +370,91 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
         "n_bands": ("count", None),
         "truncated_bucket": ("max", "truncated_bucket"),
     })
+
+
+def collapse_exact_signatures(sig_ds, id_col: str = "doc_id",
+                              sig_col: str = "minhash",
+                              num_buckets: int = 64):
+    """Collapse docs with IDENTICAL signature vectors before LSH banding.
+
+    Mass-duplicate corpora put hundreds of byte-identical signatures in
+    every band bucket, so full-clique pair emission pays O(m²) per
+    bucket for edges that are est = 1.0 by construction (a 479-copy
+    cluster at sf0.1 emitted ~1.8M raw pair rows alone). Signature-
+    agreement similarity depends ONLY on the two vectors, so collapsing
+    each identical-signature group to its min-id representative plus
+    (rep, member) star edges is exactly output-preserving for verified
+    components at any threshold t ≤ 1: star edges have est = 1.0
+    (identical vectors) so they always pass verification; any cross-
+    group pair's estimate equals its representatives' estimate; and
+    component vertex sets — hence min-id labels — are unchanged
+    (equality locked by test_collapse_exact_signatures_equivalent).
+
+    The group key is a 128-bit signature hash (two independent splitmix
+    folds): a false merge needs a 128-bit collision, P ≈ n²/2¹²⁹ —
+    negligible at 10¹⁰ docs. The exchange carries 32-byte rows; the
+    representative filter broadcasts the DROP set (non-representative
+    members, O(exact-duplicates) — the exact_dedup_drop_ids asymmetry).
+
+    Returns ``(reps_ds, edges_ds, n_edges)``: ``reps_ds`` is ``sig_ds``
+    minus non-representative members; ``edges_ds`` has
+    (id_a=rep, id_b=member) rows, or None when ``n_edges == 0`` (then
+    ``reps_ds`` is ``sig_ds`` unchanged — no shuffle, no broadcast)."""
+    import pandas as pd
+    import ray
+
+    def sig_hash_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks()
+        sig = np.asarray(t.column(sig_col).combine_chunks().flatten()
+                         .to_numpy(zero_copy_only=False)) \
+            .reshape(t.num_rows, -1).astype(np.uint64)
+        h1 = np.full(t.num_rows, 0x243F6A8885A308D3, dtype=np.uint64)
+        h2 = np.full(t.num_rows, 0x13198A2E03707344, dtype=np.uint64)
+        for j in range(sig.shape[1]):
+            c = sig[:, j]
+            h1 = _splitmix64(h1 ^ c)
+            h2 = _splitmix64(h2 ^ _splitmix64(c ^ np.uint64(2 * j + 1)))
+        return pa.table({
+            id_col: ids,
+            "h1": pa.array(h1.astype(np.int64)),
+            "h2": pa.array(h2.astype(np.int64)),
+            "__b": pa.array((h1 % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def emit_edges(g: pd.DataFrame) -> pd.DataFrame:
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        di = g[id_col].to_numpy()
+        order = np.lexsort((di, h2, h1))
+        h1, h2, di = h1[order], h2[order], di[order]
+        new = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        starts = np.nonzero(new)[0]
+        seg = np.diff(np.r_[starts, len(di)])
+        rep = np.repeat(di[starts], seg)  # segment min (ids sorted)
+        mask = rep != di
+        return pd.DataFrame({"id_a": rep[mask].astype(np.int64),
+                             "id_b": di[mask].astype(np.int64)})
+
+    edges_ds = sig_ds.select_columns([id_col, sig_col]) \
+        .map_batches(sig_hash_rows, batch_format="pyarrow") \
+        .groupby("__b").map_groups(emit_edges, batch_format="pandas") \
+        .materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return sig_ds, None, 0
+
+    drop = np.sort(edges_ds.select_columns(["id_b"]).to_pandas()["id_b"]
+                   .to_numpy().astype(np.int64))
+    drop_ref = ray.put(drop)
+
+    def keep_reps(t: pa.Table) -> pa.Table:
+        dr = ray.get(drop_ref)
+        d = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(dr, d), len(dr) - 1)
+        return t.filter(pa.array(dr[pos] != d))
+
+    reps = sig_ds.map_batches(keep_reps, batch_format="pyarrow")
+    return reps, edges_ds, n_edges
 
 
 def _dedupe_pair_rows(pairs_ds, reduce_spec: dict, num_buckets: int = 64):
@@ -413,15 +529,39 @@ def _make_minhash_band_rows(id_col: str, sig_col: str, num_bands: int,
     return band_rows
 
 
-def _make_band_pair_emitter(id_col: str, max_bucket_size: int):
+#: ``truncated_bucket`` marker values in emitted rows. 0/1 rows are
+#: pairs (1 = incomplete-emission bucket: keep through n_bands filters);
+#: ≥DEFERRED rows are (member, bucket_key) deferral records consumed by
+#: :func:`_screen_deferred_buckets`, never pairs.
+_MARK_TRUNC = 1
+_MARK_DEFER = 2
+
+
+def _make_band_pair_emitter(id_col: str, max_bucket_size: int,
+                            defer_above: int | None = None):
     """Vectorized within-band pair emission: sort by (bucket, id), find
     bucket boundaries, loop only over multi-member buckets (≈ number of
-    duplicate groups, not corpus size)."""
+    duplicate groups, not corpus size).
+
+    With ``defer_above`` set (the screened path), buckets larger than it
+    emit ONE row per member — (id_a=member, id_b=64-bit bucket key,
+    marker ≥ _MARK_DEFER) — instead of their O(m²) clique; the screen
+    stage verifies those buckets in place and emits only passing pairs.
+    An earlier version star-linearized buckets >64 members; that
+    silently suppressed (x,y) rows for non-min pairs, which (a)
+    undercounted n_bands so band_floor_filter could drop a pair with
+    est ≥ t, and (b) lost (x,y) edges whose min-id links fail
+    verification, splitting components in ALL tiers (ADVICE r03;
+    test_minhash_band_floor_output_preserving's 80-member cluster).
+    Without ``defer_above``, every non-truncated bucket emits its FULL
+    clique; only >``max_bucket_size`` mega-buckets are coarsened (kept
+    ids star-linked + flagged, documented semantics)."""
     import pandas as pd
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         b = g["bucket"].to_numpy()
         ids = g[id_col].to_numpy()
+        band = np.uint64(int(g["band"].iloc[0]))  # one band per group
         order = np.lexsort((ids, b))
         b, ids = b[order], ids[order]
         starts = np.nonzero(np.r_[True, b[1:] != b[:-1]])[0]
@@ -434,9 +574,27 @@ def _make_band_pair_emitter(id_col: str, max_bucket_size: int):
             truncated = len(sub) > max_bucket_size
             if truncated:
                 sub = sub[:max_bucket_size]
-            # star pattern (min id ↔ rest) for big buckets keeps pair
-            # count linear while preserving connectivity
-            if len(sub) > 64:
+            if defer_above is not None and len(sub) > defer_above:
+                # globally-unique 64-bit key for (band, bucket): a key
+                # collision would merge two buckets in the screen stage,
+                # which only ADDS exactly-verified pairs — harmless at
+                # P ≈ buckets²/2⁶⁴
+                key = _splitmix64(
+                    b[s : s + 1].astype(np.uint64)
+                    ^ _splitmix64(np.array([band + np.uint64(1)],
+                                           dtype=np.uint64))
+                ).astype(np.int64)[0]
+                out_a.append(sub)
+                out_b.append(np.full(len(sub), key, dtype=np.int64))
+                out_t.append(np.full(len(sub),
+                                     _MARK_DEFER + int(truncated),
+                                     dtype=np.int64))
+                continue
+            if truncated:
+                # star pattern (min id ↔ rest) keeps the pathological
+                # mega-bucket linear while preserving connectivity;
+                # its pairs carry the flag so they bypass n_bands
+                # filters unconditionally
                 a = np.zeros(len(sub) - 1, dtype=np.int64)
                 bb = np.arange(1, len(sub), dtype=np.int64)
             else:
@@ -453,6 +611,158 @@ def _make_band_pair_emitter(id_col: str, max_bucket_size: int):
                              "truncated_bucket": np.concatenate(out_t)})
 
     return emit
+
+
+def _screen_deferred_buckets(deferred_ds, sig_ds, id_col: str, sig_col: str,
+                             threshold: float, num_buckets: int = 64,
+                             bloom_bits: int = 1 << 22):
+    """Exact in-place verification of big LSH buckets: attach member
+    signatures via one Bloom-pruned hash exchange, then compute the
+    FULL pairwise signature-agreement matrix inside each bucket task
+    and emit only pairs with est ≥ ``threshold``.
+
+    This replaces O(m²) pair-row materialization for buckets deferred
+    by the emitter (template families put thousands of DISTINCT
+    signatures in one bucket — full-clique emission produced 11.2M raw
+    pair rows at sf0.1 where the verified set is 83). Emitting the
+    est-passing subset of the clique is exactly output-preserving for
+    any downstream that keeps only est ≥ threshold pairs (which the
+    estimate-verify tiers do by definition); emitted rows carry the
+    floor-bypass flag because their n_bands counts are incomplete.
+    The same mega-cluster recurs in ~every band, so the screen recomputes
+    it once per band — pure vectorized compute, no pair shuffle; tile
+    chunking bounds each agreement block to ~16 MB.
+
+    ``deferred_ds`` rows: (id_a=member, id_b=bucket_key, marker). NOT
+    sound for exact-TEXT verification (see minhash_band_floor): equal
+    signatures ≠ equal texts — callers gate on verify="estimate".
+    Returns pair rows (id_a, id_b, truncated_bucket=1)."""
+    import pandas as pd
+    import ray
+
+    from .joins import _build_key_bloom
+
+    B = np.uint64(num_buckets)
+
+    def member_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"cid": t.column("id_a").combine_chunks()
+                         .cast(pa.int64())})
+
+    bloom_ref = ray.put(_build_key_bloom(
+        deferred_ds.map_batches(member_ids, batch_format="pyarrow"),
+        "cid", bloom_bits))
+
+    def prune(t: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        return t.filter(pa.array(bf.contains_batch(t.column(id_col))))
+
+    def sig_to_wire(col) -> tuple[pa.Array, int]:
+        a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = np.ascontiguousarray(np.asarray(
+            a.flatten().to_numpy(zero_copy_only=False)).astype(np.uint64))
+        bw = (len(flat) // len(a)) * 8 if len(a) else 0
+        offs = np.arange(0, (len(a) + 1) * bw, bw, dtype=np.int64) \
+            if bw else np.zeros(len(a) + 1, dtype=np.int64)
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), len(a),
+            [None, pa.py_buffer(offs), pa.py_buffer(flat.view(np.uint8))])
+
+    def _kb(k_np: np.ndarray) -> pa.Array:
+        return pa.array((_splitmix64(k_np.astype(np.uint64)) % B)
+                        .astype(np.int64))
+
+    def tag_member(t: pa.Table) -> pa.Table:
+        m = t.column("id_a").combine_chunks().cast(pa.int64())
+        return pa.table({
+            "k": m,
+            "bkey": t.column("id_b").combine_chunks().cast(pa.int64()),
+            "v": pa.array([b""] * t.num_rows, type=pa.large_binary()),
+            "s": pa.array(np.zeros(t.num_rows, dtype=bool)),
+            "__b": _kb(m.to_numpy(zero_copy_only=False)),
+        })
+
+    def tag_sig(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks().cast(pa.int64())
+        return pa.table({
+            "k": ids,
+            "bkey": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "v": sig_to_wire(t.column(sig_col)),
+            "s": pa.array(np.ones(t.num_rows, dtype=bool)),
+            "__b": _kb(ids.to_numpy(zero_copy_only=False)),
+        })
+
+    def attach(g: pa.Table) -> pa.Table:
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        lab, ed = g.filter(pa.array(s)), g.filter(pa.array(~s))
+        keys = lab.column("k").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        ek = ed.column("k").to_numpy(zero_copy_only=False)
+        if len(keys_s):
+            pos = np.minimum(np.searchsorted(keys_s, ek), len(keys_s) - 1)
+            hit = keys_s[pos] == ek
+        else:
+            hit = np.zeros(len(ek), dtype=bool)
+            pos = np.zeros(len(ek), dtype=np.int64)
+        ed = ed.filter(pa.array(hit))
+        v = lab.column("v").combine_chunks().take(
+            pa.array(order[pos[hit]], type=pa.int64()))
+        bk = ed.column("bkey").combine_chunks()
+        return pa.table({
+            "k": ed.column("k").combine_chunks(),
+            "bkey": bk,
+            "v": v,
+            "__b2": _kb(bk.to_numpy(zero_copy_only=False)),
+        })
+
+    def screen(g: pa.Table) -> pa.Table:
+        bk = g.column("bkey").to_numpy(zero_copy_only=False)
+        ids = g.column("k").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk))
+        bk, ids = bk[order], ids[order]
+        v = g.column("v").combine_chunks().take(
+            pa.array(order, type=pa.int64()))
+        offs = np.frombuffer(v.buffers()[1], dtype=np.int64,
+                             count=len(v) + 1, offset=v.offset * 8)
+        raw = np.frombuffer(v.buffers()[2], dtype=np.uint8)
+        starts = np.nonzero(np.r_[True, bk[1:] != bk[:-1]])[0]
+        ends = np.r_[starts[1:], len(bk)]
+        out_a, out_b = [], []
+        for s0, e0 in zip(starts, ends):
+            m = e0 - s0
+            if m < 2:
+                continue
+            bw = int(offs[s0 + 1] - offs[s0])
+            P = bw // 8
+            mat = raw[int(offs[s0]): int(offs[e0])].view(np.uint64) \
+                .reshape(m, P)
+            sub = ids[s0:e0]
+            need = int(np.ceil(threshold * P - 1e-9))
+            for i0 in range(0, m, 128):  # tile: ≤128×m×P bools ≈ 16 MB
+                blk = (mat[i0: i0 + 128, None, :] == mat[None, :, :]) \
+                    .sum(axis=2)
+                ii, jj = np.nonzero(blk >= need)
+                gi = ii + i0
+                keep = gi < jj
+                out_a.append(sub[gi[keep]])
+                out_b.append(sub[jj[keep]])
+        if not out_a:
+            return pa.table({
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "truncated_bucket": pa.array([], type=pa.int64())})
+        a = np.concatenate(out_a)
+        return pa.table({
+            "id_a": pa.array(a),
+            "id_b": pa.array(np.concatenate(out_b)),
+            "truncated_bucket": pa.array(np.ones(len(a), dtype=np.int64))})
+
+    sigs_pruned = sig_ds.select_columns([id_col, sig_col]) \
+        .map_batches(prune, batch_format="pyarrow")
+    return deferred_ds.map_batches(tag_member, batch_format="pyarrow") \
+        .union(sigs_pruned.map_batches(tag_sig, batch_format="pyarrow")) \
+        .groupby("__b").map_groups(attach, batch_format="pyarrow") \
+        .groupby("__b2").map_groups(screen, batch_format="pyarrow")
 
 
 def _gather_rows_by_id(ds, id_col: str, want_ids) -> "pa.Table":
@@ -967,9 +1277,25 @@ def score_pairs_distributed(pairs_ds, payload_ds, id_col: str,
                 return _empty_fsl
             offs = np.frombuffer(a.buffers()[1], dtype=np.int64,
                                  count=len(a) + 1, offset=a.offset * 8)
-            raw = np.frombuffer(a.buffers()[2], dtype=np.uint8,
-                                count=int(offs[-1] - offs[0]),
-                                offset=int(offs[0]))
+            # the zero-copy view assumes dense _BW-byte rows (what
+            # _to_wire emits); a sliced / non-dense / null-bearing
+            # LargeBinary would misalign every downstream payload —
+            # validate and fall back to a safe per-row copy (ADVICE r03)
+            if (a.null_count == 0
+                    and int(offs[-1] - offs[0]) == len(a) * _BW
+                    and bool(np.all(np.diff(offs) == _BW))):
+                raw = np.frombuffer(a.buffers()[2], dtype=np.uint8,
+                                    count=int(offs[-1] - offs[0]),
+                                    offset=int(offs[0]))
+            else:
+                rows = a.to_pylist()
+                bad = [i for i, r in enumerate(rows)
+                       if r is None or len(r) != _BW]
+                if bad:
+                    raise ValueError(
+                        f"payload wire row(s) {bad[:5]} are not "
+                        f"{_BW}-byte dense binaries")
+                raw = np.frombuffer(b"".join(rows), dtype=np.uint8)
             return pa.FixedSizeListArray.from_arrays(
                 pa.array(raw.view(_vdt)), _W)
     else:
@@ -1080,10 +1406,12 @@ def minhash_band_floor(num_perms: int, num_bands: int,
     P − ceil(t·P) components, each of which can break at most one
     band, so it must fully collide in ≥ B − (P − ceil(t·P)) bands —
     and a fully-equal band always emits the pair (equal rows ⇒ equal
-    band hash, truncation aside). Filtering candidates to n_bands ≥
-    this floor before the payload-attach exchanges is therefore
-    exactly output-preserving; callers must keep truncated-bucket
-    pairs unconditionally (truncation undercounts n_bands). The
+    band hash, incomplete-emission buckets aside). Filtering candidates
+    to n_bands ≥ this floor before the payload-attach exchanges is
+    therefore exactly output-preserving; callers must keep
+    ``truncated_bucket``-flagged pairs unconditionally (the flag marks
+    buckets whose pair emission is incomplete, which undercounts
+    n_bands; all other buckets emit their full clique). The
     epsilon only ever LOWERS the floor (keeps more), so float error
     cannot break soundness. Returns 1 when the bound is vacuous
     (e.g. the 32×4 t≈0.5 default). Does NOT apply to exact-text
@@ -1182,16 +1510,32 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
         fn_constructor_kwargs={"mode": mode},
         batch_format="pyarrow", concurrency=auto_concurrency(),
     ).materialize()
+    # collapse identical-signature groups before banding (exactly
+    # output-preserving for signature-agreement verification — see
+    # collapse_exact_signatures; NOT applied under verify="exact", where
+    # equal signatures don't imply equal k-gram Jaccard of the texts)
+    if verify == "estimate":
+        reps, exact_edges, n_exact = collapse_exact_signatures(
+            sigs, id_col, "minhash")
+    else:
+        reps, exact_edges, n_exact = sigs, None, 0
     # raw (band-duplicated) pair rows: the dedupe tier is picked AFTER
     # counting — on the driver tier the distinct would be a pure-
-    # overhead shuffle right before a to_pandas (ngram-join lesson)
-    raw = lsh_candidate_pairs(sigs, id_col, num_bands,
-                              dedupe="raw").materialize()
+    # overhead shuffle right before a to_pandas (ngram-join lesson).
+    # Estimate verification screens mega-buckets in place (emits only
+    # est ≥ threshold pairs — exactly what verification keeps).
+    raw = lsh_candidate_pairs(
+        reps, id_col, num_bands, dedupe="raw",
+        screen_threshold=threshold if verify == "estimate" else None,
+    ).materialize()
     n_pairs = raw.count()  # band-inflated upper bound on distinct pairs
-    if n_pairs == 0:
+    if n_pairs == 0 and n_exact == 0:
         return pd.DataFrame({id_col: [], "component": []})
+    if n_pairs == 0:  # only exact-signature duplicates
+        return _resolve_components(exact_edges, id_col)
     if components == "distributed" or (components == "auto"
-                                       and n_pairs > driver_pair_limit):
+                                       and n_pairs + n_exact
+                                       > driver_pair_limit):
         pairs_ds = _dedupe_pair_rows(raw, {
             "n_bands": ("count", None),
             "truncated_bucket": ("max", "truncated_bucket"),
@@ -1209,13 +1553,16 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
                 pairs_ds,
                 minhash_band_floor(num_perms, num_bands, threshold))
             scored = score_pairs_distributed(
-                pairs_ds, sigs, id_col, "minhash",
+                pairs_ds, reps, id_col, "minhash",
                 minhash_agreement_scorer, "est_jaccard")
             col = "est_jaccard"
         verified_ds = scored.map_batches(
             lambda t: t.filter(pc.greater_equal(t.column(col),
                                                 pa.scalar(threshold))),
             batch_format="pyarrow")
+        if n_exact:
+            verified_ds = verified_ds.select_columns(["id_a", "id_b"]) \
+                .union(exact_edges)
         return _resolve_components(verified_ds, id_col)
     pairs = _dedupe_pairs_driver(raw.to_pandas(), {
         "n_bands": ("count", None),
@@ -1225,8 +1572,11 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
         pairs = verify_pairs_exact_jaccard(pairs, ds, text_col, id_col, shingle_k)
         verified = pairs[pairs["jaccard"] >= threshold]
     else:
-        pairs = estimate_pair_jaccard(pairs, sigs, id_col)
+        pairs = estimate_pair_jaccard(pairs, reps, id_col)
         verified = pairs[pairs["est_jaccard"] >= threshold]
+    if n_exact:
+        verified = pd.concat([verified[["id_a", "id_b"]],
+                              exact_edges.to_pandas()], ignore_index=True)
     comp = union_find_components(verified)
     return pd.DataFrame(
         {id_col: list(comp), "component": [comp[k] for k in comp]}

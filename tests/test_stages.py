@@ -1519,6 +1519,19 @@ def test_minhash_band_floor_output_preserving(ray_session):
     for j in range(30):              # unrelated junk
         rows.append(rng.integers(0, 2**63, size=P, dtype=np.uint64))
         ids.append(500 + j)
+    # a >64-member cluster around a SECOND base (ADVICE r03): an earlier
+    # emitter star-linearized buckets >64 members, suppressing (x,y)
+    # rows for non-min pairs — which undercounted n_bands so the floor
+    # dropped verified pairs (this test caught it). Non-truncated
+    # buckets now emit full cliques.
+    base2 = rng.integers(0, 2**63, size=P, dtype=np.uint64)
+    for j in range(80):
+        s = base2.copy()
+        d = int(rng.integers(0, 7))
+        pos = rng.choice(P, size=d, replace=False)
+        s[pos] = rng.integers(0, 2**63, size=d, dtype=np.uint64)
+        rows.append(s)
+        ids.append(1000 + j)
     flat = pa.array(np.concatenate(rows))
     sig_col = pa.FixedSizeListArray.from_arrays(flat, P)
     sigs = ray.data.from_arrow(pa.table({
@@ -1547,3 +1560,157 @@ def test_minhash_band_floor_output_preserving(ray_session):
     assert v_all == v_cut                # output-preserving
     # sanity: the verified set is non-trivial (near-dup pairs exist)
     assert any(p[0] < 500 and p[1] < 500 for p in v_cut)
+    # the big cluster's non-min pairs are present and verified (full-
+    # clique emission; star suppression would have dropped these)
+    assert any(1000 < a < b for a, b in v_cut)
+
+    # truncated mega-buckets (the only incomplete-emission case left)
+    # carry the flag and survive the floor unconditionally
+    raw_t = lsh_candidate_pairs(sigs, "doc_id", num_bands=B,
+                                max_bucket_size=20,
+                                dedupe="raw").materialize()
+    pairs_t = _dedupe_pair_rows(raw_t, {
+        "n_bands": ("count", None),
+        "truncated_bucket": ("max", "truncated_bucket")}).materialize()
+    pdf_t = pairs_t.to_pandas()
+    flagged = pdf_t[pdf_t["truncated_bucket"] > 0]
+    assert len(flagged) > 0              # the 80-cluster buckets truncate
+    cut_t = band_floor_filter(pairs_t, floor_b).to_pandas()
+    kept = set(zip(cut_t["id_a"], cut_t["id_b"]))
+    assert all((a, b) in kept
+               for a, b in zip(flagged["id_a"], flagged["id_b"]))
+
+
+def _mk_sig_table(rng, P, cluster, exact_copies, junk, base_seed_id=1000):
+    """Signature corpus: `exact_copies` byte-identical copies of a base
+    signature, `cluster` near-dup variants (≤6 disagreeing components),
+    `junk` unrelated rows. Returns (ids, matrix)."""
+    import numpy as np
+
+    base = rng.integers(0, 2**63, size=P, dtype=np.uint64)
+    rows, ids = [], []
+    for j in range(exact_copies):
+        rows.append(base.copy())
+        ids.append(base_seed_id + j)
+    for j in range(cluster):
+        s = base.copy()
+        d = int(rng.integers(1, 21))  # pairs with d_i+d_j > P(1-t) fail
+        pos = rng.choice(P, size=d, replace=False)
+        s[pos] = rng.integers(0, 2**63, size=d, dtype=np.uint64)
+        rows.append(s)
+        ids.append(base_seed_id + exact_copies + j)
+    for j in range(junk):
+        rows.append(rng.integers(0, 2**63, size=P, dtype=np.uint64))
+        ids.append(base_seed_id + exact_copies + cluster + j)
+    import numpy as np
+    return np.array(ids, dtype=np.int64), np.stack(rows)
+
+
+def _sig_ds(ids, S):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    flat = pa.array(S.reshape(-1))
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids),
+        "minhash": pa.FixedSizeListArray.from_arrays(flat, S.shape[1])}))
+
+
+def _gold_components(ids, S, t):
+    """Brute-force all-pairs est-verify + union-find (the oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    from raysketch.stages.dedup import union_find_components
+
+    P = S.shape[1]
+    ea, eb = [], []
+    for i0 in range(0, len(ids), 256):
+        agree = (S[i0:i0 + 256, None, :] == S[None, :, :]).sum(axis=2)
+        ii, jj = np.nonzero(agree / P >= t)
+        gi = ii + i0
+        keep = gi < jj
+        ea.append(ids[gi[keep]])
+        eb.append(ids[jj[keep]])
+    ea, eb = np.concatenate(ea), np.concatenate(eb)
+    if len(ea) == 0:
+        return {}
+    return union_find_components(pd.DataFrame({"id_a": ea, "id_b": eb}))
+
+
+def test_collapse_exact_signatures(ray_session):
+    """Unit contract: min-id representative per identical-signature
+    group, (rep, member) edges, reps = corpus minus members."""
+    import numpy as np
+
+    from raysketch.stages.dedup import collapse_exact_signatures
+
+    rng = np.random.default_rng(5)
+    ids, S = _mk_sig_table(rng, 64, cluster=10, exact_copies=7, junk=20)
+    reps, edges, n = collapse_exact_signatures(_sig_ds(ids, S), "doc_id",
+                                               "minhash")
+    assert n == 6                       # 7 copies → 6 (rep, member) edges
+    e = edges.to_pandas()
+    assert set(e["id_a"]) == {1000}     # min id of the copy group
+    assert set(e["id_b"]) == set(range(1001, 1007))
+    kept = set(reps.to_pandas()["doc_id"])
+    assert kept == set(ids) - set(range(1001, 1007))
+
+    # no identical signatures → pass-through, no edges
+    ids2, S2 = _mk_sig_table(rng, 64, cluster=0, exact_copies=1, junk=30)
+    reps2, edges2, n2 = collapse_exact_signatures(_sig_ds(ids2, S2),
+                                                  "doc_id", "minhash")
+    assert n2 == 0 and edges2 is None
+    assert reps2.count() == len(ids2)
+
+
+def test_screened_lsh_equals_brute_force_components(ray_session):
+    """The full estimate-verify stack — exact-signature collapse,
+    mega-bucket in-place screening (cluster of 130 > defer_above=64),
+    band floor, distributed verify + components — produces components
+    IDENTICAL to brute-force all-pairs est ≥ t + union-find, on both
+    the driver and distributed tiers."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raysketch.stages.dedup import (_dedupe_pair_rows,
+                                        _resolve_components,
+                                        band_floor_filter,
+                                        collapse_exact_signatures,
+                                        lsh_candidate_pairs,
+                                        minhash_agreement_scorer,
+                                        minhash_band_floor,
+                                        score_pairs_distributed)
+
+    rng = np.random.default_rng(17)
+    P, B, t = 128, 16, 0.9
+    ids, S = _mk_sig_table(rng, P, cluster=90, exact_copies=40, junk=60)
+    gold = _gold_components(ids, S, t)
+
+    sigs = _sig_ds(ids, S)
+    reps, exact_edges, n_exact = collapse_exact_signatures(sigs, "doc_id",
+                                                           "minhash")
+    assert n_exact == 39
+    raw = lsh_candidate_pairs(reps, "doc_id", num_bands=B, dedupe="raw",
+                              screen_threshold=t).materialize()
+    # screened raw rows stay far below band-duplicated clique emission
+    # (the mega-bucket's failing pairs are never materialized)
+    assert raw.count() < B * (91 * 90 // 2)
+    pairs_ds = _dedupe_pair_rows(raw, {
+        "n_bands": ("count", None),
+        "truncated_bucket": ("max", "truncated_bucket")})
+    pairs_ds = band_floor_filter(pairs_ds, minhash_band_floor(P, B, t))
+    scored = score_pairs_distributed(pairs_ds, reps, "doc_id", "minhash",
+                                     minhash_agreement_scorer, "est_jaccard")
+    verified = scored.map_batches(
+        lambda tb: tb.filter(pc.greater_equal(tb.column("est_jaccard"),
+                                              pa.scalar(t))),
+        batch_format="pyarrow")
+    if n_exact:
+        verified = verified.select_columns(["id_a", "id_b"]) \
+            .union(exact_edges)
+    comps = _resolve_components(verified, "doc_id")
+    got = dict(zip(comps["doc_id"].astype(int), comps["component"].astype(int)))
+    assert got == gold
