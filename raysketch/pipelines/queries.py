@@ -9648,67 +9648,117 @@ ORACLES["mad_value_by_event_type"] = """
 """
 
 
-def top_cosine_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+def top_cosine_pairs(sf_dir: str, k: int = 20,
+                     block_rows: int = 2048) -> pd.DataFrame:
     """All-pairs cosine top-k over the embedding table — the
-    similarity-JOIN head of the ANN family (brute force is the honest
-    baseline when one side fits memory: broadcast the full quantized
-    matrix once, stream the other side through per-batch int64
-    matmuls, keep per-batch local top-k, fold ≤k·batches rows on the
-    driver — the j>i column mask partitions the unordered pairs so
-    local top-k is sound). Components quantize at fixed-point 2^10
-    (SQL-ROUND half-away), dots and norms stay exact int64, and cosine
-    is ONE float expression per pair (CAST exact dot / √(exact na·nb))
-    written identically in SQL — bit-matched doubles, deterministic
-    (cos desc, a, b) tiebreak."""
+    similarity-JOIN head of the ANN family, TILED (VERDICT r03 item 1):
+    the quantized corpus is materialized as a Ray Dataset and its own
+    object-store block refs become the tiles — no single object (and
+    never the driver) holds the corpus; a dataset of (block_i, block_j)
+    index pairs fans the exact int64 matmul out over map_batches, each
+    task fetching exactly its two blocks from plasma (node-local after
+    the first read). Every unordered pair lives in exactly one tile
+    cell (id_b > id_a mask), so per-tile top-k under the FULL result
+    order (cos desc, a, b) is a sound superset of the global top-k;
+    the driver folds ≤ k·tiles rows. Components quantize at
+    fixed-point 2^10 (SQL-ROUND half-away), dots and norms stay exact
+    int64, and cosine is ONE float expression per pair (CAST exact
+    dot / √(exact na·nb)) written identically in SQL — bit-matched
+    doubles, deterministic tiebreak."""
     import math
 
     import ray
+    import ray.data
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     Q = np.float64(1 << 10)
 
-    full = ds.to_pandas()
-    ids = full["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64) * Q
-    qm = np.copysign(np.floor(np.abs(mat) + 0.5), mat).astype(np.int64)
-    sq = (qm * qm).sum(axis=1)
-    order = np.argsort(ids)
-    ids, qm, sq = ids[order], qm[order], sq[order]
-    ref = ray.put((ids, qm, sq))
-
-    def local_topk(t: pa.Table) -> pa.Table:
-        aid, aq, asq = ray.get(ref)
+    def quantize(t: pa.Table) -> pa.Table:
         col = t.column("embedding").combine_chunks()
         n = len(col)
         flat = col.flatten().to_numpy(zero_copy_only=False) \
             .astype(np.float64).reshape(n, -1) * Q
-        bq = np.copysign(np.floor(np.abs(flat) + 0.5), flat) \
+        qm = np.copysign(np.floor(np.abs(flat) + 0.5), flat) \
             .astype(np.int64)
-        bid = t.column("vec_id").to_numpy(zero_copy_only=False)
-        bsq = (bq * bq).sum(axis=1)
-        dots = bq @ aq.T  # (n, N) exact int64
-        # unordered pairs partition: keep only columns with id > row id
-        mask = aid[None, :] > bid[:, None]
-        cos = dots / np.sqrt((bsq[:, None] * asq[None, :]).astype(np.float64))
-        cos = np.where(mask, cos, -np.inf)
-        flat_idx = np.argsort(cos, axis=None)[::-1][: k * 2]
-        r, c = np.unravel_index(flat_idx, cos.shape)
-        keep = mask[r, c]
-        r, c = r[keep][:k], c[keep][:k]
-        # recompute each kept cosine as the SCALAR expression the SQL
-        # states (float(dot) / sqrt(float(na*nb))) — the vectorized
-        # screen above may round differently, the emitted value not
-        cos_exact = np.array(
-            [float(dots[i, j]) / math.sqrt(float(int(bsq[i]) * int(asq[j])))
-             for i, j in zip(r, c)], dtype=np.float64)
         return pa.table({
-            "vec_a": pa.array(bid[r]),
-            "vec_b": pa.array(aid[c]),
-            "cos": pa.array(cos_exact),
+            "vec_id": t.column("vec_id").combine_chunks().cast(pa.int64()),
+            "q": pa.FixedSizeListArray.from_arrays(
+                pa.array(qm.reshape(-1)), qm.shape[1]),
+            "sq": pa.array((qm * qm).sum(axis=1)),
         })
 
-    parts = ds.map_batches(local_topk, batch_format="pyarrow",
-                           batch_size=256).to_pandas()
+    n = ds.count()
+    nb = max(1, (n + block_rows - 1) // block_rows)
+    qds = ds.map_batches(quantize, batch_format="pyarrow") \
+        .repartition(nb).materialize()
+    refs = qds.to_arrow_refs()
+    nb = len(refs)
+
+    tiles = [(bi, bj) for bi in range(nb) for bj in range(bi, nb)]
+    tile_ds = ray.data.from_pandas(pd.DataFrame(
+        {"bi": [x[0] for x in tiles], "bj": [x[1] for x in tiles]}))
+
+    def unpack(tb: pa.Table):
+        ids = tb.column("vec_id").to_numpy(zero_copy_only=False)
+        q = np.asarray(tb.column("q").combine_chunks().flatten()
+                       .to_numpy(zero_copy_only=False)) \
+            .reshape(tb.num_rows, -1)
+        sq = tb.column("sq").to_numpy(zero_copy_only=False)
+        return ids, q, sq
+
+    def tile_topk(t: pa.Table) -> pa.Table:
+        cache: dict[int, tuple] = {}
+
+        def blk(i: int):
+            if i not in cache:
+                cache[i] = unpack(ray.get(refs[i]))
+            return cache[i]
+
+        oa, ob, oc = [], [], []
+        for bi, bj in zip(t.column("bi").to_pylist(),
+                          t.column("bj").to_pylist()):
+            aid, aq, asq = blk(bi)
+            bid, bq, bsq = blk(bj)
+            if not len(aid) or not len(bid):
+                continue
+            dots = aq @ bq.T  # exact int64
+            # each unordered pair is claimed by exactly one tile cell
+            mask = bid[None, :] > aid[:, None]
+            cos = dots / np.sqrt(
+                (asq[:, None] * bsq[None, :]).astype(np.float64))
+            cos = np.where(mask, cos, -np.inf)
+            # top-k under the FULL result order (cos desc, a, b) so
+            # boundary ties (exact-duplicate vectors → cos == 1.0)
+            # select identically to the SQL's ORDER BY ... LIMIT
+            r, c = np.nonzero(mask)
+            if not len(r):
+                continue
+            cv = cos[r, c]
+            if len(cv) > k:
+                # tie-safe partial select: keep everything ≥ the k-th
+                # largest cosine (ALL boundary ties survive — exact-dup
+                # vectors make cos == 1.0 ties common), then order
+                vk = np.partition(cv, len(cv) - k)[len(cv) - k]
+                keep = cv >= vk
+                r, c, cv = r[keep], c[keep], cv[keep]
+            order = np.lexsort((bid[c], aid[r], -cv))[:k]
+            r, c = r[order], c[order]
+            # recompute each kept cosine as the SCALAR expression the
+            # SQL states (float(dot) / sqrt(float(na*nb))) — the
+            # vectorized screen above may round differently
+            oc.extend(float(dots[i, j])
+                      / math.sqrt(float(int(asq[i]) * int(bsq[j])))
+                      for i, j in zip(r, c))
+            oa.extend(aid[r])
+            ob.extend(bid[c])
+        return pa.table({
+            "vec_a": pa.array(np.array(oa, dtype=np.int64)),
+            "vec_b": pa.array(np.array(ob, dtype=np.int64)),
+            "cos": pa.array(np.array(oc, dtype=np.float64)),
+        })
+
+    parts = tile_ds.map_batches(tile_topk, batch_format="pyarrow",
+                                batch_size=8).to_pandas()
     out = parts.sort_values(["cos", "vec_a", "vec_b"],
                             ascending=[False, True, True]).head(k)
     return out.reset_index(drop=True) \
