@@ -15126,6 +15126,36 @@ def semdedup_embeddings(sf_dir: str) -> pd.DataFrame:
     return semdedup(aug, n_seeds=16, threshold=0.95)
 
 
+def semdedup_trained_embeddings(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup's SCALE path (VERDICT r03 item 2): trained k-means
+    centroids from a deterministic bounded sample, seed count derived
+    from the corpus (n/1024, so within-cluster work stays O(n·c) not
+    O(n²/const)), and a per-cluster size guard splitting skew-collapsed
+    clusters by vector-content hash. Same planted-copy construction as
+    the oracle-checked fixed-seed twin; k-means isn't SQL-expressible,
+    so this entry is rows-only — planted recall (every copy removed
+    with dup_of = its original) is pytest-enforced
+    (test_semdedup_trained_planted_recall)."""
+    from ..stages.dedup import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        sel = np.nonzero(ids % 50 == 0)[0]
+        copies = t.take(pa.array(sel))
+        copies = copies.set_column(
+            copies.schema.get_field_index("vec_id"), "vec_id",
+            pa.array(ids[sel] + 1_000_000))
+        return pa.concat_tables([t, copies])
+
+    aug = ds.map_batches(plant, batch_format="pyarrow")
+    return semdedup(aug, n_seeds=None, threshold=0.95,
+                    clustering="trained")
+
+
+QUERIES["semdedup_trained_embeddings"] = semdedup_trained_embeddings
+
 QUERIES["semdedup_embeddings"] = semdedup_embeddings
 ORACLES["semdedup_embeddings"] = """
     WITH aug AS (

@@ -22,7 +22,8 @@ import pandas as pd
 import pyarrow as pa
 from ..util import auto_concurrency
 
-__all__ = ["brute_force_topk", "IVFIndex", "vector_centroids"]
+__all__ = ["brute_force_topk", "IVFIndex", "vector_centroids",
+           "train_centroids"]
 
 
 def _batch_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
@@ -31,6 +32,63 @@ def _batch_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
     return np.asarray(col.flatten().to_numpy(zero_copy_only=False)).reshape(
         t.num_rows, -1
     ).astype(np.float64)
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
+            seed: int = 0) -> np.ndarray:
+    """Lloyd k-means on a bounded driver-side sample (deterministic:
+    seeded init, fixed iteration count). Empty clusters keep their
+    previous centroid."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(sample))
+    cent = sample[rng.choice(len(sample), k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(0)
+    return cent
+
+
+def deterministic_sample(ds, sample_size: int, vec_col: str = "embedding",
+                         id_col: str = "vec_id", seed: int = 0) -> np.ndarray:
+    """Bounded uniform training sample in ONE pass: bottom-k by id hash
+    (a pure function of the id set — deterministic at any parallelism,
+    no ds.count())."""
+    from ..hashing import murmur64a
+    from ..keys import canonical_flat_bytes
+
+    def pick(t: pa.Table) -> pa.Table:
+        data, off = canonical_flat_bytes(t.column(id_col))
+        h = (murmur64a(data, off, np.uint64(seed & 0xFFFFFFFF) | np.uint64(1))
+             .astype(np.uint64))
+        # drop to 63 bits so the per-batch (unsigned) and global Dataset
+        # sort (int64, signed) agree on the ordering
+        h = (h >> np.uint64(1)).astype(np.int64)
+        keep = np.argsort(h, kind="stable")[:sample_size]
+        keep.sort()
+        out = t.select([id_col, vec_col]).take(pa.array(keep))
+        return out.append_column("__h", pa.array(h[keep]))
+
+    sample_tbl = pa.table(
+        ds.map_batches(pick, batch_format="pyarrow")
+        .sort("__h").limit(sample_size)
+        .take_batch(sample_size, batch_format="pyarrow")
+    )
+    return _batch_matrix(sample_tbl, vec_col)
+
+
+def train_centroids(ds, n_centroids: int, vec_col: str = "embedding",
+                    id_col: str = "vec_id", sample_size: int = 4096,
+                    seed: int = 0, iters: int = 10) -> np.ndarray:
+    """Deterministic k-means centroids from a bounded sample — the
+    shared trainer behind IVFIndex.build and semdedup's trained
+    clustering (VERDICT r03 item 2)."""
+    return _kmeans(deterministic_sample(ds, sample_size, vec_col, id_col,
+                                        seed),
+                   n_centroids, iters=iters, seed=seed)
 
 
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
@@ -102,16 +160,7 @@ class IVFIndex:
 
     # -- build -----------------------------------------------------------
     def _train(self, sample: np.ndarray, iters: int = 10, seed: int = 0) -> np.ndarray:
-        rng = np.random.default_rng(seed)
-        cent = sample[rng.choice(len(sample), self.ncent, replace=False)].copy()
-        for _ in range(iters):
-            d = ((sample[:, None, :] - cent[None]) ** 2).sum(-1)
-            assign = d.argmin(1)
-            for c in range(self.ncent):
-                m = assign == c
-                if m.any():
-                    cent[c] = sample[m].mean(0)
-        return cent
+        return _kmeans(sample, self.ncent, iters=iters, seed=seed)
 
     def build(self, ds, sample_size: int = 4096, seed: int = 0) -> "IVFIndex":
         import ray
@@ -121,31 +170,8 @@ class IVFIndex:
         # ds.count() (VERDICT r01: the old fraction-based sample paid an
         # extra count pass), uniform over ids, and deterministic (a pure
         # function of the id set, like the bottom-k sketch)
-        from ..hashing import murmur64a
-        from ..keys import canonical_flat_bytes
-
-        vec_col_, id_col_ = self.vec_col, self.id_col
-
-        def pick(t: pa.Table) -> pa.Table:
-            data, off = canonical_flat_bytes(t.column(id_col_))
-            h = (murmur64a(data, off, np.uint64(seed & 0xFFFFFFFF) | np.uint64(1))
-                 .astype(np.uint64))
-            # drop to 63 bits so the per-batch (unsigned) and global
-            # Dataset sort (int64, signed) agree on the ordering —
-            # otherwise hashes >= 2^63 go negative and jump the queue
-            h = (h >> np.uint64(1)).astype(np.int64)
-            keep = np.argsort(h, kind="stable")[:sample_size]
-            keep.sort()
-            out = t.select([id_col_, vec_col_]).take(pa.array(keep))
-            return out.append_column("__h", pa.array(h[keep]))
-
-        sample_tbl = pa.table(
-            ds.map_batches(pick, batch_format="pyarrow")
-            .sort("__h").limit(sample_size)
-            .take_batch(sample_size, batch_format="pyarrow")
-        )
-        sample = _batch_matrix(sample_tbl, self.vec_col)
-        self.centroids = self._train(sample, seed=seed)
+        self.centroids = train_centroids(
+            ds, self.ncent, self.vec_col, self.id_col, sample_size, seed)
         cref = ray.put(self.centroids)
         vec_col, id_col = self.vec_col, self.id_col
 

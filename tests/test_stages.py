@@ -1402,6 +1402,57 @@ class TestSemDeDup:
         assert len(out) == 0
         assert list(out.columns) == ["vec_id", "cluster", "dup_of"]
 
+    def test_trained_planted_recall(self, ray_session):
+        """Trained-clustering scale path (VERDICT r03 item 2): exact
+        copies planted at +10000 must ALL be removed with dup_of =
+        their original — identical vectors share both the argmax-cosine
+        cluster and (under the size guard) the content-hash cell."""
+        import ray.data
+
+        rng = np.random.default_rng(23)
+        n, d = 400, 16
+        V = rng.standard_normal((n, d)).astype(np.float32)
+        ids = np.arange(n, dtype=np.int64)
+        cp = ids[ids % 10 == 0]
+        tbl = pa.table({
+            "vec_id": pa.array(np.concatenate([ids, cp + 10_000])),
+            "embedding": pa.array([v for v in np.vstack([V, V[cp]])],
+                                  type=pa.list_(pa.float32()))})
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        from raysketch.stages.dedup import semdedup
+
+        out = semdedup(ds, n_seeds=None, threshold=0.95,
+                       clustering="trained", max_cluster=32)
+        got = dict(zip(out["vec_id"].astype(int),
+                       out["dup_of"].astype(int)))
+        for c in cp:
+            assert got.get(int(c) + 10_000) == int(c)
+
+    def test_trained_size_guard_skewed(self, ray_session):
+        """A skew-collapsed corpus (every vector identical up to tiny
+        noise → k-means puts all mass in few clusters) must still
+        produce cells no larger than the guard allows."""
+        import ray.data
+
+        rng = np.random.default_rng(9)
+        n, d = 2000, 8
+        base = rng.standard_normal(d).astype(np.float32)
+        V = base + rng.standard_normal((n, d)).astype(np.float32) * 1e-3
+        tbl = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                        "embedding": pa.array([v for v in V],
+                                              type=pa.list_(pa.float32()))})
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        from raysketch.stages.dedup import semdedup_assignments
+
+        assigned, seed_ids, _ = semdedup_assignments(
+            ds, n_seeds=4, clustering="trained", max_cluster=256)
+        df = assigned.to_pandas()
+        sizes = df.groupby(["cluster", "cell"]).size()
+        # expected cell size = cluster_size / ceil(cluster_size/256);
+        # the hash split is binomial around it — allow 2× headroom
+        assert sizes.max() <= 512
+        assert df.groupby("cluster").size().max() > 256  # guard exercised
+
 
 class TestTokenBudgetSelect:
     def test_matches_greedy(self, ray_session, sf_dir):
