@@ -3009,7 +3009,8 @@ ORACLES["late_events_watermark"] = """
 """
 
 
-def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+def tfidf_top_terms(sf_dir: str, vocab_cap: int = 2_000_000
+                    ) -> pd.DataFrame:
     """Per-doc top-3 terms by tf·idf, ranked by the exact rational
     tf/df (monotone in tf·idf for a fixed corpus — both engines divide
     the same int64s as IEEE doubles, ties broken by term ascending, so
@@ -3018,19 +3019,27 @@ def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     distinct (word, doc) hash rows) and broadcast; the ranking pass is
     one fused map_batches (:class:`~raysketch.stages.textstats.
     TopTfIdfTerms`) — term strings never shuffle, only the 3 winners
-    per doc reach the driver."""
+    per doc reach the driver. Past ``vocab_cap`` distinct terms the
+    fold aborts and the query FALLS BACK to the two-exchange shuffle
+    df-attach (:func:`~raysketch.stages.textstats.tfidf_topk_shuffle`,
+    VERDICT r03 item 3) — equality locked by
+    test_tfidf_fallback_equal."""
     import ray
 
     from ..stages.dedup import _fold_df_counts, _word_gram_rows
-    from ..stages.textstats import TopTfIdfTerms
+    from ..stages.textstats import TopTfIdfTerms, tfidf_topk_shuffle
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     tok = ds.map_batches(_word_gram_rows("text", "doc_id", 1),
                          batch_format="pyarrow")
-    vocab = _fold_df_counts(tok, None)
-    out = ds.map_batches(
-        TopTfIdfTerms, fn_constructor_args=(ray.put(vocab),),
-        batch_format="pyarrow", concurrency=auto_concurrency()).to_pandas()
+    vocab = _fold_df_counts(tok, vocab_cap)
+    if vocab is None:
+        out = tfidf_topk_shuffle(ds, tok).to_pandas()
+    else:
+        out = ds.map_batches(
+            TopTfIdfTerms, fn_constructor_args=(ray.put(vocab),),
+            batch_format="pyarrow",
+            concurrency=auto_concurrency()).to_pandas()
     return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
 
@@ -5757,61 +5766,52 @@ def token_freq_score_docs(sf_dir: str, vocab_cap: int = 2_000_000
     """Corpus-frequency document scoring — the unigram-LM building
     block (a doc's score = Σ over its tokens of that token's TOTAL
     corpus count, exact integers): the distributed two-pass broadcast-
-    join shape.  Pass 1 folds per-block term counts on the driver
-    (vocabulary rows, never token rows — guarded by ``vocab_cap``, past
-    which the honest path is the shuffle df-attach of
-    stages/dedup.py); pass 2 broadcasts the (token → count) table once
-    via the actor pool and scores every document vectorized
-    (split_pattern → Index.get_indexer → bincount-by-doc).  Zero
-    shuffles; equivalent SQL is explode → count → join-back → re-group,
-    i.e. three exchanges this layout avoids."""
+    join shape. Pass 1 folds per-block 63-bit token-hash counts on the
+    driver VECTORIZED (:func:`~raysketch.stages.dedup._fold_df_counts`
+    over occurrence rows — VERDICT r03 item 3 replaced the per-token
+    Python dict loop); pass 2 broadcasts the (hash → count) arrays once
+    and scores every document with one searchsorted + bincount per
+    batch. Zero shuffles. Past ``vocab_cap`` distinct tokens the fold
+    aborts and the query FALLS BACK to the two-exchange shuffle path
+    (:func:`~raysketch.stages.textstats.token_freq_score_shuffle`)
+    instead of raising — equality locked by
+    test_token_freq_fallback_equal. Hash space is the shared 63-bit
+    word hash (collision P ≈ |V|²/2⁶⁴ — the tfidf_top_terms
+    precedent)."""
     import ray
+
+    from ..stages.dedup import _fold_df_counts
+    from ..stages.textstats import _hash_words_63, token_freq_score_shuffle
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def term_counts(t: pa.Table) -> pa.Table:
+    def occ_rows(t: pa.Table) -> pa.Table:
         words = pc.list_flatten(pc.split_pattern(
-            pc.fill_null(t.column("text"), ""), " "))
-        vc = pc.value_counts(words.combine_chunks())
-        return pa.table({"w": vc.field("values"),
-                         "c": pc.cast(vc.field("counts"), pa.int64())})
+            pc.fill_null(t.column("text"), ""), " ")).combine_chunks()
+        return pa.table({"token": pa.array(_hash_words_63(words))})
 
-    folded: dict = {}
-    for b in ds.map_batches(term_counts, batch_format="pyarrow",
-                            batch_size=None) \
-            .iter_batches(batch_format="pyarrow", batch_size=None):
-        ws = b.column("w").to_pylist()
-        cs = b.column("c").to_numpy(zero_copy_only=False)
-        for w, c in zip(ws, cs):
-            folded[w] = folded.get(w, 0) + int(c)
-        if len(folded) > vocab_cap:
-            raise ValueError(
-                f"vocabulary exceeds broadcast cap {vocab_cap}; use the "
-                "shuffle df-attach path (stages/dedup.py) instead")
-    vocab = pd.Index(sorted(folded))
-    counts = np.array([folded[w] for w in vocab], dtype=np.int64)
+    fold = _fold_df_counts(ds.map_batches(occ_rows, batch_format="pyarrow"),
+                           vocab_cap)
+    if fold is None:
+        out = token_freq_score_shuffle(ds).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+    vocab, counts = fold
     vref = ray.put((vocab, counts))
 
-    class Score:
-        def __init__(self):
-            self.vocab, self.counts = ray.get(vref)
+    def score(t: pa.Table) -> pa.Table:
+        vh, vc = ray.get(vref)
+        words = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        n_per = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        wh = _hash_words_63(pc.list_flatten(words))
+        tok_c = vc[np.searchsorted(vh, wh)]  # every token was folded
+        parent = np.repeat(np.arange(t.num_rows), n_per)
+        sc = np.bincount(parent, weights=tok_c,
+                         minlength=t.num_rows).astype(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "freq_score": pa.array(sc)})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            words = pc.split_pattern(
-                pc.fill_null(t.column("text"), ""), " ").combine_chunks()
-            n_per = pc.list_value_length(words).to_numpy(
-                zero_copy_only=False)
-            flat = pc.list_flatten(words)
-            idx = self.vocab.get_indexer(flat.to_pandas())
-            tok_c = np.where(idx >= 0, self.counts[np.maximum(idx, 0)], 0)
-            parent = np.repeat(np.arange(t.num_rows), n_per)
-            score = np.bincount(parent, weights=tok_c,
-                                minlength=t.num_rows).astype(np.int64)
-            return pa.table({"doc_id": t.column("doc_id"),
-                             "freq_score": pa.array(score)})
-
-    out = ds.map_batches(Score, batch_format="pyarrow",
-                         concurrency=auto_concurrency()).to_pandas()
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

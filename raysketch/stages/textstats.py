@@ -477,49 +477,237 @@ class TopTfIdfTerms:
         self.k = k
 
     def __call__(self, t: pa.Table) -> "pa.Table":
-        import pandas as pd
+        return rank_tfidf_block(t, self.vocab, self.df, self.text_col,
+                                self.id_col, self.k)
 
-        from ..hashing import murmur64a
-        from .dedup import _splitmix64
 
+def rank_tfidf_block(t: pa.Table, vocab: np.ndarray, df_arr: np.ndarray,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 3) -> "pa.Table":
+    """The TopTfIdfTerms core as a pure function, shared by the
+    broadcast actor and the shuffle-fallback's per-bucket ranking
+    (there the (vocab, df) pair is the bucket-local table attached by
+    the df exchange — a superset of every bucket doc's terms)."""
+    import pandas as pd
+
+    from ..hashing import murmur64a
+    from .dedup import _splitmix64
+
+    words_list = pc.split_pattern(
+        pc.fill_null(t.column(text_col), ""), " ").combine_chunks()
+    wcounts = pc.list_value_length(words_list) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(words_list)
+    data, offsets = arrow_to_flat_bytes(flat)
+    wh = (_splitmix64(murmur64a(data, offsets))
+          & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(wcounts), dtype=np.int64), wcounts)
+    nonempty = np.diff(offsets) > 0
+    doc_idx, wh = doc_idx[nonempty], wh[nonempty]
+    flat_pos = np.nonzero(nonempty)[0]
+    if not len(wh):
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "term": pa.array([], type=pa.string()),
+                         "tf": pa.array([], type=pa.int64()),
+                         "df": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64())})
+    order = np.lexsort((wh, doc_idx))
+    d_s, h_s = doc_idx[order], wh[order]
+    starts = np.nonzero(np.r_[True, (d_s[1:] != d_s[:-1])
+                              | (h_s[1:] != h_s[:-1])])[0]
+    tf = np.diff(np.r_[starts, len(d_s)])
+    g_doc, g_hash = d_s[starts], h_s[starts]
+    rep = flat_pos[order[starts]]  # a representative word per group
+    df = df_arr[np.searchsorted(vocab, g_hash)]
+    terms = flat.take(pa.array(rep)).to_pylist()
+    fr = pd.DataFrame({id_col: ids[g_doc], "term": terms,
+                       "tf": tf.astype(np.int64),
+                       "df": df.astype(np.int64),
+                       "score": tf / df})
+    fr = fr.sort_values([id_col, "score", "term"],
+                        ascending=[True, False, True], kind="stable")
+    did = fr[id_col].to_numpy()
+    gs = np.nonzero(np.r_[True, did[1:] != did[:-1]])[0]
+    seg = np.diff(np.r_[gs, len(did)])
+    rank = np.arange(len(did)) - np.repeat(gs, seg) + 1
+    fr = fr.assign(rank=rank.astype(np.int64))
+    fr = fr[fr["rank"] <= k].drop(columns=["score"])
+    return pa.Table.from_pandas(fr, preserve_index=False)
+
+
+def _hash_words_63(flat) -> np.ndarray:
+    """Arrow string array → the 63-bit word hash every tf-idf /
+    frequency stage shares (splitmix ∘ murmur, sign bit dropped so
+    signed Dataset sorts and unsigned per-batch sorts agree)."""
+    from .dedup import _splitmix64
+
+    data, offsets = arrow_to_flat_bytes(flat)
+    return (_splitmix64(murmur64a(data, offsets))
+            & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
+def tfidf_topk_shuffle(ds, tok_ds, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_buckets: int = 64):
+    """tf-idf top-k WITHOUT a driver vocabulary — the fallback past the
+    broadcast cap (VERDICT r03 item 3). Two hash exchanges: (1) tok
+    rows (distinct (token, doc)) bucket by TOKEN hash, each bucket
+    holds every occurrence-doc of its tokens so the segment length IS
+    the global document frequency, emitted as (doc, token, df) rows;
+    (2) those rows and the docs themselves bucket by DOC hash, each
+    bucket builds its local (token → df) table (a superset of its
+    docs' terms) and runs the SAME ranking core as the broadcast actor
+    (:func:`rank_tfidf_block`). Token strings never shuffle in (1);
+    text shuffles once in (2)."""
+    import pandas as pd
+
+    from .dedup import _splitmix64
+
+    B = np.uint64(num_buckets)
+
+    def tag_tok(t: pa.Table) -> pa.Table:
+        tokv = t.column("token").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "token": pa.array(tokv),
+            id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
+            "__tb": pa.array((_splitmix64(tokv.astype(np.uint64)) % B)
+                             .astype(np.int64)),
+        })
+
+    def df_attach(g: "pd.DataFrame") -> "pd.DataFrame":
+        tokv = g["token"].to_numpy()
+        order = np.argsort(tokv, kind="stable")
+        ts = tokv[order]
+        starts = np.nonzero(np.r_[True, ts[1:] != ts[:-1]])[0]
+        seg = np.diff(np.r_[starts, len(ts)])
+        dfv = np.empty(len(ts), dtype=np.int64)
+        dfv[order] = np.repeat(seg, seg)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "token": tokv, "df": dfv})
+
+    df_rows = tok_ds.map_batches(tag_tok, batch_format="pyarrow") \
+        .groupby("__tb").map_groups(df_attach, batch_format="pandas")
+
+    def _db(ids_np: np.ndarray) -> pa.Array:
+        return pa.array((_splitmix64(ids_np.astype(np.uint64)) % B)
+                        .astype(np.int64))
+
+    def tag_df(t: pa.Table) -> pa.Table:
+        d = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
+            text_col: pa.array([""] * t.num_rows, type=pa.large_string()),
+            "token": t.column("token").combine_chunks().cast(pa.int64()),
+            "df": t.column("df").combine_chunks().cast(pa.int64()),
+            "s": pa.array(np.zeros(t.num_rows, dtype=bool)),
+            "__d": _db(d),
+        })
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        d = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
+            text_col: t.column(text_col).combine_chunks()
+            .cast(pa.large_string()),
+            "token": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "df": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "s": pa.array(np.ones(t.num_rows, dtype=bool)),
+            "__d": _db(d),
+        })
+
+    def rank_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        docs = g[g["s"]]
+        rows = g[~g["s"]]
+        if not len(docs) or not len(rows):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype="object"),
+                "tf": pd.Series([], dtype="int64"),
+                "df": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64")})
+        tokv = rows["token"].to_numpy()
+        dfv = rows["df"].to_numpy()
+        order = np.argsort(tokv, kind="stable")
+        ts, dv = tokv[order], dfv[order]
+        keep = np.r_[True, ts[1:] != ts[:-1]]
+        sub = pa.table({
+            id_col: pa.array(docs[id_col].to_numpy().astype(np.int64)),
+            text_col: pa.array(docs[text_col].tolist(),
+                               type=pa.large_string())})
+        return rank_tfidf_block(sub, ts[keep], dv[keep].astype(np.int64),
+                                text_col, id_col, k).to_pandas()
+
+    docs_tagged = ds.select_columns([id_col, text_col]) \
+        .map_batches(tag_doc, batch_format="pyarrow")
+    return df_rows.map_batches(tag_df, batch_format="pyarrow") \
+        .union(docs_tagged) \
+        .groupby("__d").map_groups(rank_group, batch_format="pandas")
+
+
+def token_freq_score_shuffle(ds, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             num_buckets: int = 64):
+    """Corpus-frequency document scoring WITHOUT a driver vocabulary —
+    the fallback past the broadcast cap (VERDICT r03 item 3). Two hash
+    exchanges over int64 rows only: (1) token OCCURRENCE rows bucket by
+    token hash — the segment length is the token's global corpus count,
+    and each bucket pre-reduces to per-doc partial sums (≤ docs rows
+    per bucket); (2) partials bucket by doc hash and sum. Token strings
+    and text never shuffle."""
+    import pandas as pd
+
+    from .dedup import _splitmix64
+
+    B = np.uint64(num_buckets)
+
+    def occ(t: pa.Table) -> pa.Table:
         words_list = pc.split_pattern(
-            pc.fill_null(t.column(self.text_col), ""), " ").combine_chunks()
+            pc.fill_null(t.column(text_col), ""), " ").combine_chunks()
         wcounts = pc.list_value_length(words_list) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(words_list)
-        data, offsets = arrow_to_flat_bytes(flat)
-        wh = (_splitmix64(murmur64a(data, offsets))
-              & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
-        ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(len(wcounts), dtype=np.int64), wcounts)
-        nonempty = np.diff(offsets) > 0
-        doc_idx, wh = doc_idx[nonempty], wh[nonempty]
-        flat_pos = np.nonzero(nonempty)[0]
-        if not len(wh):
-            return pa.table({self.id_col: pa.array([], type=pa.int64()),
-                             "term": pa.array([], type=pa.string()),
-                             "tf": pa.array([], type=pa.int64()),
-                             "df": pa.array([], type=pa.int64()),
-                             "rank": pa.array([], type=pa.int64())})
-        order = np.lexsort((wh, doc_idx))
-        d_s, h_s = doc_idx[order], wh[order]
-        starts = np.nonzero(np.r_[True, (d_s[1:] != d_s[:-1])
-                                  | (h_s[1:] != h_s[:-1])])[0]
-        tf = np.diff(np.r_[starts, len(d_s)])
-        g_doc, g_hash = d_s[starts], h_s[starts]
-        rep = flat_pos[order[starts]]  # a representative word per group
-        df = self.df[np.searchsorted(self.vocab, g_hash)]
-        terms = flat.take(pa.array(rep)).to_pylist()
-        fr = pd.DataFrame({self.id_col: ids[g_doc], "term": terms,
-                           "tf": tf.astype(np.int64),
-                           "df": df.astype(np.int64),
-                           "score": tf / df})
-        fr = fr.sort_values([self.id_col, "score", "term"],
-                            ascending=[True, False, True], kind="stable")
-        did = fr[self.id_col].to_numpy()
-        gs = np.nonzero(np.r_[True, did[1:] != did[:-1]])[0]
-        seg = np.diff(np.r_[gs, len(did)])
-        rank = np.arange(len(did)) - np.repeat(gs, seg) + 1
-        fr = fr.assign(rank=rank.astype(np.int64))
-        fr = fr[fr["rank"] <= self.k].drop(columns=["score"])
-        return pa.Table.from_pandas(fr, preserve_index=False)
+        wh = _hash_words_63(pc.list_flatten(words_list))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, wcounts)),
+            "token": pa.array(wh),
+            "__tb": pa.array((_splitmix64(wh.astype(np.uint64)) % B)
+                             .astype(np.int64)),
+        })
+
+    def bucket_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        tokv = g["token"].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.argsort(tokv, kind="stable")
+        ts = tokv[order]
+        starts = np.nonzero(np.r_[True, ts[1:] != ts[:-1]])[0]
+        seg = np.diff(np.r_[starts, len(ts)])
+        cv = np.empty(len(ts), dtype=np.int64)
+        cv[order] = np.repeat(seg, seg)
+        # pre-reduce to one partial per doc in this bucket
+        od = np.argsort(ids, kind="stable")
+        ids_s, cv_s = ids[od], cv[od]
+        dst = np.nonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])[0]
+        part = np.add.reduceat(cv_s, dst)
+        ud = ids_s[dst]
+        return pd.DataFrame({
+            id_col: ud,
+            "part": part.astype(np.int64),
+            "__d": (_splitmix64(ud.astype(np.uint64)) % B)
+            .astype(np.int64)})
+
+    def doc_sum(g: "pd.DataFrame") -> "pd.DataFrame":
+        ids = g[id_col].to_numpy()
+        pv = g["part"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids_s, pv_s = ids[order], pv[order]
+        starts = np.nonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])[0]
+        return pd.DataFrame({
+            id_col: ids_s[starts],
+            "freq_score": np.add.reduceat(pv_s, starts).astype(np.int64)})
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(occ, batch_format="pyarrow") \
+        .groupby("__tb").map_groups(bucket_part, batch_format="pandas") \
+        .groupby("__d").map_groups(doc_sum, batch_format="pandas")

@@ -806,3 +806,25 @@ def test_top_cosine_pairs_tiled_equals_brute_force(ray_session):
                      ascending=[False, True, True]) \
         .head(20).reset_index(drop=True)
     pd.testing.assert_frame_equal(tiled, gold)
+
+
+def test_token_freq_fallback_equal(ray_session):
+    """Forcing vocab_cap=1 exercises the two-exchange shuffle path
+    (VERDICT r03 item 3: fall back, don't raise) — identical output to
+    the broadcast fold."""
+    import pandas as pd
+
+    a = Q.token_freq_score_docs(SF_DIR)
+    b = Q.token_freq_score_docs(SF_DIR, vocab_cap=1)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_tfidf_fallback_equal(ray_session):
+    """Forcing vocab_cap=1 exercises tfidf's shuffle df-attach path —
+    identical ranking (same rank_tfidf_block core, bucket-local
+    vocabulary) to the broadcast fold."""
+    import pandas as pd
+
+    a = Q.tfidf_top_terms(SF_DIR)
+    b = Q.tfidf_top_terms(SF_DIR, vocab_cap=1)
+    pd.testing.assert_frame_equal(a, b)
