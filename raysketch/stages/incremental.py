@@ -94,6 +94,81 @@ def _shard_files(root: str, key: str, shards: list[int]) -> list[str]:
     return files
 
 
+def _compact_shard_dirs(root: str, reduce_fn, max_files: int,
+                        columns: list[str] | None = None) -> dict:
+    """Compact every ``key=K`` shard dir under ``root`` holding more
+    than ``max_files`` parquet files into ONE file (VERDICT r03 item 4:
+    append-per-ingest grows shard file counts — and open/footer costs —
+    unboundedly).
+
+    One Ray task per shard (shards are independent). Idempotent and
+    crash-safe WITHOUT a commit log: the output name is a pure function
+    (sha256) of the input file set, so a re-run after any interruption
+    converges to the same file; and readers tolerate the torn state
+    (compacted file + not-yet-deleted inputs) because every consumer
+    min-reduces per fingerprint group / dedupes pair rows — duplicated
+    rows change nothing. Single-writer discipline (no concurrent
+    append) is assumed, as for append itself.
+
+    ``reduce_fn(table) -> table`` collapses the concatenated shard
+    rows (min-per-fingerprint, distinct-rows, …). Returns a summary
+    manifest {shard_dir: files_before} for the shards compacted, and
+    writes it to ``root/../compactions.json`` (observability only —
+    correctness never depends on it)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    shard_dirs = sorted(d for d in glob.glob(os.path.join(root, "*=*"))
+                        if os.path.isdir(d))
+    todo = [d for d in shard_dirs
+            if len(glob.glob(os.path.join(d, "*.parquet"))) > max_files]
+    if not todo:
+        return {}
+
+    def compact_one(t: pa.Table) -> pa.Table:
+        outs = []
+        for d in t.column("dir").to_pylist():
+            files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+            if len(files) <= max_files:
+                continue
+            tbl = pa.concat_tables([
+                pq.read_table(f, columns=columns) for f in files])
+            reduced = reduce_fn(tbl)
+            token = hashlib.sha256(
+                "\n".join(os.path.basename(f) for f in files)
+                .encode()).hexdigest()[:12]
+            out = os.path.join(d, f"compact-{token}.parquet")
+            pq.write_table(reduced, out + ".tmp")
+            os.replace(out + ".tmp", out)
+            for f in files:
+                if os.path.abspath(f) != os.path.abspath(out):
+                    os.remove(f)
+            outs.append((d, len(files)))
+        return pa.table({
+            "dir": pa.array([d for d, _ in outs], type=pa.string()),
+            "files_before": pa.array([n for _, n in outs],
+                                     type=pa.int64())})
+
+    stats = ray.data.from_items([{"dir": d} for d in todo]) \
+        .map_batches(compact_one, batch_format="pyarrow",
+                     batch_size=1).take_all()
+    manifest = {r["dir"]: int(r["files_before"]) for r in stats}
+    mpath = os.path.join(os.path.dirname(root.rstrip("/")),
+                         "compactions.json")
+    prior = []
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            prior = json.load(f)
+    prior.append(manifest)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(prior, f)
+    os.replace(tmp, mpath)
+    return manifest
+
+
 class ExactDedupIndex:
     """Persisted exact-content fingerprint index.
 
@@ -168,15 +243,48 @@ class ExactDedupIndex:
         os.replace(tmp, self._meta_path)
         return self
 
-    def append(self, ds) -> "ExactDedupIndex":
+    def append(self, ds, auto_compact: int | None = 16
+               ) -> "ExactDedupIndex":
         """Add a new (already deduplicated) batch: fingerprint rows are
         written as ADDITIONAL files in the existing shard dirs — no
-        rewrite of prior data; readers tolerate multi-file shards."""
+        rewrite of prior data; readers tolerate multi-file shards.
+        Shards exceeding ``auto_compact`` files are compacted after the
+        write (None disables)."""
         rows = ds.map_batches(
             _fingerprint_rows(self.text_col, self.id_col, self.num_shards),
             batch_format="pyarrow")
         rows.write_parquet(self._shards_dir, partition_cols=["shard"])
+        if auto_compact is not None:
+            self.compact(max_files_per_shard=auto_compact)
         return self
+
+    def compact(self, max_files_per_shard: int = 1) -> dict:
+        """Rewrite every shard holding more than ``max_files_per_shard``
+        files into ONE hash-sorted file with one min-id row per distinct
+        (content_hash, content_len) — classification output is
+        IDENTICAL before/after (test-locked); see
+        :func:`_compact_shard_dirs` for the idempotence/crash-safety
+        argument."""
+        id_col = self.id_col
+
+        def reduce_fn(t: pa.Table) -> pa.Table:
+            ch = t.column("content_hash").to_numpy(zero_copy_only=False)
+            cl = t.column("content_len").to_numpy(zero_copy_only=False)
+            di = t.column(id_col).to_numpy(zero_copy_only=False)
+            order = np.lexsort((di, cl, ch))
+            ch, cl, di = ch[order], cl[order], di[order]
+            new_grp = np.r_[True, (ch[1:] != ch[:-1]) | (cl[1:] != cl[:-1])] \
+                if len(ch) else np.zeros(0, dtype=bool)
+            starts = np.nonzero(new_grp)[0]
+            return pa.table({
+                id_col: pa.array(np.minimum.reduceat(di, starts)
+                                 if len(di) else di),
+                "content_hash": pa.array(ch[starts] if len(ch) else ch),
+                "content_len": pa.array(cl[starts] if len(cl) else cl)})
+
+        return _compact_shard_dirs(
+            self._shards_dir, reduce_fn, max_files_per_shard,
+            columns=[id_col, "content_hash", "content_len"])
 
     # -- query -------------------------------------------------------
     def dedup_new(self, new_ds):
@@ -353,6 +461,64 @@ class MinHashBandIndex:
                        "mode": self.mode, "num_shards": self.num_shards}, f)
         os.replace(tmp, self._meta_path)
         return self
+
+    def append(self, ds, auto_compact: int | None = 16
+               ) -> "MinHashBandIndex":
+        """Add a new (already matched/deduplicated) batch: band rows
+        and signatures are written as ADDITIONAL files in the existing
+        shard dirs (the ExactDedupIndex.append pattern); shards
+        exceeding ``auto_compact`` files are compacted after the write
+        (None disables)."""
+        sigs = self._sign(ds).materialize()
+        self._band_rows(sigs).write_parquet(
+            os.path.join(self.index_dir, "bands"),
+            partition_cols=["bshard"])
+
+        id_col, num_shards = self.id_col, self.num_shards
+
+        def sig_shard(t: pa.Table) -> pa.Table:
+            i = t.column(id_col).to_numpy(zero_copy_only=False)
+            return t.append_column("sshard", pa.array(
+                (_splitmix64(i.astype(np.uint64)) % np.uint64(num_shards))
+                .astype(np.int64)))
+
+        sigs.map_batches(sig_shard, batch_format="pyarrow") \
+            .write_parquet(os.path.join(self.index_dir, "sigs"),
+                           partition_cols=["sshard"])
+        if auto_compact is not None:
+            self.compact(max_files_per_shard=auto_compact)
+        return self
+
+    def compact(self, max_files_per_shard: int = 1) -> dict:
+        """Compact band shards (distinct (band, bucket, id) rows,
+        bucket-sorted) and signature shards (id-sorted; last row per id
+        wins — ids are unique by the append contract, so this only
+        drops torn-compaction duplicates). Match output identical
+        before/after (test-locked)."""
+        import pandas as pd
+
+        id_col = self.id_col
+
+        def reduce_bands(t: pa.Table) -> pa.Table:
+            df = t.select(["band", "bucket", id_col]).to_pandas()
+            df = df.drop_duplicates().sort_values(
+                ["bucket", "band", id_col])
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        def reduce_sigs(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            keep = np.r_[True, ids[order][1:] != ids[order][:-1]] \
+                if len(ids) else np.zeros(0, dtype=bool)
+            return t.take(pa.array(order[keep]))
+
+        out = _compact_shard_dirs(
+            os.path.join(self.index_dir, "bands"), reduce_bands,
+            max_files_per_shard, columns=["band", "bucket", id_col])
+        out.update(_compact_shard_dirs(
+            os.path.join(self.index_dir, "sigs"), reduce_sigs,
+            max_files_per_shard, columns=[id_col, "minhash"]))
+        return out
 
     def match_new(self, new_ds, threshold: float = 0.8,
                   max_bucket_side: int = 1000):

@@ -217,3 +217,78 @@ class TestMinHashBandIndex:
             _mk_ds({"doc_id": [1000], "text": [self.CORPUS[3]]}),
             threshold=0.99).to_pandas()
         assert set(zip(out["new_id"], out["old_id"])) == {(1000, 0)}
+
+
+class TestCompaction:
+    """VERDICT r03 item 4: shard file counts stay bounded across
+    ingests; classification / match output identical before and after
+    compaction; compaction is idempotent."""
+
+    def test_exact_bounded_files_and_identical_output(self, ray_session,
+                                                      tmp_index_dir):
+        import glob as g
+        import os
+
+        from raysketch.stages.incremental import ExactDedupIndex
+
+        idx = ExactDedupIndex(tmp_index_dir, num_shards=4).build(
+            _mk_ds({"doc_id": [0, 1], "text": ["seed a", "seed b"]}))
+        # 10 ingest batches with auto_compact bounding files per shard
+        for i in range(10):
+            idx.append(_mk_ds({"doc_id": [100 + 2 * i, 101 + 2 * i],
+                               "text": [f"batch {i} x", f"batch {i} y"]}),
+                       auto_compact=3)
+        counts = [len(g.glob(os.path.join(d, "*.parquet")))
+                  for d in g.glob(os.path.join(tmp_index_dir, "shards",
+                                               "shard=*"))]
+        assert counts and max(counts) <= 4  # bound: auto_compact + 1
+
+        probe = _mk_ds({"doc_id": [900, 901, 902],
+                        "text": ["batch 3 x", "seed b", "novel text"]})
+        before = idx.dedup_new(probe).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        idx.compact(max_files_per_shard=1)
+        counts2 = [len(g.glob(os.path.join(d, "*.parquet")))
+                   for d in g.glob(os.path.join(tmp_index_dir, "shards",
+                                                "shard=*"))]
+        assert max(counts2) == 1
+        after = idx.dedup_new(probe).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(before, after)
+        assert dict(zip(after["doc_id"], after["status"])) == {
+            900: "dup_of_index", 901: "dup_of_index", 902: "kept"}
+        # idempotent: a second run is a no-op
+        assert idx.compact(max_files_per_shard=1) == {}
+
+    def test_minhash_append_compact_identical_matches(self, ray_session,
+                                                      tmp_index_dir):
+        import glob as g
+        import os
+
+        from raysketch.stages.incremental import MinHashBandIndex
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "wanders far away into the quiet hills tonight")
+        idx = MinHashBandIndex(tmp_index_dir, num_shards=4,
+                               num_perms=32, num_bands=8).build(
+            _mk_ds({"doc_id": [1, 2],
+                    "text": [base, "completely different content here "
+                                   "about ships and harbors and tides"]}))
+        for i in range(6):
+            idx.append(_mk_ds({"doc_id": [100 + i],
+                               "text": [f"filler document number {i} "
+                                        f"with its own words {i}"]}),
+                       auto_compact=3)
+        probe = _mk_ds({"doc_id": [999], "text": [base + " extra"]})
+        before = idx.match_new(probe, threshold=0.5).to_pandas() \
+            .sort_values(["new_id", "old_id"]).reset_index(drop=True)
+        idx.compact(max_files_per_shard=1)
+        for sub in ("bands", "sigs"):
+            counts = [len(g.glob(os.path.join(d, "*.parquet")))
+                      for d in g.glob(os.path.join(tmp_index_dir, sub,
+                                                   "*=*"))]
+            assert counts and max(counts) == 1
+        after = idx.match_new(probe, threshold=0.5).to_pandas() \
+            .sort_values(["new_id", "old_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(before, after)
+        assert (before["old_id"] == 1).any()  # the near-dup is found
