@@ -106,6 +106,9 @@ def run_bench() -> dict:
         # 2M-turn fingerprint-index build + 200k-turn batch classify
         # (rebuilds the index every call by design)
         "incremental_dedup_turns": Q.incremental_dedup_turns,
+        # 50 incremental-delta merge rounds over the documents table
+        # (VERDICT r03 item 5 done-criterion)
+        "bpe_50_merges": lambda d: Q.bpe_train_merges(d, n_merges=50),
     }
     per_h = {}
     for name, fn in heavy_queries.items():

