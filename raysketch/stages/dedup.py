@@ -2134,7 +2134,8 @@ def ngram_jaccard_join(ds, text_col: str = "text", id_col: str = "doc_id",
                        k: int = 3, threshold: float = 0.8,
                        num_buckets: int = 64, unit: str = "word",
                        broadcast_df_limit: int = 2_000_000,
-                       verify_driver_limit: int = 200_000):
+                       verify_driver_limit: int = 200_000,
+                       prefix_driver_limit: int = 2_000_000):
     """EXACT n-gram Jaccard similarity self-join: every doc pair with
     Jaccard ≥ ``threshold``, with the exact similarity.
 
@@ -2190,22 +2191,50 @@ def ngram_jaccard_join(ds, text_col: str = "text", id_col: str = "doc_id",
     else:
         import ray
 
-        B = np.uint64(num_buckets)
+        vocab_ref = ray.put(vocab)
+        holder: list = []
 
-        def tb(t: pa.Table) -> pa.Table:
-            h = t.column("token").to_numpy(
-                zero_copy_only=False).astype(np.uint64)
-            return t.append_column(
-                "__tb", pa.array((_splitmix64(h) % B).astype(np.int64)))
+        # plain TASK fn, not an actor pool: __init__ was just a
+        # ray.get of the broadcast (plasma-local after first fetch per
+        # worker), and the pool startup cost ~1.5 s per call at every
+        # sf (the q7 precedent; VERDICT r03 item 6)
+        def fused_fn(t: pa.Table) -> pa.Table:
+            if not holder:
+                holder.append(_FusedPrefixRows(rows_fn, vocab_ref,
+                                               threshold, id_col))
+            return holder[0](t)
 
-        kept = docs.map_batches(
-            _FusedPrefixRows,
-            fn_constructor_args=(rows_fn, ray.put(vocab), threshold, id_col),
-            batch_format="pyarrow", concurrency=auto_concurrency())
-        raw = kept.map_batches(tb, batch_format="pyarrow") \
-            .groupby("__tb").map_groups(_emit_prefix_pairs(threshold, id_col),
-                                        batch_format="pandas")
-        pairs = _driver_dedupe_pairs(raw)
+        kept = docs.map_batches(fused_fn,
+                                batch_format="pyarrow").materialize()
+        if kept.count() <= prefix_driver_limit:
+            # the pair set is pulled to the driver right after anyway
+            # (_driver_dedupe_pairs), so while the PREFIX rows fit the
+            # driver (16-byte rows), the by-token exchange before it is
+            # pure fixed overhead — emit locally instead (one lexsort)
+            import pandas as pd
+
+            kdf = kept.to_pandas()
+            if "token" not in kdf.columns:  # empty ds loses its schema
+                pairs = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                      "id_b": pd.Series([], dtype="int64")})
+            else:
+                pairs = _emit_prefix_pairs(threshold, id_col)(kdf) \
+                    .drop_duplicates() \
+                    .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        else:
+            B = np.uint64(num_buckets)
+
+            def tb(t: pa.Table) -> pa.Table:
+                h = t.column("token").to_numpy(
+                    zero_copy_only=False).astype(np.uint64)
+                return t.append_column(
+                    "__tb", pa.array((_splitmix64(h) % B).astype(np.int64)))
+
+            raw = kept.map_batches(tb, batch_format="pyarrow") \
+                .groupby("__tb") \
+                .map_groups(_emit_prefix_pairs(threshold, id_col),
+                            batch_format="pandas")
+            pairs = _driver_dedupe_pairs(raw)
     if len(pairs) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),

@@ -1810,3 +1810,20 @@ class TestBpeTrain:
         assert (int(gen.iloc[0]["left"]), int(gen.iloc[0]["right"])) \
             == (ord(pair[0]), ord(pair[1]))
         assert int(gen.iloc[0]["n"]) == int(twin.iloc[0]["n"])
+
+
+def test_ngram_join_prefix_tier_equality(ray_session, sf_dir):
+    """The driver prefix-emit tier (kept rows ≤ prefix_driver_limit,
+    VERDICT r03 item 6: skip the by-token exchange right before a
+    driver pair dedupe) equals the forced shuffle tier exactly."""
+    import pandas as pd
+    import ray.data
+
+    from raysketch.stages.dedup import ngram_jaccard_join
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    a = ngram_jaccard_join(ds, threshold=0.5)
+    b = ngram_jaccard_join(ds, threshold=0.5, prefix_driver_limit=0)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
