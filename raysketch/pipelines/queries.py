@@ -11115,6 +11115,56 @@ def bpe_train_merges(sf_dir: str, n_merges: int = 16) -> pd.DataFrame:
 
 QUERIES["bpe_train_merges"] = bpe_train_merges
 
+
+def lm_score_docs(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style n-gram LM quality score (VERDICT r03 item 7):
+    interpolated char-bigram/unigram model trained distributed with the
+    65536-bincount combiner (one zero-shuffle pass), each doc scored as
+    the EXACT FIXED-POINT sum of per-pair interpolated transition
+    probabilities — integer floor divisions both engines state
+    identically (DuckDB ``//``), no float log/libm hazard. Ranking by
+    lm_score_fp/n_pairs orders fluent text above gibberish
+    (test_lm_score_gibberish_ranking)."""
+    from ..stages.lm import char_bigram_lm_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = char_bigram_lm_scores(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "n_pairs": "int64",
+                 "lm_score_fp": "int64"})
+
+
+QUERIES["lm_score_docs"] = lm_score_docs
+ORACLES["lm_score_docs"] = """
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 1)) AS i
+      FROM documents),
+    p AS (SELECT doc_id, substring(text, i, 2) AS bg FROM pos),
+    cab AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cab FROM p GROUP BY bg),
+    ca AS (SELECT substring(bg, 1, 1) AS a,
+                  CAST(SUM(cab) AS BIGINT) AS ca FROM cab GROUP BY 1),
+    cb AS (SELECT substring(bg, 2, 1) AS b,
+                  CAST(SUM(cab) AS BIGINT) AS cb FROM cab GROUP BY 1),
+    n AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM cab),
+    scored AS (
+      SELECT p.doc_id,
+             (9 * c.cab * 16384) // (10 * a.ca)
+             + (1 * b.cb * 16384) // (10 * (SELECT n FROM n)) AS s
+      FROM p
+      JOIN cab c USING (bg)
+      JOIN ca a ON a.a = substring(p.bg, 1, 1)
+      JOIN cb b ON b.b = substring(p.bg, 2, 1)),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(s) AS BIGINT) AS lm_score_fp
+            FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(agg.lm_score_fp, 0) AS BIGINT) AS lm_score_fp
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
 QUERIES["bpe_two_merges"] = bpe_two_merges
 ORACLES["bpe_two_merges"] = """
     WITH p1 AS (
@@ -16298,22 +16348,23 @@ _GATE_PRIORITY = [
     "q19_disjunctive_revenue", "q20_majority_suppliers",
     "sole_return_suppliers", "q22_idle_rich_customers",
     "top_customer_by_nation",
-    # window-function family (trimmed to fit the round-3 dedup
-    # additions inside the 50-entry snapshot; the full replica and
-    # FAST_SUBSET still gate the rest)
-    "events_lag_delta", "events_window_frame", "events_range_window",
-    "rank_orders_by_date", "rolling7_distinct_users",
-    "cooccur_window_words",
-    # dedup / LLM-pipeline anchors (round-3 additions front-loaded:
-    # span dedup, SemDeDup, fuzzy decontamination, budget selection)
+    # window-function family (trimmed to fit the round-4 additions
+    # inside the 50-entry snapshot; the full replica and FAST_SUBSET
+    # still gate the rest)
+    "events_lag_delta", "events_window_frame",
+    "rolling7_distinct_users",
+    # dedup / LLM-pipeline anchors (round-4 additions front-loaded:
+    # tiled cosine, trained SemDeDup, LM quality score, generalized
+    # BPE — VERDICT r03 item 8)
     "dedup_docs_exact", "minhash_dedup_planted",
     "embedding_dedup_planted", "ngram_jaccard_pairs",
     "incremental_dedup_docs", "bpe_two_merges",
     "span_dedup_stats", "semdedup_embeddings",
     "decontaminate_fuzzy_docs", "token_budget_select",
-    "max_repeat_run_docs",
-    # join family + sessionization
-    "revenue_by_nation", "join_lineitem_orders", "sessionize_events",
+    "lm_score_docs", "top_cosine_pairs",
+    "semdedup_trained_embeddings", "bpe_train_merges",
+    # join family
+    "revenue_by_nation", "join_lineitem_orders",
 ]
 
 

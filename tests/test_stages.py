@@ -1827,3 +1827,34 @@ def test_ngram_join_prefix_tier_equality(ray_session, sf_dir):
     b = ngram_jaccard_join(ds, threshold=0.5, prefix_driver_limit=0)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_lm_score_gibberish_ranking(ray_session):
+    """The char-bigram LM score (VERDICT r03 item 7) ranks every
+    planted uniform-random-byte gibberish doc below every fluent
+    English doc by mean transition probability."""
+    import numpy as np
+    import ray.data
+
+    from raysketch.stages.lm import char_bigram_lm_scores
+
+    rng = np.random.default_rng(41)
+    fluent = ["the quiet river turns east before the old stone bridge "
+              "and the children walk along the bank every morning",
+              "a language model assigns higher probability to character "
+              "sequences that look like natural english prose",
+              "she opened the window and the smell of rain came in "
+              "with the sound of distant thunder over the hills"] * 4
+    gibber = ["".join(chr(c) for c in rng.integers(33, 127, size=100))
+              for _ in range(8)]
+    rows = [{"doc_id": i, "text": t, "kind": int(i >= len(fluent))}
+            for i, t in enumerate(fluent + gibber)]
+    import pandas as pd
+
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+    out = char_bigram_lm_scores(ds).to_pandas()
+    out = out.merge(pd.DataFrame(rows)[["doc_id", "kind"]], on="doc_id")
+    mean_p = out["lm_score_fp"] / out["n_pairs"]
+    worst_fluent = mean_p[out["kind"] == 0].min()
+    best_gibber = mean_p[out["kind"] == 1].max()
+    assert best_gibber < worst_fluent
