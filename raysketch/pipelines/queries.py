@@ -15162,6 +15162,76 @@ ORACLES["span_dedup_stats"] = """
 """
 
 
+def span_dedup_clean_docs(sf_dir: str) -> pd.DataFrame:
+    """Span-level dedup EMISSION (Lee et al. ACL'22): the cleaned
+    corpus itself. Every 5-token window occurring ≥2 times corpus-wide
+    keeps its first occurrence by (doc_id, position); all other
+    occurrences' token intervals are excised and the remaining tokens
+    re-joined. `span_dedup_stats` reports the damage; this query
+    returns the repaired documents — the actual training-data
+    deliverable. Value-hash-checked against a full SQL reconstruction
+    (exploded tokens LEFT JOIN removed positions → ordered
+    STRING_AGG). Distributed shape: gram-hash exchange for marks +
+    one doc-id exchange carrying each text exactly once; the rewrite
+    is vectorized Arrow (keep-mask filter + binary_join)."""
+    from ..stages.spans import remove_duplicate_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = remove_duplicate_spans(ds, text_col="text", id_col="doc_id",
+                                 k=5).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "clean_text": "str"})
+
+
+QUERIES["span_dedup_clean_docs"] = span_dedup_clean_docs
+ORACLES["span_dedup_clean_docs"] = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(p AS BIGINT) - 1 AS pos,
+             list_extract(words, CAST(p AS INT))     || ' ' ||
+             list_extract(words, CAST(p AS INT) + 1) || ' ' ||
+             list_extract(words, CAST(p AS INT) + 2) || ' ' ||
+             list_extract(words, CAST(p AS INT) + 3) || ' ' ||
+             list_extract(words, CAST(p AS INT) + 4) AS gram
+      FROM (SELECT doc_id, words,
+                   unnest(range(1, greatest(len(words) - 4, 0) + 1)) AS p
+            FROM w)
+    ),
+    marked AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY gram) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, pos) AS rn
+        FROM g
+      ) WHERE cnt >= 2 AND rn > 1
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, pos + u AS rpos
+      FROM marked, (SELECT unnest(range(0, 5)) AS u)
+    ),
+    tok AS (
+      SELECT doc_id, CAST(p AS BIGINT) - 1 AS pos,
+             list_extract(words, CAST(p AS INT)) AS tok
+      FROM (SELECT doc_id, words,
+                   unnest(range(1, len(words) + 1)) AS p FROM w)
+    ),
+    clean AS (
+      SELECT t.doc_id,
+             COALESCE(STRING_AGG(t.tok, ' ' ORDER BY t.pos)
+                      FILTER (WHERE r.rpos IS NULL), '') AS clean_text
+      FROM tok t LEFT JOIN rem r
+        ON t.doc_id = r.doc_id AND t.pos = r.rpos
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, c.clean_text
+    FROM documents d JOIN clean c USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
 def semdedup_embeddings(sf_dir: str) -> pd.DataFrame:
     """SemDeDup (arXiv:2303.09540) with a SQL-checkable answer: exact
     copies of every 50th vector are planted in-query (vec_id +

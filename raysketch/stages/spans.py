@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 from ..hashing import arrow_to_flat_bytes, murmur64a
 from .dedup import _splitmix64
 
-__all__ = ["duplicated_window_marks", "span_removal_stats"]
+__all__ = ["duplicated_window_marks", "span_removal_stats",
+           "remove_duplicate_spans"]
 
 
 def _token_windows(t: pa.Table, text_col: str, id_col: str, k: int):
@@ -98,6 +99,98 @@ def duplicated_window_marks(ds, text_col: str = "text",
 
     return ds.map_batches(gram_rows, batch_format="pyarrow") \
         .groupby("__b").map_groups(mark_in_bucket, batch_format="pandas")
+
+
+def remove_duplicate_spans(ds, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 5,
+                           num_buckets: int = 64):
+    """Emit the CLEANED corpus: every duplicated k-token window's
+    non-first occurrence is excised from its document (the union of
+    marked [pos, pos+k) token intervals is dropped; remaining tokens
+    are re-joined with single spaces). This is the span-dedup
+    deliverable of Lee et al. ACL'22 — `span_removal_stats` reports
+    what WOULD be removed; this operator actually removes it.
+
+    Distributed shape: `duplicated_window_marks` (one gram-hash
+    exchange over 24-byte rows) + ONE doc-id-hash exchange that
+    co-locates each doc's text with its marks (marks ride as
+    (id, pos) rows; text crosses the wire exactly once). The rewrite
+    itself is vectorized Arrow: split → flat-token keep mask →
+    filter → ListArray rebuild → `binary_join` — no per-row Python.
+
+    Returns a Dataset of (id_col, clean_text) over ALL docs
+    (unaffected docs pass through with their text re-joined, which is
+    byte-identical under single-space tokenization).
+    """
+    import pandas as pd
+
+    marks = duplicated_window_marks(ds, text_col, id_col, k, num_buckets)
+
+    def doc_wire(t: pa.Table) -> pa.Table:
+        i = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(t)
+        return pa.table({
+            id_col: t.column(id_col),
+            "pos": pa.array(np.full(n, -1, dtype=np.int64)),
+            "text": t.column(text_col).cast(pa.string()),
+            "tag": pa.array(np.zeros(n, dtype=np.int64)),
+            "__db": pa.array(
+                (_splitmix64(i.astype(np.uint64)) % np.uint64(num_buckets))
+                .astype(np.int64)),
+        })
+
+    def mark_wire(t: pa.Table) -> pa.Table:
+        i = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(t)
+        return pa.table({
+            id_col: t.column(id_col),
+            "pos": t.column("pos"),
+            "text": pa.array([""] * n, type=pa.string()),
+            "tag": pa.array(np.ones(n, dtype=np.int64)),
+            "__db": pa.array(
+                (_splitmix64(i.astype(np.uint64)) % np.uint64(num_buckets))
+                .astype(np.int64)),
+        })
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        is_doc = g["tag"].to_numpy() == 0
+        docs = g[is_doc]
+        if not len(docs):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "clean_text": pd.Series([], dtype="str")})
+        did = docs[id_col].to_numpy()
+        order = np.argsort(did, kind="stable")
+        did = did[order]
+        texts = pa.array(
+            docs["text"].to_numpy()[order].tolist(), type=pa.string())
+        words = pc.split_pattern(texts, " ")
+        flat = words.flatten()
+        doff = words.offsets.to_numpy().astype(np.int64)
+        keep = np.ones(len(flat), dtype=bool)
+        nmark = int((~is_doc).sum())
+        if nmark:
+            mi = g[id_col].to_numpy()[~is_doc]
+            mp = g["pos"].to_numpy()[~is_doc]
+            idx = np.searchsorted(did, mi)
+            # a mark's doc hashes to the same bucket, so it is present
+            start = doff[idx] + mp
+            rem = (start[:, None] + np.arange(k, dtype=np.int64)).ravel()
+            keep[rem] = False
+        csum = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(keep, out=csum[1:])
+        new_off = csum[doff]
+        kept = flat.filter(pa.array(keep))
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(new_off, type=pa.int64()), kept)
+        clean = pc.binary_join(lst, " ")
+        return pd.DataFrame({
+            id_col: did,
+            "clean_text": clean.to_pandas().astype(str)})
+
+    wired = ds.map_batches(doc_wire, batch_format="pyarrow").union(
+        marks.map_batches(mark_wire, batch_format="pyarrow"))
+    return wired.groupby("__db").map_groups(rewrite, batch_format="pandas")
 
 
 def span_removal_stats(ds, text_col: str = "text", id_col: str = "doc_id",

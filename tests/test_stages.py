@@ -1339,6 +1339,38 @@ class TestSpanDedup:
             # into the random prefix are all it may remove
             assert 8 <= int(out.loc[i, "n_removed"]) <= 12
 
+    @staticmethod
+    def _brute_clean(texts: dict, k: int):
+        """Pure-python reference: per-doc cleaned text."""
+        occ = {}
+        for i in sorted(texts):
+            w = texts[i].split(" ")
+            for p in range(max(0, len(w) - k + 1)):
+                occ.setdefault(tuple(w[p: p + k]), []).append((i, p))
+        removed = {}
+        for g, locs in occ.items():
+            if len(locs) >= 2:
+                for i, p in sorted(locs)[1:]:
+                    removed.setdefault(i, set()).update(range(p, p + k))
+        return {i: " ".join(
+            tok for p, tok in enumerate(texts[i].split(" "))
+            if p not in removed.get(i, set())) for i in texts}
+
+    def test_clean_matches_brute_force(self, docs_ds, ray_session):
+        """remove_duplicate_spans emits exactly the brute-force
+        excised corpus (every doc, unaffected ones byte-identical)."""
+        from raysketch.stages.spans import remove_duplicate_spans
+
+        ds, tbl, _ = docs_ds
+        out = remove_duplicate_spans(ds, k=5).to_pandas() \
+            .set_index("doc_id")["clean_text"]
+        texts = dict(zip(tbl.column("doc_id").to_pylist(),
+                         tbl.column("text").to_pylist()))
+        exp = self._brute_clean(texts, 5)
+        assert len(out) == len(texts)
+        for i, want in exp.items():
+            assert out.loc[i] == want
+
 
 class TestSemDeDup:
     """SemDeDup (stages/dedup.py semdedup): fixed-seed clustering +
