@@ -11361,6 +11361,110 @@ ORACLES["split_assign_docs"] = """
 """
 
 
+def domain_mix_select(sf_dir: str) -> pd.DataFrame:
+    """Deterministic data-mixing selection (the DoReMi/Pile-style
+    per-domain quota step): give every source an equal character
+    budget (half the corpus, split evenly), then admit each source's
+    documents in Knuth-hash order until the budget is exhausted —
+    reproducible at any parallelism, re-derivable from ids alone.
+    The hash (doc_id·2654435761 mod 1e9+7) is INJECTIVE for
+    doc_id < 1e9+7, so the admission order is total (no ties) and the
+    whole selection value-hash-checks against a SQL window
+    reconstruction. Distributed shape: a tiny per-source totals
+    combiner (drives budgets), then `ordered_prefix_scan` over the
+    composite (src_rank << 31 | hash) key — one range-bucket exchange
+    of 24-byte rows; text never moves. Output: per-source audit
+    (docs, selected docs, selected chars)."""
+    from ..stages.scan import ordered_prefix_scan
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+    K = np.int64(2654435761)
+    P = np.int64(1_000_000_007)
+
+    def tots(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "source": t.column("source").to_pandas(),
+            "chars": t.column("n_chars").to_numpy(zero_copy_only=False),
+            "n": 1})
+        return df.groupby("source", as_index=False) \
+            .agg(chars=("chars", "sum"), n=("n", "sum"))
+
+    per_src = ds.map_batches(tots, batch_format="pyarrow").to_pandas() \
+        .groupby("source", as_index=False)[["chars", "n"]].sum() \
+        .sort_values("source").reset_index(drop=True)
+    srcs = per_src["source"].to_numpy()
+    src_chars = per_src["chars"].to_numpy(dtype=np.int64)
+    budget = int(src_chars.sum()) // 2 // len(srcs)
+    # chars of all lower-ranked sources precede a source in the scan
+    before = np.concatenate(([0], np.cumsum(src_chars)[:-1]))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = t.column("source").to_numpy(zero_copy_only=False)
+        sid = np.searchsorted(srcs, s)
+        hk = (d.astype(np.int64) * K) % P
+        return pa.table({
+            "key": pa.array(sid.astype(np.int64) * np.int64(1 << 31) + hk),
+            "n_chars": t.column("n_chars").cast(pa.int64()),
+            "sid": pa.array(sid.astype(np.int64)),
+        })
+
+    scanned = ordered_prefix_scan(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "key", "n_chars", op="sum", carry_cols=["sid"])
+
+    def audit(t: pa.Table) -> pd.DataFrame:
+        sid = t.column("sid").to_numpy(zero_copy_only=False)
+        ch = t.column("n_chars").to_numpy(zero_copy_only=False)
+        pre = t.column("prefix").to_numpy(zero_copy_only=False)
+        keep = (pre - before[sid] + ch) <= budget
+        df = pd.DataFrame({"sid": sid, "n": 1,
+                           "n_sel": keep.astype(np.int64),
+                           "ch_sel": np.where(keep, ch, 0)})
+        return df.groupby("sid", as_index=False).sum()
+
+    p = scanned.map_batches(audit, batch_format="pyarrow").to_pandas() \
+        .groupby("sid", as_index=False)[["n", "n_sel", "ch_sel"]].sum()
+    out = pd.DataFrame({
+        "source": srcs[p["sid"].to_numpy()],
+        "n_docs": p["n"].to_numpy(dtype=np.int64),
+        "n_selected": p["n_sel"].to_numpy(dtype=np.int64),
+        "chars_selected": p["ch_sel"].to_numpy(dtype=np.int64)})
+    return out.sort_values("source").reset_index(drop=True) \
+        .astype({"source": "str", "n_docs": "int64",
+                 "n_selected": "int64", "chars_selected": "int64"})
+
+
+QUERIES["domain_mix_select"] = domain_mix_select
+ORACLES["domain_mix_select"] = """
+    WITH tot AS (
+      SELECT CAST(SUM(n_chars) AS BIGINT) // 2 AS b,
+             COUNT(DISTINCT source) AS ns
+      FROM documents
+    ),
+    h AS (
+      SELECT source, n_chars,
+             (doc_id * 2654435761) % 1000000007 AS hk
+      FROM documents
+    ),
+    c AS (
+      SELECT source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY hk
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cum <= (SELECT b // ns FROM tot)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN cum <= (SELECT b // ns FROM tot)
+                         THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_selected
+    FROM c GROUP BY source ORDER BY source
+"""
+
+
 def max_drawdown_revenue(sf_dir: str) -> pd.DataFrame:
     """Maximum drawdown of cumulative daily revenue — the running-max
     -minus-current composition (two chained window functions): the

@@ -61,6 +61,7 @@ FAST_SUBSET = [
     "span_dedup_stats",
     "semdedup_embeddings",
     "token_budget_select",
+    "domain_mix_select",
     "max_repeat_run_docs",
     "decontaminate_fuzzy_docs",
     "histogram_order_price",
