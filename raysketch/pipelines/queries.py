@@ -11165,6 +11165,113 @@ ORACLES["lm_score_docs"] = """
     ORDER BY d.doc_id
 """
 
+def dsir_select_docs(sf_dir: str, target_lang: str = "en",
+                     k: int = 100) -> pd.DataFrame:
+    """DSIR-style data selection (Xie et al. NeurIPS'23 "Data Selection
+    for Language Models via Importance Resampling"): score every doc by
+    an importance weight between a TARGET-domain LM (trained on the
+    lang='en' slice) and the RAW-corpus LM, keep the top-k. The
+    published method uses hashed-n-gram log-likelihood ratios; this
+    engine's exactly-checkable analog is the fixed-point
+    probability-difference surrogate — per adjacent byte pair,
+    p_target − p_raw where each p is the interpolated bigram/unigram
+    probability in 1/16384 units (stages/lm.py, same model as
+    lm_score_docs) — the same monotone domain-affinity ordering with
+    no float log/libm hazard, so a DuckDB oracle states the identical
+    integers. Distributed shape: TWO zero-shuffle 65536-bincount
+    training passes (target slice, full corpus), one broadcast scoring
+    pass, per-batch local top-k by the global key (w_mean_fp desc,
+    doc_id asc) — sound because global top-k ⊆ union of block top-ks —
+    so the driver merges ≤ k·blocks 32-byte rows; text never moves."""
+    import ray
+
+    from ..stages.lm import (_pair_arrays, fp_pair_scores,
+                             train_char_bigram_counts)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    tgt = ds.map_batches(
+        lambda t, _l=target_lang: t.filter(pc.equal(t.column("lang"), _l)),
+        batch_format="pyarrow")
+    ref = ray.put((train_char_bigram_counts(tgt),
+                   train_char_bigram_counts(ds)))
+
+    def score(t: pa.Table) -> pa.Table:
+        ct, cr = ray.get(ref)
+        a, b, doc = _pair_arrays(t.column("text").to_pylist())
+        w_fp = np.zeros(t.num_rows, dtype=np.int64)
+        npairs = np.zeros(t.num_rows, dtype=np.int64)
+        if len(a):
+            np.add.at(w_fp, doc,
+                      fp_pair_scores(a, b, ct) - fp_pair_scores(a, b, cr))
+            np.add.at(npairs, doc, 1)
+        keep = npairs > 0
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        w_fp, npairs = w_fp[keep], npairs[keep]
+        # DuckDB BIGINT // TRUNCATES toward zero on negatives (floor
+        # only coincides for nonnegative operands) — truncate here too.
+        w_mean = np.sign(w_fp) * ((np.abs(w_fp) * np.int64(16384))
+                                  // npairs)
+        top = np.lexsort((ids, -w_mean))[:k]
+        return pa.table({"doc_id": pa.array(ids[top]),
+                         "n_pairs": pa.array(npairs[top]),
+                         "w_fp": pa.array(w_fp[top]),
+                         "w_mean_fp": pa.array(w_mean[top])})
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["w_mean_fp", "doc_id"],
+                            ascending=[False, True]).head(k)
+    return out.reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_pairs": "int64",
+         "w_fp": "int64", "w_mean_fp": "int64"})
+
+
+QUERIES["dsir_select_docs"] = dsir_select_docs
+ORACLES["dsir_select_docs"] = """
+    WITH pos AS (
+      SELECT doc_id, lang, substring(text, i, 2) AS bg
+      FROM (SELECT doc_id, lang, text,
+                   unnest(generate_series(1, length(text) - 1)) AS i
+            FROM documents)),
+    rab AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cab
+            FROM pos GROUP BY bg),
+    ra AS (SELECT substring(bg, 1, 1) AS a,
+                  CAST(SUM(cab) AS BIGINT) AS ca FROM rab GROUP BY 1),
+    rb AS (SELECT substring(bg, 2, 1) AS b,
+                  CAST(SUM(cab) AS BIGINT) AS cb FROM rab GROUP BY 1),
+    rn AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM rab),
+    tab AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cab
+            FROM pos WHERE lang = 'en' GROUP BY bg),
+    ta AS (SELECT substring(bg, 1, 1) AS a,
+                  CAST(SUM(cab) AS BIGINT) AS ca FROM tab GROUP BY 1),
+    tb AS (SELECT substring(bg, 2, 1) AS b,
+                  CAST(SUM(cab) AS BIGINT) AS cb FROM tab GROUP BY 1),
+    tn AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM tab),
+    scored AS (
+      SELECT p.doc_id,
+             COALESCE((9 * t.cab * 16384) // (10 * ta.ca), 0)
+             + COALESCE((1 * tb.cb * 16384)
+                        // (10 * (SELECT n FROM tn)), 0)
+             - ((9 * r.cab * 16384) // (10 * ra.ca)
+                + (1 * rb.cb * 16384) // (10 * (SELECT n FROM rn)))
+               AS w
+      FROM pos p
+      JOIN rab r USING (bg)
+      JOIN ra ON ra.a = substring(p.bg, 1, 1)
+      JOIN rb ON rb.b = substring(p.bg, 2, 1)
+      LEFT JOIN tab t USING (bg)
+      LEFT JOIN ta ON ta.a = substring(p.bg, 1, 1)
+      LEFT JOIN tb ON tb.b = substring(p.bg, 2, 1)),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(w) AS BIGINT) AS w_fp
+            FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_pairs, w_fp,
+           CAST((w_fp * 16384) // n_pairs AS BIGINT) AS w_mean_fp
+    FROM agg
+    ORDER BY w_mean_fp DESC, doc_id
+    LIMIT 100
+"""
+
+
 QUERIES["bpe_two_merges"] = bpe_two_merges
 ORACLES["bpe_two_merges"] = """
     WITH p1 AS (

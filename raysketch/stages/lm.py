@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["train_char_bigram_counts", "CharBigramLMScore",
-           "char_bigram_lm_scores"]
+           "char_bigram_lm_scores", "fp_pair_scores"]
 
 _S = 16384  # 2^14 fixed-point scale
 _LAM_NUM = 9
@@ -70,6 +70,28 @@ def train_char_bigram_counts(ds, text_col: str = "text") -> np.ndarray:
         for row in blk.column("v").to_pylist():
             total += np.asarray(row, dtype=np.int64)
     return total
+
+
+def fp_pair_scores(a: np.ndarray, b: np.ndarray,
+                   counts: np.ndarray) -> np.ndarray:
+    """Per-pair exact fixed-point interpolated probability under the LM
+    given by a 65536-entry bigram count vector, SAFE for pairs the
+    model never saw (a subset-trained model — the DSIR target LM —
+    can meet unseen contexts): t1 is 0 when c(ab)=0 or c(a·)=0, t2 is
+    0 when the model is empty. Matches the SQL statement
+    COALESCE((9·cab·S)//(10·ca),0) + COALESCE((1·cb·S)//(10·N),0)
+    term by term (LEFT-JOIN nulls ≡ zero counts)."""
+    m = np.asarray(counts, dtype=np.int64).reshape(256, 256)
+    cab = m.reshape(-1)[a * 256 + b]
+    ca = m.sum(axis=1)[a]
+    cb = m.sum(axis=0)[b]
+    n = int(m.sum())
+    t1 = np.where(ca > 0,
+                  (_LAM_NUM * cab * _S) // np.maximum(_LAM_DEN * ca, 1),
+                  np.int64(0))
+    t2 = ((_LAM_DEN - _LAM_NUM) * cb * _S) // (_LAM_DEN * n) \
+        if n > 0 else np.zeros(len(b), dtype=np.int64)
+    return t1 + t2
 
 
 class CharBigramLMScore:

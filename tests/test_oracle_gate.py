@@ -62,6 +62,7 @@ FAST_SUBSET = [
     "semdedup_embeddings",
     "token_budget_select",
     "domain_mix_select",
+    "dsir_select_docs",
     "max_repeat_run_docs",
     "decontaminate_fuzzy_docs",
     "histogram_order_price",

@@ -1890,3 +1890,45 @@ def test_lm_score_gibberish_ranking(ray_session):
     worst_fluent = mean_p[out["kind"] == 0].min()
     best_gibber = mean_p[out["kind"] == 1].max()
     assert best_gibber < worst_fluent
+
+
+def test_dsir_importance_separates_target_domain(ray_session):
+    """DSIR-style importance weights (target LM minus raw LM, exact
+    fixed point) rank every target-domain (fluent English) doc above
+    every off-domain (uniform gibberish) doc; fp_pair_scores is safe
+    on pairs the subset-trained target LM never saw (term -> 0)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from raysketch.stages.lm import (_pair_arrays, fp_pair_scores,
+                                     train_char_bigram_counts)
+
+    rng = np.random.default_rng(43)
+    fluent = ["the quiet river turns east before the old stone bridge",
+              "a language model assigns higher probability to prose",
+              "she opened the window and the rain came in softly"] * 4
+    gibber = ["".join(chr(c) for c in rng.integers(33, 127, size=80))
+              for _ in range(8)]
+    rows = pd.DataFrame(
+        [{"doc_id": i, "text": t, "kind": int(i >= len(fluent))}
+         for i, t in enumerate(fluent + gibber)])
+    ds = ray.data.from_pandas(rows).repartition(3)
+    tgt = ds.filter(lambda r: r["kind"] == 0)
+    ct = train_char_bigram_counts(tgt)
+    cr = train_char_bigram_counts(ds)
+
+    w_mean = {}
+    for _, r in rows.iterrows():
+        a, b, _ = _pair_arrays([r["text"]])
+        w = int((fp_pair_scores(a, b, ct)
+                 - fp_pair_scores(a, b, cr)).sum())
+        w_mean[r["doc_id"]] = w / len(a)
+    worst_target = min(w_mean[i] for i in rows[rows["kind"] == 0].doc_id)
+    best_off = max(w_mean[i] for i in rows[rows["kind"] == 1].doc_id)
+    assert best_off < worst_target
+
+    # unseen-pair safety: a byte pair absent from BOTH corpora
+    a = np.array([1], dtype=np.int64)
+    b = np.array([2], dtype=np.int64)
+    assert fp_pair_scores(a, b, ct)[0] == 0
