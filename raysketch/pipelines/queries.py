@@ -11272,6 +11272,123 @@ ORACLES["dsir_select_docs"] = """
 """
 
 
+def bpe_encode_docs(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer APPLY — encode the corpus with its own learned merges
+    (the other half of the train→apply loop bpe_two_merges /
+    bpe_train_merges opened): learn the 2 merges, then ONE zero-shuffle
+    broadcast-merge-table pass rewrites every doc with the same greedy
+    `replace_substring` semantics training used and reports per-doc
+    (n_bytes, n_tokens) — byte-level BPE, so n_tokens = byte length of
+    the rewritten text (each merge symbol is the 1-byte \\x01/\\x02).
+    The N-merge symbol-corpus encoder (stages/bpe.py bpe_encode) is
+    equality-locked to this string path in pytest; this entry keeps
+    the SQL-statable 2-merge form so the whole train+apply composition
+    value-hash-checks."""
+    m = bpe_two_merges(sf_dir)
+    p1, p2 = str(m["pair"][0]), str(m["pair"][1])
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column("text"), "")
+        r = pc.replace_substring(
+            pc.replace_substring(txt, pattern=p1, replacement="\x01"),
+            pattern=p2, replacement="\x02")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bytes": pc.cast(pc.binary_length(txt), pa.int64()),
+            "n_tokens": pc.cast(pc.binary_length(r), pa.int64()),
+        })
+
+    out = ds.map_batches(enc, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "n_bytes": "int64",
+                 "n_tokens": "int64"})
+
+
+QUERIES["bpe_encode_docs"] = bpe_encode_docs
+ORACLES["bpe_encode_docs"] = """
+    WITH p1 AS (
+      SELECT substring(text, i, 2) AS bg
+      FROM (SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+            FROM documents)),
+    t1 AS (SELECT bg FROM p1 GROUP BY bg
+           ORDER BY COUNT(*) DESC, bg LIMIT 1),
+    d2 AS (SELECT doc_id, text,
+                  replace(text, (SELECT bg FROM t1), chr(1)) AS r1
+           FROM documents),
+    p2 AS (
+      SELECT substring(r1, i, 2) AS bg
+      FROM (SELECT r1, unnest(generate_series(1, length(r1) - 1)) AS i
+            FROM d2)),
+    t2 AS (SELECT bg FROM p2 GROUP BY bg
+           ORDER BY COUNT(*) DESC, bg LIMIT 1)
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(replace(r1, (SELECT bg FROM t2), chr(2)))
+                AS BIGINT) AS n_tokens
+    FROM d2 ORDER BY doc_id
+"""
+
+
+def badwords_filter_docs(sf_dir: str,
+                         words: tuple = ("slow", "dup")) -> pd.DataFrame:
+    """C4-style blocklist filter (Raffel et al. 2020 removed any page
+    containing a listed word): flag every doc containing a blocklist
+    WORD — exact whitespace-token match, not substring, so 'duplicate'
+    does not trip 'dup' — and report the per-source audit (docs,
+    flagged docs, total blocklisted token occurrences). One
+    zero-shuffle pass: split once, flatten, membership against the
+    broadcast list, per-doc fold by np.add.at over the list-offset
+    parent index; partials collapse to ≤n_sources rows per batch."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    blocked = pa.array(list(words))
+
+    def audit(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        hit = pc.is_in(toks.flatten(), value_set=blocked) \
+            .to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(t.num_rows), counts)
+        bad = np.zeros(t.num_rows, dtype=np.int64)
+        if len(hit):
+            np.add.at(bad, doc, hit.astype(np.int64))
+        df = pd.DataFrame({
+            "source": t.column("source").to_pandas(),
+            "n_docs": 1,
+            "n_flagged": (bad > 0).astype(np.int64),
+            "n_bad_tokens": bad})
+        return df.groupby("source", as_index=False).sum()
+
+    out = ds.map_batches(audit, batch_format="pyarrow").to_pandas() \
+        .groupby("source", as_index=False)[
+            ["n_docs", "n_flagged", "n_bad_tokens"]].sum()
+    return out.sort_values("source").reset_index(drop=True) \
+        .astype({"source": "str", "n_docs": "int64",
+                 "n_flagged": "int64", "n_bad_tokens": "int64"})
+
+
+QUERIES["badwords_filter_docs"] = badwords_filter_docs
+ORACLES["badwords_filter_docs"] = """
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    per_doc AS (
+      SELECT doc_id, source,
+             CAST(SUM(CASE WHEN w IN ('slow', 'dup')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad
+      FROM tok GROUP BY doc_id, source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(bad) AS BIGINT) AS n_bad_tokens
+    FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 QUERIES["bpe_two_merges"] = bpe_two_merges
 ORACLES["bpe_two_merges"] = """
     WITH p1 AS (

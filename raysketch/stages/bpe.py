@@ -29,7 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["bpe_train"]
+__all__ = ["bpe_train", "bpe_encode"]
 
 
 def _to_symbol_rows(text_col: str):
@@ -202,3 +202,44 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 50,
         merges, columns=["round", "left", "right", "new_sym", "n"]) \
         .astype({c: "int64" for c in
                  ("round", "left", "right", "new_sym", "n")})
+
+
+def bpe_encode(ds, merges: pd.DataFrame, text_col: str = "text",
+               id_col: str = "doc_id"):
+    """Apply a learned merge table (bpe_train output) to a document
+    Dataset — the tokenizer-APPLY half of the train→apply loop.
+    Merges apply in training order with the same greedy left-to-right
+    non-overlapping semantics training used (Sennrich'16 encode).
+
+    Distributed shape: the ≤n_merges-row merge table is a plain
+    closure constant (bytes, not an object-store citizen); encoding is
+    ONE zero-shuffle map_batches pass — each batch becomes one flat
+    int32 symbol run (docs joined by the 0 boundary, which no merge
+    can cross since training masks boundary pairs), every merge is a
+    vectorized scan over the run, and per-doc token counts fall out of
+    one bincount over separator-cumsum doc indices. Returns a Dataset
+    of (id, n_bytes, n_tokens)."""
+    mlist = [(int(r.left), int(r.right), int(r.new_sym))
+             for r in merges.itertuples()]
+
+    def enc(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        nd = len(texts)
+        bs = [(x or "").encode("utf-8") for x in texts]
+        seq = np.frombuffer(b"\x00".join(bs), dtype=np.uint8) \
+            .astype(np.int32)
+        for a, b, z in mlist:
+            kept = _greedy_sites(seq, a, b)
+            if len(kept):
+                seq = _apply_merge(seq, kept, z)
+        doc = np.cumsum(seq == 0)
+        ntok = np.bincount(doc[seq != 0], minlength=nd) if len(seq) \
+            else np.zeros(nd, dtype=np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_bytes": pa.array(np.array([len(x) for x in bs],
+                                         dtype=np.int64)),
+            "n_tokens": pa.array(ntok.astype(np.int64)),
+        })
+
+    return ds.map_batches(enc, batch_format="pyarrow")

@@ -63,6 +63,8 @@ FAST_SUBSET = [
     "token_budget_select",
     "domain_mix_select",
     "dsir_select_docs",
+    "bpe_encode_docs",
+    "badwords_filter_docs",
     "max_repeat_run_docs",
     "decontaminate_fuzzy_docs",
     "histogram_order_price",

@@ -1932,3 +1932,39 @@ def test_dsir_importance_separates_target_domain(ray_session):
     a = np.array([1], dtype=np.int64)
     b = np.array([2], dtype=np.int64)
     assert fp_pair_scores(a, b, ct)[0] == 0
+
+
+def test_bpe_encode_symbols_equals_string_replace(ray_session):
+    """bpe_encode (int32 symbol-corpus apply) produces exactly the
+    token counts of sequential str.replace with the learned merges —
+    same greedy left-to-right non-overlapping semantics for N merges,
+    including merges whose operands are earlier merge symbols."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from raysketch.stages.bpe import bpe_encode, bpe_train
+
+    rng = np.random.default_rng(7)
+    words = ["the", "batch", "merge", "aaa", "abab", "sort"]
+    docs = [" ".join(rng.choice(words, size=rng.integers(3, 30)))
+            for _ in range(40)] + ["", "a"]
+    rows = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    ds = ray.data.from_pandas(rows).repartition(3)
+
+    merges = bpe_train(ds, n_merges=6)
+    assert len(merges) == 6
+
+    out = bpe_encode(ds, merges).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    sym_char = {s: chr(s) for s in range(1, 256)}
+    for r in merges.itertuples():
+        sym_char[int(r.new_sym)] = chr(0xE000 + int(r.new_sym))
+    for i, text in enumerate(docs):
+        s = text
+        for r in merges.itertuples():
+            s = s.replace(sym_char[int(r.left)] + sym_char[int(r.right)],
+                          sym_char[int(r.new_sym)])
+        assert out.loc[i, "n_tokens"] == len(s), (i, text, s)
+        assert out.loc[i, "n_bytes"] == len(text.encode())
