@@ -549,6 +549,22 @@ def kll_text_len_by_role(sf_dir: str) -> pd.DataFrame:
         .sort_values("role").reset_index(drop=True)
 
 
+def ddsketch_text_len(sf_dir: str) -> pd.DataFrame:
+    """Relative-error quantile sketching (DDSketch, VLDB'19) — the
+    third quantile family beside KLL/t-digest, with a VALUE-relative
+    guarantee (est within α=1% of the true quantile value) instead of
+    a rank bound. Its merge is a commutative bucket-count SUM over
+    exact-integer boundaries (sketches/ddsketch.py), so unlike the
+    other two this entry folds straight through Ray's nondeterministic
+    dynamic batcher (plain sketch_aggregate, no per-file-fold crutch)
+    and is STILL byte-deterministic at any parallelism — pytest locks
+    partition-count invariance, the sweep locks rerun equality."""
+    ds = _text_len_ds(sf_dir)
+    est = sketch_aggregate(ds, "ddsketch", on="text_len",
+                           mode="estimate")
+    return _one_row(**est)
+
+
 def tdigest_text_len(sf_dir: str) -> pd.DataFrame:
     return _text_len_quantiles(sf_dir, "tdigest", compression=200)
 
@@ -676,6 +692,7 @@ QUERIES = {
     "cms_tool_top10": cms_tool_top10,
     "tdigest_text_len": tdigest_text_len,
     "kll_text_len": kll_text_len,
+    "ddsketch_text_len": ddsketch_text_len,
     "bloom_conv_membership": bloom_conv_membership,
 }
 

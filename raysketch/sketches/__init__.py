@@ -3,6 +3,7 @@ from .bloom import BloomFilter
 from .bottomk import BottomK, set_op_estimates
 from .cms import CountMin
 from .countsketch import CountSketch
+from .ddsketch import DDSketch
 from .hll import HLL
 from .setsketch import ExactSet
 from .kll import KLL
@@ -16,6 +17,7 @@ SKETCHES = {
     "bloom": BloomFilter,
     "countmin": CountMin,
     "countsketch": CountSketch,
+    "ddsketch": DDSketch,
     "kll": KLL,
     "tdigest": TDigest,
     "set": ExactSet,
@@ -28,6 +30,7 @@ __all__ = [
     "BloomFilter",
     "CountMin",
     "CountSketch",
+    "DDSketch",
     "KLL",
     "TDigest",
     "ExactSet",

@@ -297,7 +297,7 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
                         sig_col: str = "minhash", max_bucket_size: int = 1000,
                         num_salts: int = 256, dedupe: str = "shuffle",
                         screen_threshold: float | None = None,
-                        defer_above: int = 64):
+                        defer_above: int = 16):
     """Signatures → LSH banding → candidate pairs with estimated Jaccard.
 
     The distributed shape follows the bucket-exchange LSH join of
@@ -331,6 +331,10 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
     emits only their est-passing pairs (flagged to bypass n_bands
     filters) — output-identical to full-clique emission + est-verify,
     without materializing O(m²) pair rows for template mega-buckets.
+    ``defer_above`` trades clique pair rows (m(m−1)/2 × 24 B) against
+    screen member rows (m × sig bytes): 16 measured best at sf0.1
+    (buckets 17+ carry 2.6× more pairs than members; below that the
+    signature wire outweighs the pair rows — 8 measured WORSE).
     """
     buckets = sig_ds.map_batches(
         _make_minhash_band_rows(id_col, sig_col, num_bands, num_salts),
@@ -818,16 +822,25 @@ def estimate_pair_jaccard(pairs_df, sig_ds, id_col: str = "doc_id",
 
     ia, oka = rows_of("id_a")
     ib, okb = rows_of("id_b")
-    # chunked matrix comparison: one full-width fancy-index would
-    # allocate 2 × n_pairs × P × 8 fresh bytes (first-touch page
-    # faults run ~70 MB/s on this host — measured 75 s for 764k
-    # pairs); 64k-pair chunks reuse the allocator pool (~13 s → ~3 s)
+    # chunked matrix comparison with PREALLOCATED gather buffers:
+    # chunking alone still allocated 2 × step × P × 8 fresh bytes per
+    # chunk (the 64 MB buffers exceed the allocator arena threshold, so
+    # every chunk paid first-touch faults again — measured 4-6.5 s for
+    # 417k pairs); np.take(..., out=) reuses one pair of buffers for
+    # the whole loop (0.7 s warm, bit-identical)
     est = np.empty(len(ia), dtype=np.float64)
     P = arr.shape[1] if arr.ndim == 2 else 1
     step = 65536
+    ba = np.empty((min(step, len(ia)), P), dtype=arr.dtype)
+    bb = np.empty_like(ba)
+    eq = np.empty(ba.shape, dtype=bool)
     for s in range(0, len(ia), step):
         e = min(s + step, len(ia))
-        est[s:e] = (arr[ia[s:e]] == arr[ib[s:e]]).sum(axis=1) / P
+        m = e - s
+        np.take(arr, ia[s:e], axis=0, out=ba[:m])
+        np.take(arr, ib[s:e], axis=0, out=bb[:m])
+        np.equal(ba[:m], bb[:m], out=eq[:m])
+        est[s:e] = eq[:m].sum(axis=1) / P
     est[~(oka & okb)] = 0.0
     out["est_jaccard"] = est
     return out

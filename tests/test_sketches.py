@@ -602,3 +602,98 @@ class TestCountSketch:
             CountSketch.from_bytes(b"nope")
         with pytest.raises(ValueError):
             CountSketch(width=64, depth=4)  # even depth: no median row
+
+
+class TestDDSketch:
+    """DDSketch (Masson et al. VLDB'19): value-relative quantile
+    guarantee, exact-integer bucket boundaries (no libm), and the
+    family's headline property here — commutative additive merges that
+    are byte-deterministic at ANY partitioning and merge order, with
+    no per-file-fold crutch."""
+
+    def _vals(self, n=100000, seed=11):
+        rng = np.random.default_rng(seed)
+        return rng.integers(1, 10**12, size=n)
+
+    def test_relative_error_bound(self):
+        from raysketch.sketches import DDSketch
+
+        vals = self._vals()
+        s = DDSketch(a_num=1, a_den=100)  # alpha = 1%
+        s.add_batch(vals)
+        sv = np.sort(vals)
+        for q in (0.001, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999):
+            true = float(sv[max(1, int(np.ceil(q * len(sv)))) - 1])
+            assert abs(s.quantile(q) - true) <= 0.01 * true + 1e-9
+
+    def test_merge_any_partition_any_order_byte_identical(self):
+        import random
+
+        from raysketch.sketches import DDSketch
+
+        vals = self._vals(n=20000, seed=3)
+        whole = DDSketch()
+        whole.add_batch(vals)
+        for n_parts, seed in ((2, 0), (7, 1), (64, 2)):
+            parts = np.array_split(vals, n_parts)
+            sks = []
+            for p in parts:
+                d = DDSketch()
+                d.add_batch(p)
+                sks.append(d)
+            random.Random(seed).shuffle(sks)
+            m = sks[0]
+            for d in sks[1:]:
+                m = m.merge(d)
+            assert m.to_bytes() == whole.to_bytes()
+
+    def test_exact_integer_thresholds(self):
+        from fractions import Fraction
+
+        from raysketch.sketches.ddsketch import _thresholds
+
+        t = _thresholds(1, 100)
+        g = Fraction(101, 99)
+        for k in (0, 1, 7, 99, 1000, len(t) - 2):
+            assert t[k] == int(g ** (k + 1))
+        assert t[-1] == (1 << 63) - 1  # covers all of int64
+        assert len(t) < 2500  # log-bounded: no collapse pass needed
+
+    def test_zero_negative_and_wire(self):
+        from raysketch.sketches import DDSketch
+
+        s = DDSketch()
+        s.add_batch(np.array([-1000, -10, 0, 0, 10, 1000]))
+        assert s.n == 6 and s.zero == 2
+        assert s.quantile(0.5) == 0.0
+        assert s.quantile(1.0) > 0 and s.quantile(0.01) < 0
+        rt = DDSketch.from_bytes(s.to_bytes())
+        assert rt.to_bytes() == s.to_bytes()
+        with pytest.raises(ValueError):
+            s.merge(DDSketch(a_num=2, a_den=100))
+        with pytest.raises(ValueError):
+            DDSketch.from_bytes(b"nope")
+        with pytest.raises(ValueError):
+            DDSketch(a_num=100, a_den=100)
+
+    def test_distributed_fold_bit_identical_any_parallelism(self, ray_session):
+        """The engine-level claim: plain sketch_aggregate through Ray's
+        nondeterministic dynamic batcher, at different partition counts,
+        produces the IDENTICAL DDSketch — no per-file fold needed."""
+        import pandas as pd
+        import ray.data
+
+        from raysketch.agg import sketch_aggregate
+        from raysketch.sketches import DDSketch
+
+        vals = self._vals(n=50000, seed=9)
+        df = pd.DataFrame({"v": vals})
+        blobs = []
+        for n_blocks in (1, 4, 16):
+            ds = ray.data.from_pandas(df).repartition(n_blocks)
+            blobs.append(sketch_aggregate(ds, "ddsketch", on="v",
+                                          mode="bytes"))
+        assert blobs[0] == blobs[1] == blobs[2]
+        ref = DDSketch()
+        ref.add_batch(vals)
+        assert blobs[0] == ref.to_bytes()
