@@ -565,6 +565,29 @@ def ddsketch_text_len(sf_dir: str) -> pd.DataFrame:
     return _one_row(**est)
 
 
+def ddsketch_text_len_by_role(sf_dir: str) -> pd.DataFrame:
+    """Grouped cell of the third quantile family: per-role text-length
+    quantiles via DDSketch. Unlike the KLL/t-digest grouped twins this
+    needs NO per-(file,role) fold — commutative bucket-sum merges make
+    the plain grouped dynamic-batch fold byte-deterministic; the role
+    domain is tiny so the merge is the one-global-tree-reduce path
+    (by_mode="global", the by-role HLL precedent)."""
+    ds = transcripts_ds(sf_dir, columns=["text", "role"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "role": t.column("role"),
+            "text_len": pc.cast(pc.utf8_length(t.column("text")),
+                                pa.int64())}),
+        batch_format="pyarrow")
+    out = sketch_aggregate(ds, "ddsketch", on="text_len", by="role",
+                           mode="estimate", by_mode="global")
+    q = pd.DataFrame(list(out["ddsketch_merged"]))
+    res = pd.concat([out[["role"]].reset_index(drop=True),
+                     q.reset_index(drop=True)], axis=1)
+    return res.astype({"n": "int64"}) \
+        .sort_values("role").reset_index(drop=True)
+
+
 def tdigest_text_len(sf_dir: str) -> pd.DataFrame:
     return _text_len_quantiles(sf_dir, "tdigest", compression=200)
 
@@ -16661,6 +16684,7 @@ def recluster_transcripts(sf_dir: str) -> pd.DataFrame:
 
 QUERIES["kll_text_len_by_role"] = kll_text_len_by_role
 QUERIES["tdigest_text_len_by_role"] = tdigest_text_len_by_role
+QUERIES["ddsketch_text_len_by_role"] = ddsketch_text_len_by_role
 QUERIES["recluster_transcripts"] = recluster_transcripts
 def top_pmi_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Top-k word pairs by PMI over the windowed co-occurrence counts —

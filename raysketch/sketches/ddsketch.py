@@ -22,12 +22,13 @@ collapse pass is ever needed — which is what keeps ingestion
 order-independent (standard implementations' lowest-bucket collapse
 depends on arrival order).
 
-Estimate: the arithmetic mid of the bucket's integer range
-[t_{k−1}+1, t_k]; since t_k/t_{k−1} ≤ γ, the worst-case relative
-error is ≤ (γ−1)/(γ+1) = α. Quantile rank convention: lower element
-at rank ⌈q·n⌉ (1-based), matching the engine's PERCENTILE_DISC
-convention. Zeros (and negatives, via a mirrored store) are tracked
-exactly / symmetrically.
+Estimate: the textbook representative 2γ^(k+1)/(γ+1) of the bucket's
+REAL range (γ^k, γ^(k+1)] — relative error exactly ≤ (γ−1)/(γ+1) = α
+against every value in the bucket (an integer midpoint does NOT make
+the bound for small values — see _tables). Quantile rank convention:
+lower element at rank ⌈q·n⌉ (1-based), matching the engine's
+PERCENTILE_DISC convention. Zeros (and negatives, via a mirrored
+store) are tracked exactly / symmetrically.
 """
 
 from __future__ import annotations
@@ -41,31 +42,46 @@ __all__ = ["DDSketch"]
 
 _MAGIC = b"RSDD"
 
-#: thresholds cache keyed by (a_num, a_den) — process-local, pure
-_THRESHOLDS: dict[tuple[int, int], np.ndarray] = {}
+#: (thresholds, representatives) cache keyed by (a_num, a_den) —
+#: process-local, pure
+_TABLES: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
 
-def _thresholds(a_num: int, a_den: int) -> np.ndarray:
-    """int64 array T with T[k] = ⌊γ^(k+1)⌋ (bucket k holds values in
-    (T[k−1], T[k]]), exact big-int arithmetic, covering int64."""
+def _tables(a_num: int, a_den: int) -> tuple[np.ndarray, np.ndarray]:
+    """(T, R): T[k] = ⌊γ^(k+1)⌋ (bucket k holds integer values in
+    (T[k−1], T[k]] ⊂ (γ^k, γ^(k+1)], since ⌊γ^k⌋+1 > γ^k), and R[k] =
+    the textbook representative 2γ^(k+1)/(γ+1), whose relative error
+    vs ANY v in the real bucket is exactly ≤ (γ−1)/(γ+1) = α — an
+    integer/arithmetic midpoint does NOT satisfy the bound for small
+    values (bucket {63,64}: mid 63 errs 1 > α·64). Exact big-int
+    arithmetic throughout; R materialized via correctly-rounded
+    Fraction→float."""
     key = (a_num, a_den)
-    got = _THRESHOLDS.get(key)
+    got = _TABLES.get(key)
     if got is not None:
         return got
+    from fractions import Fraction
+
     p, q = a_den + a_num, a_den - a_num
-    out = []
-    num, den = p, q  # γ^1
+    ts, rs = [], []
+    num, den = p, q  # γ^(k+1) as num/den, starting at k=0
     lim = (1 << 63) - 1
     while True:
         t = num // den
-        out.append(min(t, lim))
+        ts.append(min(t, lim))
+        # 2·γ^(k+1)/(γ+1) = 2·num/(den·(p+q)/q) = 2·num·q/(den·(p+q))
+        rs.append(float(Fraction(2 * num * q, den * (p + q))))
         if t >= lim:
             break
         num *= p
         den *= q
-    arr = np.array(out, dtype=np.int64)
-    _THRESHOLDS[key] = arr
-    return arr
+    out = (np.array(ts, dtype=np.int64), np.array(rs, dtype=np.float64))
+    _TABLES[key] = out
+    return out
+
+
+def _thresholds(a_num: int, a_den: int) -> np.ndarray:
+    return _tables(a_num, a_den)[0]
 
 
 class DDSketch:
@@ -136,11 +152,8 @@ class DDSketch:
         return self
 
     # ----------------------------------------------------------- queries
-    def _bucket_mid(self, k: int) -> int:
-        t = _thresholds(self.a_num, self.a_den)
-        lo = int(t[k - 1]) + 1 if k > 0 else 1
-        hi = int(t[k])
-        return (lo + hi) // 2
+    def _bucket_rep(self, k: int) -> float:
+        return float(_tables(self.a_num, self.a_den)[1][k])
 
     def quantile(self, q: float) -> float:
         """Value at 1-based rank ⌈q·n⌉ (lower element, PERCENTILE_DISC
@@ -152,15 +165,15 @@ class DDSketch:
         for k in sorted(self.neg, reverse=True):
             acc += self.neg[k]
             if acc >= rank:
-                return float(-self._bucket_mid(k))
+                return float(-self._bucket_rep(k))
         acc += self.zero
         if acc >= rank:
             return 0.0
         for k in sorted(self.pos):
             acc += self.pos[k]
             if acc >= rank:
-                return float(self._bucket_mid(k))
-        return float(self._bucket_mid(max(self.pos)))  # pragma: no cover
+                return float(self._bucket_rep(k))
+        return float(self._bucket_rep(max(self.pos)))  # pragma: no cover
 
     def finalize(self) -> dict:
         return {"n": self.n,

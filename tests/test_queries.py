@@ -828,3 +828,31 @@ def test_tfidf_fallback_equal(ray_session):
     a = Q.tfidf_top_terms(SF_DIR)
     b = Q.tfidf_top_terms(SF_DIR, vocab_cap=1)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ddsketch_text_len_by_role(truth):
+    """Grouped DDSketch: per-role quantiles within the VALUE-relative
+    alpha=1% bound vs exact (lower-element rank convention), per-role n
+    exact, and rerun equality (commutative merges need no per-file
+    fold)."""
+    out = Q.ddsketch_text_len_by_role(SF_DIR)
+    lens = truth.assign(L=truth["text"].str.len())
+    assert set(out["role"]) == set(truth["role"].unique())
+    for _, r in out.iterrows():
+        grp = np.sort(lens.loc[lens["role"] == r["role"], "L"].to_numpy())
+        assert r["n"] == len(grp)
+        for q in (0.5, 0.9, 0.99):
+            true = float(grp[max(1, int(np.ceil(q * len(grp)))) - 1])
+            assert abs(r[f"p{int(q*100)}"] - true) <= 0.01 * true + 1e-9
+
+    b = Q.ddsketch_text_len_by_role(SF_DIR)
+    pd.testing.assert_frame_equal(out, b)
+
+
+def test_ddsketch_text_len_global(truth):
+    out = Q.ddsketch_text_len(SF_DIR)
+    grp = np.sort(truth["text"].str.len().to_numpy())
+    assert int(out["n"][0]) == len(grp)
+    for q in (0.5, 0.9, 0.99):
+        true = float(grp[max(1, int(np.ceil(q * len(grp)))) - 1])
+        assert abs(out[f"p{int(q*100)}"][0] - true) <= 0.01 * true + 1e-9
