@@ -11429,6 +11429,135 @@ ORACLES["badwords_filter_docs"] = """
 """
 
 
+def ccnet_perplexity_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet's head/middle/tail LM-quality bucketing (Wenzek et al.
+    2020 §4: per LANGUAGE, rank documents by LM score and cut into
+    terciles — the standard pre-filter shape for web-crawl corpora).
+    Score = the engine's exact fixed-point mean transition probability
+    (stages/lm.py; monotone twin of negative perplexity, so the same
+    ordering with no float log hazard). Distributed shape: one
+    zero-shuffle LM training pass, one broadcast scoring pass emitting
+    24-byte (key, lang, score) rows — key packs (lang, score desc,
+    doc_id) into one int64 so ONE `ordered_prefix_scan` range exchange
+    yields every doc's within-language rank; tercile boundaries follow
+    SQL NTILE semantics exactly (first n%3 tiles get the extra row).
+    Output: per (lang, bucket) doc count + exact score sum."""
+    import ray
+
+    from ..stages.lm import CharBigramLMScore, train_char_bigram_counts
+    from ..stages.scan import ordered_prefix_scan
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ref = ray.put(train_char_bigram_counts(ds))
+
+    def per_lang(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": t.column("lang").to_pandas(), "n": 1})
+        return df.groupby("lang", as_index=False).sum()
+
+    pl = ds.map_batches(per_lang, batch_format="pyarrow").to_pandas() \
+        .groupby("lang", as_index=False)["n"].sum() \
+        .sort_values("lang").reset_index(drop=True)
+    langs = pl["lang"].to_numpy()
+    n_lang = pl["n"].to_numpy(dtype=np.int64)
+    before = np.concatenate(([0], np.cumsum(n_lang)[:-1]))
+    if len(langs) >= (1 << 15):
+        raise ValueError("lang domain too wide for the packed scan key")
+
+    holder: list = []
+
+    def keyed(t: pa.Table) -> pa.Table:
+        if not holder:
+            holder.append(CharBigramLMScore(ref))
+        sc = holder[0](t)
+        np_ = sc.column("n_pairs").to_numpy(zero_copy_only=False)
+        fp = sc.column("lm_score_fp").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        lid = np.searchsorted(langs, t.column("lang")
+                              .to_numpy(zero_copy_only=False))
+        keep = np_ > 0
+        ids, lid, np_, fp = ids[keep], lid[keep], np_[keep], fp[keep]
+        s_mean = (fp * np.int64(16384)) // np_  # nonneg: floor ≡ trunc
+        if len(ids) and (ids.max() >= (1 << 20)
+                         or s_mean.max() >= (1 << 28)):
+            raise ValueError("scan key fields overflow: widen the packing")
+        inv = (np.int64(1 << 28) - 1) - s_mean
+        key = ((lid.astype(np.int64) << np.int64(48))
+               | (inv << np.int64(20)) | ids)
+        return pa.table({"key": pa.array(key),
+                         "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+                         "lid": pa.array(lid.astype(np.int64)),
+                         "s_mean": pa.array(s_mean)})
+
+    scan = ordered_prefix_scan(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "key", "one", op="sum", carry_cols=["lid", "s_mean"])
+
+    def bucketize(t: pa.Table) -> pd.DataFrame:
+        lid = t.column("lid").to_numpy(zero_copy_only=False)
+        rank = t.column("prefix").to_numpy(zero_copy_only=False) \
+            - before[lid]
+        s = t.column("s_mean").to_numpy(zero_copy_only=False)
+        n_l = n_lang[lid]
+        q, r = n_l // 3, n_l % 3
+        big = r * (q + 1)
+        tile = np.where(q == 0, rank,
+                        np.where(rank < big, rank // np.maximum(q + 1, 1),
+                                 r + (rank - big) // np.maximum(q, 1)))
+        df = pd.DataFrame({"lid": lid, "bucket": tile.astype(np.int64),
+                           "n_docs": 1, "sum_score": s})
+        return df.groupby(["lid", "bucket"], as_index=False).sum()
+
+    p = scan.map_batches(bucketize, batch_format="pyarrow").to_pandas() \
+        .groupby(["lid", "bucket"], as_index=False)[
+            ["n_docs", "sum_score"]].sum()
+    out = pd.DataFrame({
+        "lang": langs[p["lid"].to_numpy()],
+        "bucket": p["bucket"].to_numpy(dtype=np.int64),
+        "n_docs": p["n_docs"].to_numpy(dtype=np.int64),
+        "sum_score": p["sum_score"].to_numpy(dtype=np.int64)})
+    return out.sort_values(["lang", "bucket"]).reset_index(drop=True) \
+        .astype({"lang": "str", "bucket": "int64",
+                 "n_docs": "int64", "sum_score": "int64"})
+
+
+QUERIES["ccnet_perplexity_buckets"] = ccnet_perplexity_buckets
+ORACLES["ccnet_perplexity_buckets"] = """
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 1)) AS i
+      FROM documents),
+    p AS (SELECT doc_id, substring(text, i, 2) AS bg FROM pos),
+    cab AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cab FROM p GROUP BY bg),
+    ca AS (SELECT substring(bg, 1, 1) AS a,
+                  CAST(SUM(cab) AS BIGINT) AS ca FROM cab GROUP BY 1),
+    cb AS (SELECT substring(bg, 2, 1) AS b,
+                  CAST(SUM(cab) AS BIGINT) AS cb FROM cab GROUP BY 1),
+    n AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM cab),
+    scored AS (
+      SELECT p.doc_id,
+             (9 * c.cab * 16384) // (10 * a.ca)
+             + (1 * b.cb * 16384) // (10 * (SELECT n FROM n)) AS s
+      FROM p
+      JOIN cab c USING (bg)
+      JOIN ca a ON a.a = substring(p.bg, 1, 1)
+      JOIN cb b ON b.b = substring(p.bg, 2, 1)),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(s) AS BIGINT) AS fp
+            FROM scored GROUP BY doc_id),
+    ranked AS (
+      SELECT d.lang, (agg.fp * 16384) // agg.n_pairs AS s_mean,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY (agg.fp * 16384) // agg.n_pairs DESC,
+                                     d.doc_id) AS b
+      FROM documents d JOIN agg ON agg.doc_id = d.doc_id
+      WHERE agg.n_pairs > 0)
+    SELECT lang, CAST(b - 1 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s_mean) AS BIGINT) AS sum_score
+    FROM ranked GROUP BY lang, b ORDER BY lang, bucket
+"""
+
+
 QUERIES["bpe_two_merges"] = bpe_two_merges
 ORACLES["bpe_two_merges"] = """
     WITH p1 AS (

@@ -363,9 +363,11 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
             lambda t: t.filter(pc.less(
                 t.column("truncated_bucket"), pa.scalar(_MARK_DEFER))),
             batch_format="pyarrow")
-        if deferred.count() > 0:
+        n_def = deferred.count()
+        if n_def > 0:
             pairs = pairs.union(_screen_deferred_buckets(
-                deferred, sig_ds, id_col, sig_col, screen_threshold))
+                deferred, sig_ds, id_col, sig_col, screen_threshold,
+                n_deferred=n_def))
 
     if dedupe == "raw":  # caller picks the dedupe tier after counting
         return pairs
@@ -619,7 +621,9 @@ def _make_band_pair_emitter(id_col: str, max_bucket_size: int,
 
 def _screen_deferred_buckets(deferred_ds, sig_ds, id_col: str, sig_col: str,
                              threshold: float, num_buckets: int = 64,
-                             bloom_bits: int = 1 << 22):
+                             bloom_bits: int = 1 << 22,
+                             broadcast_limit: int = 100_000,
+                             n_deferred: int | None = None):
     """Exact in-place verification of big LSH buckets: attach member
     signatures via one Bloom-pruned hash exchange, then compute the
     FULL pairwise signature-agreement matrix inside each bucket task
@@ -640,11 +644,66 @@ def _screen_deferred_buckets(deferred_ds, sig_ds, id_col: str, sig_col: str,
     ``deferred_ds`` rows: (id_a=member, id_b=bucket_key, marker). NOT
     sound for exact-TEXT verification (see minhash_band_floor): equal
     signatures ≠ equal texts — callers gate on verify="estimate".
-    Returns pair rows (id_a, id_b, truncated_bucket=1)."""
+    Returns pair rows (id_a, id_b, truncated_bucket=1).
+
+    Tiering: ≤ ``broadcast_limit`` deferral rows take the DRIVER tier —
+    one distributed gather of the member signatures, then the same
+    per-bucket tiled agreement locally (the whole screen compute is
+    ~10⁸ element ops at sf0.1) — replacing the Bloom pass + union + two
+    exchanges with ONE dataset execution (each exchange is ~1 s of
+    fixed overhead at any sf). Past the limit the exchange path runs
+    unchanged (template mega-corpora at 100 TB)."""
     import pandas as pd
     import ray
 
     from .joins import _build_key_bloom
+
+    if n_deferred is None:
+        n_deferred = deferred_ds.count()
+    if n_deferred <= broadcast_limit:
+        dd = deferred_ds.to_pandas()
+        t = _gather_rows_by_id(sig_ds, id_col, set(dd["id_a"]))
+        gids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mat = np.asarray(t.column(sig_col).combine_chunks().flatten()
+                         .to_numpy(zero_copy_only=False)) \
+            .reshape(len(gids), -1)
+        gorder = np.argsort(gids)
+        gids, mat = gids[gorder], mat[gorder]
+        bk = dd["id_b"].to_numpy(dtype=np.int64)
+        ids = dd["id_a"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, bk))
+        bk, ids = bk[order], ids[order]
+        rows = np.searchsorted(gids, ids)  # every member was gathered
+        P = mat.shape[1]
+        need = int(np.ceil(threshold * P - 1e-9))
+        starts = np.nonzero(np.r_[True, bk[1:] != bk[:-1]])[0]
+        ends = np.r_[starts[1:], len(bk)]
+        out_a, out_b = [], []
+        for s0, e0 in zip(starts, ends):
+            m = e0 - s0
+            if m < 2:
+                continue
+            sub_rows = rows[s0:e0]
+            sub_ids = ids[s0:e0]
+            bm = mat[sub_rows]
+            for i0 in range(0, m, 128):  # tile: ≤128×m×P bools
+                blk = (bm[i0: i0 + 128, None, :] == bm[None, :, :]) \
+                    .sum(axis=2)
+                ii, jj = np.nonzero(blk >= need)
+                gi = ii + i0
+                keep = gi < jj
+                out_a.append(sub_ids[gi[keep]])
+                out_b.append(sub_ids[jj[keep]])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array(a.astype(np.int64)),
+            "id_b": pa.array(b.astype(np.int64)),
+            "truncated_bucket": pa.array(
+                np.ones(len(a), dtype=np.int64))}))
 
     B = np.uint64(num_buckets)
 
@@ -822,25 +881,20 @@ def estimate_pair_jaccard(pairs_df, sig_ds, id_col: str = "doc_id",
 
     ia, oka = rows_of("id_a")
     ib, okb = rows_of("id_b")
-    # chunked matrix comparison with PREALLOCATED gather buffers:
-    # chunking alone still allocated 2 × step × P × 8 fresh bytes per
-    # chunk (the 64 MB buffers exceed the allocator arena threshold, so
-    # every chunk paid first-touch faults again — measured 4-6.5 s for
-    # 417k pairs); np.take(..., out=) reuses one pair of buffers for
-    # the whole loop (0.7 s warm, bit-identical)
-    est = np.empty(len(ia), dtype=np.float64)
+    # PER-COLUMN gathers instead of (n_pairs × P) row-matrix gathers:
+    # materializing both sides as big matrices pays first-touch page
+    # faults on 10⁸-byte buffers every call (measured 4-15 s for 417k
+    # pairs; np.take(out=) also hits numpy's slow buffered path). One
+    # pass per signature column gathers m elements from a ~40 KB
+    # cache-resident column and accumulates the agreement count —
+    # 0.25 s for the same input, cold or warm, no large allocations.
     P = arr.shape[1] if arr.ndim == 2 else 1
-    step = 65536
-    ba = np.empty((min(step, len(ia)), P), dtype=arr.dtype)
-    bb = np.empty_like(ba)
-    eq = np.empty(ba.shape, dtype=bool)
-    for s in range(0, len(ia), step):
-        e = min(s + step, len(ia))
-        m = e - s
-        np.take(arr, ia[s:e], axis=0, out=ba[:m])
-        np.take(arr, ib[s:e], axis=0, out=bb[:m])
-        np.equal(ba[:m], bb[:m], out=eq[:m])
-        est[s:e] = eq[:m].sum(axis=1) / P
+    arrT = np.ascontiguousarray(arr.T.reshape(P, -1))
+    cnt = np.zeros(len(ia), dtype=np.int16)  # P ≤ 32767 agreements
+    for j in range(P):
+        col = arrT[j]
+        cnt += col[ia] == col[ib]
+    est = cnt / P
     est[~(oka & okb)] = 0.0
     out["est_jaccard"] = est
     return out

@@ -65,6 +65,7 @@ FAST_SUBSET = [
     "dsir_select_docs",
     "bpe_encode_docs",
     "badwords_filter_docs",
+    "ccnet_perplexity_buckets",
     "max_repeat_run_docs",
     "decontaminate_fuzzy_docs",
     "histogram_order_price",

@@ -1968,3 +1968,37 @@ def test_bpe_encode_symbols_equals_string_replace(ray_session):
                           sym_char[int(r.new_sym)])
         assert out.loc[i, "n_tokens"] == len(s), (i, text, s)
         assert out.loc[i, "n_bytes"] == len(text.encode())
+
+
+def test_screen_broadcast_tier_equals_exchange_tier(ray_session):
+    """_screen_deferred_buckets' driver/broadcast tier (small deferral
+    sets: one gather, local tiled agreement) emits exactly the pair set
+    of the exchange tier (Bloom prune + union + two groupbys), so the
+    tier cut is invisible to every downstream consumer."""
+    import functools
+
+    import numpy as np
+
+    import raysketch.stages.dedup as D
+
+    rng = np.random.default_rng(23)
+    ids, S = _mk_sig_table(rng, 128, cluster=90, exact_copies=0, junk=80)
+    sigs = _sig_ds(ids, S)
+    raw_b = D.lsh_candidate_pairs(sigs, "doc_id", num_bands=16,
+                                  dedupe="shuffle", screen_threshold=0.9)
+    df_b = raw_b.to_pandas().sort_values(["id_a", "id_b"]) \
+        .reset_index(drop=True)
+
+    orig = D._screen_deferred_buckets
+    D._screen_deferred_buckets = functools.partial(orig, broadcast_limit=0)
+    try:
+        raw_e = D.lsh_candidate_pairs(sigs, "doc_id", num_bands=16,
+                                      dedupe="shuffle", screen_threshold=0.9)
+        df_e = raw_e.to_pandas().sort_values(["id_a", "id_b"]) \
+            .reset_index(drop=True)
+    finally:
+        D._screen_deferred_buckets = orig
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(df_b, df_e)
+    assert len(df_b) > 0
