@@ -16916,14 +16916,11 @@ _GATE_PRIORITY = [
     "q19_disjunctive_revenue", "q20_majority_suppliers",
     "sole_return_suppliers", "q22_idle_rich_customers",
     "top_customer_by_nation",
-    # window-function family (trimmed to fit the round-4 additions
-    # inside the 50-entry snapshot; the full replica and FAST_SUBSET
-    # still gate the rest)
-    "events_lag_delta", "events_window_frame",
-    "rolling7_distinct_users",
     # dedup / LLM-pipeline anchors (round-4 additions front-loaded:
     # tiled cosine, trained SemDeDup, LM quality score, generalized
-    # BPE — VERDICT r03 item 8)
+    # BPE, and the data-mixing trio — VERDICT r03 item 8; the window
+    # family moved fully to FAST_SUBSET + the full replica to make
+    # room inside the 50-entry snapshot)
     "dedup_docs_exact", "minhash_dedup_planted",
     "embedding_dedup_planted", "ngram_jaccard_pairs",
     "incremental_dedup_docs", "bpe_two_merges",
@@ -16931,6 +16928,8 @@ _GATE_PRIORITY = [
     "decontaminate_fuzzy_docs", "token_budget_select",
     "lm_score_docs", "top_cosine_pairs",
     "semdedup_trained_embeddings", "bpe_train_merges",
+    "ccnet_perplexity_buckets", "dsir_select_docs",
+    "domain_mix_select",
     # join family
     "revenue_by_nation", "join_lineitem_orders",
 ]
