@@ -660,8 +660,17 @@ def _screen_deferred_buckets(deferred_ds, sig_ds, id_col: str, sig_col: str,
 
     if n_deferred is None:
         n_deferred = deferred_ds.count()
+    dd = None
     if n_deferred <= broadcast_limit:
         dd = deferred_ds.to_pandas()
+        # the driver tier is single-threaded: gate on the actual tiled
+        # agreement WORK (Σ m(m−1)/2 over buckets), not the row count —
+        # conv-scale deferred sets (few huge buckets) pack 10⁷⁺ pair
+        # comparisons into 100k rows and belong on the exchange tier
+        sizes = dd.groupby("id_b").size().to_numpy()
+        if int((sizes * (sizes - 1) // 2).sum()) > 1_000_000:
+            dd = None
+    if dd is not None:
         t = _gather_rows_by_id(sig_ds, id_col, set(dd["id_a"]))
         gids = t.column(id_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
