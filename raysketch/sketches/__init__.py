@@ -8,6 +8,7 @@ from .hll import HLL
 from .setsketch import ExactSet
 from .kll import KLL
 from .misragries import MisraGries
+from .req import REQ
 from .tdigest import TDigest
 
 #: name → class registry used by the Ray aggregation layer and checkpoints
@@ -22,6 +23,7 @@ SKETCHES = {
     "tdigest": TDigest,
     "set": ExactSet,
     "misragries": MisraGries,
+    "req": REQ,
 }
 
 __all__ = [
@@ -35,6 +37,7 @@ __all__ = [
     "TDigest",
     "ExactSet",
     "MisraGries",
+    "REQ",
     "MergeableSketch",
     "SKETCHES",
     "hash_column",

@@ -697,3 +697,79 @@ class TestDDSketch:
         ref = DDSketch()
         ref.add_batch(vals)
         assert blobs[0] == ref.to_bytes()
+
+
+class TestREQ:
+    """REQ relative-error quantiles (PODS'21 shape, engineering
+    variant — see module docstring): tail rank error bounded relative
+    to the TAIL size, strictly better than additive-KLL at the extreme
+    tail, deterministic content-coin compaction."""
+
+    def _vals(self, dist, n=10**6, seed=2):
+        rng = np.random.default_rng(seed)
+        return (rng.uniform(0, 1e9, n) if dist == "uniform"
+                else rng.pareto(1.5, n) * 1000)
+
+    @pytest.mark.parametrize("dist", ["uniform", "pareto"])
+    def test_tail_rank_error_relative(self, dist):
+        from raysketch.sketches import REQ
+
+        vals = self._vals(dist)
+        sv = np.sort(vals)
+        n = len(sv)
+        r = REQ(k=128)
+        r.add_batch(vals)
+        assert sum(len(l) for l in r.levels) < 50 * 128  # sublinear state
+        for q in (0.9, 0.99, 0.999, 0.9999):
+            est = r.quantile(q)
+            tr = np.searchsorted(sv, est, side="right")
+            rel_tail = abs(tr - q * n) / max(1, n - q * n + 1)
+            assert rel_tail <= 0.15, (q, rel_tail)  # measured ≤ 0.045
+
+    def test_tail_beats_additive_kll(self):
+        from raysketch.sketches import KLL, REQ
+
+        vals = self._vals("uniform")
+        sv = np.sort(vals)
+        n = len(sv)
+        r = REQ(k=128)
+        r.add_batch(vals)
+        kl = KLL(k=200)  # comparable state size
+        kl.add_batch(vals)
+        q = 0.9999
+        err = {}
+        for name, sk in (("req", r), ("kll", kl)):
+            tr = np.searchsorted(sv, sk.quantile(q), side="right")
+            err[name] = abs(tr - q * n) / max(1, n - q * n + 1)
+        assert err["req"] < err["kll"] / 10
+
+    def test_merge_commutative_bytes_and_wire(self):
+        from raysketch.sketches import REQ
+
+        vals = self._vals("uniform", n=50000, seed=5)
+        a1, b1, a2, b2 = (REQ(k=64) for _ in range(4))
+        a1.add_batch(vals[:30000]); a2.add_batch(vals[:30000])
+        b1.add_batch(vals[30000:]); b2.add_batch(vals[30000:])
+        m1 = a1.merge(b1)
+        m2 = b2.merge(a2)
+        assert m1.to_bytes() == m2.to_bytes()
+        rt = REQ.from_bytes(m1.to_bytes())
+        assert rt.to_bytes() == m1.to_bytes() and rt.n == m1.n
+        with pytest.raises(ValueError):
+            m1.merge(REQ(k=32))
+        with pytest.raises(ValueError):
+            REQ.from_bytes(b"zzzz")
+        with pytest.raises(ValueError):
+            REQ(k=7)
+
+    def test_top_items_exact_below_protection(self):
+        """The top-k items of level 0 are never compacted: with
+        n <= 2k the sketch is exact everywhere."""
+        from raysketch.sketches import REQ
+
+        vals = np.arange(1, 201, dtype=np.float64)
+        r = REQ(k=128)
+        r.add_batch(vals)
+        for q in (0.1, 0.5, 0.9, 1.0):
+            want = np.quantile(vals, q, method="lower")
+            assert abs(r.quantile(q) - want) <= 1.0
