@@ -577,6 +577,31 @@ def req_text_len_tails(sf_dir: str) -> pd.DataFrame:
     return _text_len_quantiles(sf_dir, "req", k=128)
 
 
+def req_text_len_tails_by_role(sf_dir: str) -> pd.DataFrame:
+    """Grouped cell of the REQ family: per-role extreme-tail quantiles,
+    one partial per (file, role) + lexicographic per-group blob merges
+    (the KLL/t-digest grouped-determinism discipline — REQ compaction
+    is order-sensitive too)."""
+    import glob
+
+    from ..agg import sketch_aggregate_files
+
+    n_turns = max(1000, int(sf_of(sf_dir) * _TURNS_PER_SF))
+    tpath = write_transcripts(n_turns)
+    files = sorted(glob.glob(os.path.join(tpath, "*.parquet")))
+    out = sketch_aggregate_files(
+        files, "req", on="text", by=["role"],
+        column_fn=lambda t: pc.cast(pc.utf8_length(t.column("text")),
+                                    pa.int64()),
+        mode=lambda acc: acc.finalize(), k=128,
+    ).to_pandas()
+    q = pd.DataFrame(list(out["req_merged"]))
+    res = pd.concat([out[["role"]].reset_index(drop=True),
+                     q.reset_index(drop=True)], axis=1)
+    return res.astype({"n": "int64"}) \
+        .sort_values("role").reset_index(drop=True)
+
+
 def ddsketch_text_len_by_role(sf_dir: str) -> pd.DataFrame:
     """Grouped cell of the third quantile family: per-role text-length
     quantiles via DDSketch. Unlike the KLL/t-digest grouped twins this
@@ -16827,6 +16852,7 @@ def recluster_transcripts(sf_dir: str) -> pd.DataFrame:
 QUERIES["kll_text_len_by_role"] = kll_text_len_by_role
 QUERIES["tdigest_text_len_by_role"] = tdigest_text_len_by_role
 QUERIES["ddsketch_text_len_by_role"] = ddsketch_text_len_by_role
+QUERIES["req_text_len_tails_by_role"] = req_text_len_tails_by_role
 QUERIES["recluster_transcripts"] = recluster_transcripts
 def top_pmi_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Top-k word pairs by PMI over the windowed co-occurrence counts —
