@@ -577,6 +577,42 @@ def req_text_len_tails(sf_dir: str) -> pd.DataFrame:
     return _text_len_quantiles(sf_dir, "req", k=128)
 
 
+def lm_score_turns_by_role(sf_dir: str) -> pd.DataFrame:
+    """LM quality scoring at the engine's ACTUAL data scale — the
+    transcript table (2M turns at sf0.1; the documents table is a
+    fixed 500 rows at every sf): train the char-bigram LM over all
+    turn text in one zero-shuffle 65536-bincount pass, score every
+    turn vectorized against the broadcast counts, reduce per ROLE to
+    exact integers (turns, byte pairs, fixed-point score sum) with a
+    ≤4-row-per-batch combiner. Rows-only driver entry (the transcript
+    table is not a registered oracle view); an in-pytest DuckDB oracle
+    over the generated parquet locks exact equality at sf0.001
+    (test_lm_score_turns_by_role_oracle)."""
+    import ray
+
+    from ..stages.lm import CharBigramLMScore, train_char_bigram_counts
+
+    ds = transcripts_ds(sf_dir, columns=["role", "text"])
+    ref = ray.put(train_char_bigram_counts(ds))
+    holder: list = []
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        if not holder:
+            holder.append(CharBigramLMScore(ref, text_col="text",
+                                            id_col="role"))
+        sc = holder[0](t).to_pandas()
+        sc["n_turns"] = 1
+        return sc.groupby("role", as_index=False)[
+            ["n_turns", "n_pairs", "lm_score_fp"]].sum()
+
+    out = ds.map_batches(part, batch_format="pyarrow").to_pandas() \
+        .groupby("role", as_index=False)[
+            ["n_turns", "n_pairs", "lm_score_fp"]].sum()
+    return out.sort_values("role").reset_index(drop=True) \
+        .astype({"role": "str", "n_turns": "int64",
+                 "n_pairs": "int64", "lm_score_fp": "int64"})
+
+
 def req_text_len_tails_by_role(sf_dir: str) -> pd.DataFrame:
     """Grouped cell of the REQ family: per-role extreme-tail quantiles,
     one partial per (file, role) + lexicographic per-group blob merges
@@ -16853,6 +16889,7 @@ QUERIES["kll_text_len_by_role"] = kll_text_len_by_role
 QUERIES["tdigest_text_len_by_role"] = tdigest_text_len_by_role
 QUERIES["ddsketch_text_len_by_role"] = ddsketch_text_len_by_role
 QUERIES["req_text_len_tails_by_role"] = req_text_len_tails_by_role
+QUERIES["lm_score_turns_by_role"] = lm_score_turns_by_role
 QUERIES["recluster_transcripts"] = recluster_transcripts
 def top_pmi_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Top-k word pairs by PMI over the windowed co-occurrence counts —

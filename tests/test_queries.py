@@ -856,3 +856,62 @@ def test_ddsketch_text_len_global(truth):
     for q in (0.5, 0.9, 0.99):
         true = float(grp[max(1, int(np.ceil(q * len(grp)))) - 1])
         assert abs(out[f"p{int(q*100)}"][0] - true) <= 0.01 * true + 1e-9
+
+
+def test_lm_score_turns_by_role_oracle(ray_session):
+    """lm_score_turns_by_role ≡ a DuckDB statement of the same exact
+    fixed-point LM over the generated transcript parquet (the
+    transcript table isn't a driver oracle view, so the equality gate
+    lives here)."""
+    import glob
+
+    import duckdb
+
+    from raysketch.pipelines.queries import (_TURNS_PER_SF,
+                                             lm_score_turns_by_role,
+                                             sf_of)
+    from raysketch.sources.transcripts import write_transcripts
+
+    out = lm_score_turns_by_role(SF_DIR)
+
+    n_turns = max(1000, int(sf_of(SF_DIR) * _TURNS_PER_SF))
+    tpath = write_transcripts(n_turns)
+    files = sorted(glob.glob(f"{tpath}/*.parquet"))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW t AS SELECT role, text FROM "
+                f"read_parquet({files!r})")
+    want = con.execute("""
+        WITH pos AS (
+          SELECT role, substring(text, i, 2) AS bg
+          FROM (SELECT role, text,
+                       unnest(generate_series(1, length(text) - 1)) AS i
+                FROM t)),
+        cab AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cab
+                FROM pos GROUP BY bg),
+        ca AS (SELECT substring(bg, 1, 1) AS a,
+                      CAST(SUM(cab) AS BIGINT) AS ca FROM cab GROUP BY 1),
+        cb AS (SELECT substring(bg, 2, 1) AS b,
+                      CAST(SUM(cab) AS BIGINT) AS cb FROM cab GROUP BY 1),
+        n AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM cab),
+        scored AS (
+          SELECT p.role,
+                 (9 * c.cab * 16384) // (10 * a.ca)
+                 + (1 * b.cb * 16384) // (10 * (SELECT n FROM n)) AS s
+          FROM pos p
+          JOIN cab c USING (bg)
+          JOIN ca a ON a.a = substring(p.bg, 1, 1)
+          JOIN cb b ON b.b = substring(p.bg, 2, 1)),
+        agg AS (SELECT role, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM(s) AS BIGINT) AS lm_score_fp
+                FROM scored GROUP BY role),
+        turns AS (SELECT role, CAST(COUNT(*) AS BIGINT) AS n_turns
+                  FROM t GROUP BY role)
+        SELECT turns.role, n_turns,
+               COALESCE(n_pairs, 0) AS n_pairs,
+               COALESCE(lm_score_fp, 0) AS lm_score_fp
+        FROM turns LEFT JOIN agg USING (role)
+        ORDER BY role
+    """).fetchdf()
+    want = want.astype({"role": "str", "n_turns": "int64",
+                        "n_pairs": "int64", "lm_score_fp": "int64"})
+    pd.testing.assert_frame_equal(out, want)
