@@ -1772,6 +1772,125 @@ def conv_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def curate_conversations(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END CONVERSATION CURATION — the transcripts-payload twin
+    of curate_documents and the composition the graft is for: (1)
+    conversation near-dup components (segmented zero-shuffle
+    reconstruction → MinHash+LSH, conv_dedup_minhash) keep each
+    component's lexicographic-min conv; (2) an LM quality gate drops
+    conversations whose mean transition probability falls below 90% of
+    the corpus mean — all integer fixed point: per-turn scores reduce
+    to per-conv (pairs, score) partials, ONE conv-hash bucket exchange
+    of ≤24-byte rows, threshold gm_fp computed once in Python ints so
+    the per-conv compare (s·16384)//p < gm_fp stays int64-safe at any
+    corpus size; (3) surviving TURNS (full rows, stable (conv_id,
+    turn_idx) order preserved) land in the CHECKPOINTED per-shard sink
+    — fingerprint = sha256 of both drop sets, so a resumed run skips
+    finished shards and any changed decision re-processes exactly what
+    it must. Drop sets are O(dropped convs), never O(corpus).
+    Rows-only driver entry; pytest locks the quality-gate math against
+    a single-batch brute force and the resume behavior."""
+    import glob as _glob
+    import hashlib
+    import tempfile
+
+    import ray
+    import ray.data
+
+    from ..stages.lm import CharBigramLMScore, train_char_bigram_counts
+    from ..state.checkpoint import CheckpointedWrite
+
+    n_turns = max(1000, int(sf_of(sf_dir) * _TURNS_PER_SF))
+    tpath = write_transcripts(n_turns)
+    files = sorted(_glob.glob(os.path.join(tpath, "*.parquet")))
+
+    # ---- (1) near-dup drop set: non-minimum members per component
+    dup = conv_dedup_minhash(sf_dir)
+    if len(dup):
+        m = dup.groupby("component")["conv_id"].transform("min")
+        drop_dup = np.sort(dup.loc[dup["conv_id"] != m, "conv_id"]
+                           .to_numpy().astype(str))
+    else:
+        drop_dup = np.empty(0, dtype="U1")
+
+    # ---- (2) LM quality drop set
+    ds = transcripts_ds(sf_dir, columns=["conv_id", "text"])
+    lm_ref = ray.put(train_char_bigram_counts(ds))
+    holder: list = []
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        if not holder:
+            holder.append(CharBigramLMScore(lm_ref, text_col="text",
+                                            id_col="conv_id"))
+        sc = holder[0](t).to_pandas()
+        g = sc.groupby("conv_id", as_index=False)[
+            ["n_pairs", "lm_score_fp"]].sum()
+        h = pd.util.hash_pandas_object(g["conv_id"], index=False).to_numpy()
+        g["__b"] = (h % np.uint64(256)).astype(np.int64)
+        return g
+
+    partials = ds.map_batches(part, batch_format="pyarrow").materialize()
+    tot = partials.sum(on=["n_pairs", "lm_score_fp"])
+    gp, gs = int(tot["sum(n_pairs)"]), int(tot["sum(lm_score_fp)"])
+    # 90% of the corpus-mean transition probability, in 1/16384 units —
+    # ONE Python-int division on the driver; per-conv compares then fit
+    # int64 (s·16384 ≤ 16384²·p < 2⁶³ for p < 2³⁴ pairs per conv)
+    gm_fp = (9 * gs * 16384) // (10 * gp) if gp else 0
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("conv_id", as_index=False)[
+            ["n_pairs", "lm_score_fp"]].sum()
+        s = r["lm_score_fp"].to_numpy(dtype=np.int64)
+        p = np.maximum(r["n_pairs"].to_numpy(dtype=np.int64), 1)
+        bad = (s * np.int64(16384)) // p < gm_fp
+        out = r.loc[bad, ["conv_id"]].copy()
+        out["n"] = np.int64(0)
+        out["kind"] = np.int64(1)
+        head = pd.DataFrame({"conv_id": [""], "n": [np.int64(len(r))],
+                             "kind": [np.int64(0)]})
+        return pd.concat([out, head], ignore_index=True)
+
+    dec = partials.groupby("__b").map_groups(
+        decide, batch_format="pandas").to_pandas()
+    n_convs = int(dec.loc[dec["kind"] == 0, "n"].sum())
+    drop_q = np.sort(dec.loc[dec["kind"] == 1, "conv_id"]
+                     .to_numpy().astype(str))
+
+    # ---- (3) checkpointed turn-level write of surviving conversations
+    drop_all = np.unique(np.concatenate([drop_dup.astype(str),
+                                         drop_q.astype(str)])) \
+        if len(drop_dup) or len(drop_q) else np.empty(0, dtype="U1")
+    drop_ref = ray.put(drop_all)
+
+    def keep_rows(t: pa.Table) -> pa.Table:
+        dr = ray.get(drop_ref)
+        if not len(dr):
+            return t
+        c = t.column("conv_id").to_numpy(zero_copy_only=False).astype(str)
+        pos = np.minimum(np.searchsorted(dr, c), len(dr) - 1)
+        return t.filter(pa.array(dr[pos] != c))
+
+    fp = hashlib.sha256(("|".join(drop_all.tolist())
+                         + "|curate-conv-v1").encode()).hexdigest()[:16]
+    out_dir = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                           f"curated_convs_{sf_of(sf_dir)}")
+    sink = CheckpointedWrite(out_dir)
+    shard_dirs = sink.run(
+        files, lambda sds: sds.map_batches(keep_rows,
+                                           batch_format="pyarrow"),
+        fingerprint=fp)
+    parts = [ray.data.read_parquet(d) for d in shard_dirs]
+    written = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    return pd.DataFrame([{
+        "n_convs": np.int64(n_convs),
+        "n_dropped_dup": np.int64(len(drop_dup)),
+        "n_dropped_quality": np.int64(len(drop_q)),
+        "n_turns_written": np.int64(written.count()),
+    }]).astype({c: "int64" for c in
+                ("n_convs", "n_dropped_dup", "n_dropped_quality",
+                 "n_turns_written")})
+
+
 def audio_frame_energy(sf_dir: str) -> pd.DataFrame:
     """REAL audio decode end-to-end: a cached parquet table of real PCM
     WAV payloads → actor-pool frame sampling (built-in RIFF codec) →
@@ -1852,6 +1971,7 @@ QUERIES.update({
     "audio_frame_energy": audio_frame_energy,
     "video_frame_stats": video_frame_stats,
     "conv_dedup_minhash": conv_dedup_minhash,
+    "curate_conversations": curate_conversations,
 })
 
 ORACLES.update({

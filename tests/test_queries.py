@@ -915,3 +915,70 @@ def test_lm_score_turns_by_role_oracle(ray_session):
     want = want.astype({"role": "str", "n_turns": "int64",
                         "n_pairs": "int64", "lm_score_fp": "int64"})
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_curate_conversations_quality_gate_and_resume(ray_session):
+    """curate_conversations: the quality drop set equals a single-batch
+    brute force of the same integer math (per-conv fixed-point mean vs
+    90% of corpus mean), the written turn count equals the filter
+    applied by pandas, and a second run resumes (identical summary,
+    shard manifests untouched)."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raysketch.pipelines.queries import (_TURNS_PER_SF,
+                                             conv_dedup_minhash,
+                                             curate_conversations, sf_of)
+    from raysketch.sketches import HLL  # noqa: F401 (import sanity)
+    from raysketch.sources.transcripts import write_transcripts
+    from raysketch.stages.lm import (CharBigramLMScore,
+                                     train_char_bigram_counts)
+
+    out1 = curate_conversations(SF_DIR)
+
+    n_turns = max(1000, int(sf_of(SF_DIR) * _TURNS_PER_SF))
+    tpath = write_transcripts(n_turns)
+    files = sorted(glob.glob(f"{tpath}/*.parquet"))
+    df = pd.concat([pq.read_table(f, columns=["conv_id", "text"])
+                    .to_pandas() for f in files], ignore_index=True)
+
+    # brute-force LM gate on ONE batch (train == score corpus)
+    import ray.data
+    ds = ray.data.from_pandas(df)
+    counts = train_char_bigram_counts(ds)
+    sc = CharBigramLMScore(counts, text_col="text", id_col="conv_id")(
+        pa.Table.from_pandas(df, preserve_index=False)).to_pandas()
+    g = sc.groupby("conv_id", as_index=False)[
+        ["n_pairs", "lm_score_fp"]].sum()
+    gp, gs = int(g["n_pairs"].sum()), int(g["lm_score_fp"].sum())
+    gm_fp = (9 * gs * 16384) // (10 * gp)
+    s = g["lm_score_fp"].to_numpy(dtype=np.int64)
+    p = np.maximum(g["n_pairs"].to_numpy(dtype=np.int64), 1)
+    drop_q = set(g.loc[(s * np.int64(16384)) // p < gm_fp, "conv_id"])
+
+    dup = conv_dedup_minhash(SF_DIR)
+    drop_dup = set()
+    if len(dup):
+        m = dup.groupby("component")["conv_id"].transform("min")
+        drop_dup = set(dup.loc[dup["conv_id"] != m, "conv_id"])
+
+    assert int(out1["n_convs"][0]) == df["conv_id"].nunique()
+    assert int(out1["n_dropped_quality"][0]) == len(drop_q)
+    assert int(out1["n_dropped_dup"][0]) == len(drop_dup)
+    drop_all = drop_q | drop_dup
+    assert int(out1["n_turns_written"][0]) == \
+        int((~df["conv_id"].isin(drop_all)).sum())
+
+    # resume: manifests untouched on the second run
+    out_dir = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                           f"curated_convs_{sf_of(SF_DIR)}")
+    shard_dirs = sorted(glob.glob(os.path.join(out_dir, "shards", "*")))
+    assert shard_dirs
+    mtimes = {d: os.path.getmtime(d) for d in shard_dirs}
+    out2 = curate_conversations(SF_DIR)
+    pd.testing.assert_frame_equal(out1, out2)
+    assert {d: os.path.getmtime(d) for d in shard_dirs} == mtimes
