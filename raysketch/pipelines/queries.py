@@ -1804,6 +1804,34 @@ def curate_conversations(sf_dir: str) -> pd.DataFrame:
     tpath = write_transcripts(n_turns)
     files = sorted(_glob.glob(os.path.join(tpath, "*.parquet")))
 
+    out_dir = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                           f"curated_convs_{sf_of(sf_dir)}")
+    # ---- decision cache: the drop sets are pure functions of the
+    # input files (and the pipeline version), so a resume with an
+    # unchanged input manifest reloads them instead of re-running
+    # near-dup + LM (sf0.1 resume 35.6 s → write-skip only); any
+    # changed file invalidates the cache AND (via the fingerprint)
+    # every shard the decisions touched.
+    input_manifest = hashlib.sha256(repr(sorted(
+        (os.path.basename(f), os.path.getsize(f), os.path.getmtime(f))
+        for f in files)).encode() + b"|curate-conv-v1").hexdigest()
+    cache_path = os.path.join(out_dir, "decisions.json")
+    cached = None
+    if os.path.exists(cache_path):
+        import json
+
+        with open(cache_path) as fh:
+            c = json.load(fh)
+        if c.get("input_manifest") == input_manifest:
+            cached = c
+    if cached is not None:
+        summary, fp = cached["summary"], cached["fingerprint"]
+        drop_all = np.array(cached["drop_all"], dtype=str)
+        drop_all = np.sort(drop_all) if len(drop_all) \
+            else np.empty(0, dtype="U1")
+        return _curate_conversations_write(
+            files, drop_all, fp, out_dir, summary)
+
     # ---- (1) near-dup drop set: non-minimum members per component
     dup = conv_dedup_minhash(sf_dir)
     if len(dup):
@@ -1860,7 +1888,32 @@ def curate_conversations(sf_dir: str) -> pd.DataFrame:
     drop_all = np.unique(np.concatenate([drop_dup.astype(str),
                                          drop_q.astype(str)])) \
         if len(drop_dup) or len(drop_q) else np.empty(0, dtype="U1")
-    drop_ref = ray.put(drop_all)
+    fp = hashlib.sha256(("|".join(drop_all.tolist())
+                         + "|curate-conv-v1").encode()).hexdigest()[:16]
+    summary = {"n_convs": int(n_convs),
+               "n_dropped_dup": int(len(drop_dup)),
+               "n_dropped_quality": int(len(drop_q))}
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = cache_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"input_manifest": input_manifest, "fingerprint": fp,
+                   "drop_all": drop_all.tolist(), "summary": summary}, fh)
+    os.replace(tmp, cache_path)
+    return _curate_conversations_write(files, drop_all, fp, out_dir,
+                                       summary)
+
+
+def _curate_conversations_write(files, drop_all, fp, out_dir, summary):
+    """Write tier of curate_conversations: broadcast NOT-IN filter over
+    the drop set, checkpointed per-shard sink, summary assembly."""
+    import ray
+    import ray.data
+
+    from ..state.checkpoint import CheckpointedWrite
+
+    drop_ref = ray.put(np.asarray(drop_all))
 
     def keep_rows(t: pa.Table) -> pa.Table:
         dr = ray.get(drop_ref)
@@ -1870,10 +1923,6 @@ def curate_conversations(sf_dir: str) -> pd.DataFrame:
         pos = np.minimum(np.searchsorted(dr, c), len(dr) - 1)
         return t.filter(pa.array(dr[pos] != c))
 
-    fp = hashlib.sha256(("|".join(drop_all.tolist())
-                         + "|curate-conv-v1").encode()).hexdigest()[:16]
-    out_dir = os.path.join(tempfile.gettempdir(), "raysketch_data",
-                           f"curated_convs_{sf_of(sf_dir)}")
     sink = CheckpointedWrite(out_dir)
     shard_dirs = sink.run(
         files, lambda sds: sds.map_batches(keep_rows,
@@ -1881,14 +1930,11 @@ def curate_conversations(sf_dir: str) -> pd.DataFrame:
         fingerprint=fp)
     parts = [ray.data.read_parquet(d) for d in shard_dirs]
     written = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
-    return pd.DataFrame([{
-        "n_convs": np.int64(n_convs),
-        "n_dropped_dup": np.int64(len(drop_dup)),
-        "n_dropped_quality": np.int64(len(drop_q)),
-        "n_turns_written": np.int64(written.count()),
-    }]).astype({c: "int64" for c in
-                ("n_convs", "n_dropped_dup", "n_dropped_quality",
-                 "n_turns_written")})
+    return pd.DataFrame([{**summary,
+                          "n_turns_written": int(written.count())}]) \
+        .astype({c: "int64" for c in
+                 ("n_convs", "n_dropped_dup", "n_dropped_quality",
+                  "n_turns_written")})
 
 
 def audio_frame_energy(sf_dir: str) -> pd.DataFrame:
