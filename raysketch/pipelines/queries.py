@@ -11611,6 +11611,77 @@ ORACLES["bpe_encode_docs"] = """
 """
 
 
+def tokenize_pack_docs(sf_dir: str, seq_len: int = 512) -> pd.DataFrame:
+    """The FULL tokenizer loop as one pipeline — train → apply → pack:
+    distributed BPE training (the 2-merge SQL-statable form), corpus
+    ENCODE with the learned merges (byte-level token counts after the
+    greedy rewrites), then GPT-style packing of the encoded lengths
+    into fixed ``seq_len``-token bins via the distributed ordered
+    prefix scan. Every step of the composition value-hash-checks in
+    ONE oracle statement (training CTEs + per-doc strlen + the packing
+    window)."""
+    from ..stages.scan import ordered_prefix_sum
+
+    m = bpe_two_merges(sf_dir)
+    p1, p2 = str(m["pair"][0]), str(m["pair"][1])
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column("text"), "")
+        r = pc.replace_substring(
+            pc.replace_substring(txt, pattern=p1, replacement="\x01"),
+            pattern=p2, replacement="\x02")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.cast(pc.binary_length(r), pa.int64())})
+
+    counts = ds.map_batches(enc, batch_format="pyarrow")
+    out = ordered_prefix_sum(counts, "doc_id", "n_tokens").to_pandas()
+    out = out.rename(columns={"prefix": "tok_start"})
+    n = out["n_tokens"].to_numpy()
+    start = out["tok_start"].to_numpy()
+    out["bin_first"] = start // seq_len
+    out["bin_last"] = (start + np.maximum(n, 1) - 1) // seq_len
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_tokens": "int64", "tok_start": "int64",
+         "bin_first": "int64", "bin_last": "int64"})
+
+
+QUERIES["tokenize_pack_docs"] = tokenize_pack_docs
+ORACLES["tokenize_pack_docs"] = """
+    WITH p1 AS (
+      SELECT substring(text, i, 2) AS bg
+      FROM (SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+            FROM documents)),
+    t1 AS (SELECT bg FROM p1 GROUP BY bg
+           ORDER BY COUNT(*) DESC, bg LIMIT 1),
+    d2 AS (SELECT doc_id,
+                  replace(text, (SELECT bg FROM t1), chr(1)) AS r1
+           FROM documents),
+    p2 AS (
+      SELECT substring(r1, i, 2) AS bg
+      FROM (SELECT r1, unnest(generate_series(1, length(r1) - 1)) AS i
+            FROM d2)),
+    t2 AS (SELECT bg FROM p2 GROUP BY bg
+           ORDER BY COUNT(*) DESC, bg LIMIT 1),
+    c AS (SELECT doc_id,
+                 CAST(strlen(replace(r1, (SELECT bg FROM t2), chr(2)))
+                      AS BIGINT) AS n_tokens
+          FROM d2),
+    s AS (SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+          FROM c)
+    SELECT doc_id, n_tokens, tok_start,
+           CAST(tok_start // 512 AS BIGINT) AS bin_first,
+           CAST((tok_start + GREATEST(n_tokens, 1) - 1) // 512 AS BIGINT)
+             AS bin_last
+    FROM s ORDER BY doc_id
+"""
+
+
 def badwords_filter_docs(sf_dir: str,
                          words: tuple = ("slow", "dup")) -> pd.DataFrame:
     """C4-style blocklist filter (Raffel et al. 2020 removed any page

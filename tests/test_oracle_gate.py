@@ -66,6 +66,7 @@ FAST_SUBSET = [
     "bpe_encode_docs",
     "badwords_filter_docs",
     "ccnet_perplexity_buckets",
+    "tokenize_pack_docs",
     "max_repeat_run_docs",
     "decontaminate_fuzzy_docs",
     "histogram_order_price",
