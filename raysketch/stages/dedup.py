@@ -619,6 +619,45 @@ def _make_band_pair_emitter(id_col: str, max_bucket_size: int,
     return emit
 
 
+def _screen_rows_against_matrix(ids: np.ndarray, bk: np.ndarray,
+                                gids: np.ndarray, mat: np.ndarray,
+                                threshold: float) -> "pa.Table":
+    """Per-bucket tiled signature-agreement screen of (member, bucket)
+    rows against a sorted (gids, mat) signature matrix; emits only
+    est ≥ threshold pairs, flagged past n_bands filters. Shared by the
+    driver and distributed-broadcast screen tiers (identical output by
+    construction)."""
+    order = np.lexsort((ids, bk))
+    bk, ids = bk[order], ids[order]
+    rows = np.searchsorted(gids, ids)  # every member was gathered
+    P = mat.shape[1]
+    need = int(np.ceil(threshold * P - 1e-9))
+    starts = np.nonzero(np.r_[True, bk[1:] != bk[:-1]])[0] \
+        if len(bk) else np.empty(0, np.int64)
+    ends = np.r_[starts[1:], len(bk)] if len(bk) else starts
+    out_a, out_b = [], []
+    for s0, e0 in zip(starts, ends):
+        m = e0 - s0
+        if m < 2:
+            continue
+        sub_ids = ids[s0:e0]
+        bm = mat[rows[s0:e0]]
+        for i0 in range(0, m, 128):  # tile: ≤128×m×P bools
+            blk = (bm[i0: i0 + 128, None, :] == bm[None, :, :]) \
+                .sum(axis=2)
+            ii, jj = np.nonzero(blk >= need)
+            gi = ii + i0
+            keep = gi < jj
+            out_a.append(sub_ids[gi[keep]])
+            out_b.append(sub_ids[jj[keep]])
+    a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+    b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+    return pa.table({
+        "id_a": pa.array(a.astype(np.int64)),
+        "id_b": pa.array(b.astype(np.int64)),
+        "truncated_bucket": pa.array(np.ones(len(a), dtype=np.int64))})
+
+
 def _screen_deferred_buckets(deferred_ds, sig_ds, id_col: str, sig_col: str,
                              threshold: float, num_buckets: int = 64,
                              bloom_bits: int = 1 << 22,
@@ -663,10 +702,15 @@ def _screen_deferred_buckets(deferred_ds, sig_ds, id_col: str, sig_col: str,
     dd = None
     if n_deferred <= broadcast_limit:
         dd = deferred_ds.to_pandas()
-        # the driver tier is single-threaded: gate on the actual tiled
-        # agreement WORK (Σ m(m−1)/2 over buckets), not the row count —
-        # conv-scale deferred sets (few huge buckets) pack 10⁷⁺ pair
-        # comparisons into 100k rows and belong on the exchange tier
+        # driver tier gated on the actual tiled agreement WORK
+        # (Σ m(m−1)/2 over buckets), not the row count — conv-scale
+        # deferred sets (few huge buckets, 10⁷⁺ comparisons in 100k
+        # rows) belong on the exchange tier. A middle tier that
+        # distributed this same per-bucket screen against a broadcast
+        # signature matrix MEASURED WORSE than the exchange tier
+        # (conv sf0.1: 22-23 s vs 14-16 s — the ~100 MB gather +
+        # broadcast costs more than the exchange it saves); two tiers
+        # only, by measurement.
         sizes = dd.groupby("id_b").size().to_numpy()
         if int((sizes * (sizes - 1) // 2).sum()) > 1_000_000:
             dd = None
@@ -679,40 +723,13 @@ def _screen_deferred_buckets(deferred_ds, sig_ds, id_col: str, sig_col: str,
             .reshape(len(gids), -1)
         gorder = np.argsort(gids)
         gids, mat = gids[gorder], mat[gorder]
-        bk = dd["id_b"].to_numpy(dtype=np.int64)
-        ids = dd["id_a"].to_numpy(dtype=np.int64)
-        order = np.lexsort((ids, bk))
-        bk, ids = bk[order], ids[order]
-        rows = np.searchsorted(gids, ids)  # every member was gathered
-        P = mat.shape[1]
-        need = int(np.ceil(threshold * P - 1e-9))
-        starts = np.nonzero(np.r_[True, bk[1:] != bk[:-1]])[0]
-        ends = np.r_[starts[1:], len(bk)]
-        out_a, out_b = [], []
-        for s0, e0 in zip(starts, ends):
-            m = e0 - s0
-            if m < 2:
-                continue
-            sub_rows = rows[s0:e0]
-            sub_ids = ids[s0:e0]
-            bm = mat[sub_rows]
-            for i0 in range(0, m, 128):  # tile: ≤128×m×P bools
-                blk = (bm[i0: i0 + 128, None, :] == bm[None, :, :]) \
-                    .sum(axis=2)
-                ii, jj = np.nonzero(blk >= need)
-                gi = ii + i0
-                keep = gi < jj
-                out_a.append(sub_ids[gi[keep]])
-                out_b.append(sub_ids[jj[keep]])
-        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
-        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        tbl = _screen_rows_against_matrix(
+            dd["id_a"].to_numpy(dtype=np.int64),
+            dd["id_b"].to_numpy(dtype=np.int64),
+            gids, mat, threshold)
         import ray.data
 
-        return ray.data.from_arrow(pa.table({
-            "id_a": pa.array(a.astype(np.int64)),
-            "id_b": pa.array(b.astype(np.int64)),
-            "truncated_bucket": pa.array(
-                np.ones(len(a), dtype=np.int64))}))
+        return ray.data.from_arrow(tbl)
 
     B = np.uint64(num_buckets)
 
