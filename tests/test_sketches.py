@@ -6,6 +6,8 @@ import random
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from raysketch.sketches.bloom import BloomFilter
 from raysketch.sketches.cms import CountMin
@@ -773,3 +775,61 @@ class TestREQ:
         for q in (0.1, 0.5, 0.9, 1.0):
             want = np.quantile(vals, q, method="lower")
             assert abs(r.quantile(q) - want) <= 1.0
+
+
+class TestNewFamiliesProperties:
+    """Hypothesis property tests for the round-4 families: DDSketch's
+    α bound and partition-invariant merges, REQ's merge commutativity
+    and count conservation, on adversarially small/duplicated inputs
+    the fixed-seed tests don't reach."""
+
+    @given(
+        vals=st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                      min_size=1, max_size=400),
+        n_parts=st.integers(min_value=1, max_value=7),
+        q=st.sampled_from([0.01, 0.25, 0.5, 0.75, 0.99]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_ddsketch_alpha_bound_and_partition_invariance(
+            self, vals, n_parts, q):
+        from raysketch.sketches import DDSketch
+
+        arr = np.array(vals, dtype=np.int64)
+        whole = DDSketch()
+        whole.add_batch(arr)
+        merged = DDSketch()
+        for p in np.array_split(arr, n_parts):
+            d = DDSketch()
+            d.add_batch(p)
+            merged.merge(d)
+        assert merged.to_bytes() == whole.to_bytes()
+
+        sv = np.sort(arr)
+        true = float(sv[max(1, int(np.ceil(q * len(sv)))) - 1])
+        est = whole.quantile(q)
+        if true == 0:
+            assert est == 0.0
+        else:
+            assert abs(est - true) <= 0.01 * abs(true) + 1e-9
+
+    @given(
+        vals=st.lists(st.integers(min_value=0, max_value=10**9),
+                      min_size=2, max_size=500),
+        cut=st.floats(min_value=0.1, max_value=0.9),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_req_merge_commutative_and_n_conserved(self, vals, cut):
+        from raysketch.sketches import REQ
+
+        arr = np.array(vals, dtype=np.float64)
+        k = int(len(arr) * cut)
+        a1, b1, a2, b2 = (REQ(k=16) for _ in range(4))
+        a1.add_batch(arr[:k]); a2.add_batch(arr[:k])
+        b1.add_batch(arr[k:]); b2.add_batch(arr[k:])
+        m1, m2 = a1.merge(b1), b2.merge(a2)
+        assert m1.to_bytes() == m2.to_bytes()
+        assert m1.n == len(arr)
+        # every retained item is a real input value (no invention)
+        inp = set(arr.tolist())
+        for lvl in m1.levels:
+            assert set(lvl.tolist()) <= inp
