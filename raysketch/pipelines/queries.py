@@ -943,6 +943,34 @@ def ivf_ann_top10(sf_dir: str) -> pd.DataFrame:
     return out[["rank", "vec_id"]].reset_index(drop=True)
 
 
+def pq_ann_top10(sf_dir: str) -> pd.DataFrame:
+    """IVF-PQ ANN (Jégou PAMI'11 IVFADC): 8-byte product-quantized
+    residual codes per vector (64× smaller than the 512-byte float64
+    row at D=64 — the tier that still fits scanning at 100 TB), ADC
+    lookup-table scan over nprobe coarse buckets, exact L2 rerank of
+    the top-50 candidates against the source table. Rows-only entry
+    (k-means codebooks are not SQL-statable); pytest locks recall vs
+    brute force, build determinism, and full-rerank ≡ exact."""
+    import tempfile
+
+    from ..stages.similarity import PQIndex
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first["embedding"][0])
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), "raysketch_data", f"pq_{sf_of(sf_dir)}"
+    )
+    if os.path.exists(os.path.join(idx_dir, "codebooks.npz")):
+        idx = PQIndex.load(idx_dir)
+    else:
+        idx = PQIndex(idx_dir, n_coarse=8, n_subq=8).build(
+            ds, sample_size=256)
+    out = idx.search(np.ones(dim), k=10, nprobe=idx.n_coarse, rerank=100,
+                     source_ds=ds)
+    return out[["rank", "vec_id"]].reset_index(drop=True)
+
+
 def minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
     """Near-duplicate components over documents (MinHash+LSH)."""
     from ..stages.dedup import minhash_dedup
@@ -1082,6 +1110,7 @@ def token_count_docs(sf_dir: str) -> pd.DataFrame:
 QUERIES.update({
     "sessionize_events": sessionize_events,
     "ivf_ann_top10": ivf_ann_top10,
+    "pq_ann_top10": pq_ann_top10,
     "minhash_dedup_docs": minhash_dedup_docs,
     "simhash_dedup_docs": simhash_dedup_docs,
     "embedding_dedup_vecs": embedding_dedup_vecs,

@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 from ..util import auto_concurrency
 
-__all__ = ["brute_force_topk", "IVFIndex", "vector_centroids",
+__all__ = ["brute_force_topk", "IVFIndex", "PQIndex", "vector_centroids",
            "train_centroids"]
 
 
@@ -220,6 +220,222 @@ class IVFIndex:
         sub = ray.data.read_parquet(paths)
         out = brute_force_topk(sub, q[None, :], k=k,
                                vec_col=self.vec_col, id_col=self.id_col)
+        return out[["rank", self.id_col, "score"]]
+
+
+def _codes_to_u8(arr: pa.Array | pa.ChunkedArray, m: int) -> np.ndarray:
+    """fixed_size_binary(m) column → (n, m) uint8 matrix, zero-copy."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    buf = arr.buffers()[1]
+    off = arr.offset * m
+    return np.frombuffer(buf, dtype=np.uint8,
+                         count=len(arr) * m, offset=off).reshape(-1, m)
+
+
+def _u8_to_codes(codes: np.ndarray) -> pa.Array:
+    m = codes.shape[1]
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(m), len(codes),
+        [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())])
+
+
+class PQIndex:
+    """IVF-PQ (IVFADC): coarse inverted-file partitioning + product-
+    quantized RESIDUAL codes — the 100-TB similarity-search tier.
+
+    A D-dim float64 vector (8·D bytes; 512 B at D=64) compresses to
+    ``n_subq`` uint8 codes (8 B default) plus its coarse bucket id, so
+    the scanned index is ~64× smaller than the raw vectors and the full
+    corpus never has to be re-read to answer a query. Per Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search" (IEEE PAMI 2011):
+    residuals r = x − c_bucket are split into ``n_subq`` subspaces, each
+    quantized against its own ``n_codes``-entry codebook trained with
+    Lloyd iterations on the deterministic bounded sample
+    (:func:`deterministic_sample` — a pure function of the id set, so
+    two builds over the same data produce byte-identical codes).
+
+    search() is ADC (asymmetric distance computation): per probed
+    bucket, one (n_subq × n_codes) lookup table of exact
+    ``‖(q−c)_s − codeword‖²`` partial distances; a code's approximate
+    distance is the sum of n_subq table gathers — no decode, no float
+    reconstruction. Optional exact rerank re-scores the top-R ADC
+    candidates against the SOURCE table (one broadcast-id map_batches
+    pass; R is tiny, the corpus streams)."""
+
+    def __init__(self, index_dir: str, n_coarse: int = 8, n_subq: int = 8,
+                 n_codes: int = 256, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        self.index_dir = index_dir
+        self.n_coarse = n_coarse
+        self.n_subq = n_subq
+        self.n_codes = n_codes
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.coarse: np.ndarray | None = None       # (n_coarse, D)
+        self.codebooks: np.ndarray | None = None    # (n_subq, n_codes, D/n_subq)
+
+    # -- build -----------------------------------------------------------
+    def build(self, ds, sample_size: int = 4096, seed: int = 0,
+              iters: int = 10) -> "PQIndex":
+        import ray
+
+        os.makedirs(self.index_dir, exist_ok=True)
+        sample = deterministic_sample(ds, sample_size, self.vec_col,
+                                      self.id_col, seed)
+        dim = sample.shape[1]
+        if dim % self.n_subq:
+            raise ValueError(f"dim {dim} not divisible by n_subq {self.n_subq}")
+        dsub = dim // self.n_subq
+        self.coarse = _kmeans(sample, self.n_coarse, iters=iters, seed=seed)
+        d = ((sample[:, None, :] - self.coarse[None]) ** 2).sum(-1)
+        resid = sample - self.coarse[d.argmin(1)]
+        ks = min(self.n_codes, len(sample))
+        self.codebooks = np.stack([
+            _kmeans(resid[:, s * dsub:(s + 1) * dsub], ks,
+                    iters=iters, seed=seed + 1 + s)
+            for s in range(self.n_subq)
+        ])
+        self.n_codes = ks
+        cref = ray.put((self.coarse, self.codebooks))
+        vec_col, id_col, n_subq = self.vec_col, self.id_col, self.n_subq
+
+        def encode(t: pa.Table) -> pa.Table:
+            coarse, books = ray.get(cref)
+            emb = _batch_matrix(t, vec_col)
+            dd = ((emb**2).sum(1, keepdims=True) - 2 * emb @ coarse.T
+                  + (coarse**2).sum(1))
+            bucket = dd.argmin(1)
+            resid = emb - coarse[bucket]
+            codes = np.empty((len(emb), n_subq), dtype=np.uint8)
+            for s in range(n_subq):
+                cb = books[s]                      # (ks, dsub)
+                rs = resid[:, s * cb.shape[1]:(s + 1) * cb.shape[1]]
+                dist = ((rs**2).sum(1, keepdims=True) - 2 * rs @ cb.T
+                        + (cb**2).sum(1))
+                codes[:, s] = dist.argmin(1).astype(np.uint8)
+            return pa.table({
+                id_col: t.column(id_col),
+                "bucket": pa.array(bucket.astype(np.int64)),
+                "code": _u8_to_codes(codes),
+            })
+
+        import shutil
+
+        bdir = os.path.join(self.index_dir, "buckets")
+        shutil.rmtree(bdir, ignore_errors=True)
+        ds.map_batches(encode, batch_format="pyarrow").write_parquet(
+            bdir, partition_cols=["bucket"])
+        # codebooks written LAST: their presence marks a complete index
+        np.savez(os.path.join(self.index_dir, "codebooks.npz"),
+                 coarse=self.coarse, codebooks=self.codebooks)
+        return self
+
+    @classmethod
+    def load(cls, index_dir: str, **kw) -> "PQIndex":
+        out = cls(index_dir, **kw)
+        z = np.load(os.path.join(index_dir, "codebooks.npz"))
+        out.coarse = z["coarse"]
+        out.codebooks = z["codebooks"]
+        out.n_coarse = len(out.coarse)
+        out.n_subq, out.n_codes = out.codebooks.shape[:2]
+        return out
+
+    # -- search ----------------------------------------------------------
+    def _adc_candidates(self, q: np.ndarray, n_cand: int,
+                        nprobe: int) -> pd.DataFrame:
+        import glob
+
+        import ray.data
+
+        d = ((self.coarse - q) ** 2).sum(1)
+        probes = np.argsort(d, kind="stable")[:nprobe]
+        dsub = self.codebooks.shape[2]
+        id_col, n_subq = self.id_col, self.n_subq
+
+        def make_score(lut: np.ndarray):
+            # the (n_subq × n_codes) LUT is ~16 KB — it rides the task
+            # closure; the CODES stream from the bucket partition
+            def score(t: pa.Table) -> pa.Table:
+                codes = _codes_to_u8(t.column("code"), n_subq)
+                adc = np.zeros(len(codes), dtype=np.float64)
+                for s in range(n_subq):
+                    adc += lut[s][codes[:, s]]
+                kk = min(n_cand, len(adc))
+                keep = np.argpartition(adc, kk - 1)[:kk] if kk < len(adc) \
+                    else np.arange(len(adc))
+                return pa.table({
+                    id_col: t.column(id_col).take(pa.array(keep)),
+                    "adc": pa.array(adc[keep]),
+                })
+
+            return score
+
+        parts = []
+        for b in probes:
+            bd = os.path.join(self.index_dir, "buckets", f"bucket={int(b)}")
+            fs = sorted(glob.glob(os.path.join(bd, "*.parquet")))
+            if not fs:
+                continue
+            r = q - self.coarse[int(b)]
+            lut = np.stack([
+                ((r[s * dsub:(s + 1) * dsub] - self.codebooks[s]) ** 2).sum(1)
+                for s in range(self.n_subq)
+            ])  # (n_subq, n_codes)
+            parts.append(ray.data.read_parquet(fs)
+                         .map_batches(make_score(lut), batch_format="pyarrow"))
+        if not parts:
+            return pd.DataFrame({self.id_col: pd.Series([], dtype="int64"),
+                                 "adc": pd.Series([], dtype="float64")})
+        sub = parts[0]
+        for p in parts[1:]:
+            sub = sub.union(p)
+        cand = sub.to_pandas()
+        cand = cand.sort_values(["adc", self.id_col],
+                                ascending=[True, True], kind="stable")
+        return cand.head(n_cand).reset_index(drop=True)
+
+    def search(self, query: np.ndarray, k: int = 10, nprobe: int = 4,
+               rerank: int = 0, source_ds=None) -> pd.DataFrame:
+        """Top-k by ADC; with ``rerank=R`` and ``source_ds``, the top-R
+        ADC candidates are re-scored with EXACT L2 against the source
+        vectors (broadcast id set, one streaming pass)."""
+        q = np.asarray(query, dtype=np.float64).reshape(-1)
+        n_cand = max(k, rerank) if rerank else k
+        cand = self._adc_candidates(q, n_cand, nprobe)
+        if not rerank or source_ds is None or cand.empty:
+            out = cand.head(k).copy()
+            out["score"] = -out.pop("adc")
+        else:
+            import ray
+
+            ids = np.sort(cand[self.id_col].to_numpy())
+            idref = ray.put(ids)
+            qref = ray.put(q)
+            vec_col, id_col = self.vec_col, self.id_col
+
+            def exact(t: pa.Table) -> pa.Table:
+                want = ray.get(idref)
+                idv = t.column(id_col).to_numpy(zero_copy_only=False)
+                m = np.isin(idv, want)
+                if not m.any():
+                    return pa.table({id_col: t.column(id_col).slice(0, 0),
+                                     "d2": pa.array([], pa.float64())})
+                sel = t.filter(pa.array(m))
+                emb = _batch_matrix(sel, vec_col)
+                qq = ray.get(qref)
+                return pa.table({
+                    id_col: sel.column(id_col),
+                    "d2": pa.array(((emb - qq) ** 2).sum(1)),
+                })
+
+            ex = source_ds.map_batches(exact, batch_format="pyarrow").to_pandas()
+            ex = ex.sort_values(["d2", id_col], ascending=[True, True],
+                                kind="stable").head(k)
+            out = ex.rename(columns={"d2": "score"}).copy()
+            out["score"] = -out["score"]
+        out = out.reset_index(drop=True)
+        out["rank"] = np.arange(1, len(out) + 1)
         return out[["rank", self.id_col, "score"]]
 
 

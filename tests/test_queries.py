@@ -2,6 +2,8 @@
 deterministic transcript table (error-band enforcement that the driver's
 rows-only checks delegate to us)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow.compute as pc
@@ -329,6 +331,30 @@ def test_ivf_recall_curve_monotone_and_exhaustive(ray_session):
     assert (np.diff(hits) >= 0).all(), "recall must be monotone in nprobe"
     assert int(out["n_hits"].iloc[-1]) == int(out["n_truth"].iloc[-1]), \
         "exhaustive probe must equal brute force"
+
+
+def test_pq_ann_top10_recall_and_determinism(ray_session):
+    """The IVF-PQ query entry: recall@10 ≥ 0.8 vs exact L2 over the
+    real embeddings table, and rerun-identical (deterministic build +
+    deterministic ADC/rerank tie-breaks)."""
+    import pyarrow.parquet as papq
+
+    import __ray_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    fn = entry.queries()["pq_ann_top10"]
+    out = fn(sf_dir)
+    assert fn(sf_dir)["vec_id"].tolist() == out["vec_id"].tolist()
+    t = papq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    m = np.asarray(t.column("embedding").combine_chunks().flatten()
+                   .to_numpy(zero_copy_only=False), dtype=np.float64
+                   ).reshape(t.num_rows, -1)
+    ids = t.column("vec_id").to_numpy()
+    d2 = ((m - np.ones(m.shape[1])) ** 2).sum(1)
+    gold = set(ids[np.lexsort((ids, d2))[:10]].tolist())
+    recall = len(set(out["vec_id"]) & gold) / 10
+    assert recall >= 0.8, recall
 
 
 class TestTranscriptAudit:

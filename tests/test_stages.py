@@ -151,6 +151,80 @@ class TestSimilarity:
         got2 = reload.search(q, k=5, nprobe=4)
         assert got2["vec_id"].tolist() == got["vec_id"].tolist()
 
+    @staticmethod
+    def _pq_corpus(n=500, dim=32, seed=3):
+        import ray.data
+
+        rng = np.random.default_rng(seed)
+        mat = rng.standard_normal((n, dim)).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1).astype(np.float32)), dim
+            ).cast(pa.list_(pa.float32())),
+        })
+        # float32 storage is what search sees — score gold against it
+        return ray.data.from_arrow(tbl).repartition(4), \
+            mat.astype(np.float32).astype(np.float64)
+
+    def test_pq_recall_and_code_size(self, ray_session, tmp_path):
+        from raysketch.stages.similarity import PQIndex
+
+        ds, mat = self._pq_corpus()
+        idx = PQIndex(str(tmp_path / "pq"), n_coarse=8, n_subq=8).build(
+            ds, sample_size=256)
+        # codes are 8 bytes per vector vs 32×8 raw — assert the stored type
+        import glob
+
+        import pyarrow.parquet as papq
+
+        f = sorted(glob.glob(str(tmp_path / "pq" / "buckets" / "**" /
+                                 "*.parquet"), recursive=True))[0]
+        sch = papq.read_schema(f)
+        assert sch.field("code").type == pa.binary(8)
+        q = mat[77] + 0.01
+        gold = np.argsort(((mat - q) ** 2).sum(1), kind="stable")[:10]
+        got = idx.search(q, k=10, nprobe=8, rerank=50, source_ds=ds)
+        recall = len(set(got["vec_id"]) & set(gold.tolist())) / 10
+        assert recall >= 0.8, recall
+        assert got["vec_id"].iloc[0] == 77
+
+    def test_pq_build_deterministic(self, ray_session, tmp_path):
+        from raysketch.stages.similarity import PQIndex
+
+        ds, _ = self._pq_corpus()
+        a = PQIndex(str(tmp_path / "a"), n_coarse=4, n_subq=4).build(
+            ds, sample_size=128)
+        b = PQIndex(str(tmp_path / "b"), n_coarse=4, n_subq=4).build(
+            ds, sample_size=128)
+        assert np.array_equal(a.coarse, b.coarse)
+        assert np.array_equal(a.codebooks, b.codebooks)
+        import ray.data
+
+        def codes_of(d):
+            t = ray.data.read_parquet(str(d / "buckets")).to_pandas()
+            t["code"] = t["code"].map(bytes)
+            return t.sort_values("vec_id").reset_index(drop=True)
+
+        ca, cb = codes_of(tmp_path / "a"), codes_of(tmp_path / "b")
+        assert ca[["vec_id", "code"]].equals(cb[["vec_id", "code"]])
+
+    def test_pq_full_rerank_equals_exact(self, ray_session, tmp_path):
+        """nprobe = all buckets + rerank over EVERY indexed row ⇒ the
+        rerank pass scores the whole corpus exactly — must equal the
+        brute-force L2 top-k bit for bit."""
+        from raysketch.stages.similarity import PQIndex
+
+        ds, mat = self._pq_corpus(n=300)
+        idx = PQIndex(str(tmp_path / "pq"), n_coarse=4, n_subq=8).build(
+            ds, sample_size=128)
+        q = np.ones(mat.shape[1])
+        d2 = ((mat - q) ** 2).sum(1)
+        gold = np.lexsort((np.arange(len(mat)), d2))[:10]
+        got = idx.search(q, k=10, nprobe=4, rerank=300, source_ds=ds)
+        assert got["vec_id"].tolist() == gold.tolist()
+
 
 class TestTextStats:
     def test_token_count(self):
