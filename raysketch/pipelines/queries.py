@@ -5527,9 +5527,11 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
     clustering — are bit-identical at ANY batch/partition layout, unlike
     a float-sum fold whose result depends on Ray's nondeterministic
     batch boundaries (CLAUDE.md). Empty clusters keep their previous
-    centroid. Iterative ⇒ not SQL-expressible; the assignment inner loop
-    is oracle-checked separately (kmeans_assign_embeddings), and the
-    determinism sweep locks run-to-run equality here."""
+    centroid. Float centroids ⇒ not SQL-statable as a whole; the
+    assignment inner loop is oracle-checked separately
+    (kmeans_assign_embeddings), the determinism sweep locks run-to-run
+    equality here, and `kmeans_fixedpoint_embeddings` is the twin whose
+    EVERY round a DuckDB oracle states verbatim."""
     import ray
 
     from ..stages.similarity import _batch_matrix
@@ -17227,6 +17229,190 @@ ORACLES["cooccur_window_words"] = """
 """
 
 
+def kmeans_fixedpoint_embeddings(sf_dir: str, k: int = 8, iters: int = 4,
+                      scale: int = 4096) -> pd.DataFrame:
+    """Distributed Lloyd k-means over the embedding table, SQL-checked
+    END TO END — the fixed-point twin of `kmeans_embeddings` (whose
+    float centroids make only its inner assignment loop SQL-statable):
+    the full ITERATIVE algorithm (quantize → k rounds of assign +
+    recenter → final assignment) in exact fixed point, so the DuckDB
+    oracle states every round verbatim as unrolled CTEs and the final
+    (vec_id, cluster) frame value-hash-matches. Each round is one
+    map_batches pass emitting ≤k tiny (cid, count, int64-sum) partial
+    rows per batch — the embedding vectors cross the wire exactly once
+    (the quantized materialize); centroids ride closures. Init = the k
+    lowest vec_ids (deterministic, SQL-statable); ties break to the
+    lowest cid; recenter is floor division (``//`` with the
+    nonneg-remainder form on the SQL side — DuckDB ``//`` truncates on
+    negatives, queries.py dsir precedent)."""
+    from ..stages.similarity import kmeans_fixedpoint
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_fixedpoint(ds, k=k, iters=iters, scale=scale)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 4, scale: int = 4096) -> str:
+    parts = [f"""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {scale})
+                  AS BIGINT) AS v
+      FROM embeddings
+    ), init AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id
+            LIMIT {k})
+    ), c0 AS (
+      SELECT init.cid, q.dim, q.v AS cv
+      FROM q JOIN init ON q.vec_id = init.vec_id
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT t.vec_id, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                  ORDER BY t.d, t.cid) AS rn
+        FROM (SELECT q.vec_id, c.cid,
+                     SUM((q.v - c.cv) * (q.v - c.cv)) AS d
+              FROM q JOIN c{i - 1} c ON q.dim = c.dim
+              GROUP BY q.vec_id, c.cid) t
+      ) WHERE rn = 1
+    ), c{i} AS (
+      SELECT pc.cid, pc.dim, COALESCE(ns.cv, pc.cv) AS cv
+      FROM c{i - 1} pc LEFT JOIN (
+        SELECT a.cid, q.dim,
+               (SUM(q.v) - (((SUM(q.v) % COUNT(*)) + COUNT(*)) % COUNT(*)))
+                 // COUNT(*) AS cv
+        FROM a{i} a JOIN q ON q.vec_id = a.vec_id
+        GROUP BY a.cid, q.dim) ns
+      ON pc.cid = ns.cid AND pc.dim = ns.dim
+    )""")
+    # final assignment against the post-round centroids (the pipeline's
+    # closing assign pass runs AFTER the last recenter)
+    parts.append(f""", afin AS (
+      SELECT vec_id, cid FROM (
+        SELECT t.vec_id, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                  ORDER BY t.d, t.cid) AS rn
+        FROM (SELECT q.vec_id, c.cid,
+                     SUM((q.v - c.cv) * (q.v - c.cv)) AS d
+              FROM q JOIN c{iters} c ON q.dim = c.dim
+              GROUP BY q.vec_id, c.cid) t
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster
+    FROM afin ORDER BY vec_id""")
+    return "".join(parts)
+
+
+QUERIES["kmeans_fixedpoint_embeddings"] = kmeans_fixedpoint_embeddings
+ORACLES["kmeans_fixedpoint_embeddings"] = _kmeans_oracle()
+
+
+def join_size_view_purchase(sf_dir: str, num_buckets: int = 64
+                            ) -> pd.DataFrame:
+    """Exact join cardinality |views ⋈ purchases ON user_id| — the
+    classic Σ_u v_u·p_u inner product of the two per-key frequency
+    vectors, computed WITHOUT materializing the join: per-batch
+    value_counts pre-reduce each side to (user, v, p) partial rows, ONE
+    user-hash bucket exchange co-locates each user's partials, each
+    bucket folds to a single int64 Σ v·p row (sort + reduceat, then one
+    dot), and the driver sums ≤num_buckets rows. int64-safe whenever the
+    answer itself fits SQL BIGINT (every per-user product is ≤ the
+    total). The CMS twin `cms_join_size_user_events` estimates the same
+    number in one pass with bounded state."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        out_u, out_v, out_p = [], [], []
+        uv = t.filter(pc.equal(t.column("event_type"), "view"))
+        up = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        cv = pc.value_counts(uv.column("user_id").combine_chunks())
+        cp = pc.value_counts(up.column("user_id").combine_chunks())
+        u = np.union1d(cv.field("values").to_numpy(zero_copy_only=False)
+                       if len(cv) else np.array([], dtype=np.int64),
+                       cp.field("values").to_numpy(zero_copy_only=False)
+                       if len(cp) else np.array([], dtype=np.int64))
+        v = np.zeros(len(u), dtype=np.int64)
+        p = np.zeros(len(u), dtype=np.int64)
+        if len(cv):
+            v[np.searchsorted(u, cv.field("values").to_numpy(
+                zero_copy_only=False))] = cv.field("counts").to_numpy()
+        if len(cp):
+            p[np.searchsorted(u, cp.field("values").to_numpy(
+                zero_copy_only=False))] = cp.field("counts").to_numpy()
+        b = (_mix64(u.astype(np.uint64))
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"user_id": pa.array(u), "v": pa.array(v),
+                         "p": pa.array(p), "__b": pa.array(b)})
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("user_id")
+        u = g["user_id"].to_numpy()
+        starts = np.nonzero(np.r_[True, u[1:] != u[:-1]])[0]
+        v = np.add.reduceat(g["v"].to_numpy(), starts)
+        p = np.add.reduceat(g["p"].to_numpy(), starts)
+        return pd.DataFrame({"part": [np.dot(v, p)]}).astype("int64")
+
+    parts = ds.map_batches(part, batch_format="pyarrow") \
+        .groupby("__b").map_groups(fold_bucket, batch_format="pandas") \
+        .to_pandas()
+    return _one_row(join_size=int(parts["part"].sum()))
+
+
+QUERIES["join_size_view_purchase"] = join_size_view_purchase
+ORACLES["join_size_view_purchase"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS join_size
+    FROM (SELECT user_id FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') p
+      USING (user_id)
+"""
+
+
+def cms_join_size_user_events(sf_dir: str, width: int = 1 << 15,
+                              depth: int = 5) -> pd.DataFrame:
+    """Join-size ESTIMATION from two Count-Min sketches (Cormode–
+    Muthukrishnan §4.2): |views ⋈ purchases ON user_id| ≈ min over rows
+    of the counter-array dot product — bounded state (d×w ints per
+    side) where the exact twin `join_size_view_purchase` shuffles one
+    row per distinct key. ONE pass folds both sides' partials per batch
+    (the read dominates); merges are counter sums so the result is
+    byte-deterministic at any parallelism. Guarantee: never below the
+    true size, over by ≤ (e/w)·N_view·N_purchase w.p. ≥ 1−e^−d —
+    enforced against the exact twin in pytest. Rows-only driver entry
+    (the estimator is not SQL-statable)."""
+    from ..sketches.cms import CountMin
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        blobs = []
+        for ev in ("view", "purchase"):
+            cm = CountMin(width=width, depth=depth)
+            cm.add_batch(t.filter(
+                pc.equal(t.column("event_type"), ev)).column("user_id"))
+            blobs.append(cm.to_bytes())
+        return pa.table({"view": pa.array([blobs[0]], type=pa.binary()),
+                         "purchase": pa.array([blobs[1]], type=pa.binary())})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    sides = {}
+    for ev in ("view", "purchase"):
+        cm = CountMin(width=width, depth=depth)
+        for blob in parts[ev]:
+            cm.merge(CountMin.from_bytes(blob))
+        sides[ev] = cm
+    return _one_row(
+        join_size_est=sides["view"].inner_product(sides["purchase"]),
+        n_view=sides["view"].total, n_purchase=sides["purchase"].total)
+
+
+QUERIES["cms_join_size_user_events"] = cms_join_size_user_events
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================
@@ -17271,9 +17457,9 @@ _GATE_PRIORITY = [
     "lm_score_docs", "top_cosine_pairs",
     "semdedup_trained_embeddings", "bpe_train_merges",
     "ccnet_perplexity_buckets", "dsir_select_docs",
-    "domain_mix_select",
+    "domain_mix_select", "kmeans_fixedpoint_embeddings",
     # join family
-    "revenue_by_nation", "join_lineitem_orders",
+    "revenue_by_nation", "join_size_view_purchase",
 ]
 
 

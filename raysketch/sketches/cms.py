@@ -104,6 +104,21 @@ class CountMin:
         self.total += other.total
         return self
 
+    def inner_product(self, other: "CountMin") -> int:
+        """Join-size / inner-product estimate (Cormode–Muthukrishnan §4.2):
+        ``est = min_i Σ_j A[i][j]·B[i][j]`` over the d rows. Never
+        under-estimates (every row's dot sums true-count products plus
+        non-negative collision cross terms); over by ≤ ε·N_A·N_B with
+        probability ≥ 1−δ. Exact big-int accumulation (object-dtype dot,
+        d·w driver-side multiply-adds) so counter products can't silently
+        overflow int64 at stream scale."""
+        if (self.d, self.w) != (other.d, other.w):
+            raise ValueError(
+                "cannot inner_product CountMin sketches with different (d, w)")
+        return int(min(
+            int(np.dot(self.table[i].astype(object), other.table[i]))
+            for i in range(self.d)))
+
     def finalize(self) -> dict:
         return {"total": self.total, "width": self.w, "depth": self.d,
                 "eps_bound": math.e / self.w, "delta_bound": math.exp(-self.d)}

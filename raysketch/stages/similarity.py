@@ -23,7 +23,7 @@ import pyarrow as pa
 from ..util import auto_concurrency
 
 __all__ = ["brute_force_topk", "IVFIndex", "PQIndex", "vector_centroids",
-           "train_centroids"]
+           "train_centroids", "kmeans_fixedpoint"]
 
 
 def _batch_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
@@ -484,3 +484,124 @@ def vector_centroids(ds, vec_col: str = "embedding", by: str = "label"):
     n = np.bincount(inv, weights=ns).astype(np.int64)
     return pd.DataFrame({by: uk, "n": n,
                          "centroid": list(agg / n[:, None])})
+
+
+def kmeans_fixedpoint(ds, k: int = 8, iters: int = 4, scale: int = 4096,
+                      vec_col: str = "embedding", id_col: str = "vec_id"
+                      ) -> pd.DataFrame:
+    """Distributed Lloyd k-means over a ``list<float>`` column in EXACT
+    fixed point — the full iterative algorithm as repeated one-pass
+    combiner rounds, with integer arithmetic a SQL oracle can state
+    verbatim (no float-sum order hazard, no libm):
+
+    - quantize once: ``q = floor(float64(x) * scale)`` per dim (scale a
+      power of two so float32→float64 and the multiply are exact);
+    - init: the k lowest-``id_col`` vectors (global bottom-k via
+      per-batch bottom-k partials — deterministic at any parallelism);
+    - each round: ONE map_batches pass emits ≤k partial rows per batch
+      ``(cid, count, int64 sum-vector)``; the driver folds ≤k×n_batches
+      tiny rows and floor-divides (``np.floor_divide`` ≡ SQL
+      ``(s - ((s%n)+n)%n) // n`` for any sign); empty clusters keep
+      their previous centroid;
+    - assignment ties break to the lowest cid (``argmin`` first-hit ≡
+      ``ROW_NUMBER() OVER (ORDER BY dist, cid)``).
+
+    The quantized projection is materialized once (id + k·8 bytes per
+    row) so the per-round passes never re-read the source parquet; at
+    corpus scale it lives in / spills from the object store. The
+    returned assignment frame is O(n) rows — a production run would
+    ``write_parquet`` it instead; centroids stay K×D ints and ride task
+    closures. int64 is safe: |q| ≤ scale·max|x|, per-cluster sums are
+    bounded by n·scale·max|x| ≪ 2⁶³ for any corpus this engine can hold.
+    """
+    cent_col = "__q"
+
+    def quant(t: pa.Table) -> pa.Table:
+        mat = _batch_matrix(t, vec_col)          # float64, exact cast
+        qi = np.floor(mat * float(scale)).astype(np.int64)
+        d = qi.shape[1] if len(qi) else 0
+        return pa.table({
+            id_col: t.column(id_col),
+            cent_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(qi.ravel(), type=pa.int64()), d) if d
+            else pa.nulls(0, pa.list_(pa.int64())),
+        })
+
+    qds = ds.map_batches(quant, batch_format="pyarrow").materialize()
+
+    def _mat(t: pa.Table) -> np.ndarray:
+        c = t.column(cent_col)
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        return np.asarray(c.flatten().to_numpy(zero_copy_only=False)) \
+            .reshape(t.num_rows, -1)
+
+    def bottomk(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.argsort(ids, kind="stable")[:k]
+        keep.sort()
+        return t.take(pa.array(keep))
+
+    seed_t = pa.table(qds.map_batches(bottomk, batch_format="pyarrow")
+                      .sort(id_col).limit(k)
+                      .take_batch(k, batch_format="pyarrow"))
+    cent = _mat(seed_t)
+    dim = cent.shape[1]
+
+    def _assign(qi: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # ||q||² − 2q·c + ||c||² ; argmin first-hit = lowest-cid tie-break
+        d = ((qi * qi).sum(1)[:, None] - 2 * (qi @ c.T)
+             + (c * c).sum(1)[None, :])
+        return d.argmin(1)
+
+    for _ in range(iters):
+        cfix = cent.copy()
+
+        def partial(t: pa.Table, _c=cfix) -> pa.Table:
+            qi = _mat(t)
+            if not len(qi):
+                return pa.table({"cid": pa.array([], type=pa.int64()),
+                                 "n": pa.array([], type=pa.int64()),
+                                 "s": pa.nulls(0, pa.list_(pa.int64()))})
+            a = _assign(qi, _c)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            for j in range(k):                     # k is tiny
+                m = a == j
+                if m.any():
+                    sums[j] = qi[m].sum(0)
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            live = n > 0
+            return pa.table({
+                "cid": pa.array(np.nonzero(live)[0].astype(np.int64)),
+                "n": pa.array(n[live]),
+                "s": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums[live].ravel(), type=pa.int64()), dim),
+            })
+
+        parts = pa.table(qds.map_batches(partial, batch_format="pyarrow")
+                         .take_batch(1 << 30, batch_format="pyarrow"))
+        new = cent.copy()
+        if parts.num_rows:
+            cids = parts.column("cid").to_numpy(zero_copy_only=False)
+            ns = parts.column("n").to_numpy(zero_copy_only=False)
+            ss = np.asarray(parts.column("s").combine_chunks().flatten()
+                            .to_numpy(zero_copy_only=False)) \
+                .reshape(parts.num_rows, dim)
+            tot_n = np.bincount(cids, weights=ns, minlength=k).astype(np.int64)
+            tot_s = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(tot_s, cids, ss)
+            live = tot_n > 0
+            new[live] = np.floor_divide(tot_s[live], tot_n[live, None])
+        cent = new
+
+    cfin = cent.copy()
+
+    def assign_rows(t: pa.Table, _c=cfin) -> pa.Table:
+        qi = _mat(t)
+        a = (_assign(qi, _c) if len(qi)
+             else np.array([], dtype=np.int64))
+        return pa.table({id_col: t.column(id_col),
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    out = qds.map_batches(assign_rows, batch_format="pyarrow") \
+        .sort(id_col).to_pandas()
+    return out.reset_index(drop=True)

@@ -72,6 +72,8 @@ FAST_SUBSET = [
     "histogram_order_price",
     "funnel_view_click_purchase",
     "kmeans_assign_embeddings",
+    "kmeans_fixedpoint_embeddings",
+    "join_size_view_purchase",
     "q5_local_supplier_revenue",
     "order_count_distribution",
     "retention_cohorts",

@@ -1008,3 +1008,85 @@ def test_curate_conversations_quality_gate_and_resume(ray_session):
     out2 = curate_conversations(SF_DIR)
     pd.testing.assert_frame_equal(out1, out2)
     assert {d: os.path.getmtime(d) for d in shard_dirs} == mtimes
+
+
+# ------------------------------------------------- join-size estimation
+def test_cms_join_size_bound_vs_exact(ray_session):
+    """CMS inner-product estimate: never below the exact join size, over
+    by at most (e/w)·N_view·N_purchase (Cormode–Muthukrishnan §4.2)."""
+    import math
+
+    exact = int(Q.join_size_view_purchase(SF_DIR)["join_size"][0])
+    est = Q.cms_join_size_user_events(SF_DIR)
+    e, nv, np_ = (int(est["join_size_est"][0]), int(est["n_view"][0]),
+                  int(est["n_purchase"][0]))
+    assert e >= exact
+    assert e <= exact + math.e / (1 << 15) * nv * np_
+    # N totals travel with the sketch state
+    import duckdb
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT event_type, COUNT(*) FROM "
+        f"'{SF_DIR}/events.parquet' WHERE event_type IN ('view','purchase')"
+        " GROUP BY 1").fetchall()
+    con.close()
+    counts = dict(n)
+    assert nv == counts["view"] and np_ == counts["purchase"]
+
+
+def test_cms_inner_product_exact_no_collision_overflow():
+    """Unit: disjoint small streams → inner product 0; identical stream
+    with huge counts → big-int accumulation doesn't overflow int64."""
+    from raysketch.sketches.cms import CountMin
+
+    a = CountMin(width=256, depth=4)
+    b = CountMin(width=256, depth=4)
+    a.add_batch([f"a{i}" for i in range(50)])
+    b.add_batch([f"b{i}" for i in range(50)])
+    assert a.inner_product(b) >= 0  # collisions only
+    big = CountMin(width=8, depth=2)
+    big.add_batch(["x"], weights=np.array([1 << 62]))
+    # dot of 2^62 counters would overflow int64 pairwise products
+    assert big.inner_product(big) >= (1 << 62) ** 2
+
+
+# ------------------------------------------- fixed-point k-means (Lloyd)
+def test_kmeans_fixedpoint_partition_invariant_and_local_equal(ray_session):
+    """The distributed fixed-point run equals a single-machine numpy
+    fold of the same semantics, and is invariant to input partitioning
+    (int sums are commutative; floor-divides happen once on the driver)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    out = Q.kmeans_fixedpoint_embeddings(SF_DIR)
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    emb = np.stack(t.column("embedding").to_pandas().to_numpy())
+    order = np.argsort(ids, kind="stable")
+    ids, emb = ids[order], emb[order]
+    k, iters, scale = 8, 4, 4096
+    q = np.floor(emb.astype(np.float64) * scale).astype(np.int64)
+    cent = q[:k].copy()
+    for _ in range(iters):
+        d = (q * q).sum(1)[:, None] - 2 * (q @ cent.T) \
+            + (cent * cent).sum(1)[None, :]
+        assign = d.argmin(1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                cent[j] = np.floor_divide(q[m].sum(0), int(m.sum()))
+    d = (q * q).sum(1)[:, None] - 2 * (q @ cent.T) \
+        + (cent * cent).sum(1)[None, :]
+    ref = pd.DataFrame({"vec_id": ids,
+                        "cluster": d.argmin(1).astype(np.int64)})
+    pd.testing.assert_frame_equal(out, ref)
+
+    # partition invariance: 7-block layout → identical frame
+    from raysketch.stages.similarity import kmeans_fixedpoint
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                               columns=["vec_id", "embedding"]) \
+        .repartition(7)
+    out7 = kmeans_fixedpoint(ds, k=k, iters=iters, scale=scale)
+    pd.testing.assert_frame_equal(out7, ref)
