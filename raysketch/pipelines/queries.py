@@ -17413,6 +17413,95 @@ def cms_join_size_user_events(sf_dir: str, width: int = 1 << 15,
 QUERIES["cms_join_size_user_events"] = cms_join_size_user_events
 
 
+def source_drift_tv(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift audit across sources, SQL-checked: total-
+    variation distance between each source's char-bigram distribution
+    and the whole corpus's — the domain-shift signal a training-data
+    pipeline watches when a new crawl/source lands (KL needs libm logs;
+    TV = ½·Σ|p_s − q| is the log-free f-divergence a SQL oracle can
+    state EXACTLY: one HUGEINT-safe floor division per source,
+    ``(Σ|c_s·N − c·N_s|·10⁶) // (2·N_s·N)``). ONE zero-shuffle pass:
+    each batch emits ≤n_sources 65536-entry bincount partial rows (the
+    lm.py combiner shape, doc-boundary-masked so no cross-document
+    pairs); the driver folds and does the per-source arithmetic in
+    Python big ints, so counter products can't overflow at corpus
+    scale. Output (source, n_pairs, tv_fp6) in millionths."""
+    from ..stages.lm import _pair_arrays
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        texts = t.column("text").to_pylist()
+        if not len(src):
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "v": pa.array([], type=pa.large_binary())})
+        us, inv = np.unique(src.astype(str), return_inverse=True)
+        rows_v = []
+        for j in range(len(us)):
+            idx = np.nonzero(inv == j)[0]
+            a, b, _ = _pair_arrays([texts[i] for i in idx])
+            cnt = (np.bincount(a * 256 + b, minlength=65536)
+                   .astype(np.int64) if len(a)
+                   else np.zeros(65536, dtype=np.int64))
+            rows_v.append(cnt.tobytes())  # raw int64[65536], no py-int churn
+        return pa.table({"source": pa.array(list(us), type=pa.string()),
+                         "v": pa.array(rows_v, type=pa.large_binary())})
+
+    per_src: dict[str, np.ndarray] = {}
+    for blk in ds.map_batches(part, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for s_, row in zip(blk.column("source").to_pylist(),
+                           blk.column("v").to_pylist()):
+            acc = per_src.setdefault(s_, np.zeros(65536, dtype=np.int64))
+            acc += np.frombuffer(row, dtype=np.int64)
+    if not per_src:
+        return pd.DataFrame({"source": [],
+                             "n_pairs": pd.Series([], dtype="int64"),
+                             "tv_fp6": pd.Series([], dtype="int64")})
+    tot = np.zeros(65536, dtype=object)
+    for cnt in per_src.values():
+        tot = tot + cnt.astype(object)
+    n = int(tot.sum())
+    out = []
+    for s_ in sorted(per_src):
+        cs = per_src[s_].astype(object)
+        n_s = int(cs.sum())
+        if n_s == 0 or n == 0:
+            continue  # sources with no pairs have no distribution
+        num = int(np.abs(cs * n - tot * n_s).sum())
+        out.append((s_, n_s, (num * 1_000_000) // (2 * n_s * n)))
+    return pd.DataFrame(out, columns=["source", "n_pairs", "tv_fp6"]) \
+        .astype({"n_pairs": "int64", "tv_fp6": "int64"})
+
+
+QUERIES["source_drift_tv"] = source_drift_tv
+ORACLES["source_drift_tv"] = """
+    WITH pos AS (
+      SELECT source, unnest(generate_series(1, length(text) - 1)) AS i,
+             text
+      FROM documents),
+    p AS (SELECT source, substring(text, i, 2) AS bg FROM pos),
+    sc AS (SELECT source, bg, CAST(COUNT(*) AS BIGINT) AS c
+           FROM p GROUP BY source, bg),
+    tot AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS c FROM sc GROUP BY bg),
+    ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+           FROM sc GROUP BY source),
+    n AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM tot),
+    terms AS (
+      SELECT ns.source, ns.n_s,
+             ABS(CAST(COALESCE(sc.c, 0) AS HUGEINT) * (SELECT n FROM n)
+                 - CAST(tot.c AS HUGEINT) * ns.n_s) AS term
+      FROM ns CROSS JOIN tot
+      LEFT JOIN sc ON sc.source = ns.source AND sc.bg = tot.bg)
+    SELECT source, n_s AS n_pairs,
+           CAST((SUM(term) * 1000000)
+                // (2 * CAST(n_s AS HUGEINT) * (SELECT n FROM n))
+                AS BIGINT) AS tv_fp6
+    FROM terms GROUP BY source, n_s ORDER BY source
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -74,6 +74,7 @@ FAST_SUBSET = [
     "kmeans_assign_embeddings",
     "kmeans_fixedpoint_embeddings",
     "join_size_view_purchase",
+    "source_drift_tv",
     "q5_local_supplier_revenue",
     "order_count_distribution",
     "retention_cohorts",
