@@ -80,3 +80,31 @@ def test_merge_partition_invariance(data):
     rng.shuffle(sketches)
     merged = HLL.union(sketches)
     assert np.array_equal(merged.regs, whole.regs)
+
+
+@given(
+    st.lists(st.integers(0, 30), min_size=0, max_size=300),
+    st.lists(st.integers(0, 30), min_size=0, max_size=300),
+)
+def test_cms_inner_product_bounds(xs, ys):
+    """CMS join-size estimate: NEVER below the exact inner product of
+    the two frequency vectors (every row's dot adds only non-negative
+    collision cross terms), and exact when width ≥ universe (no
+    collisions possible... width 64 > 31 keys here with shared row
+    hashes still collides mod w, so only the lower bound + the εN₁N₂
+    ceiling are asserted; the ceiling is deterministic given fixed
+    hashes, so a failure is a real bug, not flake)."""
+    import math
+    from collections import Counter
+
+    from raysketch.sketches.cms import CountMin
+
+    a = CountMin(width=1024, depth=4)
+    b = CountMin(width=1024, depth=4)
+    a.add_batch([f"k{v}" for v in xs])
+    b.add_batch([f"k{v}" for v in ys])
+    ca, cb = Counter(xs), Counter(ys)
+    exact = sum(ca[k] * cb[k] for k in ca)
+    est = a.inner_product(b)
+    assert est >= exact
+    assert est <= exact + math.e / 1024 * len(xs) * len(ys) + 1
