@@ -17526,11 +17526,13 @@ _GATE_PRIORITY = [
     "q5_local_supplier_revenue", "q6_forecast_revenue",
     "q7_nation_pair_volume", "q8_market_share_by_year",
     "q9_profit_by_nation_year", "q10_returned_revenue_customers",
-    "important_parts", "q12_ship_delay_priority",
+    "important_parts",
     "order_count_distribution", "promo_revenue_ratio",
-    "q15_top_supplier", "q16_supplier_counts_by_brand",
-    "q17_small_quantity_revenue", "big_orders_having",
+    "q17_small_quantity_revenue",
     "q19_disjunctive_revenue", "q20_majority_suppliers",
+    # (q12/q15/q16/big_orders_having stay FAST_SUBSET-pytest-gated +
+    # full-replica-checked; swapped out of the 50-entry snapshot for
+    # the round-4 third-session oracles)
     "sole_return_suppliers", "q22_idle_rich_customers",
     "top_customer_by_nation",
     # dedup / LLM-pipeline anchors (round-4 additions front-loaded:
@@ -17547,6 +17549,7 @@ _GATE_PRIORITY = [
     "semdedup_trained_embeddings", "bpe_train_merges",
     "ccnet_perplexity_buckets", "dsir_select_docs",
     "domain_mix_select", "kmeans_fixedpoint_embeddings",
+    "source_drift_tv",
     # join family
     "revenue_by_nation", "join_size_view_purchase",
 ]
