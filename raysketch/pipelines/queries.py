@@ -17502,6 +17502,76 @@ ORACLES["source_drift_tv"] = """
 """
 
 
+def moments_text_len(sf_dir: str) -> pd.DataFrame:
+    """The moments sketch's DISTRIBUTED state, SQL-checked exactly
+    (Gan VLDB'18, sketches/moments.py — the fourth quantile family;
+    ~150-byte state, integer-addition merges): power sums
+    S_p = Σ len(text)^p for p = 1..8 accumulate as EXACT Python big
+    ints through per-batch folds and the grouped tree merge, so the
+    DuckDB oracle states the identical sums in HUGEINT (558^8 ≈ 10²²
+    overflows BIGINT at p ≥ 4) and both engines compare decimal
+    strings — a sketch family whose whole distributed surface is
+    value-hash-checkable, not just error-banded."""
+    from ..agg import sketch_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"text_len": pc.cast(
+            pc.utf8_length(t.column("text")), pa.int64())}),
+        batch_format="pyarrow")
+    est = sketch_aggregate(ds, "moments", on="text_len",
+                           mode="estimate", k=8)
+    rows = [(p, est[f"m{p}"]) for p in range(1, 9)]
+    return pd.DataFrame(rows, columns=["p", "s"]) \
+        .astype({"p": "int64", "s": "str"})
+
+
+QUERIES["moments_text_len"] = moments_text_len
+ORACLES["moments_text_len"] = """
+    WITH l AS (SELECT CAST(LENGTH(text) AS HUGEINT) AS v FROM documents)
+    SELECT CAST(p AS BIGINT) AS p, CAST(s AS VARCHAR) AS s FROM (
+      SELECT 1 AS p, SUM(v) AS s FROM l UNION ALL
+      SELECT 2, SUM(v*v) FROM l UNION ALL
+      SELECT 3, SUM(v*v*v) FROM l UNION ALL
+      SELECT 4, SUM(v*v*v*v) FROM l UNION ALL
+      SELECT 5, SUM(v*v*v*v*v) FROM l UNION ALL
+      SELECT 6, SUM(v*v*v*v*v*v) FROM l UNION ALL
+      SELECT 7, SUM(v*v*v*v*v*v*v) FROM l UNION ALL
+      SELECT 8, SUM(v*v*v*v*v*v*v*v) FROM l)
+    ORDER BY p
+"""
+
+
+def moments_quantiles_text_len(sf_dir: str) -> pd.DataFrame:
+    """Quantiles FROM the moments state (the paper's point: answer
+    quantile queries from a ~150-byte mergeable summary): document
+    text-length p10/p50/p90/p99 via the maximum-entropy density fit
+    over the exactly-merged power sums. The state merge is commutative
+    integer addition, so — like DDSketch and unlike KLL/t-digest —
+    this is bit-deterministic at any parallelism with NO per-file-fold
+    crutch; the maxent solve is a driver-side computation on 11
+    numbers. Rows-only entry (the estimate has no closed SQL form);
+    pytest holds a measured rank-error band vs the exact quantiles
+    (test_moments_quantiles_rank_error)."""
+    from ..agg import sketch_aggregate
+    from ..sketches import MomentsSketch
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"text_len": pc.cast(
+            pc.utf8_length(t.column("text")), pa.int64())}),
+        batch_format="pyarrow")
+    blob = sketch_aggregate(ds, "moments", on="text_len",
+                            mode="bytes", k=8)
+    sk = MomentsSketch.from_bytes(blob)
+    return _one_row(n=int(sk.n), vmin=int(sk.vmin), vmax=int(sk.vmax),
+                    p10=sk.quantile(0.10), p50=sk.quantile(0.50),
+                    p90=sk.quantile(0.90), p99=sk.quantile(0.99))
+
+
+QUERIES["moments_quantiles_text_len"] = moments_quantiles_text_len
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================
@@ -17549,7 +17619,7 @@ _GATE_PRIORITY = [
     "semdedup_trained_embeddings", "bpe_train_merges",
     "ccnet_perplexity_buckets", "dsir_select_docs",
     "domain_mix_select", "kmeans_fixedpoint_embeddings",
-    "source_drift_tv",
+    "source_drift_tv", "moments_text_len",
     # join family
     "revenue_by_nation", "join_size_view_purchase",
 ]

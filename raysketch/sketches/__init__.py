@@ -8,6 +8,7 @@ from .hll import HLL
 from .setsketch import ExactSet
 from .kll import KLL
 from .misragries import MisraGries
+from .moments import MomentsSketch
 from .req import REQ
 from .tdigest import TDigest
 
@@ -23,6 +24,7 @@ SKETCHES = {
     "tdigest": TDigest,
     "set": ExactSet,
     "misragries": MisraGries,
+    "moments": MomentsSketch,
     "req": REQ,
 }
 
@@ -37,6 +39,7 @@ __all__ = [
     "TDigest",
     "ExactSet",
     "MisraGries",
+    "MomentsSketch",
     "REQ",
     "MergeableSketch",
     "SKETCHES",

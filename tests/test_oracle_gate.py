@@ -75,6 +75,7 @@ FAST_SUBSET = [
     "kmeans_fixedpoint_embeddings",
     "join_size_view_purchase",
     "source_drift_tv",
+    "moments_text_len",
     "q5_local_supplier_revenue",
     "order_count_distribution",
     "retention_cohorts",

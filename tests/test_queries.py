@@ -1090,3 +1090,27 @@ def test_kmeans_fixedpoint_partition_invariant_and_local_equal(ray_session):
         .repartition(7)
     out7 = kmeans_fixedpoint(ds, k=k, iters=iters, scale=scale)
     pd.testing.assert_frame_equal(out7, ref)
+
+
+def test_moments_quantiles_text_len(ray_session):
+    """Moments-sketch quantile estimates (rows-only entry): maxent
+    rank error ≤ 3% of n vs the exact document text-length quantiles,
+    n/vmin/vmax exact, and rerun frame-equality (commutative exact
+    integer merges — deterministic at any parallelism)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = Q.moments_quantiles_text_len(SF_DIR)
+    lens = np.sort(pc.utf8_length(
+        pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["text"]).column("text")).to_numpy())
+    assert int(out["n"][0]) == len(lens)
+    assert int(out["vmin"][0]) == int(lens[0])
+    assert int(out["vmax"][0]) == int(lens[-1])
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = float(out[f"p{int(q * 100)}"][0])
+        rank_err = abs(float((lens <= est).mean()) - q)
+        assert rank_err <= 0.03, (q, est, rank_err)
+
+    b = Q.moments_quantiles_text_len(SF_DIR)
+    pd.testing.assert_frame_equal(out, b)
