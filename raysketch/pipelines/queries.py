@@ -17572,6 +17572,36 @@ def moments_quantiles_text_len(sf_dir: str) -> pd.DataFrame:
 QUERIES["moments_quantiles_text_len"] = moments_quantiles_text_len
 
 
+def fd_embedding_spectrum(sf_dir: str) -> pd.DataFrame:
+    """MATRIX sketching over the embedding corpus — Frequent Directions
+    (Liberty KDD'13 / GLPW SICOMP'16, sketches/fd.py): the top singular
+    values (≈ PCA energy) of the n×64 embedding matrix read from an
+    ℓ=32-row mergeable state, with the deterministic spectral guarantee
+    0 ⪯ AᵀA−BᵀB, ‖AᵀA−BᵀB‖₂ ≤ 2‖A‖²_F/ℓ — at 100 TB the corpus's
+    low-rank structure comes out of KB-sized partials, no n×n, no row
+    shuffle. Shrink (SVD) is order-sensitive like KLL compaction, so
+    the distributed run uses the established determinism discipline:
+    one partial per input FILE + canonical_sketch_reduce. Rows-only
+    entry (an SVD has no SQL form); pytest checks every reported σᵢ(B)²
+    against the exact σᵢ(A)² within the sketch's own a-posteriori
+    bound, plus rerun frame-equality
+    (test_fd_embedding_spectrum_vs_exact)."""
+    import glob
+
+    from ..agg import sketch_aggregate_files
+
+    files = sorted(glob.glob(os.path.join(sf_dir, "embeddings.parquet"))) \
+        or sorted(glob.glob(os.path.join(sf_dir, "embeddings", "*.parquet")))
+    est = sketch_aggregate_files(
+        files, "fd", on="embedding",
+        mode=lambda acc: acc.finalize(), ell=32,
+    )
+    return _one_row(**est)
+
+
+QUERIES["fd_embedding_spectrum"] = fd_embedding_spectrum
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -4,6 +4,7 @@ from .bottomk import BottomK, set_op_estimates
 from .cms import CountMin
 from .countsketch import CountSketch
 from .ddsketch import DDSketch
+from .fd import FrequentDirections
 from .hll import HLL
 from .setsketch import ExactSet
 from .kll import KLL
@@ -20,6 +21,7 @@ SKETCHES = {
     "countmin": CountMin,
     "countsketch": CountSketch,
     "ddsketch": DDSketch,
+    "fd": FrequentDirections,
     "kll": KLL,
     "tdigest": TDigest,
     "set": ExactSet,
@@ -35,6 +37,7 @@ __all__ = [
     "CountMin",
     "CountSketch",
     "DDSketch",
+    "FrequentDirections",
     "KLL",
     "TDigest",
     "ExactSet",

@@ -1114,3 +1114,30 @@ def test_moments_quantiles_text_len(ray_session):
 
     b = Q.moments_quantiles_text_len(SF_DIR)
     pd.testing.assert_frame_equal(out, b)
+
+
+def test_fd_embedding_spectrum_vs_exact(ray_session):
+    """FD spectrum query: every reported σᵢ(B)² within the sketch's
+    own a-posteriori shed bound of the exact σᵢ(A)², never above;
+    n / fro2 exact; rerun frame-equality (per-file folds + canonical
+    reduce make the distributed result deterministic)."""
+    import pyarrow.parquet as pq
+
+    out = Q.fd_embedding_spectrum(SF_DIR)
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                        columns=["embedding"]).column("embedding")
+    A = np.asarray(emb.combine_chunks().flatten().to_numpy(
+        zero_copy_only=False), dtype=np.float64).reshape(len(emb), -1)
+    assert int(out["n"][0]) == len(A)
+    assert abs(float(out["fro2"][0]) - float((A * A).sum())) \
+        <= 1e-6 * float(out["fro2"][0])
+    sv = np.linalg.svd(A, compute_uv=False)
+    shed = float(out["shed"][0])
+    assert shed <= float(out["bound"][0]) + 1e-9
+    for i in range(8):
+        got = float(out[f"sv{i + 1}"][0])
+        assert got <= sv[i] + 1e-6
+        assert sv[i] ** 2 - got ** 2 <= shed + 1e-6
+
+    b = Q.fd_embedding_spectrum(SF_DIR)
+    pd.testing.assert_frame_equal(out, b)

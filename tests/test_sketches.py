@@ -948,3 +948,96 @@ class TestMomentsSketch:
         ref = MomentsSketch()
         ref.add_batch(vals)
         assert blobs[0] == ref.to_bytes()
+
+
+class TestFrequentDirections:
+    """Frequent Directions (Liberty KDD'13 / GLPW SICOMP'16): the
+    matrix-sketch family — deterministic spectral guarantee
+    0 ⪯ AᵀA−BᵀB ⪯ shed·I with shed ≤ 2‖A‖²_F/ℓ, preserved under the
+    paper's append-and-reshrink merge."""
+
+    def _mat(self, n=2000, d=64, seed=1):
+        rng = np.random.default_rng(seed)
+        U = rng.normal(size=(n, 5))
+        V = rng.normal(size=(5, d))
+        return U @ V * 3 + rng.normal(size=(n, d)) * 0.5
+
+    def test_spectral_guarantee_single_pass(self):
+        from raysketch.sketches import FrequentDirections
+
+        A = self._mat()
+        fd = FrequentDirections(ell=32)
+        fd.add_batch(A)
+        B = fd._final_rows()
+        diff = np.linalg.eigvalsh(A.T @ A - B.T @ B)
+        assert diff.min() >= -1e-6  # AᵀA − BᵀB ⪰ 0
+        assert diff.max() <= fd.shed + 1e-6  # a-posteriori
+        assert fd.shed <= fd.error_bound() + 1e-6  # a-priori 2‖A‖²_F/ℓ
+        svA = np.linalg.svd(A, compute_uv=False)
+        svB = fd.singular_values()
+        for i in range(5):
+            assert svB[i] <= svA[i] + 1e-9  # never overestimates
+            assert svA[i] ** 2 - svB[i] ** 2 <= fd.shed + 1e-6
+
+    def test_merge_preserves_guarantee(self):
+        from raysketch.sketches import FrequentDirections
+
+        A = self._mat(seed=3)
+        parts = np.array_split(A, 8)
+        sks = []
+        for p in parts:
+            f = FrequentDirections(ell=32)
+            f.add_batch(p)
+            sks.append(f)
+        m = sks[0]
+        for f in sks[1:]:
+            m = m.merge(f)
+        assert m.n == len(A)
+        assert abs(m.fro2 - float((A * A).sum())) < 1e-4 * m.fro2
+        B = m._final_rows()
+        diff = np.linalg.eigvalsh(A.T @ A - B.T @ B)
+        assert diff.min() >= -1e-6
+        assert diff.max() <= m.shed + 1e-6
+        assert m.shed <= m.error_bound() + 1e-6
+
+    def test_wire_empty_and_errors(self):
+        from raysketch.sketches import FrequentDirections
+
+        e = FrequentDirections(ell=8)
+        rt = FrequentDirections.from_bytes(e.to_bytes())
+        assert rt.to_bytes() == e.to_bytes() and rt.n == 0
+        assert len(e.singular_values()) == 0
+        f = FrequentDirections(ell=8)
+        f.add_batch(self._mat(n=100, d=16, seed=4))
+        rt2 = FrequentDirections.from_bytes(f.to_bytes())
+        assert rt2.to_bytes() == f.to_bytes()
+        assert np.array_equal(rt2._final_rows(), f._final_rows())
+        # merging an empty sketch is identity on the state rows
+        g = FrequentDirections(ell=8)
+        before = f.to_bytes()
+        assert f.merge(g).to_bytes() == before
+        with pytest.raises(ValueError):
+            f.merge(FrequentDirections(ell=16))
+        with pytest.raises(ValueError):
+            h = FrequentDirections(ell=8)
+            h.add_batch(self._mat(n=10, d=8, seed=5))
+            f.merge(h)
+        with pytest.raises(ValueError):
+            FrequentDirections.from_bytes(b"nope")
+        with pytest.raises(ValueError):
+            FrequentDirections(ell=1)
+
+    def test_arrow_list_column_fold(self):
+        import pyarrow as pa
+
+        from raysketch.sketches import FrequentDirections
+
+        A = self._mat(n=300, d=16, seed=6)
+        lst = pa.array([row.tolist() for row in A])  # list<double>
+        fsl = pa.FixedSizeListArray.from_arrays(
+            pa.array(A.reshape(-1)), 16)
+        a1, a2, a3 = (FrequentDirections(ell=16) for _ in range(3))
+        a1.add_batch(A)
+        a2.add_batch(lst)
+        a3.add_batch(fsl)
+        assert a1.to_bytes() == a2.to_bytes() == a3.to_bytes()
