@@ -200,10 +200,13 @@ def test_conv_dedup_order_invariant(ray_session):
 
 
 def test_read_table_formats_equivalent(ray_session, tmp_path):
-    """CSV and JSONL copies of a parquet table read through read_table
-    produce the same rows (schema-cast makes them bit-comparable), and
-    the same query result as the parquet path."""
+    """CSV, JSONL, ORC and Feather copies of a parquet table read
+    through read_table produce the same rows (schema-cast makes
+    csv/json bit-comparable; orc/feather preserve Arrow types
+    natively), and the same query result as the parquet path."""
     import duckdb
+    import pyarrow.feather as paf
+    import pyarrow.orc as paorc
     import pyarrow.parquet as pq
 
     from raysketch.sources.tables import read_table
@@ -213,14 +216,31 @@ def test_read_table_formats_equivalent(ray_session, tmp_path):
     con = duckdb.connect()
     con.execute(f"COPY (SELECT * FROM '{src}') TO '{tmp_path}/nation.csv' (HEADER)")
     con.execute(f"COPY (SELECT * FROM '{src}') TO '{tmp_path}/nation.jsonl'")
+    t = pq.read_table(src)
+    paorc.write_table(t, f"{tmp_path}/nation.orc")
+    paf.write_feather(t, f"{tmp_path}/nation.feather")
     base = read_table(src).to_pandas().sort_values("n_nationkey").reset_index(drop=True)
     for fmt, p in [("csv", f"{tmp_path}/nation.csv"),
-                   ("json", f"{tmp_path}/nation.jsonl")]:
+                   ("json", f"{tmp_path}/nation.jsonl"),
+                   ("orc", f"{tmp_path}/nation.orc"),
+                   ("feather", f"{tmp_path}/nation.feather")]:
         got = read_table(p, fmt=fmt, schema=schema).to_pandas() \
             .sort_values("n_nationkey").reset_index(drop=True)
         pd.testing.assert_frame_equal(got[base.columns], base, check_like=True)
+    # column projection pushed into the per-file readers
+    sub = read_table(f"{tmp_path}/nation.orc", fmt="orc",
+                     columns=["n_nationkey", "n_name"]).to_pandas()
+    assert sorted(sub.columns) == ["n_name", "n_nationkey"]
+    # a directory of files fans out one read task per file
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    paf.write_feather(t.slice(0, 10), str(multi / "a.feather"))
+    paf.write_feather(t.slice(10), str(multi / "b.feather"))
+    got = read_table(str(multi), fmt="feather").to_pandas() \
+        .sort_values("n_nationkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[base.columns], base, check_like=True)
     with pytest.raises(ValueError, match="fmt"):
-        read_table(src, fmt="orc")
+        read_table(src, fmt="avro")
     empty = tmp_path / "empty_dir"
     empty.mkdir()
     with pytest.raises(FileNotFoundError):
