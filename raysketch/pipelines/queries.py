@@ -17572,6 +17572,78 @@ def moments_quantiles_text_len(sf_dir: str) -> pd.DataFrame:
 QUERIES["moments_quantiles_text_len"] = moments_quantiles_text_len
 
 
+def moments_text_len_by_source(sf_dir: str) -> pd.DataFrame:
+    """GROUPED cell of the moments family — and the first grouped
+    sketch whose merged STATE is fully value-hash-checked: per-source
+    power sums S_1..S_4 of document text lengths (p ≤ 4 keeps the SQL
+    readable; the global query states all 8). The source domain is
+    tiny (20), so the merge is the one-global-tree-reduce path
+    (by_mode="global", the by-role HLL/DDSketch precedent); integer
+    addition makes every per-group state exact, so DuckDB states the
+    identical HUGEINT sums per source and the hashes must match — a
+    stronger check than the error-banded grouped quantile twins."""
+    from ..agg import sketch_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "source": t.column("source"),
+            "text_len": pc.cast(pc.utf8_length(t.column("text")),
+                                pa.int64())}),
+        batch_format="pyarrow")
+    out = sketch_aggregate(ds, "moments", on="text_len", by="source",
+                           mode="estimate", by_mode="global", k=4)
+    st = pd.DataFrame(list(out["moments_merged"]))
+    res = pd.concat([out[["source"]].reset_index(drop=True),
+                     st[["n", "m1", "m2", "m3", "m4"]]
+                     .reset_index(drop=True)], axis=1)
+    return res.sort_values("source").reset_index(drop=True) \
+        .astype({"source": "str", "n": "int64",
+                 "m1": "str", "m2": "str", "m3": "str", "m4": "str"})
+
+
+QUERIES["moments_text_len_by_source"] = moments_text_len_by_source
+ORACLES["moments_text_len_by_source"] = """
+    WITH l AS (SELECT source, CAST(LENGTH(text) AS HUGEINT) AS v
+               FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS VARCHAR) AS m1,
+           CAST(SUM(v*v) AS VARCHAR) AS m2,
+           CAST(SUM(v*v*v) AS VARCHAR) AS m3,
+           CAST(SUM(v*v*v*v) AS VARCHAR) AS m4
+    FROM l GROUP BY source ORDER BY source
+"""
+
+
+def fd_spectrum_by_label(sf_dir: str) -> pd.DataFrame:
+    """Grouped cell of the matrix-sketch family: per-LABEL top singular
+    values of the embedding sub-corpora — the per-class spectral
+    fingerprint (a drift/collapse signal per category at 100 TB, from
+    one ℓ×64 state per label). Per-(file, label) partials +
+    lexicographic per-group blob merges (`sketch_aggregate_files(
+    by=...)`, the grouped-determinism discipline — FD's SVD shrink is
+    order-sensitive). Rows-only; pytest holds each label's σᵢ(B)²
+    within its own shed bound of the exact per-label σᵢ(A)²."""
+    import glob
+
+    from ..agg import sketch_aggregate_files
+
+    files = sorted(glob.glob(os.path.join(sf_dir, "embeddings.parquet"))) \
+        or sorted(glob.glob(os.path.join(sf_dir, "embeddings", "*.parquet")))
+    out = sketch_aggregate_files(
+        files, "fd", on="embedding", by=["label"],
+        mode=lambda acc: acc.finalize(), ell=32,
+    ).to_pandas()
+    st = pd.DataFrame(list(out["fd_merged"]))
+    res = pd.concat([out[["label"]].reset_index(drop=True),
+                     st.reset_index(drop=True)], axis=1)
+    return res.sort_values("label").reset_index(drop=True) \
+        .astype({"label": "int32", "n": "int64"})
+
+
+QUERIES["fd_spectrum_by_label"] = fd_spectrum_by_label
+
+
 def fd_embedding_spectrum(sf_dir: str) -> pd.DataFrame:
     """MATRIX sketching over the embedding corpus — Frequent Directions
     (Liberty KDD'13 / GLPW SICOMP'16, sketches/fd.py): the top singular

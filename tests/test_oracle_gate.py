@@ -76,6 +76,7 @@ FAST_SUBSET = [
     "join_size_view_purchase",
     "source_drift_tv",
     "moments_text_len",
+    "moments_text_len_by_source",
     "events_orc_feather_roundtrip",
     "q5_local_supplier_revenue",
     "order_count_distribution",

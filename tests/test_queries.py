@@ -1161,3 +1161,31 @@ def test_fd_embedding_spectrum_vs_exact(ray_session):
 
     b = Q.fd_embedding_spectrum(SF_DIR)
     pd.testing.assert_frame_equal(out, b)
+
+
+def test_fd_spectrum_by_label_vs_exact(ray_session):
+    """Grouped FD: every label's reported σᵢ(B)² within that label's
+    own shed bound of the exact per-label σᵢ(A)²; per-label n exact;
+    rerun frame-equality (per-(file,label) folds + lexicographic
+    merges)."""
+    import pyarrow.parquet as pq
+
+    out = Q.fd_spectrum_by_label(SF_DIR)
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["label", "embedding"])
+    emb = t.column("embedding").combine_chunks()
+    A = np.asarray(emb.flatten().to_numpy(zero_copy_only=False),
+                   dtype=np.float64).reshape(len(emb), -1)
+    labels = t.column("label").to_numpy()
+    assert set(out["label"]) == set(labels.tolist())
+    for _, r in out.iterrows():
+        sub = A[labels == r["label"]]
+        assert int(r["n"]) == len(sub)
+        sv = np.linalg.svd(sub, compute_uv=False)
+        for i in range(min(8, len(sv))):
+            got = float(r[f"sv{i + 1}"])
+            assert got <= sv[i] + 1e-6
+            assert sv[i] ** 2 - got ** 2 <= float(r["shed"]) + 1e-6
+
+    b = Q.fd_spectrum_by_label(SF_DIR)
+    pd.testing.assert_frame_equal(out, b)
