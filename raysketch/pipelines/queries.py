@@ -17674,6 +17674,95 @@ def fd_embedding_spectrum(sf_dir: str) -> pd.DataFrame:
 QUERIES["fd_embedding_spectrum"] = fd_embedding_spectrum
 
 
+_ROLLUP_RANGES = [("2024-01-01", "2024-01-10"),
+                  ("2024-01-11", "2024-01-30"),
+                  ("2024-01-01", "2024-01-30")]
+
+
+def _users_rollup(sf_dir: str, sketch: str) -> str:
+    """Build (once, cached under /tmp) the per-DAY rollup state table
+    of event user_ids for ``sketch`` — the Druid/DataSketches
+    "sketch column" warehouse pattern (stages/rollup.py)."""
+    import tempfile
+
+    from ..stages.rollup import build_sketch_rollup
+
+    tag = sf_of(sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                       f"rollup_users_{sketch}_{tag}")
+    if os.path.exists(out):
+        return out
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+            "user_id": t.column("user_id")}),
+        batch_format="pyarrow")
+    build_sketch_rollup(ds, key_col="day", on="user_id", sketch=sketch,
+                        out_dir=out)
+    return out
+
+
+def rollup_distinct_users_ranges(sf_dir: str) -> pd.DataFrame:
+    """Sketch-ROLLUP state table, oracle-checked: daily ExactSet states
+    of active users persisted as parquet ``(day, state)`` rows (built
+    once, distributed fold → grouped tree merge → sink), then THREE
+    date-range distinct-user questions answered by merging the
+    matching rows' states — read cost ∝ days in range, the raw event
+    rows are never rescanned. Set union is exact, so the DuckDB oracle
+    states COUNT(DISTINCT) over the raw table per range and the value
+    hashes must match — proving the rollup loop (build → persist →
+    range-merge) end to end. The HLL twin (rollup_hll_users_ranges)
+    answers the same ranges from KB-sized states at any cardinality."""
+    from ..sketches import ExactSet
+    from ..stages.rollup import read_rollup_range
+
+    path = _users_rollup(sf_dir, "set")
+    rows = []
+    for lo, hi in _ROLLUP_RANGES:
+        acc: ExactSet = read_rollup_range(path, lo, hi, "set",
+                                          key_col="day")
+        assert not acc.truncated  # 2^16 cap ≫ any test-sf user count
+        rows.append((lo, hi, len(acc.items)))
+    return pd.DataFrame(rows, columns=["lo", "hi", "n_distinct"]) \
+        .astype({"lo": "str", "hi": "str", "n_distinct": "int64"})
+
+
+QUERIES["rollup_distinct_users_ranges"] = rollup_distinct_users_ranges
+ORACLES["rollup_distinct_users_ranges"] = """
+    WITH r(lo, hi) AS (VALUES ('2024-01-01', '2024-01-10'),
+                              ('2024-01-11', '2024-01-30'),
+                              ('2024-01-01', '2024-01-30'))
+    SELECT lo, hi, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_distinct
+    FROM r JOIN events e
+      ON CAST(e.ts AS DATE) BETWEEN CAST(lo AS DATE) AND CAST(hi AS DATE)
+    GROUP BY lo, hi ORDER BY lo, hi
+"""
+
+
+def rollup_hll_users_ranges(sf_dir: str) -> pd.DataFrame:
+    """The same three range questions answered from the HLL rollup —
+    the state that stays KB-sized at 10⁹ distinct users where ExactSet
+    caps out. Register max-merge is idempotent and commutative, so the
+    stored blobs and every range answer are deterministic. Rows-only
+    entry; pytest asserts each estimate within the HLL band of (and,
+    in this LC regime, exactly equal to) the ExactSet twin's exact
+    counts, plus the append-equivalence of the rollup itself
+    (test_rollup_append_equivalence)."""
+    from ..stages.rollup import read_rollup_range
+
+    path = _users_rollup(sf_dir, "hll")
+    rows = []
+    for lo, hi in _ROLLUP_RANGES:
+        acc = read_rollup_range(path, lo, hi, "hll", key_col="day")
+        rows.append((lo, hi, int(acc.count())))
+    return pd.DataFrame(rows, columns=["lo", "hi", "n_distinct_est"]) \
+        .astype({"lo": "str", "hi": "str", "n_distinct_est": "int64"})
+
+
+QUERIES["rollup_hll_users_ranges"] = rollup_hll_users_ranges
+
+
 def events_orc_feather_roundtrip(sf_dir: str) -> pd.DataFrame:
     """ORC + Feather (Arrow IPC) front doors, oracle-checked in one
     statement: the events table exported once to each format (cached

@@ -1189,3 +1189,61 @@ def test_fd_spectrum_by_label_vs_exact(ray_session):
 
     b = Q.fd_spectrum_by_label(SF_DIR)
     pd.testing.assert_frame_equal(out, b)
+
+
+def test_rollup_hll_users_ranges(ray_session):
+    """HLL rollup answers within the HLL band of the ExactSet twin's
+    exact counts (and exactly, in this LC regime), deterministically."""
+    h = Q.rollup_hll_users_ranges(SF_DIR)
+    e = Q.rollup_distinct_users_ranges(SF_DIR)
+    for est, exact in zip(h["n_distinct_est"], e["n_distinct"]):
+        assert abs(int(est) - int(exact)) <= max(1, 0.02 * int(exact))
+    pd.testing.assert_frame_equal(h, Q.rollup_hll_users_ranges(SF_DIR))
+
+
+def test_rollup_append_equivalence(ray_session, tmp_path):
+    """The rollup append story: two separate ingests (disjoint days,
+    then OVERLAPPING days — duplicate keys across directories) merged
+    at read time give byte-identical state and identical answers to a
+    one-shot rollup over all rows."""
+    import ray.data
+
+    from raysketch.sketches import HLL
+    from raysketch.stages.rollup import build_sketch_rollup, \
+        read_rollup_range
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "day": [f"2024-02-{d:02d}" for d in rng.integers(1, 29, 4000)],
+        "user_id": rng.integers(0, 800, 4000),
+    })
+    full = str(tmp_path / "full")
+    build_sketch_rollup(ray.data.from_pandas(df), "day", "user_id",
+                        "hll", full)
+    # ingest 1: days 1-14; ingest 2: days 10-28 (overlap 10-14)
+    a = df[df["day"] <= "2024-02-14"]
+    b = df[df["day"] >= "2024-02-10"]
+    # rows in the overlap must land in BOTH ingests only once each —
+    # split them by parity so the union of ingests is exactly df
+    ov = (df["day"] >= "2024-02-10") & (df["day"] <= "2024-02-14")
+    a = pd.concat([df[df["day"] < "2024-02-10"],
+                   df[ov][df[ov].index % 2 == 0]])
+    b = pd.concat([df[ov][df[ov].index % 2 == 1],
+                   df[df["day"] > "2024-02-14"]])
+    d1, d2 = str(tmp_path / "ing1"), str(tmp_path / "ing2")
+    build_sketch_rollup(ray.data.from_pandas(a), "day", "user_id",
+                        "hll", d1)
+    build_sketch_rollup(ray.data.from_pandas(b), "day", "user_id",
+                        "hll", d2)
+    for lo, hi in (("2024-02-01", "2024-02-28"),
+                   ("2024-02-08", "2024-02-12"),
+                   ("2024-02-20", "2024-02-25")):
+        one = read_rollup_range(full, lo, hi, "hll", key_col="day")
+        two = read_rollup_range([d1, d2], lo, hi, "hll", key_col="day")
+        assert one.to_bytes() == two.to_bytes()  # register-identical
+        exact = df[(df["day"] >= lo) & (df["day"] <= hi)]["user_id"] \
+            .nunique()
+        assert abs(one.count() - exact) <= max(1, 0.02 * exact)
+    with pytest.raises(FileNotFoundError):
+        read_rollup_range(str(tmp_path / "nope"), "a", "b", "hll",
+                          key_col="day")
