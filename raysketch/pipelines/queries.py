@@ -17763,6 +17763,44 @@ def rollup_hll_users_ranges(sf_dir: str) -> pd.DataFrame:
 QUERIES["rollup_hll_users_ranges"] = rollup_hll_users_ranges
 
 
+def rollup_value_quantiles_ranges(sf_dir: str) -> pd.DataFrame:
+    """Range QUANTILES from the rollup, no rescan: daily DDSketch
+    states of event value (exact integer cents) persisted once, then
+    p50/p99 for each date range read by merging the matching days —
+    the question warehouses pre-aggregate sketch columns for, since
+    exact range percentiles need the raw rows. DDSketch's commutative
+    bucket-sum merges make the stored blobs AND every range answer
+    byte-deterministic (build-side dynamic batching can't show
+    through). Rows-only; pytest holds the α=1% value-relative bound
+    per range vs exact (test_rollup_value_quantiles_ranges)."""
+    import tempfile
+
+    from ..stages.rollup import build_sketch_rollup, read_rollup_range
+
+    tag = sf_of(sf_dir)
+    path = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                        f"rollup_value_dd_{tag}")
+    if not os.path.exists(path):
+        ds = _read(sf_dir, "events", columns=["ts", "value"])
+        ds = ds.map_batches(
+            lambda t: pa.table({
+                "day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+                "cents": _cents(t.column("value"))}),
+            batch_format="pyarrow")
+        build_sketch_rollup(ds, key_col="day", on="cents",
+                            sketch="ddsketch", out_dir=path)
+    rows = []
+    for lo, hi in _ROLLUP_RANGES:
+        acc = read_rollup_range(path, lo, hi, "ddsketch", key_col="day")
+        rows.append((lo, hi, acc.n, acc.quantile(0.5), acc.quantile(0.99)))
+    return pd.DataFrame(rows, columns=["lo", "hi", "n", "p50_cents",
+                                       "p99_cents"]) \
+        .astype({"lo": "str", "hi": "str", "n": "int64"})
+
+
+QUERIES["rollup_value_quantiles_ranges"] = rollup_value_quantiles_ranges
+
+
 def events_orc_feather_roundtrip(sf_dir: str) -> pd.DataFrame:
     """ORC + Feather (Arrow IPC) front doors, oracle-checked in one
     statement: the events table exported once to each format (cached

@@ -1247,3 +1247,27 @@ def test_rollup_append_equivalence(ray_session, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_rollup_range(str(tmp_path / "nope"), "a", "b", "hll",
                           key_col="day")
+
+
+def test_rollup_value_quantiles_ranges(ray_session):
+    """Range quantiles from merged daily DDSketch states: n exact per
+    range, p50/p99 within the alpha=1% value-relative bound of the
+    exact range percentile (lower-element rank convention), rerun
+    frame-equality."""
+    import duckdb
+
+    out = Q.rollup_value_quantiles_ranges(SF_DIR)
+    con = duckdb.connect()
+    cents = con.execute(
+        "SELECT CAST(ts AS DATE) AS d, CAST(ROUND(value*100) AS BIGINT) "
+        f"AS c FROM '{SF_DIR}/events.parquet'").fetchdf()
+    cents["d"] = cents["d"].astype(str)
+    for _, r in out.iterrows():
+        grp = np.sort(cents.loc[(cents["d"] >= r["lo"])
+                                & (cents["d"] <= r["hi"]), "c"].to_numpy())
+        assert int(r["n"]) == len(grp)
+        for q, col in ((0.5, "p50_cents"), (0.99, "p99_cents")):
+            true = float(grp[max(1, int(np.ceil(q * len(grp)))) - 1])
+            assert abs(float(r[col]) - true) <= 0.01 * true + 1e-9
+
+    pd.testing.assert_frame_equal(out, Q.rollup_value_quantiles_ranges(SF_DIR))
