@@ -17801,6 +17801,57 @@ def rollup_value_quantiles_ranges(sf_dir: str) -> pd.DataFrame:
 QUERIES["rollup_value_quantiles_ranges"] = rollup_value_quantiles_ranges
 
 
+def rollup_value_moments_ranges(sf_dir: str) -> pd.DataFrame:
+    """Second fully-oracle-checked rollup family: daily MOMENTS states
+    of exact event cents, range questions answered by integer-exact
+    state merges — n, Σv, Σv² per date range (the state from which
+    range mean/variance are exact), stated by DuckDB as HUGEINT sums
+    over the raw table. Together with rollup_distinct_users_ranges
+    this proves the rollup loop (build → persist → range-merge) for
+    both an idempotent-merge family (set union) and an additive-merge
+    family (power sums) with value hashes, not bands."""
+    import tempfile
+
+    from ..stages.rollup import build_sketch_rollup, read_rollup_range
+
+    tag = sf_of(sf_dir)
+    path = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                        f"rollup_value_mo_{tag}")
+    if not os.path.exists(path):
+        ds = _read(sf_dir, "events", columns=["ts", "value"])
+        ds = ds.map_batches(
+            lambda t: pa.table({
+                "day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+                "cents": _cents(t.column("value"))}),
+            batch_format="pyarrow")
+        build_sketch_rollup(ds, key_col="day", on="cents",
+                            sketch="moments", out_dir=path, k=2)
+    rows = []
+    for lo, hi in _ROLLUP_RANGES:
+        acc = read_rollup_range(path, lo, hi, "moments", key_col="day",
+                                k=2)
+        rows.append((lo, hi, acc.n, str(acc.sums[0]), str(acc.sums[1])))
+    return pd.DataFrame(rows, columns=["lo", "hi", "n", "m1", "m2"]) \
+        .astype({"lo": "str", "hi": "str", "n": "int64",
+                 "m1": "str", "m2": "str"})
+
+
+QUERIES["rollup_value_moments_ranges"] = rollup_value_moments_ranges
+ORACLES["rollup_value_moments_ranges"] = """
+    WITH r(lo, hi) AS (VALUES ('2024-01-01', '2024-01-10'),
+                              ('2024-01-11', '2024-01-30'),
+                              ('2024-01-01', '2024-01-30')),
+    c AS (SELECT CAST(ts AS DATE) AS d,
+                 CAST(CAST(ROUND(value*100) AS BIGINT) AS HUGEINT) AS v
+          FROM events)
+    SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS VARCHAR) AS m1,
+           CAST(SUM(v*v) AS VARCHAR) AS m2
+    FROM r JOIN c ON c.d BETWEEN CAST(lo AS DATE) AND CAST(hi AS DATE)
+    GROUP BY lo, hi ORDER BY lo, hi
+"""
+
+
 def events_orc_feather_roundtrip(sf_dir: str) -> pd.DataFrame:
     """ORC + Feather (Arrow IPC) front doors, oracle-checked in one
     statement: the events table exported once to each format (cached

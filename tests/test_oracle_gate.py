@@ -79,6 +79,7 @@ FAST_SUBSET = [
     "moments_text_len_by_source",
     "events_orc_feather_roundtrip",
     "rollup_distinct_users_ranges",
+    "rollup_value_moments_ranges",
     "q5_local_supplier_revenue",
     "order_count_distribution",
     "retention_cohorts",

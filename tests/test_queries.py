@@ -1271,3 +1271,24 @@ def test_rollup_value_quantiles_ranges(ray_session):
             assert abs(float(r[col]) - true) <= 0.01 * true + 1e-9
 
     pd.testing.assert_frame_equal(out, Q.rollup_value_quantiles_ranges(SF_DIR))
+
+
+def test_rollup_value_moments_exact(ray_session):
+    """Moments rollup: merged daily states reproduce the EXACT range
+    n / Σv / Σv² (integer-addition merges), frame-stable on rerun."""
+    import duckdb
+
+    out = Q.rollup_value_moments_ranges(SF_DIR)
+    con = duckdb.connect()
+    cents = con.execute(
+        "SELECT CAST(ts AS DATE) AS d, CAST(ROUND(value*100) AS BIGINT) "
+        f"AS c FROM '{SF_DIR}/events.parquet'").fetchdf()
+    cents["d"] = cents["d"].astype(str)
+    for _, r in out.iterrows():
+        grp = cents.loc[(cents["d"] >= r["lo"]) & (cents["d"] <= r["hi"]),
+                        "c"].astype(object)
+        assert int(r["n"]) == len(grp)
+        assert int(r["m1"]) == int(sum(int(x) for x in grp))
+        assert int(r["m2"]) == int(sum(int(x) * int(x) for x in grp))
+
+    pd.testing.assert_frame_equal(out, Q.rollup_value_moments_ranges(SF_DIR))
