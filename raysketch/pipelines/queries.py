@@ -17852,6 +17852,61 @@ ORACLES["rollup_value_moments_ranges"] = """
 """
 
 
+def fd_pca_project_energy(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """The FD train→APPLY loop closed (the BPE train→encode precedent):
+    train the Frequent Directions state over the embedding corpus
+    (per-file folds + canonical reduce, deterministic), take its top-k
+    right singular vectors as the approximate PCA basis, then ONE
+    broadcast map_batches pass projects every embedding and reduces
+    per-component captured energy Σ(x·vᵢ)². Projections quantize at
+    fixed-point 2^10 and energies accumulate as int64 partials (the
+    gram-matrix discipline) — commutative integer addition, so the
+    distributed result is bit-deterministic at any parallelism despite
+    float inputs. Rows-only; pytest locks distributed ≡ local-numpy
+    exact equality and the FD guarantee band
+    energy_i ∈ [σᵢ(B)²−shed, σᵢ(B)²+shed] (quantization-adjusted)."""
+    import glob
+
+    import ray
+
+    from ..agg import sketch_aggregate_files
+    from ..sketches import FrequentDirections
+
+    files = sorted(glob.glob(os.path.join(sf_dir, "embeddings.parquet"))) \
+        or sorted(glob.glob(os.path.join(sf_dir, "embeddings", "*.parquet")))
+    blob = sketch_aggregate_files(files, "fd", on="embedding",
+                                  mode="bytes", ell=32)
+    sk = FrequentDirections.from_bytes(blob)
+    _, s, vt = np.linalg.svd(sk._final_rows(), full_matrices=False)
+    vk = vt[:k]  # (k, d) basis — deterministic given the state bytes
+    ref = ray.put(vk)
+    Q10 = np.float64(1 << 10)
+
+    def part(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        m = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                       dtype=np.float64).reshape(len(col), -1)
+        proj = m @ ray.get(ref).T  # (n, k)
+        q = np.copysign(np.floor(np.abs(proj * Q10) + 0.5), proj) \
+            .astype(np.int64)
+        e = (q * q).sum(axis=0)  # int64: |proj|≤~50 ⇒ q²≤(50·2^10)² ≪ 2^63
+        return pa.table({"component": pa.array(
+            np.arange(1, k + 1, dtype=np.int64)),
+            "energy_fp": pa.array(e)})
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    p = ds.map_batches(part, batch_format="pyarrow").to_pandas() \
+        .groupby("component", as_index=False)["energy_fp"].sum()
+    out = p.sort_values("component").reset_index(drop=True) \
+        .astype({"component": "int64", "energy_fp": "int64"})
+    out["sv_sq_fp"] = [int(round(x * x * float(Q10) * float(Q10)))
+                       for x in s[:k]]
+    return out.astype({"sv_sq_fp": "int64"})
+
+
+QUERIES["fd_pca_project_energy"] = fd_pca_project_energy
+
+
 def events_orc_feather_roundtrip(sf_dir: str) -> pd.DataFrame:
     """ORC + Feather (Arrow IPC) front doors, oracle-checked in one
     statement: the events table exported once to each format (cached

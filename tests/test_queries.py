@@ -1292,3 +1292,46 @@ def test_rollup_value_moments_exact(ray_session):
         assert int(r["m2"]) == int(sum(int(x) * int(x) for x in grp))
 
     pd.testing.assert_frame_equal(out, Q.rollup_value_moments_ranges(SF_DIR))
+
+
+def test_fd_pca_project_energy(ray_session):
+    """FD train→apply loop: distributed fixed-point projection
+    energies ≡ a local numpy replica EXACTLY (integer partials), each
+    within the FD guarantee band of σᵢ(B)² (|vᵀ(AᵀA−BᵀB)v| ≤ shed),
+    and rerun frame-equality."""
+    import pyarrow.parquet as pq
+
+    out = Q.fd_pca_project_energy(SF_DIR)
+    spec = Q.fd_embedding_spectrum(SF_DIR)
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                        columns=["embedding"]).column("embedding")
+    A = np.asarray(emb.combine_chunks().flatten().to_numpy(
+        zero_copy_only=False), dtype=np.float64).reshape(len(emb), -1)
+
+    # local replica with the same basis derivation + quantization
+    import glob as _g
+
+    from raysketch.agg import sketch_aggregate_files
+    from raysketch.sketches import FrequentDirections
+
+    blob = sketch_aggregate_files(
+        sorted(_g.glob(os.path.join(SF_DIR, "embeddings.parquet"))),
+        "fd", on="embedding", mode="bytes", ell=32)
+    sk = FrequentDirections.from_bytes(blob)
+    _, s, vt = np.linalg.svd(sk._final_rows(), full_matrices=False)
+    Q10 = np.float64(1 << 10)
+    proj = A @ vt[:8].T
+    q = np.copysign(np.floor(np.abs(proj * Q10) + 0.5), proj) \
+        .astype(np.int64)
+    local = (q * q).sum(axis=0)
+    assert list(out["energy_fp"]) == [int(x) for x in local]
+
+    shed = float(spec["shed"][0])
+    for i, r in out.iterrows():
+        energy = float(r["energy_fp"]) / float(Q10) ** 2
+        svsq = float(r["sv_sq_fp"]) / float(Q10) ** 2
+        # quantization shifts each row's squared projection by ≤ ~|p|/Q10
+        fuzz = shed + 2.0 * np.abs(proj[:, i]).sum() / float(Q10) + 1.0
+        assert svsq - fuzz <= energy <= svsq + fuzz
+
+    pd.testing.assert_frame_equal(out, Q.fd_pca_project_energy(SF_DIR))
