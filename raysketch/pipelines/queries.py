@@ -17974,6 +17974,68 @@ ORACLES["events_orc_feather_roundtrip"] = """
 """
 
 
+def snapshot_diff_docs(sf_dir: str) -> pd.DataFrame:
+    """Snapshot DELTA between two table versions (the incremental-crawl
+    shape: yesterday's dump vs today's) — added / removed / changed rows
+    by primary key, SQL-checked against a FULL OUTER JOIN. Both
+    versions derive deterministically from the documents table so the
+    oracle can state them: v1 drops doc_id%10==7, v2 drops %10==3 and
+    appends ' v2' to the text of %10==5 (concat, not case-mapping —
+    exact on both engines). The distributed diff
+    (stages/incremental.py:snapshot_diff) ships only (key, murmur,
+    length, side) rows over ONE key-hash bucket exchange; document
+    bodies never move, and output is O(delta) — at 100 TB the diff of
+    two crawls costs two hash scans plus a 32-byte-row shuffle."""
+    from ..stages.incremental import snapshot_diff
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def v1(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 != 7))
+
+    def v2(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 10 != 3))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = pc.if_else(pa.array(ids % 10 == 5),
+                         pc.binary_join_element_wise(
+                             t.column("text"), " v2", ""),
+                         t.column("text"))
+        return t.set_column(t.schema.get_field_index("text"), "text", txt)
+
+    old = ds.map_batches(v1, batch_format="pyarrow")
+    new = ds.map_batches(v2, batch_format="pyarrow")
+    out = snapshot_diff(old, new, key_col="doc_id",
+                        text_col="text").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["status"] = out["status"].astype(object)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["snapshot_diff_docs"] = snapshot_diff_docs
+ORACLES["snapshot_diff_docs"] = """
+    WITH v1 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7
+    ),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 5 THEN text || ' v2' ELSE text END
+             AS text
+      FROM documents WHERE doc_id % 10 <> 3
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+    ORDER BY doc_id
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -652,3 +652,83 @@ class MinHashBandIndex:
                              "est_jaccard": t.column("est_jaccard")})
 
         return scored.map_batches(keep, batch_format="pyarrow")
+
+
+def snapshot_diff(old_ds, new_ds, key_col: str = "doc_id",
+                  text_col: str = "text", num_buckets: int = 64):
+    """Row-level delta between two snapshots of a table keyed by
+    ``key_col``: ``added`` (key only in the new snapshot), ``removed``
+    (only in the old), ``changed`` (present in both, content differs).
+    Unchanged rows are not emitted — output size is O(delta), the
+    incremental-crawl shape (yesterday's dump vs today's).
+
+    Scale shape: each side reduces to (key, content-murmur, byte-length,
+    side) rows inside ``map_batches`` — bodies never shuffle — then ONE
+    key-hash bucket exchange over the union and a vectorized
+    lexsort/reduceat compare per bucket. Change detection on the
+    (64-bit murmur, length) composite carries the same false-merge
+    bound as :func:`raysketch.stages.dedup.exact_dedup_keep_ids`
+    (a silently missed change needs two EQUAL-LENGTH texts with
+    colliding murmurs, ~n²/2⁻⁶⁵ per length class).
+
+    Precondition: ``key_col`` is unique within each snapshot (a primary
+    key); duplicate keys on one side raise inside the bucket compare.
+    """
+    import pandas as pd
+
+    def side_rows(side: int):
+        def add(t: pa.Table) -> pa.Table:
+            data, offsets = canonical_flat_bytes(t.column(text_col))
+            h = murmur64a(data, offsets)
+            ln = offsets[1:] - offsets[:-1]
+            k = t.column(key_col).to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            b = (_splitmix64(k) % np.uint64(num_buckets)).astype(np.int64)
+            return pa.table({
+                key_col: t.column(key_col),
+                "__h": pa.array(h.astype(np.int64)),
+                "__len": pa.array(ln.astype(np.int64)),
+                "__side": pa.array(np.full(len(t), side, dtype=np.int64)),
+                "__b": pa.array(b)})
+        return add
+
+    def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy()
+        s = g["__side"].to_numpy()
+        h = g["__h"].to_numpy()
+        ln = g["__len"].to_numpy()
+        order = np.lexsort((s, k))
+        k, s, h, ln = k[order], s[order], h[order], ln[order]
+        new_grp = np.r_[True, k[1:] != k[:-1]] if len(k) else \
+            np.zeros(0, dtype=bool)
+        starts = np.nonzero(new_grp)[0]
+        cnt = np.diff(np.r_[starts, len(k)])
+        if np.any(cnt > 2):
+            raise ValueError(
+                f"{key_col} is not unique within a snapshot")
+        out_k: list[int] = []
+        out_st: list[str] = []
+        one = starts[cnt == 1]
+        if len(one):
+            only_new = s[one] == 1
+            out_k.extend(k[one].tolist())
+            out_st.extend(np.where(only_new, "added", "removed").tolist())
+        two = starts[cnt == 2]
+        if len(two):
+            # sorted (key, side): row at `two` is old, `two+1` is new —
+            # cnt==2 with unique-per-side keys forces one of each
+            if np.any(s[two] != 0) or np.any(s[two + 1] != 1):
+                raise ValueError(
+                    f"{key_col} is not unique within a snapshot")
+            ch = (h[two] != h[two + 1]) | (ln[two] != ln[two + 1])
+            out_k.extend(k[two[ch]].tolist())
+            out_st.extend(["changed"] * int(ch.sum()))
+        return pd.DataFrame({key_col: np.asarray(out_k, dtype=np.int64),
+                             "status": pd.array(out_st, dtype="string")})
+
+    return (
+        old_ds.map_batches(side_rows(0), batch_format="pyarrow")
+        .union(new_ds.map_batches(side_rows(1), batch_format="pyarrow"))
+        .groupby("__b")
+        .map_groups(diff_bucket, batch_format="pandas")
+    )

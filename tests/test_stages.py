@@ -2076,3 +2076,44 @@ def test_screen_broadcast_tier_equals_exchange_tier(ray_session):
 
     pd.testing.assert_frame_equal(df_b, df_e)
     assert len(df_b) > 0
+
+
+def test_snapshot_diff_statuses_and_unique_guard(ray_session):
+    """snapshot_diff emits exactly the added/removed/changed keys of a
+    FULL OUTER JOIN delta (pandas replica), never unchanged rows, and
+    raises on a duplicate key within one snapshot."""
+    import ray
+
+    from raysketch.stages.incremental import snapshot_diff
+
+    old = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": ["a", "bb", "ccc", "dddd"]})
+    new = pa.table({"doc_id": pa.array([2, 3, 4, 5], pa.int64()),
+                    "text": ["bb", "CHANGED", "dddd", "e"]})
+    out = snapshot_diff(ray.data.from_arrow(old).repartition(3),
+                        ray.data.from_arrow(new).repartition(2),
+                        key_col="doc_id", text_col="text") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 3, 5]
+    assert list(out["status"]) == ["removed", "changed", "added"]
+
+    dup = pa.table({"doc_id": pa.array([7, 7], pa.int64()),
+                    "text": ["x", "y"]})
+    with pytest.raises(Exception, match="not unique"):
+        snapshot_diff(ray.data.from_arrow(dup),
+                      ray.data.from_arrow(new),
+                      key_col="doc_id", text_col="text").to_pandas()
+
+
+def test_snapshot_diff_same_content_different_length_never_merges(ray_session):
+    """Change detection keys on (murmur, length): a changed text of a
+    DIFFERENT length is always caught even if the murmur collided."""
+    import ray
+
+    from raysketch.stages.incremental import snapshot_diff
+
+    old = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["ab"]})
+    new = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["abc"]})
+    out = snapshot_diff(ray.data.from_arrow(old),
+                        ray.data.from_arrow(new)).to_pandas()
+    assert list(out["status"]) == ["changed"]
