@@ -18036,6 +18036,66 @@ ORACLES["snapshot_diff_docs"] = """
 """
 
 
+def weighted_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact WEIGHTED (multiset) word-3-gram Jaccard self-join —
+    Σ_g min(tf_a,tf_b) / Σ_g max(tf_a,tf_b), the tf-weighted similarity
+    that tells boilerplate repetition apart from true near-duplication
+    (a doc and its self-concatenation share ~all grams as sets but only
+    half the mass). Runs via the occurrence-expansion reduction
+    (stages/dedup.py ngram_jaccard_join(weighted=True)): the i-th
+    occurrence of a gram becomes the distinct token (gram, i), so the
+    ENTIRE set-Jaccard machinery — provably complete df-ordered prefix
+    filtering, one fused token pass, exact verify on true text grams —
+    carries over verbatim, and the SQL oracle states the same number
+    with GROUP BY counts + SUM(LEAST(...)). Both sides divide the same
+    exact integers in float64, so values hash identically."""
+    from ..stages.dedup import ngram_jaccard_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_join(ds, k=3, threshold=0.8, unit="word",
+                              weighted=True)
+
+
+QUERIES["weighted_jaccard_pairs"] = weighted_jaccard_pairs
+ORACLES["weighted_jaccard_pairs"] = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, words,
+             unnest(range(1, greatest(len(words) - 1, 1))) AS p
+      FROM w
+    ),
+    g AS (
+      SELECT doc_id,
+             list_extract(words, CAST(p AS INT)) || ' ' ||
+             list_extract(words, CAST(p AS INT) + 1) || ' ' ||
+             list_extract(words, CAST(p AS INT) + 2) AS gram
+      FROM pos
+    ),
+    cnts AS (
+      SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+      FROM g GROUP BY doc_id, gram
+    ),
+    sz AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnts GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS i
+      FROM cnts a JOIN cnts b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+    ORDER BY id_a, id_b
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

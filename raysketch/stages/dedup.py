@@ -196,6 +196,36 @@ def _window_hashes(data: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.nd
     return h[base], woff
 
 
+def _occurrence_expand(wh: np.ndarray, woff: np.ndarray) -> np.ndarray:
+    """Integer-weighted multiset → SET reduction (weighted MinHash):
+    the i-th within-doc occurrence of a shingle hash h becomes the
+    distinct element mix(h, i), so the k-gram MULTISET {g×tf} maps
+    injectively to the set {(g,0)..(g,tf−1)}. Set Jaccard of two
+    expanded sets is EXACTLY the weighted Jaccard Σ_g min(tf_a,tf_b) /
+    Σ_g max(tf_a,tf_b) (Σmax = |A|+|B|−Σmin), so every set-MinHash /
+    LSH / verification tier downstream applies unchanged — no ICWS
+    float sampling needed for integer weights (Haveliwala/Broder
+    rounding construction; cf. Ioffe ICDM'10 §1 for the real-weight
+    generalization this deliberately avoids).
+
+    Input/output are aligned with ``woff``: per-doc segments keep their
+    positions (the lexsort's primary key ``doc_of`` is already
+    nondecreasing), only values within each doc are reordered — and
+    MinHash reductions are order-free within a doc."""
+    n = len(woff) - 1
+    if not len(wh):
+        return wh
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(woff))
+    order = np.lexsort((wh, doc_of))
+    hs, ds_ = wh[order], doc_of[order]
+    new_g = np.r_[True, (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])]
+    starts = np.nonzero(new_g)[0]
+    seg = np.diff(np.r_[starts, len(hs)])
+    occ = (np.arange(len(hs), dtype=np.int64)
+           - np.repeat(starts, seg)).astype(np.uint64)
+    return _splitmix64(hs ^ (occ * np.uint64(0x9E3779B97F4A7C15)))
+
+
 class MinHasher:
     """map_batches stage: text → MinHash signature (``num_perms`` × u64)
     over k-byte character shingles.
@@ -210,18 +240,23 @@ class MinHasher:
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  num_perms: int = 128, shingle_k: int = 5, seed: int = 1,
-                 mode: str = "kperm"):
+                 mode: str = "kperm", weighted: bool = False):
         """``mode="kperm"``: classic k independent permutations — O(P·W)
         work per doc, the accuracy baseline. ``mode="oph"``: one-
         permutation hashing with rotation densification (Li, Owen &
         Zhang NIPS'12; Shrivastava's densification) — O(W) work, one
         pass over the shingles regardless of P; the scale default for
-        corpus-wide dedup (requires P a power of two)."""
+        corpus-wide dedup (requires P a power of two).
+        ``weighted=True``: signatures estimate the WEIGHTED Jaccard of
+        the shingle multisets (tf-weighted) via the occurrence-expansion
+        reduction (:func:`_occurrence_expand`) — same cost, the window
+        list already carries one row per occurrence."""
         self.text_col = text_col
         self.id_col = id_col
         self.P = num_perms
         self.k = shingle_k
         self.mode = mode
+        self.weighted = weighted
         if mode == "oph" and num_perms & (num_perms - 1):
             raise ValueError("oph mode requires num_perms to be a power of two")
         rng = np.random.default_rng(seed)
@@ -269,6 +304,8 @@ class MinHasher:
             txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
         )
         wh, woff = _window_hashes(data, offsets, self.k)
+        if self.weighted:
+            wh = _occurrence_expand(wh, woff)
         n = len(offsets) - 1
         sig = self._sig_oph(wh, woff, n) if self.mode == "oph" else self._sig_kperm(wh, woff, n)
         flat = pa.array(sig.reshape(-1).astype(np.uint64))
@@ -1260,6 +1297,34 @@ def _word_gram_set(k: int):
     return gram_set
 
 
+def _expand_multiset(grams) -> set:
+    """Multiset → set of (gram, occurrence-index): the exact-verify twin
+    of :func:`_occurrence_expand`. Set Jaccard over two expanded sets
+    IS the weighted Jaccard Σmin(tf)/Σmax(tf) of the multisets."""
+    cnt: dict = {}
+    out = set()
+    for g in grams:
+        c = cnt.get(g, 0)
+        cnt[g] = c + 1
+        out.add((g, c))
+    return out
+
+
+def _char_gram_multiset(k: int):
+    def gram_set(text: str):
+        return _expand_multiset(
+            text[i: i + k] for i in range(max(0, len(text) - k + 1)))
+    return gram_set
+
+
+def _word_gram_multiset(k: int):
+    def gram_set(text: str):
+        w = text.split(" ")
+        return _expand_multiset(
+            tuple(w[i: i + k]) for i in range(max(0, len(w) - k + 1)))
+    return gram_set
+
+
 def make_exact_jaccard_scorer(gram_set):
     """Exact set-Jaccard scorer over two gathered TEXT columns. Gram
     sets are memoized by text within the bucket task (docs recur across
@@ -1559,21 +1624,27 @@ def _resolve_components(verified_pairs_ds, id_col: str):
 
 # ------------------------------------------------------------ end-to-end
 def verify_pairs_exact_jaccard(pairs_df, ds, text_col="text", id_col="doc_id",
-                               k: int = 5):
+                               k: int = 5, gram_set=None):
     """Exact character-k-gram Jaccard for candidate pairs: texts gathered
     via the distributed broadcast-filter (only candidates reach the
-    driver), then set Jaccard per pair."""
+    driver), then set Jaccard per pair. ``gram_set`` overrides the
+    default char-k-gram set builder (e.g. :func:`_char_gram_multiset`
+    for weighted/multiset Jaccard)."""
+    gs_fn = gram_set or _char_gram_set(k)
     want = set(pairs_df["id_a"]).union(pairs_df["id_b"])
     t = _gather_rows_by_id(ds.select_columns([id_col, text_col]), id_col, want)
-    texts = {}
+    grams: dict = {}
     if t is not None:
         for i, x in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
-            texts[int(i)] = x or ""
+            grams[int(i)] = gs_fn(x or "")
+    empty: frozenset = frozenset()
     out = pairs_df.copy()
-    out["jaccard"] = [
-        ngram_jaccard(texts.get(int(a), ""), texts.get(int(b), ""), k)
-        for a, b in zip(pairs_df["id_a"], pairs_df["id_b"])
-    ]
+    jac = []
+    for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
+        sa = grams.get(int(a), empty)
+        sb = grams.get(int(b), empty)
+        jac.append(len(sa & sb) / len(sa | sb) if (sa or sb) else 1.0)
+    out["jaccard"] = jac
     return out
 
 
@@ -1581,12 +1652,23 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
                   shingle_k=5, num_bands=32, threshold=0.7,
                   verify: str = "estimate", mode: str = "oph",
                   components: str = "auto",
-                  driver_pair_limit: int = DRIVER_PAIR_LIMIT):
+                  driver_pair_limit: int = DRIVER_PAIR_LIMIT,
+                  weighted: bool = False):
     """Full near-dup pipeline → pandas {id, component} for verified dups.
 
     ``verify="estimate"`` uses signature-agreement Jaccard (no re-read of
     text); ``verify="exact"`` computes exact k-gram Jaccard on candidate
     texts.
+
+    ``weighted=True`` switches BOTH the signatures and the exact verify
+    to WEIGHTED (tf-multiset) k-gram Jaccard via the occurrence-
+    expansion reduction (:func:`_occurrence_expand` /
+    :func:`_char_gram_multiset`) — a doc and its self-concatenation
+    share ~all grams as SETS (J≈1) but only half the MASS (weighted
+    J≈0.5); weighted mode tells boilerplate-repetition apart from true
+    near-duplication. Every tier (collapse, banding, floor, screen,
+    distributed verify, components) applies unchanged because the
+    expansion is a plain set-Jaccard reduction.
 
     ``components``: ``"auto"`` (default) takes the driver path —
     candidate pairs → pandas, vectorized verify, union-find — while the
@@ -1600,7 +1682,7 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
 
     sigs = ds.map_batches(
         MinHasher, fn_constructor_args=(text_col, id_col, num_perms, shingle_k),
-        fn_constructor_kwargs={"mode": mode},
+        fn_constructor_kwargs={"mode": mode, "weighted": weighted},
         batch_format="pyarrow", concurrency=auto_concurrency(),
     ).materialize()
     # collapse identical-signature groups before banding (exactly
@@ -1634,9 +1716,11 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
             "truncated_bucket": ("max", "truncated_bucket"),
         })
         if verify == "exact":
+            gs = _char_gram_multiset(shingle_k) if weighted \
+                else _char_gram_set(shingle_k)
             scored = score_pairs_distributed(
                 pairs_ds, ds.select_columns([id_col, text_col]), id_col,
-                text_col, make_exact_jaccard_scorer(_char_gram_set(shingle_k)),
+                text_col, make_exact_jaccard_scorer(gs),
                 "jaccard")
             col = "jaccard"
         else:
@@ -1662,7 +1746,9 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perms=128,
         "truncated_bucket": ("max", "truncated_bucket"),
     })
     if verify == "exact":
-        pairs = verify_pairs_exact_jaccard(pairs, ds, text_col, id_col, shingle_k)
+        pairs = verify_pairs_exact_jaccard(
+            pairs, ds, text_col, id_col, shingle_k,
+            gram_set=_char_gram_multiset(shingle_k) if weighted else None)
         verified = pairs[pairs["jaccard"] >= threshold]
     else:
         pairs = estimate_pair_jaccard(pairs, reps, id_col)
@@ -1834,8 +1920,37 @@ def embedding_dedup(ds, vec_col="embedding", id_col="vec_id",
 
 
 # ---------------------------------------------- n-gram Jaccard similarity join
-def _char_gram_rows(text_col: str, id_col: str, k: int):
-    """map_batches fn: doc → one row per DISTINCT character-k-gram.
+def _expand_or_dedup_token_rows(h, doc_idx, n_docs, weighted: bool):
+    """Shared tail of the gram-row emitters: lexsort (doc, hash), then
+    either keep DISTINCT (doc, hash) rows with n = per-doc distinct
+    count (set semantics), or occurrence-expand duplicates into
+    distinct (hash, occ) tokens with n = per-doc TOTAL gram count
+    (multiset/weighted semantics — set machinery downstream then
+    computes weighted Jaccard exactly; see :func:`_occurrence_expand`).
+    Returns (tokens int64-safe u64 masked to 63 bits, doc_idx, sizes
+    per doc)."""
+    order = np.lexsort((h, doc_idx))
+    hs, ds_ = h[order], doc_idx[order]
+    new_g = np.r_[True, (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])]
+    if weighted:
+        starts = np.nonzero(new_g)[0]
+        seg = np.diff(np.r_[starts, len(hs)])
+        occ = (np.arange(len(hs), dtype=np.int64)
+               - np.repeat(starts, seg)).astype(np.uint64)
+        hs = _splitmix64(hs ^ (occ * np.uint64(0x9E3779B97F4A7C15))) \
+            & np.uint64(0x7FFFFFFFFFFFFFFF)
+        sizes = np.bincount(ds_, minlength=n_docs)
+    else:
+        hs, ds_ = hs[new_g], ds_[new_g]
+        sizes = np.bincount(ds_, minlength=n_docs)
+    return hs, ds_, sizes
+
+
+def _char_gram_rows(text_col: str, id_col: str, k: int,
+                    weighted: bool = False):
+    """map_batches fn: doc → one row per DISTINCT character-k-gram
+    (``weighted=True``: per occurrence-expanded gram, multiset
+    semantics — see :func:`_expand_or_dedup_token_rows`).
 
     Grams are CHARACTER windows (UTF-32 codepoints, matching Python
     slicing and SQL ``substr`` semantics), hashed to 63-bit tokens
@@ -1871,13 +1986,10 @@ def _char_gram_rows(text_col: str, id_col: str, k: int):
         for j in range(k):
             h = h * _MIX + cps[base + j].astype(np.uint64)
         h = _splitmix64(h) & np.uint64(0x7FFFFFFFFFFFFFFF)
-        # per-doc distinct: sort (doc, hash), drop within-doc repeats
+        # per-doc distinct (or occurrence-expanded) token rows
         doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), wcounts)
-        order = np.lexsort((h, doc_idx))
-        hs, ds_ = h[order], doc_idx[order]
-        keep = np.r_[True, (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])]
-        hs, ds_ = hs[keep], ds_[keep]
-        sizes = np.bincount(ds_, minlength=len(lens))
+        hs, ds_, sizes = _expand_or_dedup_token_rows(
+            h, doc_idx, len(lens), weighted)
         return pa.table({
             "token": pa.array(hs.astype(np.int64)),
             id_col: pa.array(ids[ds_]),
@@ -1888,9 +2000,11 @@ def _char_gram_rows(text_col: str, id_col: str, k: int):
 
 
 
-def _word_gram_rows(text_col: str, id_col: str, n: int):
+def _word_gram_rows(text_col: str, id_col: str, n: int,
+                    weighted: bool = False):
     """map_batches fn: doc → one row per DISTINCT word-``n``-gram
-    (shingle). Words split on a single space (SQL ``string_split``
+    (shingle; ``weighted=True``: per occurrence-expanded shingle —
+    multiset semantics). Words split on a single space (SQL ``string_split``
     parity — consecutive spaces yield empty words on both sides); each
     word murmur-hashed over its UTF-8 bytes, shingles combined with an
     order-sensitive polynomial, masked to 63 bits. Word shingles keep
@@ -1926,11 +2040,8 @@ def _word_gram_rows(text_col: str, id_col: str, n: int):
             h = h * _MIX + wh[base + j]
         h = _splitmix64(h) & np.uint64(0x7FFFFFFFFFFFFFFF)
         doc_idx = np.repeat(np.arange(len(wcounts), dtype=np.int64), scounts)
-        order = np.lexsort((h, doc_idx))
-        hs, ds_ = h[order], doc_idx[order]
-        keep = np.r_[True, (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])]
-        hs, ds_ = hs[keep], ds_[keep]
-        sizes = np.bincount(ds_, minlength=len(wcounts))
+        hs, ds_, sizes = _expand_or_dedup_token_rows(
+            h, doc_idx, len(wcounts), weighted)
         return pa.table({
             "token": pa.array(hs.astype(np.int64)),
             id_col: pa.array(ids[ds_]),
@@ -2228,9 +2339,19 @@ def ngram_jaccard_join(ds, text_col: str = "text", id_col: str = "doc_id",
                        num_buckets: int = 64, unit: str = "word",
                        broadcast_df_limit: int = 2_000_000,
                        verify_driver_limit: int = 200_000,
-                       prefix_driver_limit: int = 2_000_000):
+                       prefix_driver_limit: int = 2_000_000,
+                       weighted: bool = False):
     """EXACT n-gram Jaccard similarity self-join: every doc pair with
     Jaccard ≥ ``threshold``, with the exact similarity.
+
+    ``weighted=True``: WEIGHTED (multiset) Jaccard — Σ_g min(tf_a,tf_b)
+    / Σ_g max(tf_a,tf_b) — via the occurrence-expansion reduction: the
+    i-th within-doc occurrence of a gram becomes the distinct token
+    (gram, i), so weighted J of multisets equals set J of the expanded
+    sets and the ENTIRE set pipeline below (df fold, prefix-filter
+    completeness lemma, pair emission, exact verify) applies verbatim;
+    ``n`` becomes the doc's total gram count and the verify builds
+    expanded (gram, occ) sets (:func:`_char_gram_multiset`).
 
     ``unit="word"`` (default): word-``k``-gram shingles — the standard
     document-dedup definition, and the one that SCALES: the shingle
@@ -2267,11 +2388,11 @@ def ngram_jaccard_join(ds, text_col: str = "text", id_col: str = "doc_id",
     import pandas as pd
 
     if unit == "word":
-        rows_fn = _word_gram_rows(text_col, id_col, k)
-        gram_set = _word_gram_set(k)
+        rows_fn = _word_gram_rows(text_col, id_col, k, weighted=weighted)
+        gram_set = _word_gram_multiset(k) if weighted else _word_gram_set(k)
     elif unit == "char":
-        rows_fn = _char_gram_rows(text_col, id_col, k)
-        gram_set = _char_gram_set(k)
+        rows_fn = _char_gram_rows(text_col, id_col, k, weighted=weighted)
+        gram_set = _char_gram_multiset(k) if weighted else _char_gram_set(k)
     else:
         raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
     docs = ds.select_columns([id_col, text_col])

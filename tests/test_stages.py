@@ -2117,3 +2117,110 @@ def test_snapshot_diff_same_content_different_length_never_merges(ray_session):
     out = snapshot_diff(ray.data.from_arrow(old),
                         ray.data.from_arrow(new)).to_pandas()
     assert list(out["status"]) == ["changed"]
+
+
+def _wjacc_brute(a: str, b: str, k: int = 3) -> float:
+    """Σmin(tf)/Σmax(tf) over word-k-gram multisets."""
+    from collections import Counter
+
+    def grams(t):
+        w = t.split(" ")
+        return Counter(tuple(w[i:i + k])
+                       for i in range(max(0, len(w) - k + 1)))
+    ca, cb = grams(a), grams(b)
+    if not ca and not cb:
+        return 1.0
+    num = sum(min(ca[g], cb[g]) for g in ca.keys() & cb.keys())
+    den = sum((ca | cb).values())
+    return num / den
+
+
+def test_weighted_jaccard_join_equals_brute_force(ray_session):
+    """weighted ngram_jaccard_join == per-pair Σmin/Σmax brute force,
+    and tells a self-concatenated doc (weighted J≈0.5) apart from the
+    set-Jaccard view (J≈1): the doubled doc pairs with its base under
+    unit weights but not under multiset weights."""
+    import ray
+
+    from raysketch.stages.dedup import ngram_jaccard_join
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [base,
+            base + " " + base,                       # doubled mass
+            base.replace("dog", "cat"),              # near-dup
+            "completely different text with no overlap here at all",
+            base]                                    # exact copy
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": docs})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+
+    out_w = ngram_jaccard_join(ds, k=3, threshold=0.4, unit="word",
+                               weighted=True)
+    gold = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            wj = _wjacc_brute(docs[i], docs[j])
+            if wj >= 0.4:
+                gold[(i, j)] = wj
+    got = {(int(r["id_a"]), int(r["id_b"])): float(r["jaccard"])
+           for _, r in out_w.iterrows()}
+    assert got.keys() == gold.keys()
+    for p, v in gold.items():
+        assert abs(got[p] - v) < 1e-12
+
+    # the doubled doc: set J(base, base+base) is high, weighted ≈ 0.5
+    out_set = ngram_jaccard_join(ds, k=3, threshold=0.8, unit="word")
+    set_pairs = {(int(r["id_a"]), int(r["id_b"]))
+                 for _, r in out_set.iterrows()}
+    out_w8 = ngram_jaccard_join(ds, k=3, threshold=0.8, unit="word",
+                                weighted=True)
+    w_pairs = {(int(r["id_a"]), int(r["id_b"]))
+               for _, r in out_w8.iterrows()}
+    assert (0, 1) in set_pairs and (0, 1) not in w_pairs
+    assert (0, 4) in set_pairs and (0, 4) in w_pairs  # exact copy: both
+
+
+def test_weighted_minhash_dedup_discriminates_doubled_text(ray_session):
+    """The weighted MinHash sketch tier: under set semantics a doc and
+    its self-concatenation are near-identical (J≈1 → component), under
+    weighted semantics they share only half the mass (J≈0.5 → no
+    component at threshold 0.9); exact copies are found either way."""
+    import ray
+
+    from raysketch.stages.dedup import minhash_dedup
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    docs, ids = [], []
+    for i in range(12):
+        t = " ".join(rng.choice(words, size=60))
+        docs += [t, t + " " + t]        # base + doubled twin
+        ids += [2 * i, 2 * i + 1]
+    docs.append(docs[0])                # one exact copy of doc 0
+    ids.append(1000)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": docs})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+
+    out_set = minhash_dedup(ds, shingle_k=5, threshold=0.9,
+                            verify="estimate")
+    comp_set = dict(zip(out_set["doc_id"], out_set["component"]))
+    assert comp_set.get(0) == comp_set.get(1) == 0  # doubled pairs merge
+
+    out_w = minhash_dedup(ds, shingle_k=5, threshold=0.9,
+                          verify="estimate", weighted=True)
+    comp_w = dict(zip(out_w["doc_id"], out_w["component"]))
+    # exact copy still found; doubled twins are NOT merged with bases
+    assert comp_w.get(0) == comp_w.get(1000) == 0
+    for i in range(12):
+        a, b = comp_w.get(2 * i), comp_w.get(2 * i + 1)
+        assert a is None or b is None or a != b
+
+    # exact weighted verify agrees (multiset gram sets in the verifier)
+    out_we = minhash_dedup(ds, shingle_k=5, threshold=0.9,
+                           verify="exact", weighted=True)
+    comp_we = dict(zip(out_we["doc_id"], out_we["component"]))
+    assert comp_we.get(0) == comp_we.get(1000) == 0
+    for i in range(12):
+        a, b = comp_we.get(2 * i), comp_we.get(2 * i + 1)
+        assert a is None or b is None or a != b
