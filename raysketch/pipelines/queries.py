@@ -979,6 +979,22 @@ def minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return minhash_dedup(ds, threshold=0.8)
 
 
+def weighted_minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate components under WEIGHTED (tf-multiset) k-gram
+    Jaccard — the sketch tier of the weighted family (the exact twin
+    `weighted_jaccard_pairs` carries the SQL oracle for the same
+    similarity). Signatures estimate Σmin(tf)/Σmax(tf) via the
+    occurrence-expansion reduction, so repeated boilerplate no longer
+    inflates similarity the way it does under set semantics
+    (stages/dedup.py minhash_dedup(weighted=True); discrimination
+    locked by test_weighted_minhash_dedup_discriminates_doubled_text).
+    Rows-only; deterministic (fixed-seed OPH + exact tiers)."""
+    from ..stages.dedup import minhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup(ds, threshold=0.8, weighted=True)
+
+
 def simhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import simhash_dedup
 
@@ -1112,6 +1128,7 @@ QUERIES.update({
     "ivf_ann_top10": ivf_ann_top10,
     "pq_ann_top10": pq_ann_top10,
     "minhash_dedup_docs": minhash_dedup_docs,
+    "weighted_minhash_dedup_docs": weighted_minhash_dedup_docs,
     "simhash_dedup_docs": simhash_dedup_docs,
     "embedding_dedup_vecs": embedding_dedup_vecs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,

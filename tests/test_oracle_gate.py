@@ -158,6 +158,8 @@ FAST_SUBSET = [
     "distinct_users_rollup",
     "first_last_transition_matrix",
     "purchases_next_hour_views",
+    "snapshot_diff_docs",
+    "weighted_jaccard_pairs",
     "weekend_value_ztest",
     "ks_weekend_weekday",
     "upsert_orders_latest",

@@ -1335,3 +1335,55 @@ def test_fd_pca_project_energy(ray_session):
         assert svsq - fuzz <= energy <= svsq + fuzz
 
     pd.testing.assert_frame_equal(out, Q.fd_pca_project_energy(SF_DIR))
+
+
+def test_rollup_compaction_identity(ray_session, tmp_path):
+    """compact_rollup: three append ingests (overlapping days →
+    duplicate keys across directories) compact to ONE directory with
+    one row per key; every range answer is byte-identical to the
+    multi-directory read, and the compacted dir replaces N ingest
+    dirs' worth of files (the bounded-small-files guarantee)."""
+    import glob as _g
+
+    import ray.data
+
+    from raysketch.stages.rollup import (build_sketch_rollup,
+                                         compact_rollup,
+                                         read_rollup_range)
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "day": [f"2024-03-{d:02d}" for d in rng.integers(1, 29, 3000)],
+        "user_id": rng.integers(0, 600, 3000),
+    })
+    thirds = [df.iloc[i::3] for i in range(3)]  # every day in every ingest
+    dirs = []
+    for i, part in enumerate(thirds):
+        d = str(tmp_path / f"ing{i}")
+        build_sketch_rollup(ray.data.from_pandas(part.reset_index(drop=True)),
+                            "day", "user_id", "hll", d)
+        dirs.append(d)
+    ranges = (("2024-03-01", "2024-03-28"), ("2024-03-05", "2024-03-09"),
+              ("2024-03-20", "2024-03-22"))
+    before = [read_rollup_range(dirs, lo, hi, "hll", key_col="day")
+              .to_bytes() for lo, hi in ranges]
+
+    out = str(tmp_path / "compacted")
+    n_keys = compact_rollup(dirs, out, "hll", key_col="day")
+    assert n_keys == df["day"].nunique()
+    t = pd.concat([pd.read_parquet(f) for f in
+                   _g.glob(os.path.join(out, "*.parquet"))])
+    assert len(t) == n_keys and t["day"].is_unique
+
+    after = [read_rollup_range(out, lo, hi, "hll", key_col="day")
+             .to_bytes() for lo, hi in ranges]
+    assert after == before
+
+    n_files_before = sum(len(_g.glob(os.path.join(d, "*.parquet")))
+                         for d in dirs)
+    n_files_after = len(_g.glob(os.path.join(out, "*.parquet")))
+    assert n_files_after < n_files_before
+
+    with pytest.raises(FileNotFoundError):
+        compact_rollup([str(tmp_path / "nope")], out, "hll",
+                       key_col="day")
