@@ -1387,3 +1387,41 @@ def test_rollup_compaction_identity(ray_session, tmp_path):
     with pytest.raises(FileNotFoundError):
         compact_rollup([str(tmp_path / "nope")], out, "hll",
                        key_col="day")
+
+
+def test_hyperball_word_graph(ray_session):
+    """HyperBall N(t) vs the exact bool-matrix-power neighborhood
+    function: every round within the HLL p=8 band (1.04/sqrt(256) =
+    6.5%, plus per-node int-truncation drift), t=0 exactly the node
+    count, N(t) nondecreasing in t, and rerun frame-equality
+    (register max-merge is commutative → byte-deterministic)."""
+    import pyarrow.parquet as pq
+
+    out = Q.hyperball_word_graph(SF_DIR)
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["text"]).to_pandas()
+    edges = set()
+    for t in docs["text"].fillna(""):
+        w = t.split(" ")
+        for i in range(len(w) - 1):
+            edges.add((w[i], w[i + 1]))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    ix = {w: i for i, w in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n), dtype=np.int32)
+    for a, b in edges:
+        A[ix[a], ix[b]] = 1
+    reach = np.eye(n, dtype=bool)
+    exact = [int(reach.sum())]
+    for _ in range(3):
+        reach = reach | (reach.astype(np.int32) @ A > 0)
+        exact.append(int(reach.sum()))
+
+    assert list(out["t"]) == [0, 1, 2, 3]
+    assert int(out["nf_est"][0]) == n  # singleton balls: LC exact
+    est = list(out["nf_est"])
+    assert est == sorted(est)  # balls only grow
+    for t, (e_, x) in enumerate(zip(est, exact)):
+        assert abs(e_ - x) <= 0.08 * x + 2, (t, e_, x)
+
+    pd.testing.assert_frame_equal(out, Q.hyperball_word_graph(SF_DIR))
