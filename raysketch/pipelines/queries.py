@@ -17780,6 +17780,53 @@ def rollup_hll_users_ranges(sf_dir: str) -> pd.DataFrame:
 QUERIES["rollup_hll_users_ranges"] = rollup_hll_users_ranges
 
 
+def rollup_churn_users_ranges(sf_dir: str) -> pd.DataFrame:
+    """SET OPERATIONS across rollup ranges — the churn/retention
+    question answered purely from the persisted state table: for two
+    adjacent date ranges (single days here — the corpus's users are
+    near-uniformly active, so day granularity is where cohorts
+    actually differ), how many users were active in A but not B
+    (churned), in B but not A (new), and in both (retained). ExactSet
+    states make all three EXACT (set difference/intersection of the
+    two merged range states), so the DuckDB oracle states them from
+    the raw table with EXCEPT/INTERSECT semantics and the value hashes
+    must match. Same two KB-row reads as rollup_distinct_users_ranges
+    — the raw events are never rescanned; at 10⁹ users per range the
+    HLL twin's inclusion-exclusion replaces the exact sets (the
+    documented KMV/HLL overlap caveat)."""
+    from ..stages.rollup import read_rollup_range
+
+    path = _users_rollup(sf_dir, "set")
+    a = read_rollup_range(path, "2024-01-02", "2024-01-02", "set",
+                          key_col="day")
+    b = read_rollup_range(path, "2024-01-03", "2024-01-03", "set",
+                          key_col="day")
+    assert not a.truncated and not b.truncated
+    sa, sb = set(a.items), set(b.items)
+    return pd.DataFrame(
+        [("churned", len(sa - sb)), ("new", len(sb - sa)),
+         ("retained", len(sa & sb))],
+        columns=["cohort", "n_users"]).astype({"n_users": "int64"})
+
+
+QUERIES["rollup_churn_users_ranges"] = rollup_churn_users_ranges
+ORACLES["rollup_churn_users_ranges"] = """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE CAST(ts AS DATE) = DATE '2024-01-02'),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE CAST(ts AS DATE) = DATE '2024-01-03')
+    SELECT 'churned' AS cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)
+    UNION ALL
+    SELECT 'new', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM a)
+    UNION ALL
+    SELECT 'retained', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)
+    ORDER BY cohort
+"""
+
+
 def rollup_value_quantiles_ranges(sf_dir: str) -> pd.DataFrame:
     """Range QUANTILES from the rollup, no rescan: daily DDSketch
     states of event value (exact integer cents) persisted once, then

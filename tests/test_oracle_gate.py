@@ -160,6 +160,7 @@ FAST_SUBSET = [
     "purchases_next_hour_views",
     "snapshot_diff_docs",
     "weighted_jaccard_pairs",
+    "rollup_churn_users_ranges",
     "weekend_value_ztest",
     "ks_weekend_weekday",
     "upsert_orders_latest",
