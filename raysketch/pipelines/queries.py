@@ -18369,12 +18369,18 @@ _GATE_PRIORITY = [
     "q1_pricing_summary", "cheapest_supplier_per_part",
     "mktsegment_revenue", "q4_late_orders_by_priority",
     "q5_local_supplier_revenue", "q6_forecast_revenue",
-    "q7_nation_pair_volume", "q8_market_share_by_year",
+    "q7_nation_pair_volume",
     "q9_profit_by_nation_year", "q10_returned_revenue_customers",
     "important_parts",
     "order_count_distribution", "promo_revenue_ratio",
     "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q20_majority_suppliers",
+    # (q8/q19/q20 join q12/q15/q16 in the FAST_SUBSET + full-replica
+    # tier to make room for the round-4 fifth-session oracles)
+    # round-4 fifth-session oracles (front-loaded per the r03-item-8
+    # discipline): weighted multiset similarity, snapshot delta, rollup
+    # set ops
+    "weighted_jaccard_pairs", "snapshot_diff_docs",
+    "rollup_churn_users_ranges",
     # (q12/q15/q16/big_orders_having stay FAST_SUBSET-pytest-gated +
     # full-replica-checked; swapped out of the 50-entry snapshot for
     # the round-4 third-session oracles)
