@@ -18102,187 +18102,60 @@ ORACLES["snapshot_diff_docs"] = """
 
 def hyperball_word_graph(sf_dir: str, max_t: int = 3, p: int = 8,
                          num_buckets: int = 16) -> pd.DataFrame:
-    """HyperBall / HyperANF (Boldi–Vigna–Rosa WWW'11; Boldi & Vigna's
-    HyperBall, arXiv:1308.2144): the neighborhood function
+    """HyperBall / HyperANF (Boldi-Vigna; stages/hyperball.py carries
+    the algorithm + scale notes): the neighborhood function
     N(t) = Σ_v |B(v,t)| of the word-adjacency graph estimated with ONE
     HLL per node — the reference's core sketch composed into an
-    iterative distributed graph operator. Round t computes
-    B(u,t) = {u} ∪ ⋃_{(u,v)∈E} B(v,t−1) by shipping each node's
-    REGISTERS along in-edges and register-max-merging per node: two
-    hash-bucket exchanges per round over (node, 2^p-byte regs) rows —
-    at scale the per-round wire is |E| × 2^p bytes, independent of
-    ball sizes, which is the whole point of the algorithm (exact balls
-    explode combinatorially). Max-merge is commutative and idempotent,
-    so every round — and the output frame — is byte-deterministic at
-    any parallelism (no per-file-fold crutch needed). p=8 (256 B/node)
-    is a standard HyperBall working point; estimates use the
-    reference's own estimator path (alpha·m²/Σ2^-reg with the
-    LINEARCOUNTING branch — hyperloglog.c:961-1018 — vectorized over
-    node rows; no m=16384 bias poly at this m, matching the C).
+    iterative distributed graph operator; two bucket exchanges per
+    round over (node, 2^p-byte regs) rows, wire |E|·2^p independent of
+    ball sizes, byte-deterministic (commutative register max-merge).
     Rows-only by design (N(t) is an estimate); pytest holds each N(t)
     within the HLL band of the exact bool-matrix-power neighborhood
     function and asserts rerun frame-equality."""
-    import ray
+    from ..stages.hyperball import hyperball
 
-    from ..hashing import arrow_to_flat_bytes, hll_patlen, murmur64a
-    from ..sketches.hll import _PE
-    from ..stages.dedup import _splitmix64 as _mix64
-
-    m = 1 << p
-    B = np.uint64(num_buckets)
-    wire = pa.large_binary()
-
-    def regs_to_col(R: np.ndarray) -> pa.Array:
-        offs = np.arange(0, (len(R) + 1) * m, m, dtype=np.int64)
-        return pa.LargeBinaryArray.from_buffers(
-            wire, len(R),
-            [None, pa.py_buffer(offs),
-             pa.py_buffer(np.ascontiguousarray(R).view(np.uint8))])
-
-    def col_to_regs(col) -> np.ndarray:
-        a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        if len(a) == 0:
-            return np.zeros((0, m), np.uint8)
-        a = a.cast(pa.large_binary())
-        offs = np.frombuffer(a.buffers()[1], np.int64, len(a) + 1,
-                             a.offset * 8)
-        if a.null_count == 0 and int(offs[-1] - offs[0]) == len(a) * m \
-                and bool(np.all(np.diff(offs) == m)):
-            raw = np.frombuffer(a.buffers()[2], np.uint8,
-                                int(offs[-1] - offs[0]), int(offs[0]))
-        else:  # sliced/non-dense: safe per-row copy
-            raw = np.frombuffer(b"".join(a.to_pylist()), np.uint8)
-        return raw.reshape(len(a), m)
-
-    def bucket_of(n: np.ndarray) -> pa.Array:
-        return pa.array((_mix64(n.astype(np.uint64)) % B).astype(np.int64))
-
-    # edges as 63-bit word hashes (ids only ride the exchanges; a gram
-    # hash collision merges two words — the ngram-join caveat, invisible
-    # at estimate granularity)
-    edges = _word_edge_dataset(sf_dir)
-
-    def to_hashes(t: pa.Table) -> pa.Table:
-        cols = {}
-        for c, nm in (("w1", "u"), ("w2", "v")):
-            data, offsets = arrow_to_flat_bytes(
-                t.column(c).combine_chunks().cast(pa.string()))
-            cols[nm] = pa.array(
-                (murmur64a(data, offsets)
-                 & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
-        return pa.table(cols)
-
-    e = edges.map_batches(to_hashes, batch_format="pyarrow").materialize()
-
-    # init: one HLL per node holding exactly {node}
-    def node_rows(t: pa.Table) -> pa.Table:
-        u = t.column("u").to_numpy(zero_copy_only=False)
-        v = t.column("v").to_numpy(zero_copy_only=False)
-        n = np.unique(np.concatenate([u, v]))
-        return pa.table({"node": pa.array(n), "__b": bucket_of(n)})
-
-    def init_group(g: pa.Table) -> pa.Table:
-        n = np.unique(g.column("node").to_numpy(zero_copy_only=False))
-        idx, cnt = hll_patlen(n.astype(np.uint64), p)
-        R = np.zeros((len(n), m), np.uint8)
-        R[np.arange(len(n)), idx] = cnt
-        return pa.table({"node": pa.array(n), "regs": regs_to_col(R),
-                         "__b": bucket_of(n)})
-
-    states = e.map_batches(node_rows, batch_format="pyarrow") \
-        .groupby("__b").map_groups(init_group, batch_format="pyarrow") \
-        .materialize()
-
-    alpha = 0.7213 / (1 + 1.079 / m)
-
-    def est_rows(R: np.ndarray) -> np.ndarray:
-        """Vectorized hllCount over register-matrix rows (mirrors
-        HLL.finalize exactly for m != 16384)."""
-        E = alpha * m * m / _PE[R].sum(axis=1)
-        ez = (R == 0).sum(axis=1)
-        lc = m * np.log(np.where(ez > 0, m / np.maximum(ez, 1), 1.0))
-        use_lc = (E < 2.5 * m) & (ez != 0)
-        return np.where(use_lc, lc, E).astype(np.int64)
-
-    def nf_partial(t: pa.Table) -> pa.Table:
-        R = col_to_regs(t.column("regs"))
-        return pa.table({"n": pa.array([len(R)], pa.int64()),
-                         "s": pa.array([int(est_rows(R).sum())],
-                                       pa.int64())})
-
-    def nf_of(st) -> tuple[int, int]:
-        parts = st.map_batches(nf_partial, batch_format="pyarrow") \
-            .to_pandas()
-        return int(parts["n"].sum()), int(parts["s"].sum())
-
-    n_nodes, nf0 = nf_of(states)
-    rows = [(0, nf0)]
-
-    def edge_rows_by_v(t: pa.Table) -> pa.Table:
-        v = t.column("v").to_numpy(zero_copy_only=False)
-        n = len(t)
-        zero_offs = np.zeros(n + 1, dtype=np.int64)
-        empty = pa.LargeBinaryArray.from_buffers(
-            wire, n, [None, pa.py_buffer(zero_offs), pa.py_buffer(b"")])
-        return pa.table({"k": t.column("v"), "src": t.column("u"),
-                         "regs": empty, "__b": bucket_of(v)})
-
-    def state_rows_by_node(t: pa.Table) -> pa.Table:
-        return pa.table({"k": t.column("node"),
-                         "src": pa.array(np.full(len(t), -1, np.int64)),
-                         "regs": t.column("regs"),
-                         "__b": t.column("__b")})
-
-    def attach(g: pa.Table) -> pa.Table:
-        src = g.column("src").to_numpy(zero_copy_only=False)
-        k = g.column("k").to_numpy(zero_copy_only=False)
-        is_state = src == -1
-        st_nodes = k[is_state]
-        R = col_to_regs(g.column("regs").combine_chunks()
-                        .filter(pa.array(is_state)))
-        order = np.argsort(st_nodes)
-        st_nodes, R = st_nodes[order], R[order]
-        ek, eu = k[~is_state], src[~is_state]
-        if not len(ek) or not len(st_nodes):
-            return pa.table({"node": pa.array([], pa.int64()),
-                             "regs": pa.array([], wire),
-                             "__b": pa.array([], pa.int64())})
-        pos = np.minimum(np.searchsorted(st_nodes, ek), len(st_nodes) - 1)
-        ok = st_nodes[pos] == ek  # every edge head is a node; belt+braces
-        eu, pos = eu[ok], pos[ok]
-        return pa.table({"node": pa.array(eu),
-                         "regs": regs_to_col(R[pos]),
-                         "__b": bucket_of(eu)})
-
-    def merge_group(g: pa.Table) -> pa.Table:
-        nd = g.column("node").to_numpy(zero_copy_only=False)
-        R = col_to_regs(g.column("regs"))
-        order = np.argsort(nd, kind="stable")
-        nd, R = nd[order], R[order]
-        starts = np.nonzero(np.r_[True, nd[1:] != nd[:-1]])[0]
-        M = np.maximum.reduceat(R, starts, axis=0)
-        u = nd[starts]
-        return pa.table({"node": pa.array(u), "regs": regs_to_col(M),
-                         "__b": bucket_of(u)})
-
-    n_blocks = max(1, n_nodes // 8192)
-    for t_round in range(1, max_t + 1):
-        gathered = e.map_batches(edge_rows_by_v, batch_format="pyarrow") \
-            .union(states.map_batches(state_rows_by_node,
-                                      batch_format="pyarrow")) \
-            .groupby("__b").map_groups(attach, batch_format="pyarrow")
-        states = gathered \
-            .union(states) \
-            .groupby("__b").map_groups(merge_group,
-                                       batch_format="pyarrow") \
-            .repartition(n_blocks).materialize()
-        rows.append((t_round, nf_of(states)[1]))
-
-    return pd.DataFrame(rows, columns=["t", "nf_est"]) \
+    nf, _ = hyperball(_word_edge_dataset(sf_dir), max_t=max_t, p=p,
+                      num_buckets=num_buckets)
+    return pd.DataFrame(nf, columns=["t", "nf_est"]) \
         .astype({"t": "int64", "nf_est": "int64"})
 
 
 QUERIES["hyperball_word_graph"] = hyperball_word_graph
+
+
+def harmonic_centrality_words(sf_dir: str, k: int = 10,
+                              max_t: int = 3) -> pd.DataFrame:
+    """Harmonic centrality from the SAME HyperBall rounds — the
+    headline application of Boldi & Vigna's paper (arXiv:1308.2144):
+    C_H(v) = Σ_{u≠v} 1/d(v,u) = Σ_t (|B(v,t)|−|B(v,t−1)|)/t,
+    accumulated per node INSIDE the state rows as fixed-point int64
+    (×2^20, Python floor division) — zero exchanges beyond the rounds
+    themselves. Output: top-k node hashes by (centrality desc, node
+    asc) — per-bucket local top-k bounds driver traffic at k·buckets
+    (each node's full state lives in exactly one bucket, the
+    top_session_paths soundness argument). Rows-only; pytest checks
+    rank agreement against exact harmonic centrality on the
+    BFS-distance matrix and rerun equality."""
+    from ..stages.hyperball import hyperball
+
+    _, states = hyperball(_word_edge_dataset(sf_dir), max_t=max_t)
+
+    def local_topk(g: pa.Table) -> pa.Table:
+        nd = g.column("node").to_numpy(zero_copy_only=False)
+        h = g.column("harm_fp").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nd, -h))[:k]
+        return pa.table({"node": pa.array(nd[order]),
+                         "harm_fp": pa.array(h[order])})
+
+    parts = states.groupby("__b") \
+        .map_groups(local_topk, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["harm_fp", "node"],
+                            ascending=[False, True]).head(k)
+    return out.reset_index(drop=True) \
+        .astype({"node": "int64", "harm_fp": "int64"})
+
+
+QUERIES["harmonic_centrality_words"] = harmonic_centrality_words
 
 
 def weighted_jaccard_pairs(sf_dir: str) -> pd.DataFrame:

@@ -1425,3 +1425,67 @@ def test_hyperball_word_graph(ray_session):
         assert abs(e_ - x) <= 0.08 * x + 2, (t, e_, x)
 
     pd.testing.assert_frame_equal(out, Q.hyperball_word_graph(SF_DIR))
+
+
+def test_harmonic_centrality_words(ray_session):
+    """Per-node HyperBall harmonic centrality vs the exact truncated
+    harmonic centrality C_H^3(v) = Σ_{1≤d(v,u)≤3} 1/d(v,u) on the BFS
+    distance matrix: every node within the HLL band; the query's top-k
+    is exactly the top-k of the stage's own per-node values (local
+    top-k soundness after the key-hash exchange); rerun equality."""
+    import pyarrow.parquet as pq
+
+    import ray  # noqa: F401
+
+    from raysketch.hashing import murmur64a
+    from raysketch.pipelines.queries import _word_edge_dataset
+    from raysketch.stages.hyperball import _HARM_SCALE, hyperball
+
+    _, states = hyperball(_word_edge_dataset(SF_DIR), max_t=3)
+    st = states.to_pandas()
+
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["text"]).to_pandas()
+    edges = set()
+    for t in docs["text"].fillna(""):
+        w = t.split(" ")
+        for i in range(len(w) - 1):
+            edges.add((w[i], w[i + 1]))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    ix = {w: i for i, w in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n), dtype=bool)
+    for a, b in edges:
+        A[ix[a], ix[b]] = True
+    # BFS distance matrix truncated at 3
+    dist = np.full((n, n), 99, dtype=np.int64)
+    np.fill_diagonal(dist, 0)
+    reach = np.eye(n, dtype=bool)
+    for t in range(1, 4):
+        new = (reach.astype(np.int32) @ A.astype(np.int32) > 0) & ~reach
+        dist[new & (dist == 99)] = t
+        reach = reach | new
+    exact = {w: float(np.where((dist[ix[w]] > 0) & (dist[ix[w]] <= 3),
+                               1.0 / np.maximum(dist[ix[w]], 1), 0.0)
+                      .sum()) for w in nodes}
+
+    def h63(w: str) -> int:
+        b = w.encode()
+        hv = murmur64a(np.frombuffer(b, np.uint8),
+                       np.array([0, len(b)], np.int64))[0]
+        return int(hv & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+    by_hash = {h63(w): exact[w] for w in nodes}
+    assert len(by_hash) == n  # no hash collisions in this vocab
+    assert len(st) == n
+    for _, r in st.iterrows():
+        est = r["harm_fp"] / _HARM_SCALE
+        ex = by_hash[int(r["node"])]
+        assert abs(est - ex) <= 0.12 * ex + 1.0, (int(r["node"]), est, ex)
+
+    out = Q.harmonic_centrality_words(SF_DIR)
+    gold = st.sort_values(["harm_fp", "node"],
+                          ascending=[False, True]).head(10)
+    assert list(out["node"]) == list(gold["node"])
+    assert list(out["harm_fp"]) == list(gold["harm_fp"])
+    pd.testing.assert_frame_equal(out, Q.harmonic_centrality_words(SF_DIR))
