@@ -3724,6 +3724,86 @@ ORACLES["minhash_dedup_planted"] = """
 """
 
 
+def weighted_minhash_planted(sf_dir: str) -> pd.DataFrame:
+    """The weighted-LSH pipeline with a full SQL oracle — the multiset
+    twin of `minhash_dedup_planted`: exact copies of every 10th doc are
+    planted (doc_id+10M) AND self-concatenations of every (10k+5)th doc
+    (doc_id+20M, text || ' ' || text — same gram SET, ~doubled counts,
+    weighted J≈0.5). At threshold=1.0 with verify="exact" +
+    weighted=True the result is PRECISELY the char-5-gram MULTISET
+    equality classes of size ≥ 2: weighted J=1 ⟺ identical multisets ⟹
+    identical expanded sets ⟹ identical signatures ⟹ guaranteed LSH
+    candidates (recall exactly 1), and the exact multiset verify
+    rejects everything else — so the doubled-text plants are provably
+    excluded (their multiset differs), which the oracle states by
+    fingerprinting (gram, count) pairs. Deterministic regardless of
+    hashing (the minhash_dedup_planted argument, multiset edition)."""
+    from ..stages.dedup import minhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = np.nonzero(ids % 10 == 0)[0]
+        copies = t.take(pa.array(sel))
+        copies = copies.set_column(
+            copies.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(ids[sel] + 10_000_000))
+        sel5 = np.nonzero(ids % 10 == 5)[0]
+        doubled = t.take(pa.array(sel5))
+        dtxt = pc.binary_join_element_wise(
+            doubled.column("text"), doubled.column("text"), " ")
+        doubled = doubled.set_column(
+            doubled.schema.get_field_index("text"), "text", dtxt)
+        doubled = doubled.set_column(
+            doubled.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(ids[sel5] + 20_000_000))
+        return pa.concat_tables([t, copies, doubled])
+
+    aug = ds.map_batches(plant, batch_format="pyarrow")
+    out = minhash_dedup(aug, shingle_k=5, threshold=1.0, verify="exact",
+                        weighted=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["component"] = out["component"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["weighted_minhash_planted"] = weighted_minhash_planted
+ORACLES["weighted_minhash_planted"] = """
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 20000000, text || ' ' || text
+      FROM documents WHERE doc_id % 10 = 5
+    ),
+    g AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS gram
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 4)) AS i
+        FROM aug
+      )
+    ),
+    c AS (
+      SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY doc_id, gram
+    ),
+    fp AS (
+      SELECT doc_id,
+             string_agg(gram || chr(2) || n, chr(1) ORDER BY gram) AS f
+      FROM c GROUP BY doc_id
+    ),
+    cls AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY f) AS component,
+             COUNT(*) OVER (PARTITION BY f) AS nn
+      FROM fp
+    )
+    SELECT doc_id, component FROM cls WHERE nn > 1 ORDER BY doc_id
+"""
+
+
 def events_lag_delta(sf_dir: str) -> pd.DataFrame:
     """Window NAVIGATION functions (LAG) as a distributed operator: per
     event, the time gap to the same user's previous event and that

@@ -161,6 +161,7 @@ FAST_SUBSET = [
     "snapshot_diff_docs",
     "weighted_jaccard_pairs",
     "rollup_churn_users_ranges",
+    "weighted_minhash_planted",
     "weekend_value_ztest",
     "ks_weekend_weekday",
     "upsert_orders_latest",
