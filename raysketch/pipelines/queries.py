@@ -3724,6 +3724,75 @@ ORACLES["minhash_dedup_planted"] = """
 """
 
 
+def normalize_text_docs(sf_dir: str) -> pd.DataFrame:
+    """Unicode NFC normalization as a first-class curation operator,
+    value-hash-checked: the corpus is pure ASCII (normalization would
+    be vacuous), so every 5th doc gets a DECOMPOSED suffix planted
+    in-query — 'cafe' + U+0301 combining acute (composes to é under
+    NFC, shortening the string by one codepoint) + U+FB01 ﬁ ligature +
+    U+00B2 ² (both NFC-invariant; they only fold under NFKC) — and the
+    oracle constructs the identical suffix with chr(). One vectorized
+    Arrow utf8_normalize pass (utf8proc) against DuckDB's
+    nfc_normalize (also utf8proc): the full normalized TEXTS must
+    hash identically, plus before/after codepoint counts proving the
+    composition actually happened."""
+    import unicodedata
+
+    from ..hashing import arrow_to_flat_bytes
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    suffix = " cafe\u0301 \ufb01\u00b2"
+
+    def norm(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = pc.if_else(
+            pa.array(ids % 5 == 0),
+            pc.binary_join_element_wise(t.column("text"), suffix, ""),
+            t.column("text")).combine_chunks()
+        before = pc.utf8_length(txt)
+        # ASCII rows are NFC-fixed points — flag non-ASCII rows with one
+        # vectorized byte scan, pay the per-string normalize only there
+        # (this build's Arrow utf8_normalize reorders but does NOT
+        # compose e+U+0301 → é, so utf8proc-via-Arrow can't be the
+        # composer; unicodedata matches DuckDB's nfc_normalize)
+        data, offsets = arrow_to_flat_bytes(txt)
+        tot = np.concatenate(([0], np.cumsum(data > 127, dtype=np.int64)))
+        flagged = np.nonzero(tot[offsets[1:]] > tot[offsets[:-1]])[0]
+        if len(flagged):
+            vals = txt.to_pylist()
+            for i in flagged:
+                vals[i] = unicodedata.normalize("NFC", vals[i] or "")
+            out = pa.array(vals, pa.string())
+        else:
+            out = txt
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_before": pc.cast(before, pa.int64()),
+                         "n_after": pc.cast(pc.utf8_length(out),
+                                            pa.int64()),
+                         "text_norm": out})
+
+    out = ds.map_batches(norm, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["normalize_text_docs"] = normalize_text_docs
+ORACLES["normalize_text_docs"] = """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' cafe' || chr(769) || ' ' || chr(64257)
+                       || chr(178)
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_before,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after,
+           nfc_normalize(t) AS text_norm
+    FROM aug ORDER BY doc_id
+"""
+
+
 def weighted_minhash_planted(sf_dir: str) -> pd.DataFrame:
     """The weighted-LSH pipeline with a full SQL oracle — the multiset
     twin of `minhash_dedup_planted`: exact copies of every 10th doc are

@@ -162,6 +162,7 @@ FAST_SUBSET = [
     "weighted_jaccard_pairs",
     "rollup_churn_users_ranges",
     "weighted_minhash_planted",
+    "normalize_text_docs",
     "weekend_value_ztest",
     "ks_weekend_weekday",
     "upsert_orders_latest",
