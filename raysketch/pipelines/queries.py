@@ -3724,6 +3724,73 @@ ORACLES["minhash_dedup_planted"] = """
 """
 
 
+def priority_sample_orders(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """PRIORITY SAMPLING (Duffield–Lund–Thorup JACM'07) — the
+    variance-near-optimal weighted sample for SUBSET-SUM estimation:
+    priority q_i = w_i / u_i with u_i uniform, keep the k largest, and
+    for any subset S, Σ_{i∈S∩sample} max(w_i, τ) (τ = the (k+1)-th
+    priority) is an unbiased estimate of Σ_{i∈S} w_i. Here u_i is the
+    SQL-expressible multiplicative hash (the length_weighted_sample
+    convention), priorities are exact integer floor divisions
+    q_fp = w·M // r, and the whole draw — sample AND threshold — is
+    value-hash-checked by a ROW_NUMBER oracle. Distributed as a PURE
+    COMBINER: the global top-(k+1) by priority is the top-(k+1) of the
+    union of per-batch top-(k+1) partials, so the table never shuffles
+    and merges are associative — the mergeable-sample property that
+    makes this a sketch, not a query trick. Estimator invariants +
+    exact-below-k behavior are pytest-locked."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    K = np.int64(2654435761)
+    P = np.int64(1_000_000_007)
+    M = np.int64(1_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        w = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        r = ((key * K) % P) % M + 1  # 1..M — pseudo-uniform u = r/M
+        q = (w * M) // r
+        order = np.lexsort((key, -q))[:k + 1]
+        return pa.table({"o_orderkey": pa.array(key[order]),
+                         "cents": pa.array(w[order]),
+                         "priority_fp": pa.array(q[order])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((parts["o_orderkey"].to_numpy(),
+                        -parts["priority_fp"].to_numpy()))
+    top = parts.iloc[order[:k + 1]]
+    tau = int(top["priority_fp"].iloc[k]) if len(top) > k else 0
+    out = top.iloc[:k].copy()
+    out["tau_fp"] = np.int64(tau)
+    return out.sort_values("o_orderkey").reset_index(drop=True) \
+        .astype({"o_orderkey": "int64", "cents": "int64",
+                 "priority_fp": "int64", "tau_fp": "int64"})
+
+
+QUERIES["priority_sample_orders"] = priority_sample_orders
+ORACLES["priority_sample_orders"] = """
+    WITH w AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    pr AS (
+      SELECT k, cents,
+             (cents * 1000000)
+             // ((((k * 2654435761) % 1000000007) % 1000000) + 1) AS q
+      FROM w
+    ),
+    rk AS (
+      SELECT k, cents, q,
+             ROW_NUMBER() OVER (ORDER BY q DESC, k) AS rn
+      FROM pr
+    )
+    SELECT k AS o_orderkey, cents, CAST(q AS BIGINT) AS priority_fp,
+           CAST(COALESCE((SELECT q FROM rk WHERE rn = 65), 0) AS BIGINT)
+           AS tau_fp
+    FROM rk WHERE rn <= 64 ORDER BY o_orderkey
+"""
+
+
 def normalize_text_docs(sf_dir: str) -> pd.DataFrame:
     """Unicode NFC normalization as a first-class curation operator,
     value-hash-checked: the corpus is pure ASCII (normalization would

@@ -163,6 +163,7 @@ FAST_SUBSET = [
     "rollup_churn_users_ranges",
     "weighted_minhash_planted",
     "normalize_text_docs",
+    "priority_sample_orders",
     "weekend_value_ztest",
     "ks_weekend_weekday",
     "upsert_orders_latest",

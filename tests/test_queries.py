@@ -1489,3 +1489,39 @@ def test_harmonic_centrality_words(ray_session):
     assert list(out["node"]) == list(gold["node"])
     assert list(out["harm_fp"]) == list(gold["harm_fp"])
     pd.testing.assert_frame_equal(out, Q.harmonic_centrality_words(SF_DIR))
+
+
+def test_priority_sample_orders_estimator(ray_session):
+    """Priority sampling (DLT JACM'07) invariants + subset-sum
+    estimation: every sampled priority >= tau, exactly k rows; the
+    estimator Σ max(w_i, τ) over sample∩S lands within the expected
+    band of the exact subset sum for each order-priority class (~1/5
+    of the mass → k·share ≈ 13 effective samples → wide band) and
+    within 15% on the total; the draw is deterministic so the bands
+    are exact regression locks. Rerun frame-equality."""
+    import duckdb
+
+    out = Q.priority_sample_orders(SF_DIR)
+    assert len(out) == 64
+    tau = int(out["tau_fp"].iloc[0])
+    assert tau > 0 and (out["tau_fp"] == tau).all()
+    assert (out["priority_fp"] >= tau).all()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet("
+                f"'{os.path.join(SF_DIR, 'orders.parquet')}')")
+    full = con.execute("""
+        SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) c,
+               o_orderpriority pr FROM orders""").fetchdf()
+    samp = out.merge(full, on="o_orderkey")
+    assert (samp["cents"] == samp["c"]).all()
+    tot_exact = int(full["c"].sum())
+    tot_est = int(np.maximum(samp["cents"], tau).sum())
+    assert abs(tot_est - tot_exact) <= 0.15 * tot_exact
+    for pr, grp in full.groupby("pr"):
+        exact = int(grp["c"].sum())
+        s = samp[samp["pr"] == pr]
+        est = int(np.maximum(s["cents"], tau).sum()) if len(s) else 0
+        assert abs(est - exact) <= 0.5 * exact, (pr, est, exact)
+
+    pd.testing.assert_frame_equal(out, Q.priority_sample_orders(SF_DIR))
