@@ -18435,6 +18435,252 @@ ORACLES["weighted_jaccard_pairs"] = """
 
 
 # ====================================================================
+# Deterministic epoch shuffle (training-data global shuffle)
+# ====================================================================
+
+_M61 = (1 << 61) - 1  # Mersenne prime 2^61 - 1
+_EPOCH_A = 1203980483  # odd multiplier < 2^31 (any a ≢ 0 mod p works)
+_EPOCH_B = 987654321103  # additive offset < p
+
+
+def _mulmod_m61(a: int, x: np.ndarray) -> np.ndarray:
+    """Exact (a*x) mod (2^61-1) for a < 2^31, x < 2^61, vectorized in
+    uint64 with no 128-bit type: split x = xh·2^32 + xl, reduce the
+    high product's ·2^32 via 2^61 ≡ 1 (hi = u·2^29 + v ⇒ hi·2^32 ≡
+    u + v·2^32), then fold the ≤2^63 partial sums twice."""
+    x = x.astype(np.uint64)
+    au = np.uint64(a)
+    p = np.uint64(_M61)
+    xh = x >> np.uint64(32)                 # < 2^29
+    xl = x & np.uint64(0xFFFFFFFF)          # < 2^32
+    hi = au * xh                            # < 2^60 (< p already)
+    lo = au * xl                            # < 2^63
+    u = hi >> np.uint64(29)                 # < 2^31
+    v = hi & np.uint64((1 << 29) - 1)       # < 2^29
+    s = u + (v << np.uint64(32)) + lo       # < 2^64
+    s = (s >> np.uint64(61)) + (s & p)
+    s = (s >> np.uint64(61)) + (s & p)
+    return np.where(s >= p, s - p, s)
+
+
+def _epoch_shuffle_positions(ds, id_col: str):
+    """Dataset of (id_col, pos): the row's 0-based position in the
+    deterministic epoch permutation ordered by the affine key
+    k = (A·id + B) mod (2^61-1). The map is INJECTIVE for distinct
+    ids < 2^61 (p prime, A ≢ 0), so the order is total and
+    pos = COUNT(keys < k) = ROW_NUMBER()-1 — reproducible at any
+    parallelism and statable in SQL (HUGEINT arithmetic). One
+    range-bucket exchange of 24-byte (key, 1, id) rows via
+    ordered_prefix_scan; payloads never move."""
+    from ..stages.scan import ordered_prefix_scan
+
+    def keyed(t: pa.Table) -> pa.Table:
+        i = t.column(id_col).to_numpy(zero_copy_only=False)
+        if np.any(i < 0) or np.any(i.astype(np.uint64) >= _M61):
+            raise ValueError("epoch shuffle requires 0 <= id < 2^61")
+        k = _mulmod_m61(_EPOCH_A, i.astype(np.uint64))
+        k = k + np.uint64(_EPOCH_B)
+        k = np.where(k >= np.uint64(_M61), k - np.uint64(_M61), k)
+        return pa.table({"key": pa.array(k.astype(np.int64)),
+                         "one": pa.array(np.ones(len(i), np.int64)),
+                         id_col: pa.array(i.astype(np.int64))})
+
+    scanned = ordered_prefix_scan(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "key", "one", op="sum", carry_cols=[id_col])
+
+    def pos_of(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col),
+            "pos": t.column("prefix")})
+
+    return scanned.map_batches(pos_of, batch_format="pyarrow")
+
+
+def epoch_shuffle_events(sf_dir: str, n_shards: int = 16) -> pd.DataFrame:
+    """Deterministic global shuffle for training epochs — the
+    reproducible alternative to ray.data.random_shuffle (which is
+    nondeterministic run to run): every row gets a total-order epoch
+    position from an affine permutation key over the Mersenne prime
+    2^61-1, then round-robins into ``n_shards`` balanced shards
+    (shard = pos mod n_shards). Re-derivable from ids alone at any
+    parallelism — the property a resumable multi-epoch training loop
+    needs. Output: the per-shard audit (count, id checksum, id range);
+    the positions dataset itself streams (pytest locks bijectivity and
+    per-row equality with ROW_NUMBER at sf0.001)."""
+    ds = _read(sf_dir, "events", columns=["event_id"])
+    pos = _epoch_shuffle_positions(ds, "event_id")
+
+    def audit(t: pa.Table) -> pd.DataFrame:
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        p = t.column("pos").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"shard": p % n_shards, "e": e})
+        g = df.groupby("shard", as_index=False).agg(
+            n_events=("e", "size"), sum_event_id=("e", "sum"),
+            min_event_id=("e", "min"), max_event_id=("e", "max"))
+        return g
+
+    p = pos.map_batches(audit, batch_format="pyarrow").to_pandas()
+    out = p.groupby("shard", as_index=False).agg(
+        n_events=("n_events", "sum"), sum_event_id=("sum_event_id", "sum"),
+        min_event_id=("min_event_id", "min"),
+        max_event_id=("max_event_id", "max"))
+    return out.sort_values("shard").reset_index(drop=True).astype(
+        {"shard": "int64", "n_events": "int64", "sum_event_id": "int64",
+         "min_event_id": "int64", "max_event_id": "int64"})
+
+
+QUERIES["epoch_shuffle_events"] = epoch_shuffle_events
+ORACLES["epoch_shuffle_events"] = """
+    WITH r AS (
+      SELECT event_id,
+             ROW_NUMBER() OVER (
+               ORDER BY (CAST(event_id AS HUGEINT) * 1203980483
+                         + 987654321103) % 2305843009213693951
+             ) - 1 AS pos
+      FROM events
+    )
+    SELECT CAST(pos % 16 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def temperature_mix_select(sf_dir: str) -> pd.DataFrame:
+    """Temperature-based mixture sampling (the mT5/XLM-R α=0.5
+    rebalancing step): per-source character budgets proportional to
+    sqrt(source chars) — upweighting low-resource sources versus
+    proportional sampling without the uniform quota's distortion —
+    then hash-order admission within each source exactly like
+    `domain_mix_select`. sqrt is the EXACT integer isqrt on both
+    sides (SQL states it as FLOOR(SQRT(·)) corrected by one, exact
+    for counts < 2^52), and budgets are exact floor divisions, so the
+    whole selection value-hash-checks. Distributed shape: tiny
+    per-source totals combiner + ONE range-bucket prefix-scan
+    exchange of 24-byte rows; text never moves."""
+    import math
+
+    from ..stages.scan import ordered_prefix_scan
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+    K = np.int64(2654435761)
+    P = np.int64(1_000_000_007)
+
+    def tots(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "source": t.column("source").to_pandas(),
+            "chars": t.column("n_chars").to_numpy(zero_copy_only=False),
+            "n": 1})
+        return df.groupby("source", as_index=False) \
+            .agg(chars=("chars", "sum"), n=("n", "sum"))
+
+    per_src = ds.map_batches(tots, batch_format="pyarrow").to_pandas() \
+        .groupby("source", as_index=False)[["chars", "n"]].sum() \
+        .sort_values("source").reset_index(drop=True)
+    srcs = per_src["source"].to_numpy()
+    src_chars = per_src["chars"].to_numpy(dtype=np.int64)
+    w = np.array([math.isqrt(int(c)) for c in src_chars], dtype=object)
+    w_sum = int(sum(int(x) for x in w))
+    b_total = int(src_chars.sum()) // 2
+    budgets = np.array([(b_total * int(x)) // w_sum for x in w],
+                       dtype=np.int64)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = t.column("source").to_numpy(zero_copy_only=False)
+        sid = np.searchsorted(srcs, s)
+        hk = (d.astype(np.int64) * K) % P
+        return pa.table({
+            "key": pa.array(sid.astype(np.int64) * np.int64(1 << 31) + hk),
+            "n_chars": t.column("n_chars").cast(pa.int64()),
+            "sid": pa.array(sid.astype(np.int64)),
+        })
+
+    # chars of all lower-ranked sources precede a source in the scan
+    before = np.concatenate(([0], np.cumsum(src_chars)[:-1]))
+    scanned = ordered_prefix_scan(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "key", "n_chars", op="sum", carry_cols=["sid"])
+
+    def audit(t: pa.Table) -> pd.DataFrame:
+        sid = t.column("sid").to_numpy(zero_copy_only=False)
+        ch = t.column("n_chars").to_numpy(zero_copy_only=False)
+        pre = t.column("prefix").to_numpy(zero_copy_only=False)
+        keep = (pre - before[sid] + ch) <= budgets[sid]
+        df = pd.DataFrame({"sid": sid, "n": 1,
+                           "n_sel": keep.astype(np.int64),
+                           "ch_sel": np.where(keep, ch, 0)})
+        return df.groupby("sid", as_index=False).sum()
+
+    p = scanned.map_batches(audit, batch_format="pyarrow").to_pandas() \
+        .groupby("sid", as_index=False)[["n", "n_sel", "ch_sel"]].sum()
+    out = pd.DataFrame({
+        "source": srcs[p["sid"].to_numpy()],
+        "n_docs": p["n"].to_numpy(dtype=np.int64),
+        "n_selected": p["n_sel"].to_numpy(dtype=np.int64),
+        "chars_selected": p["ch_sel"].to_numpy(dtype=np.int64)})
+    return out.sort_values("source").reset_index(drop=True) \
+        .astype({"source": "str", "n_docs": "int64",
+                 "n_selected": "int64", "chars_selected": "int64"})
+
+
+QUERIES["temperature_mix_select"] = temperature_mix_select
+ORACLES["temperature_mix_select"] = """
+    WITH per AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS c
+      FROM documents GROUP BY source
+    ),
+    isq AS (
+      SELECT source, c,
+             CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT) AS s0
+      FROM per
+    ),
+    w AS (
+      SELECT source, c,
+             s0 + (CASE WHEN CAST(s0 + 1 AS HUGEINT) * (s0 + 1) <= c
+                        THEN 1 ELSE 0 END)
+                - (CASE WHEN CAST(s0 AS HUGEINT) * s0 > c
+                        THEN 1 ELSE 0 END) AS wgt
+      FROM isq
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) // 2 AS b,
+             CAST(SUM(wgt) AS BIGINT) AS ws
+      FROM w
+    ),
+    bud AS (
+      SELECT source,
+             CAST((SELECT b FROM tot) AS HUGEINT) * wgt
+               // (SELECT ws FROM tot) AS budget
+      FROM w
+    ),
+    h AS (
+      SELECT source, n_chars,
+             (doc_id * 2654435761) % 1000000007 AS hk
+      FROM documents
+    ),
+    cum AS (
+      SELECT source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY hk
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h
+    )
+    SELECT cum.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           CAST(SUM(CASE WHEN cum <= budget THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_selected
+    FROM cum JOIN bud ON cum.source = bud.source
+    GROUP BY cum.source ORDER BY cum.source
+"""
+
+
+# ====================================================================
 # Driver-gate registration order
 # ====================================================================
 # CORRECTNESS_r{N}.json snapshots only the FIRST 50 queries() entries,
@@ -18461,8 +18707,13 @@ _GATE_PRIORITY = [
     "q7_nation_pair_volume",
     "q9_profit_by_nation_year", "q10_returned_revenue_customers",
     "important_parts",
-    "order_count_distribution", "promo_revenue_ratio",
+    "promo_revenue_ratio",
     "q17_small_quantity_revenue",
+    # round-4 sixth-session oracles (order_count_distribution and
+    # moments_text_len stay FAST_SUBSET-pytest-gated + full-replica-
+    # checked to make room): deterministic epoch shuffle + temperature
+    # mixture sampling
+    "epoch_shuffle_events", "temperature_mix_select",
     # (q8/q19/q20 join q12/q15/q16 in the FAST_SUBSET + full-replica
     # tier to make room for the round-4 fifth-session oracles)
     # round-4 fifth-session oracles (front-loaded per the r03-item-8
@@ -18489,7 +18740,7 @@ _GATE_PRIORITY = [
     "semdedup_trained_embeddings", "bpe_train_merges",
     "ccnet_perplexity_buckets", "dsir_select_docs",
     "domain_mix_select", "kmeans_fixedpoint_embeddings",
-    "source_drift_tv", "moments_text_len",
+    "source_drift_tv",
     # join family
     "revenue_by_nation", "join_size_view_purchase",
 ]

@@ -1525,3 +1525,38 @@ def test_priority_sample_orders_estimator(ray_session):
         assert abs(est - exact) <= 0.5 * exact, (pr, est, exact)
 
     pd.testing.assert_frame_equal(out, Q.priority_sample_orders(SF_DIR))
+
+
+def test_epoch_shuffle_bijective_rownumber(ray_session):
+    """Epoch-shuffle positions are a bijection onto 0..n-1 and equal
+    ROW_NUMBER()-1 over the affine key per row (not just per-shard
+    sums); _mulmod_m61 is exact vs Python big-int arithmetic on
+    random 61-bit inputs; rerun frame-equality."""
+    import duckdb
+
+    ds = Q._read(SF_DIR, "events", columns=["event_id"])
+    pos = Q._epoch_shuffle_positions(ds, "event_id").to_pandas()
+    n = len(pos)
+    p = np.sort(pos["pos"].to_numpy())
+    assert p[0] == 0 and p[-1] == n - 1 and len(np.unique(p)) == n
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet("
+                f"'{os.path.join(SF_DIR, 'events.parquet')}')")
+    gold = con.execute("""
+        SELECT event_id, ROW_NUMBER() OVER (
+          ORDER BY (CAST(event_id AS HUGEINT) * 1203980483
+                    + 987654321103) % 2305843009213693951) - 1 AS pos
+        FROM events""").fetchdf()
+    m = pos.merge(gold, on="event_id", suffixes=("", "_sql"))
+    assert (m["pos"].to_numpy() == m["pos_sql"].to_numpy()).all()
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, Q._M61, size=4096, dtype=np.uint64)
+    got = Q._mulmod_m61(Q._EPOCH_A, x)
+    want = np.array([(Q._EPOCH_A * int(v)) % Q._M61 for v in x],
+                    dtype=np.uint64)
+    assert (got == want).all()
+
+    out = Q.epoch_shuffle_events(SF_DIR)
+    pd.testing.assert_frame_equal(out, Q.epoch_shuffle_events(SF_DIR))
