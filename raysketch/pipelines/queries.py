@@ -18681,6 +18681,69 @@ ORACLES["temperature_mix_select"] = """
 
 
 # ====================================================================
+# Inverted index build + index-served keyword search
+# ====================================================================
+
+_SEARCH_TERMS = ["dup", "scan", "window"]
+
+
+def _inverted_index_dir(sf_dir: str) -> str:
+    import tempfile
+
+    from ..stages.invindex import build_inverted_index
+
+    idx_dir = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                           f"invindex_{sf_of(sf_dir)}")
+    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        build_inverted_index(ds, idx_dir, text_col="text",
+                             id_col="doc_id", n_shards=32)
+    return idx_dir
+
+
+def keyword_search_docs(sf_dir: str) -> pd.DataFrame:
+    """Index-served retrieval: top-20 documents for a fixed keyword
+    query by integer tf·idf, answered from the persisted inverted
+    index (stages/invindex.py) — build pays one tokenize pass + one
+    term-hash exchange, search reads ONLY the query terms' shards with
+    a term-IN filter and never rescans the corpus (driver work is
+    O(Σ df) for the query's terms). idf is the exact integer
+    (n_docs·2^20)//df, so the ranking — including the rank-20 tie
+    boundary, broken by doc_id — is statable in SQL and value-hash
+    checked. Pytest additionally locks shard-pruning evidence (files
+    read < files total) and index≡direct-scan equality."""
+    from ..stages.invindex import search_index
+
+    return search_index(_inverted_index_dir(sf_dir), _SEARCH_TERMS, k=20)
+
+
+QUERIES["keyword_search_docs"] = keyword_search_docs
+ORACLES["keyword_search_docs"] = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE w IN ('dup', 'scan', 'window')
+      GROUP BY doc_id, w
+    ),
+    df AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf * (((SELECT n FROM n) * 1048576) // df.df))
+                AS BIGINT) AS score_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM tf JOIN df USING (w)
+    GROUP BY tf.doc_id
+    ORDER BY score_fp DESC, tf.doc_id
+    LIMIT 20
+"""
+
+
+# ====================================================================
 # Driver-gate registration order
 # ====================================================================
 # CORRECTNESS_r{N}.json snapshots only the FIRST 50 queries() entries,

@@ -1,0 +1,170 @@
+"""Distributed INVERTED INDEX: term → postings-list state table, and
+index-served keyword search (the retrieval analog of the sketch-rollup
+pattern — pay one distributed build, then answer queries from pruned
+KB-scale reads instead of rescanning the corpus).
+
+Layout::
+
+    index_dir/shards/shard=K/*.parquet   (term, doc_id, tf) sorted by
+                                         (term, doc_id) within the shard
+    index_dir/meta.json                  (n_docs, n_shards, cols;
+                                         written LAST = completeness)
+
+Build is one streaming pass + one hash exchange: ``map_batches``
+tokenizes each document batch and reduces it to per-(doc, term) tf rows
+(Arrow split + flatten; docs are whole rows, so within-batch counting
+is exact — no cross-batch combine needed), terms are hash-assigned to
+``n_shards`` via the engine-wide murmur64a, and one
+``groupby(shard).map_groups`` sorts each shard's postings by (term,
+doc_id) before the partitioned parquet write. Document text never
+moves — only 24-byte-plus-term postings rows cross the wire, and the
+within-shard term sort gives every parquet row group tight min/max
+term statistics.
+
+Search never touches the corpus: query terms map to their shards, the
+read opens ONLY those shard directories with a ``term IN terms`` filter
+(row groups outside the terms' ranges prune on statistics), document
+frequencies come from the postings themselves, and scoring is integer
+fixed-point tf·idf — ``idf_fp = (n_docs · 2^20) // df`` — so the exact
+same ranking is statable in SQL (DuckDB ``//``) and value-hash-checked
+by the driver gate. Driver-side work is O(Σ df(term)) for the query's
+terms — bounded by selectivity, independent of corpus size; that is
+the point of an index.
+
+At 100 TB: shards are independent directories (build appends per
+ingest like the rollup/incremental indexes; duplicate (term, doc)
+rows cannot arise within one build because tf is computed per whole
+document), n_shards scales with the term universe, and a search
+fans out at most len(terms) pruned reads.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import murmur64a
+
+__all__ = ["build_inverted_index", "search_index", "term_shard",
+           "IDF_SCALE"]
+
+IDF_SCALE = 1 << 20
+
+
+def term_shard(terms, n_shards: int) -> np.ndarray:
+    """Shard id per term: murmur64a over the utf-8 bytes, mod n_shards
+    (the engine's one hash — same function the dedup exchanges use)."""
+    arr = pa.array([str(t) for t in terms], type=pa.large_utf8())
+    buf = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    data = np.frombuffer(buf.buffers()[2], dtype=np.uint8) if buf.buffers()[2] else np.empty(0, np.uint8)
+    offsets = np.frombuffer(buf.buffers()[1], dtype=np.int64)
+    h = murmur64a(data, offsets)
+    return (h % np.uint64(n_shards)).astype(np.int64)
+
+
+def build_inverted_index(ds, index_dir: str, text_col: str = "text",
+                         id_col: str = "doc_id", n_shards: int = 32
+                         ) -> dict:
+    """Build the index from a Dataset of (id_col, text_col) rows;
+    returns the meta dict. Whitespace tokenization (the corpus
+    convention shared by explode_words and its SQL oracle); empty
+    tokens are dropped on both engines."""
+    import shutil
+
+    import pandas as pd
+
+    n_docs = ds.count()
+
+    def postings(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.fill_null(t.column(text_col), ""), " ").combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        parent = np.repeat(
+            t.column(id_col).to_numpy(zero_copy_only=False), counts)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"term": flat.to_pandas()[keep],
+                           id_col: parent[keep]})
+        g = df.groupby(["term", id_col], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        sh = term_shard(g["term"].to_numpy(), n_shards)
+        return pa.table({
+            "term": pa.array(g["term"].to_numpy(), type=pa.string()),
+            id_col: pa.array(g[id_col].to_numpy(dtype=np.int64)),
+            "tf": pa.array(g["tf"].to_numpy(dtype=np.int64)),
+            "shard": pa.array(sh),
+        })
+
+    def sort_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["term", id_col], kind="stable") \
+            .reset_index(drop=True)
+
+    rows = ds.map_batches(postings, batch_format="pyarrow") \
+        .groupby("shard").map_groups(sort_shard, batch_format="pandas")
+    shards_dir = os.path.join(index_dir, "shards")
+    shutil.rmtree(shards_dir, ignore_errors=True)
+    os.makedirs(shards_dir, exist_ok=True)
+    rows.write_parquet(shards_dir, partition_cols=["shard"])
+    meta = {"kind": "inverted", "text_col": text_col, "id_col": id_col,
+            "n_shards": n_shards, "n_docs": int(n_docs)}
+    mpath = os.path.join(index_dir, "meta.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(mpath + ".tmp", mpath)
+    return meta
+
+
+def search_index(index_dir: str, terms: list[str], k: int = 20,
+                 audit: dict | None = None):
+    """Top-k documents for ``terms`` by integer tf·idf, served purely
+    from the index: reads ONLY the terms' shards with a term-IN filter,
+    scores score_fp = Σ_t tf · ((n_docs·2^20) // df_t), ranks by
+    (score_fp DESC, id ASC). Returns a pandas DataFrame
+    (id_col, score_fp, n_terms). ``audit`` (optional dict) receives
+    {"files_read", "files_total", "postings_rows"} as pruning
+    evidence."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    n_shards = meta["n_shards"]
+    terms = sorted(set(terms))
+    shards = sorted(set(term_shard(terms, n_shards).tolist()))
+    files: list[str] = []
+    for s in shards:
+        files.extend(sorted(glob.glob(os.path.join(
+            index_dir, "shards", f"shard={s}", "*.parquet"))))
+    if audit is not None:
+        audit["files_read"] = len(files)
+        audit["files_total"] = len(glob.glob(os.path.join(
+            index_dir, "shards", "shard=*", "*.parquet")))
+    if not files:
+        return pd.DataFrame({id_col: np.empty(0, np.int64),
+                             "score_fp": np.empty(0, np.int64),
+                             "n_terms": np.empty(0, np.int64)})
+    t = pq.read_table(files, columns=["term", id_col, "tf"],
+                      filters=[("term", "in", terms)])
+    post = t.to_pandas()
+    if audit is not None:
+        audit["postings_rows"] = len(post)
+    if not len(post):
+        return pd.DataFrame({id_col: np.empty(0, np.int64),
+                             "score_fp": np.empty(0, np.int64),
+                             "n_terms": np.empty(0, np.int64)})
+    df_t = post.groupby("term")[id_col].size()
+    idf_fp = (int(meta["n_docs"]) * IDF_SCALE) // df_t
+    post = post.assign(w=post["tf"].to_numpy(dtype=np.int64)
+                       * idf_fp.loc[post["term"]].to_numpy(dtype=np.int64))
+    g = post.groupby(id_col, as_index=False).agg(
+        score_fp=("w", "sum"), n_terms=("term", "size"))
+    g = g.sort_values(["score_fp", id_col],
+                      ascending=[False, True], kind="stable").head(k)
+    return g.reset_index(drop=True).astype(
+        {id_col: "int64", "score_fp": "int64", "n_terms": "int64"})

