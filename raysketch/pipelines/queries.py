@@ -18743,6 +18743,160 @@ ORACLES["keyword_search_docs"] = """
 """
 
 
+def doc_similar_topk(sf_dir: str, n_queries: int = 8, k: int = 10
+                     ) -> pd.DataFrame:
+    """Query-by-example SPARSE retrieval — exact tf-vector cosine
+    top-k ("more like this"): for each of the ``n_queries`` lowest
+    doc_ids, the ``k`` most cosine-similar OTHER documents. This is
+    the sparse (bag-of-words) twin of the dense `top_cosine_pairs` /
+    `ivf_ann_top10` family, and the exact-cosine upgrade of
+    `keyword_search_docs` (full query tf vector + document-length
+    normalization instead of a bare keyword tf·idf sum).
+
+    Scale shape (the reason retrieval beats all-pairs): the query tf
+    vectors are KB-scale and broadcast once; ONE streaming tokenize
+    pass computes, per batch, exact (doc, term) tf pairs (np.unique on
+    doc×term codes), per-doc squared norms over ALL terms, and integer
+    dot products against the query matrix — cost O(tokens + matches),
+    never the Σ df² of an all-pairs inverted-index join (which on a
+    low-entropy vocabulary degenerates to n²; that tier is served by
+    the weighted-Jaccard / minhash family instead). Every candidate
+    doc lives in exactly one batch, so per-batch top-k under the FULL
+    result order (cos desc, doc_id) is a sound superset of the global
+    top-k and the driver folds ≤ k·q·batches rows. Dots and norms are
+    exact int64; cosine is ONE double expression per pair —
+    CAST(dot) / SQRT(CAST(n2_q AS DOUBLE) * CAST(n2_c AS DOUBLE)) —
+    written identically in SQL (bit-matched doubles, ties broken by
+    doc_id), so the whole ranking value-hash-checks."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tf(text: str) -> dict:
+        out: dict = {}
+        for w in text.split(" "):
+            if w:
+                out[w] = out.get(w, 0) + 1
+        return out
+
+    qrows = ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), n_queries)),
+        batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: r["doc_id"])
+    q_ids = np.array([r["doc_id"] for r in qrows], dtype=np.int64)
+    q_tfs = [_tf(r["text"]) for r in qrows]
+    qterms = pd.Index(sorted(set().union(*[t.keys() for t in q_tfs])))
+    Qmat = np.zeros((len(q_ids), len(qterms)), dtype=np.int64)
+    for i, t in enumerate(q_tfs):
+        Qmat[i, qterms.get_indexer(pd.Index(list(t.keys())))] = \
+            np.fromiter(t.values(), dtype=np.int64)
+    q_n2 = np.array([sum(v * v for v in t.values()) for t in q_tfs],
+                    dtype=np.int64)
+    q_ref = ray.put((q_ids, qterms, Qmat, q_n2))
+
+    def score(t: pa.Table) -> pa.Table:
+        qi, qt, qm, qn = ray.get(q_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nb = len(ids)
+        lst = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        offs = np.asarray(lst.offsets)
+        words = lst.flatten()
+        doc_idx = np.repeat(np.arange(nb), np.diff(offs))
+        keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        wcodes, term_code = pd.factorize(
+            pd.Series(words.to_numpy(zero_copy_only=False)[keep]))
+        doc_idx = doc_idx[keep]
+        T = len(term_code)
+        uid, tfc = np.unique(doc_idx.astype(np.int64) * T + wcodes,
+                             return_counts=True)
+        pd_doc = (uid // T).astype(np.int64)
+        pd_term = (uid % T).astype(np.int64)
+        tfc = tfc.astype(np.int64)
+        n2 = np.zeros(nb, dtype=np.int64)
+        np.add.at(n2, pd_doc, tfc * tfc)
+        qcol = qt.get_indexer(term_code)[pd_term]
+        valid = qcol >= 0
+        vd, vc, vt = pd_doc[valid], qcol[valid], tfc[valid]
+        oq, od, odot, ocos = [], [], [], []
+        for qq in range(len(qi)):
+            dot = np.zeros(nb, dtype=np.int64)
+            np.add.at(dot, vd, vt * qm[qq, vc])
+            cand = np.nonzero((dot > 0) & (ids != qi[qq]))[0]
+            if not len(cand):
+                continue
+            cos = dot[cand] / np.sqrt(
+                n2[cand].astype(np.float64) * np.float64(qn[qq]))
+            top = np.lexsort((ids[cand], -cos))[:k]
+            oq.append(np.full(len(top), qi[qq], dtype=np.int64))
+            od.append(ids[cand][top])
+            odot.append(dot[cand][top])
+            ocos.append(cos[top])
+        if not oq:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "dot": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(oq)),
+                         "doc_id": pa.array(np.concatenate(od)),
+                         "dot": pa.array(np.concatenate(odot)),
+                         "cos": pa.array(np.concatenate(ocos))})
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = []
+    for qq, grp in parts.groupby("query_id", sort=True):
+        order = np.lexsort((grp["doc_id"].to_numpy(),
+                            -grp["cos"].to_numpy()))[:k]
+        g = grp.iloc[order].reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g)
+    return pd.concat(out, ignore_index=True).astype(
+        {"query_id": "int64", "doc_id": "int64", "dot": "int64",
+         "cos": "float64", "rank": "int64"})
+
+
+QUERIES["doc_similar_topk"] = doc_similar_topk
+ORACLES["doc_similar_topk"] = """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    w2 AS (SELECT doc_id, term FROM w WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM w2 GROUP BY doc_id, term
+    ),
+    n2 AS (
+      SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+      FROM tf GROUP BY doc_id
+    ),
+    q AS (SELECT * FROM tf WHERE doc_id < 8),
+    dots AS (
+      SELECT q.doc_id AS qid, c.doc_id AS did,
+             CAST(SUM(q.tf * c.tf) AS BIGINT) AS dot
+      FROM q JOIN tf c USING (term)
+      WHERE c.doc_id <> q.doc_id
+      GROUP BY q.doc_id, c.doc_id
+    ),
+    r AS (
+      SELECT qid, did, dot,
+             CAST(dot AS DOUBLE) /
+             SQRT(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(dot AS DOUBLE) /
+                        SQRT(CAST(nq.n2 AS DOUBLE) *
+                             CAST(nc.n2 AS DOUBLE)) DESC, did
+             ) AS rn
+      FROM dots
+      JOIN n2 nq ON nq.doc_id = qid
+      JOIN n2 nc ON nc.doc_id = did
+    )
+    SELECT qid AS query_id, did AS doc_id, dot, cos,
+           CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 10 ORDER BY query_id, rank
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -1599,3 +1599,50 @@ def test_keyword_search_index_pruning_and_equality(ray_session):
                             ascending=[False, True]).head(20)
     assert list(out["doc_id"]) == list(gold["doc_id"])
     assert list(out["score_fp"]) == list(gold["score_fp"])
+
+
+def test_doc_similar_topk_vs_brute_force(ray_session):
+    """Query-by-example sparse cosine retrieval: the distributed
+    one-pass ranking equals a local brute-force cosine over the whole
+    corpus for EVERY query (ids, dots, cos, rank), plus structural
+    invariants (k rows per query, cos non-increasing, no self-match).
+    Rerun frame-equality."""
+    import pyarrow.parquet as pq
+
+    out = Q.doc_similar_topk(SF_DIR)
+    assert sorted(out["query_id"].unique()) == list(range(8))
+    for qq, g in out.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, 11))
+        assert (g["doc_id"] != qq).all()
+        assert (g["dot"] > 0).all()
+        c = g["cos"].to_numpy()
+        assert (np.diff(c) <= 0).all() and c[0] <= 1.0 + 1e-12
+
+    df = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                       columns=["doc_id", "text"]).to_pandas()
+    tfs = {}
+    for _, r in df.iterrows():
+        d = {}
+        for w in r["text"].split(" "):
+            if w:
+                d[w] = d.get(w, 0) + 1
+        tfs[int(r["doc_id"])] = d
+    n2 = {i: sum(v * v for v in t.values()) for i, t in tfs.items()}
+    for qq in range(8):
+        qt = tfs[qq]
+        rows = []
+        for did, t in tfs.items():
+            if did == qq:
+                continue
+            dot = sum(c * t.get(w, 0) for w, c in qt.items())
+            if dot > 0:
+                rows.append((did, dot,
+                             dot / np.sqrt(float(n2[qq]) * float(n2[did]))))
+        rows.sort(key=lambda x: (-x[2], x[0]))
+        gold = rows[:10]
+        g = out[out["query_id"] == qq].reset_index(drop=True)
+        assert list(g["doc_id"]) == [r[0] for r in gold]
+        assert list(g["dot"]) == [r[1] for r in gold]
+        assert np.allclose(g["cos"], [r[2] for r in gold], rtol=0, atol=0)
+
+    pd.testing.assert_frame_equal(out, Q.doc_similar_topk(SF_DIR))
