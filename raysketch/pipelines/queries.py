@@ -18897,6 +18897,154 @@ ORACLES["doc_similar_topk"] = """
 """
 
 
+_PLANT_LINE_A = "subscribe to the newsletter for updates today"
+_PLANT_LINE_B = "all rights reserved contact the team now"
+
+
+def _doc_lines(t: pa.Table):
+    """Batch → (lines StringArray, doc index int64[], line byte-lens):
+    each document reshaped into 8-word lines (Arrow ListArray reslice +
+    `binary_join` — no per-line Python), plus the planted boilerplate
+    lines appended for doc_id % 3 == 0 / % 7 == 0. Deterministic and
+    restatable in SQL (STRING_AGG over (i-1)//8 groups + UNION ALL)."""
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    n = len(ids)
+    lst = pc.split_pattern(t.column("text").combine_chunks(), " ")
+    offs = np.asarray(lst.offsets, dtype=np.int64)
+    words = lst.flatten()
+    base = offs - offs[0]
+    counts = np.diff(base)
+    total = int(base[-1])
+    pos = np.arange(total, dtype=np.int64)
+    rel = pos - np.repeat(base[:-1], counts)
+    line_starts = np.flatnonzero(rel % 8 == 0)
+    line_offs = np.r_[line_starts, total]
+    lines = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(line_offs), words),
+        " ")
+    line_doc = np.repeat(np.arange(n, dtype=np.int64), (counts + 7) // 8)
+    pa_docs = [lines]
+    pl_doc = [line_doc]
+    for mod, text in ((3, _PLANT_LINE_A), (7, _PLANT_LINE_B)):
+        sel = np.flatnonzero(ids % mod == 0)
+        if len(sel):
+            pa_docs.append(pa.array([text] * len(sel), pa.large_string()))
+            pl_doc.append(sel.astype(np.int64))
+    all_lines = pa.concat_arrays([a.cast(pa.large_string())
+                                  for a in pa_docs])
+    all_doc = np.concatenate(pl_doc)
+    lens = pc.binary_length(all_lines).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    return all_lines, all_doc, lens
+
+
+def line_dedup_docs(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """LINE-level deduplication (CCNet, arXiv:1911.00359 §4.1 — dedup
+    by line/paragraph hash across the corpus, the step that strips
+    shared boilerplate doc-level dedup can never see). The corpus has
+    no newlines, so the line unit is derived deterministically (8-word
+    segments) and boilerplate lines are PLANTED in-query (the
+    embedding_dedup_planted convention): every doc_id % 3 == 0 doc
+    carries plant A (~n/3 occurrences), % 7 == 0 plant B — natural
+    8-word lines over this vocabulary essentially never repeat, and
+    any that do are counted identically by both engines. A line
+    occurrence is dropped iff its line occurs ≥ 2 times corpus-wide;
+    output is per-doc (n_lines, n_dup_lines, kept_chars), value-hash
+    checked against the same derivation in SQL.
+
+    Scale shape — the exact-dedup pattern at line granularity: pass 1
+    streams (murmur64(line), bucket) 16-byte rows through ONE hash
+    exchange and reduces each bucket to its duplicated hashes
+    (lexsort/run-length, never a per-key aggregate), so the driver
+    collects O(duplicated lines) hashes — the CCNet regime where dup
+    mass is a small fraction; pass 2 is a zero-shuffle re-derivation
+    with a broadcast np.isin flag and per-doc bincounts. Line text
+    never crosses the wire (64-bit hash stand-ins; collision P ≈
+    lines²/2⁶⁴, the tfidf/exact-dedup precedent)."""
+    import ray
+
+    from ..hashing import murmur64a
+    from ..keys import canonical_flat_bytes
+    from ..stages.dedup import _splitmix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        lines, _, _ = _doc_lines(t)
+        data, offsets = canonical_flat_bytes(lines)
+        h = murmur64a(data, offsets).view(np.int64)
+        b = (_splitmix64(h.view(np.uint64)) %
+             np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"h": pa.array(h), "__b": pa.array(b)})
+
+    def dups_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        h = np.sort(g["h"].to_numpy())
+        rep = h[:-1][h[1:] == h[:-1]] if len(h) > 1 else h[:0]
+        return pd.DataFrame({"h": np.unique(rep)})
+
+    dup_df = ds.map_batches(hash_rows, batch_format="pyarrow") \
+        .groupby("__b").map_groups(dups_in_bucket, batch_format="pandas") \
+        .to_pandas()
+    dup_ref = ray.put(np.sort(dup_df["h"].to_numpy(dtype=np.int64)))
+
+    def doc_stats(t: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        lines, line_doc, lens = _doc_lines(t)
+        data, offsets = canonical_flat_bytes(lines)
+        h = murmur64a(data, offsets).view(np.int64)
+        is_dup = np.isin(h, dups)
+        n = t.num_rows
+        n_lines = np.bincount(line_doc, minlength=n).astype(np.int64)
+        n_dup = np.bincount(line_doc[is_dup], minlength=n).astype(np.int64)
+        kept = np.bincount(line_doc[~is_dup], weights=lens[~is_dup],
+                           minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_lines": pa.array(n_lines),
+            "n_dup_lines": pa.array(n_dup),
+            "kept_chars": pa.array(kept)})
+
+    out = ds.map_batches(doc_stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_lines": "int64", "n_dup_lines": "int64",
+         "kept_chars": "int64"})
+
+
+QUERIES["line_dedup_docs"] = line_dedup_docs
+ORACLES["line_dedup_docs"] = """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    w AS (
+      SELECT doc_id, unnest(l) AS word, generate_subscripts(l, 1) AS i
+      FROM base
+    ),
+    seg AS (
+      SELECT doc_id, (i - 1) // 8 AS s,
+             STRING_AGG(word, ' ' ORDER BY i) AS line
+      FROM w GROUP BY doc_id, s
+    ),
+    lines AS (
+      SELECT doc_id, line FROM seg
+      UNION ALL
+      SELECT doc_id, 'subscribe to the newsletter for updates today'
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, 'all rights reserved contact the team now'
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    df AS (SELECT line, COUNT(*) AS c FROM lines GROUP BY line)
+    SELECT l.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_lines,
+           CAST(SUM(CASE WHEN df.c < 2 THEN LEN(l.line) ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM lines l JOIN df USING (line)
+    GROUP BY l.doc_id ORDER BY l.doc_id
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -1646,3 +1646,45 @@ def test_doc_similar_topk_vs_brute_force(ray_session):
         assert np.allclose(g["cos"], [r[2] for r in gold], rtol=0, atol=0)
 
     pd.testing.assert_frame_equal(out, Q.doc_similar_topk(SF_DIR))
+
+
+def test_line_dedup_planted_recall(ray_session):
+    """Line-level dedup vs a local brute force over the derived line
+    corpus (8-word segments + planted boilerplate): per-doc n_lines /
+    n_dup_lines / kept_chars all EXACT. Every planted doc is flagged
+    (recall 1.0 — its plant occurs ≥ n/3 times) and plant lines are
+    always in the dup set; short natural tail segments that repeat
+    across docs are counted too (both engines see them identically).
+    Rerun frame-equality."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    out = Q.line_dedup_docs(SF_DIR)
+    df = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                       columns=["doc_id", "text"]).to_pandas()
+    assert len(out) == len(df)
+
+    per_doc: dict[int, list[str]] = {}
+    for _, r in df.iterrows():
+        did = int(r["doc_id"])
+        w = r["text"].split(" ")
+        lines = [" ".join(w[i:i + 8]) for i in range(0, len(w), 8)]
+        if did % 3 == 0:
+            lines.append("subscribe to the newsletter for updates today")
+        if did % 7 == 0:
+            lines.append("all rights reserved contact the team now")
+        per_doc[did] = lines
+    cnt = collections.Counter(x for ls in per_doc.values() for x in ls)
+
+    m = out.set_index("doc_id")
+    for did, lines in per_doc.items():
+        dup = [x for x in lines if cnt[x] >= 2]
+        row = m.loc[did]
+        assert row["n_lines"] == len(lines)
+        assert row["n_dup_lines"] == len(dup), did
+        assert row["kept_chars"] == sum(
+            len(x) for x in lines if cnt[x] < 2)
+        plants = (did % 3 == 0) + (did % 7 == 0)
+        assert row["n_dup_lines"] >= plants  # planted recall 1.0
+    pd.testing.assert_frame_equal(out, Q.line_dedup_docs(SF_DIR))
