@@ -19045,6 +19045,94 @@ ORACLES["line_dedup_docs"] = """
 """
 
 
+def hits_word_graph(sf_dir: str, rounds: int = 2,
+                    num_buckets: int = 64) -> pd.DataFrame:
+    """HITS hubs-and-authorities (Kleinberg JACM'99) over the word
+    bigram graph — the second link-analysis centrality beside
+    PageRank, computed UNNORMALIZED in exact int64 for a fixed round
+    count (the per-round L2 normalization only rescales, so the
+    relative ranking of hub/authority mass is preserved and every
+    value is an exact integer both engines can state: a_{r} = Aᵀ
+    h_{r-1}, h_r = A a_r from h_0 = 1). Two alternating
+    scatter-folds per round over the materialized distinct-edge
+    dataset — the pagerank_word_graph shape: node-bounded broadcast
+    vectors, per-batch int64 bincount partials, zero shuffles per
+    pass. Overflow bound: values grow ≤ (d_max²)^rounds; rounds=2 on
+    a node-bounded vocabulary stays far under 2⁶³ (asserted)."""
+    import ray
+
+    edges = _word_edge_dataset(sf_dir, num_buckets)
+
+    vocab_set: set = set()
+    for b in edges.iter_batches(batch_format="pyarrow", batch_size=None):
+        vocab_set.update(b.column("w1").to_pylist())
+        vocab_set.update(b.column("w2").to_pylist())
+    vocab = pd.Index(sorted(vocab_set))
+    n = len(vocab)
+    vocab_b = ray.put(vocab)
+
+    def fold_scatter(vec: np.ndarray, src: str, dst: str) -> np.ndarray:
+        """Σ over edges of vec[src-endpoint] scattered to dst-endpoint,
+        folded as node-length int64 partials (one partial per batch)."""
+        vec_ref = ray.put(vec)
+
+        def partial(t: pa.Table) -> pa.Table:
+            voc = ray.get(vocab_b)
+            v = ray.get(vec_ref)
+            i = voc.get_indexer(t.column(src).to_pandas())
+            j = voc.get_indexer(t.column(dst).to_pandas())
+            out = np.zeros(n, dtype=np.int64)
+            np.add.at(out, j, v[i])
+            return pa.table({"v": pa.array([out.tolist()])})
+
+        acc = np.zeros(n, dtype=np.int64)
+        for b in edges.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=None) \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            if b.num_rows:
+                acc += np.asarray(b.column("v").to_pylist()[0],
+                                  dtype=np.int64)
+        return acc
+
+    hub = np.ones(n, dtype=np.int64)
+    auth = np.zeros(n, dtype=np.int64)
+    for _ in range(rounds):
+        auth = fold_scatter(hub, "w1", "w2")
+        hub = fold_scatter(auth, "w2", "w1")
+        assert hub.max(initial=0) < (1 << 62), "HITS int64 overflow"
+
+    return pd.DataFrame({"word": vocab.to_numpy(),
+                         "hub_score": hub,
+                         "auth_score": auth}).sort_values("word") \
+        .reset_index(drop=True).astype({"hub_score": "int64",
+                                        "auth_score": "int64"})
+
+
+QUERIES["hits_word_graph"] = hits_word_graph
+ORACLES["hits_word_graph"] = """
+    WITH lists AS (SELECT string_split(text, ' ') AS l FROM documents),
+    big AS (SELECT DISTINCT p[1] AS w1, p[2] AS w2 FROM (
+      SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p FROM lists
+    )),
+    nodes AS (SELECT w1 AS w FROM big UNION SELECT w2 FROM big),
+    a1 AS (SELECT w2 AS w, CAST(COUNT(*) AS BIGINT) AS s
+           FROM big GROUP BY w2),
+    h1 AS (SELECT w1 AS w, CAST(SUM(a1.s) AS BIGINT) AS s
+           FROM big JOIN a1 ON a1.w = big.w2 GROUP BY w1),
+    a2 AS (SELECT w2 AS w, CAST(SUM(h1.s) AS BIGINT) AS s
+           FROM big JOIN h1 ON h1.w = big.w1 GROUP BY w2),
+    h2 AS (SELECT w1 AS w, CAST(SUM(a2.s) AS BIGINT) AS s
+           FROM big JOIN a2 ON a2.w = big.w2 GROUP BY w1)
+    SELECT n.w AS word,
+           CAST(COALESCE(h2.s, 0) AS BIGINT) AS hub_score,
+           CAST(COALESCE(a2.s, 0) AS BIGINT) AS auth_score
+    FROM nodes n
+    LEFT JOIN h2 ON h2.w = n.w
+    LEFT JOIN a2 ON a2.w = n.w
+    ORDER BY n.w
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

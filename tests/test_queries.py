@@ -1688,3 +1688,33 @@ def test_line_dedup_planted_recall(ray_session):
         plants = (did % 3 == 0) + (did % 7 == 0)
         assert row["n_dup_lines"] >= plants  # planted recall 1.0
     pd.testing.assert_frame_equal(out, Q.line_dedup_docs(SF_DIR))
+
+
+def test_hits_word_graph_vs_local(ray_session):
+    """HITS: distributed int64 scatter-folds equal a local dense
+    adjacency-matrix computation (a=Aᵀh, h=Aa from ones, 2 rounds)
+    exactly; hub/auth are nonnegative with positive mass; rerun
+    frame-equality."""
+    import pyarrow.parquet as pq
+
+    out = Q.hits_word_graph(SF_DIR)
+    df = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                       columns=["text"]).to_pandas()
+    edges = set()
+    for txt in df["text"]:
+        w = txt.split(" ")
+        edges.update(zip(w[:-1], w[1:]))
+    vocab = sorted({u for u, _ in edges} | {v for _, v in edges})
+    ix = {w: i for i, w in enumerate(vocab)}
+    A = np.zeros((len(vocab), len(vocab)), dtype=np.int64)
+    for u, v in edges:
+        A[ix[u], ix[v]] = 1
+    h = np.ones(len(vocab), dtype=np.int64)
+    for _ in range(2):
+        a = A.T @ h
+        h = A @ a
+    assert list(out["word"]) == vocab
+    assert list(out["hub_score"]) == list(h)
+    assert list(out["auth_score"]) == list(a)
+    assert (out["hub_score"] >= 0).all() and out["auth_score"].sum() > 0
+    pd.testing.assert_frame_equal(out, Q.hits_word_graph(SF_DIR))
