@@ -19133,6 +19133,101 @@ ORACLES["hits_word_graph"] = """
 """
 
 
+_Z_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+def _zorder_events_dir(sf_dir: str) -> str:
+    """Cached z-order layout of events on (user_id, event hour) —
+    built once per sf (the _inverted_index_dir convention). Raw
+    coordinates are min-max-spread over the 16-bit domain (user·32,
+    hour·64 — domain bounds asserted) so the aligned prefix cells
+    split the OCCUPIED region instead of collapsing into cell 0."""
+    import tempfile
+
+    from ..stages.zorder import build_zorder_layout
+
+    out = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                       f"zorder_events_{sf_of(sf_dir)}")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        ds = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "ts", "event_type",
+                            "value"])
+
+        def xy(t: pa.Table):
+            u = t.column("user_id").to_numpy(zero_copy_only=False)
+            us = t.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            hour = (us - _Z_EPOCH_US) // 3_600_000_000
+            if len(u) and (u.max() >= 2048 or hour.max() >= 1024
+                           or hour.min() < 0):
+                raise ValueError("z-order domain bounds exceeded")
+            return u * 32, hour * 64
+
+        build_zorder_layout(ds, out, xy, j=2, sort_cols=("event_id",))
+    return out
+
+
+def zorder_box_events(sf_dir: str) -> pd.DataFrame:
+    """2-D range query served from the Z-ORDER clustered layout
+    (stages/zorder.py — Morton interleave, aligned prefix cells =
+    axis-aligned rectangles, EXACT cell-level pruning): events for
+    user_id ∈ [2, 74] during Jan 8–15 (UTC hours 168–359), aggregated
+    per event_type as (n_events, sum cents). The read opens ONLY the
+    cells whose rectangle intersects the box (pytest locks cells_read
+    < cells_total and layout≡full-scan equality); the exact row filter
+    inside the survivors makes the answer independent of cell
+    granularity, and the oracle is the plain SQL box aggregate over
+    the raw table. Value-exact: integer cents on both sides."""
+    from ..stages.zorder import zorder_box_read
+
+    u_lo, u_hi, h_lo, h_hi = 2, 74, 168, 359
+    ds = zorder_box_read(_zorder_events_dir(sf_dir),
+                         u_lo * 32, u_hi * 32 + 31,
+                         h_lo * 64, h_hi * 64 + 63,
+                         columns=["user_id", "ts", "event_type",
+                                  "value"])
+    t_lo = _Z_EPOCH_US + h_lo * 3_600_000_000
+    t_hi = _Z_EPOCH_US + (h_hi + 1) * 3_600_000_000
+
+    def box_partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        us = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = (u >= u_lo) & (u <= u_hi) & (us >= t_lo) & (us < t_hi)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas()[keep],
+            "cents": _cents(t.column("value")).to_numpy(
+                zero_copy_only=False)[keep]})
+        g = df.groupby("event_type", as_index=False) \
+            .agg(n_events=("cents", "size"), cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    if ds is None:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "n_events": pd.Series([], dtype="int64"),
+                             "cents": pd.Series([], dtype="int64")})
+    parts = ds.map_batches(box_partial, batch_format="pyarrow") \
+        .to_pandas()
+    out = parts.groupby("event_type", as_index=False) \
+        .agg(n_events=("n_events", "sum"), cents=("cents", "sum"))
+    return out.sort_values("event_type").reset_index(drop=True) \
+        .astype({"n_events": "int64", "cents": "int64"})
+
+
+QUERIES["zorder_box_events"] = zorder_box_events
+ORACLES["zorder_box_events"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events
+    WHERE user_id BETWEEN 2 AND 74
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-16 00:00:00'
+    GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -1718,3 +1718,43 @@ def test_hits_word_graph_vs_local(ray_session):
     assert list(out["auth_score"]) == list(a)
     assert (out["hub_score"] >= 0).all() and out["auth_score"].sum() > 0
     pd.testing.assert_frame_equal(out, Q.hits_word_graph(SF_DIR))
+
+
+def test_zorder_box_pruning_and_equality(ray_session):
+    """Z-order layout serve: the pruned read touches strictly fewer
+    cells than the layout holds (pruning evidence), the layout-served
+    box aggregate equals a direct full-scan filter over the raw
+    parquet, and reruns are frame-equal."""
+    import pyarrow.parquet as pq
+
+    from raysketch.pipelines.queries import (_Z_EPOCH_US, _cents,
+                                             _zorder_events_dir)
+    from raysketch.stages.zorder import zorder_box_read
+
+    out = Q.zorder_box_events(SF_DIR)
+    assert len(out) > 0
+
+    audit = {}
+    ds = zorder_box_read(_zorder_events_dir(SF_DIR),
+                         2 * 32, 74 * 32 + 31, 168 * 64, 359 * 64 + 63,
+                         columns=["user_id"], audit=audit)
+    assert ds is not None
+    assert audit["cells_total"] >= 2
+    assert 0 < audit["cells_read"] < audit["cells_total"], audit
+
+    raw = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["user_id", "ts", "event_type",
+                                 "value"]).to_pandas()
+    us = raw["ts"].astype("int64")
+    t_lo = _Z_EPOCH_US + 168 * 3_600_000_000
+    t_hi = _Z_EPOCH_US + 360 * 3_600_000_000
+    keep = ((raw["user_id"] >= 2) & (raw["user_id"] <= 74) &
+            (us >= t_lo) & (us < t_hi))
+    sel = raw[keep].copy()
+    sel["cents"] = np.round(sel["value"] * 100).astype("int64")
+    gold = sel.groupby("event_type", as_index=False) \
+        .agg(n_events=("cents", "size"), cents=("cents", "sum")) \
+        .sort_values("event_type").reset_index(drop=True) \
+        .astype({"n_events": "int64", "cents": "int64"})
+    pd.testing.assert_frame_equal(out, gold)
+    pd.testing.assert_frame_equal(out, Q.zorder_box_events(SF_DIR))

@@ -2224,3 +2224,35 @@ def test_weighted_minhash_dedup_discriminates_doubled_text(ray_session):
     for i in range(12):
         a, b = comp_we.get(2 * i), comp_we.get(2 * i + 1)
         assert a is None or b is None or a != b
+
+
+def test_zorder_interleave_properties():
+    """Morton interleave/deinterleave are exact inverses; z-order of
+    the cell prefix matches cell_bounds rectangles; out-of-domain
+    coordinates raise."""
+    import numpy as np
+    import pytest
+
+    from raysketch.stages.zorder import (cell_bounds, deinterleave16,
+                                         interleave16)
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1 << 16, 4096).astype(np.uint64)
+    y = rng.integers(0, 1 << 16, 4096).astype(np.uint64)
+    z = interleave16(x, y)
+    assert z.dtype == np.int64 and (z >= 0).all() and \
+        (z < (1 << 32)).all()
+    xd, yd = deinterleave16(z)
+    assert (xd == x.astype(np.int64)).all()
+    assert (yd == y.astype(np.int64)).all()
+
+    j = 2
+    cells = (z >> (32 - 2 * j)).astype(np.int64)
+    for k in np.unique(cells):
+        x0, x1, y0, y1 = cell_bounds(int(k), j)
+        sel = cells == k
+        assert (xd[sel] >= x0).all() and (xd[sel] < x1).all()
+        assert (yd[sel] >= y0).all() and (yd[sel] < y1).all()
+
+    with pytest.raises(ValueError):
+        interleave16(np.array([1 << 16]), np.array([0]))
