@@ -19228,6 +19228,88 @@ ORACLES["zorder_box_events"] = """
 """
 
 
+def _bucketed_pair_dirs(sf_dir: str, num_buckets: int = 32
+                        ) -> tuple[str, str]:
+    """Cached co-bucketed layouts of lineitem and orders on orderkey
+    (one hash exchange each, paid once per sf — the
+    _inverted_index_dir convention)."""
+    import tempfile
+
+    from ..stages.bucketed import write_bucketed
+
+    base = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                        f"bucketed_{sf_of(sf_dir)}")
+    d_li = os.path.join(base, "lineitem")
+    d_or = os.path.join(base, "orders")
+    if not os.path.exists(os.path.join(d_li, "meta.json")):
+        write_bucketed(
+            _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice",
+                           "l_discount"]),
+            "l_orderkey", d_li, num_buckets)
+    if not os.path.exists(os.path.join(d_or, "meta.json")):
+        write_bucketed(
+            _read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_orderpriority"]),
+            "o_orderkey", d_or, num_buckets)
+    return d_li, d_or
+
+
+def bucketed_join_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """ZERO-SHUFFLE equi-join from co-bucketed storage (stages/
+    bucketed.py — the Hive/Spark bucketed-table feature): lineitem ⋈
+    orders on orderkey, revenue per order priority. Both tables were
+    written bucketed by splitmix64(orderkey) % 32 (exchange paid once
+    at write, amortized over every later join on the key); the join
+    itself fans one task per bucket, each reading its two bucket
+    files directly and emitting a ≤5-row partial — NO exchange
+    operator in the join plan at all, vs the 2-exchange runtime
+    bucket_hash_join. Exact integer cents both sides; plain SQL
+    oracle."""
+    from ..stages.bucketed import cobucket_join_fold
+
+    d_li, d_or = _bucketed_pair_dirs(sf_dir)
+
+    def per_bucket(ta: pa.Table, tb: pa.Table) -> pa.Table:
+        li = ta.to_pandas()
+        od = tb.to_pandas()
+        m = li.merge(od, left_on="l_orderkey", right_on="o_orderkey",
+                     how="inner")
+        if not len(m):
+            return pa.table({"o_orderpriority": pa.array([],
+                                                         pa.string()),
+                             "rev": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        cents = np.floor(m["l_extendedprice"].to_numpy()
+                         * (1.0 - m["l_discount"].to_numpy())
+                         * 100.0 + 0.5).astype(np.int64)
+        g = pd.DataFrame({"o_orderpriority": m["o_orderpriority"],
+                          "rev": cents}) \
+            .groupby("o_orderpriority", as_index=False) \
+            .agg(rev=("rev", "sum"), n=("rev", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = cobucket_join_fold(
+        d_li, d_or, per_bucket,
+        columns_a=["l_orderkey", "l_extendedprice", "l_discount"],
+        columns_b=["o_orderkey", "o_orderpriority"]).to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False) \
+        .agg(revenue_cents=("rev", "sum"), n_items=("n", "sum"))
+    return out.sort_values("o_orderpriority").reset_index(drop=True) \
+        .astype({"revenue_cents": "int64", "n_items": "int64"})
+
+
+QUERIES["bucketed_join_priority_revenue"] = bucketed_join_priority_revenue
+ORACLES["bucketed_join_priority_revenue"] = """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

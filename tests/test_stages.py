@@ -2256,3 +2256,61 @@ def test_zorder_interleave_properties():
 
     with pytest.raises(ValueError):
         interleave16(np.array([1 << 16]), np.array([0]))
+
+
+def test_bucketed_layout_cojoin(ray_session, tmp_path):
+    """Co-bucketed zero-shuffle join: same key → same bucket in both
+    layouts; the per-bucket join over a synthetic pair equals a plain
+    pandas merge; mismatched bucket counts are rejected; a key present
+    on only one side simply never matches."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from raysketch.stages.bucketed import (bucket_files,
+                                           cobucket_join_fold,
+                                           write_bucketed)
+
+    rng = np.random.default_rng(3)
+    a = pd.DataFrame({"k": rng.integers(0, 200, 500),
+                      "x": rng.integers(0, 100, 500)})
+    b = pd.DataFrame({"k": np.arange(0, 300, 2),
+                      "y": np.arange(0, 300, 2) * 10})
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(ray.data.from_pandas(a), "k", da, num_buckets=8)
+    write_bucketed(ray.data.from_pandas(b), "k", db, num_buckets=8)
+
+    # co-partitioning: every key's rows land in the same bucket id
+    import pyarrow.parquet as pq
+    seen = {}
+    for which, d in (("a", da), ("b", db)):
+        for k in range(8):
+            fs = bucket_files(d, k)
+            if not fs:
+                continue
+            keys = pq.read_table(fs, columns=["k"])["k"].to_numpy(
+                zero_copy_only=False)
+            for key in np.unique(keys):
+                assert seen.setdefault(int(key), k) == k
+
+    def per_bucket(ta: pa.Table, tb: pa.Table) -> pa.Table:
+        m = ta.to_pandas().merge(tb.to_pandas(), on="k")
+        g = m.groupby("k", as_index=False).agg(
+            s=("y", "sum"), n=("x", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = cobucket_join_fold(da, db, per_bucket).to_pandas() \
+        .groupby("k", as_index=False).agg(s=("s", "sum"), n=("n", "sum")) \
+        .sort_values("k").reset_index(drop=True)
+    gold = a.merge(b, on="k").groupby("k", as_index=False).agg(
+        s=("y", "sum"), n=("x", "size")).sort_values("k") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.astype("int64"),
+                                  gold.astype("int64"))
+
+    dc = str(tmp_path / "c")
+    write_bucketed(ray.data.from_pandas(b), "k", dc, num_buckets=4)
+    with pytest.raises(ValueError):
+        cobucket_join_fold(da, dc, per_bucket)
