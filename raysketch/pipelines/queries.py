@@ -19310,6 +19310,212 @@ ORACLES["bucketed_join_priority_revenue"] = """
 """
 
 
+def curation_funnel_docs(sf_dir: str, min_words: int = 20,
+                         num_buckets: int = 64) -> pd.DataFrame:
+    """END-TO-END curation FUNNEL with a full SQL oracle — the whole
+    FineWeb/C4-style chain in one call, every stage's attrition
+    value-hash-checked: quality length filter (n_words ≥ 20) →
+    badwords blocklist ('dup' as a whole token, the C4 rule) → exact
+    dedup (min-id per identical text; duplicates PLANTED in-query as
+    doc_id+10⁶ copies of every 40th doc, the embedding_dedup_planted
+    convention — a plant survives to the dedup stage iff its original
+    does, so the stage removes exactly the surviving plants) →
+    token-budget admission (hash-ordered greedy keep while the running
+    word total stays ≤ half the surviving mass — SQL's SUM OVER the
+    same composite key). Output: one row per stage with (docs_in,
+    docs_out, words_out).
+
+    Distributed shape: ONE tokenize pass reduces each doc to a 40-byte
+    meta row (n_words, bad flag, content hash+len); stage counts fold
+    as per-batch partials; the dedup drop set is one hash exchange →
+    O(duplicates) broadcast (exact_dedup pattern); the budget cut is
+    `ordered_prefix_scan` — 24-byte rows through one range exchange.
+    Document text is read once and never shuffled anywhere."""
+    import ray
+
+    from ..hashing import murmur64a
+    from ..keys import canonical_flat_bytes
+    from ..stages.dedup import _splitmix64
+    from ..stages.scan import ordered_prefix_scan
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def planted_meta(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(ids % 40 == 0)
+        txt = t.column("text").combine_chunks()
+        all_ids = np.r_[ids, ids[sel] + 1_000_000]
+        all_txt = pa.concat_arrays([txt, txt.take(pa.array(sel))])
+        toks = pc.split_pattern(pc.fill_null(all_txt, ""), " ")
+        nw = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        doc = np.repeat(np.arange(len(all_ids)), nw)
+        hit = pc.equal(flat, "dup").to_numpy(zero_copy_only=False)
+        bad = np.zeros(len(all_ids), dtype=np.int64)
+        if len(hit):
+            np.add.at(bad, doc, hit.astype(np.int64))
+        data, offsets = canonical_flat_bytes(all_txt)
+        h = murmur64a(data, offsets).view(np.int64)
+        ln = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        return pa.table({"doc_id": pa.array(all_ids),
+                         "n_words": pa.array(nw),
+                         "bad": pa.array((bad > 0).astype(np.int64)),
+                         "h": pa.array(h), "len": pa.array(ln)})
+
+    meta = ds.map_batches(planted_meta, batch_format="pyarrow") \
+        .materialize()
+
+    def fold_counts(d, mask_fn):
+        def part(t: pa.Table) -> pa.Table:
+            keep = mask_fn(t)
+            nw = t.column("n_words").to_numpy(zero_copy_only=False)
+            return pa.table({"n": pa.array([int(keep.sum())]),
+                             "w": pa.array([int(nw[keep].sum())])})
+        p = d.map_batches(part, batch_format="pyarrow").to_pandas()
+        return int(p["n"].sum()), int(p["w"].sum())
+
+    def m_all(t):
+        return np.ones(t.num_rows, dtype=bool)
+
+    def m_q(t):
+        return t.column("n_words").to_numpy(
+            zero_copy_only=False) >= min_words
+
+    def m_b(t):
+        return m_q(t) & (t.column("bad").to_numpy(
+            zero_copy_only=False) == 0)
+
+    n0, w0 = fold_counts(meta, m_all)
+    n1, w1 = fold_counts(meta, m_q)
+    n2, w2 = fold_counts(meta, m_b)
+
+    # dedup drop set among badwords survivors: one (h,len) bucket
+    # exchange, drops = all-but-min per content group (O(duplicates))
+    def surv_rows(t: pa.Table) -> pa.Table:
+        keep = m_b(t)
+        h = t.column("h").to_numpy(zero_copy_only=False)[keep]
+        b = (_splitmix64(h.view(np.uint64)) %
+             np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(t.column("doc_id").to_numpy(
+                zero_copy_only=False)[keep]),
+            "h": pa.array(h),
+            "len": pa.array(t.column("len").to_numpy(
+                zero_copy_only=False)[keep]),
+            "__b": pa.array(b)})
+
+    def drops_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        ln = g["len"].to_numpy()
+        di = g["doc_id"].to_numpy()
+        order = np.lexsort((di, ln, h))
+        h, ln, di = h[order], ln[order], di[order]
+        new = np.r_[True, (h[1:] != h[:-1]) | (ln[1:] != ln[:-1])]
+        return pd.DataFrame({"doc_id": di[~new]})
+
+    drops = meta.map_batches(surv_rows, batch_format="pyarrow") \
+        .groupby("__b").map_groups(drops_in_bucket,
+                                   batch_format="pandas").to_pandas()
+    drop_ref = ray.put(np.sort(drops["doc_id"].to_numpy(
+        dtype=np.int64)))
+
+    def m_d(t):
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return m_b(t) & ~np.isin(d, ray.get(drop_ref))
+
+    n3, w3 = fold_counts(meta, m_d)
+    budget = w3 // 2
+
+    K = np.int64(2654435761)
+    M32 = np.int64(4294967296)
+    M31 = np.int64(2147483648)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        keep = m_d(t)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        nw = t.column("n_words").to_numpy(zero_copy_only=False)[keep]
+        key = ((d * K) % M32) * M31 + d
+        return pa.table({"key": pa.array(key),
+                         "n_tokens": pa.array(nw)})
+
+    scanned = ordered_prefix_scan(
+        meta.map_batches(keyed, batch_format="pyarrow"),
+        "key", "n_tokens", op="sum")
+
+    def cut_part(t: pa.Table) -> pa.Table:
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        p = t.column("prefix").to_numpy(zero_copy_only=False)
+        keep = p + n <= budget
+        return pa.table({"n": pa.array([int(keep.sum())]),
+                         "w": pa.array([int(n[keep].sum())])})
+
+    p = scanned.map_batches(cut_part, batch_format="pyarrow").to_pandas()
+    n4, w4 = int(p["n"].sum()), int(p["w"].sum())
+
+    return pd.DataFrame({
+        "stage": np.arange(1, 5, dtype=np.int64),
+        "name": ["quality", "badwords", "dedup", "budget"],
+        "docs_in": np.array([n0, n1, n2, n3], dtype=np.int64),
+        "docs_out": np.array([n1, n2, n3, n4], dtype=np.int64),
+        "words_out": np.array([w1, w2, w3, w4], dtype=np.int64)})
+
+
+QUERIES["curation_funnel_docs"] = curation_funnel_docs
+ORACLES["curation_funnel_docs"] = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 40 = 0
+    ),
+    meta AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CASE WHEN list_contains(string_split(text, ' '), 'dup')
+                  THEN 1 ELSE 0 END AS bad
+      FROM corpus
+    ),
+    q AS (SELECT * FROM meta WHERE n_words >= 20),
+    b AS (SELECT * FROM q WHERE bad = 0),
+    d AS (
+      SELECT doc_id, n_words FROM (
+        SELECT doc_id, n_words,
+               ROW_NUMBER() OVER (PARTITION BY text
+                                  ORDER BY doc_id) AS rn
+        FROM b) WHERE rn = 1
+    ),
+    tot AS (SELECT CAST(SUM(n_words) AS BIGINT) AS tw FROM d),
+    ranked AS (
+      SELECT n_words,
+             SUM(n_words) OVER (
+               ORDER BY ((doc_id * 2654435761) % 4294967296)
+                        * 2147483648 + doc_id) AS run
+      FROM d
+    ),
+    kept AS (
+      SELECT * FROM ranked WHERE run <= (SELECT tw // 2 FROM tot)
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS name,
+             (SELECT COUNT(*) FROM meta) AS docs_in,
+             (SELECT COUNT(*) FROM q) AS docs_out,
+             CAST((SELECT SUM(n_words) FROM q) AS BIGINT) AS words_out
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'badwords', (SELECT COUNT(*) FROM q),
+             (SELECT COUNT(*) FROM b),
+             CAST((SELECT SUM(n_words) FROM b) AS BIGINT)
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'dedup', (SELECT COUNT(*) FROM b),
+             (SELECT COUNT(*) FROM d),
+             CAST((SELECT SUM(n_words) FROM d) AS BIGINT)
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), 'budget', (SELECT COUNT(*) FROM d),
+             (SELECT COUNT(*) FROM kept),
+             CAST((SELECT SUM(n_words) FROM kept) AS BIGINT)
+    ) ORDER BY stage
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

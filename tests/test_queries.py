@@ -1758,3 +1758,34 @@ def test_zorder_box_pruning_and_equality(ray_session):
         .astype({"n_events": "int64", "cents": "int64"})
     pd.testing.assert_frame_equal(out, gold)
     pd.testing.assert_frame_equal(out, Q.zorder_box_events(SF_DIR))
+
+
+def test_curation_funnel_invariants(ray_session):
+    """Curation funnel: stage chaining (docs_in[k+1] == docs_out[k]),
+    monotone attrition, the dedup stage removes EXACTLY the planted
+    copies whose originals survive quality+badwords (plants share
+    their original's text so their filter outcomes are identical),
+    and the budget stage keeps at most half the surviving word mass
+    while dropping at least one doc. Rerun frame-equality."""
+    import pyarrow.parquet as pq
+
+    out = Q.curation_funnel_docs(SF_DIR)
+    assert list(out["stage"]) == [1, 2, 3, 4]
+    assert list(out["docs_in"][1:]) == list(out["docs_out"][:-1])
+    assert (out["docs_out"] <= out["docs_in"]).all()
+
+    df = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                       columns=["doc_id", "text"]).to_pandas()
+    nw = df["text"].str.split(" ").str.len()
+    bad = df["text"].str.split(" ").apply(lambda ws: "dup" in ws)
+    surviving_plants = int(((df["doc_id"] % 40 == 0) & (nw >= 20)
+                            & ~bad).sum())
+    dedup_row = out[out["name"] == "dedup"].iloc[0]
+    assert dedup_row["docs_in"] - dedup_row["docs_out"] \
+        == surviving_plants
+
+    budget_row = out[out["name"] == "budget"].iloc[0]
+    w3 = out[out["name"] == "dedup"].iloc[0]["words_out"]
+    assert budget_row["words_out"] <= w3 // 2
+    assert budget_row["docs_out"] < budget_row["docs_in"]
+    pd.testing.assert_frame_equal(out, Q.curation_funnel_docs(SF_DIR))
