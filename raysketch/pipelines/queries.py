@@ -19538,13 +19538,18 @@ _GATE_PRIORITY = [
     "exact_distinct_orders", "hll_distinct_nation",
     # all 22 TPC-H shapes (SURVEY.md §8.12 map)
     "q1_pricing_summary", "cheapest_supplier_per_part",
-    "mktsegment_revenue", "q4_late_orders_by_priority",
+    "mktsegment_revenue",
     "q5_local_supplier_revenue", "q6_forecast_revenue",
     "q7_nation_pair_volume",
     "q9_profit_by_nation_year", "q10_returned_revenue_customers",
-    "important_parts",
-    "promo_revenue_ratio",
-    "q17_small_quantity_revenue",
+    # (q4/q17/important_parts/promo_revenue_ratio/sole_return_suppliers/
+    # top_customer_by_nation move to the FAST_SUBSET + full-replica tier
+    # to make room for the round-4 sixth-session oracles)
+    # round-4 sixth-session oracles: end-to-end curation funnel,
+    # sparse retrieval, line dedup, storage layouts, link analysis
+    "curation_funnel_docs", "doc_similar_topk", "line_dedup_docs",
+    "zorder_box_events", "bucketed_join_priority_revenue",
+    "hits_word_graph",
     # round-4 sixth-session oracles (order_count_distribution and
     # moments_text_len stay FAST_SUBSET-pytest-gated + full-replica-
     # checked to make room): deterministic epoch shuffle + temperature
@@ -19560,8 +19565,7 @@ _GATE_PRIORITY = [
     # (q12/q15/q16/big_orders_having stay FAST_SUBSET-pytest-gated +
     # full-replica-checked; swapped out of the 50-entry snapshot for
     # the round-4 third-session oracles)
-    "sole_return_suppliers", "q22_idle_rich_customers",
-    "top_customer_by_nation",
+    "q22_idle_rich_customers",
     # dedup / LLM-pipeline anchors (round-4 additions front-loaded:
     # tiled cosine, trained SemDeDup, LM quality score, generalized
     # BPE, and the data-mixing trio — VERDICT r03 item 8; the window
