@@ -19516,6 +19516,99 @@ ORACLES["curation_funnel_docs"] = """
 """
 
 
+def _unigram_model(sf_dir: str):
+    from ..stages.unigram import train_unigram, word_count_table
+
+    word_ds = word_count_table(_read(sf_dir, "documents",
+                                     columns=["text"]))
+    return train_unigram(word_ds, max_piece_len=4, seed_vocab=160,
+                         vocab_size=48, em_rounds=2)
+
+
+def unigram_lm_tokenizer(sf_dir: str, k: int = 30) -> pd.DataFrame:
+    """UNIGRAM LM tokenizer training (Kudo ACL'18, the SentencePiece
+    algorithm) — the second trained tokenizer family beside BPE:
+    substring-seeded vocabulary, hard-EM (Viterbi) rounds, prune to
+    vocab_size, final E-step. All arithmetic EXACT (int64 counts,
+    big-int cross-multiplied rational DP scores — no float enters the
+    training), so the result is bit-identical at any parallelism; the
+    DP itself is not SQL-expressible (rows-only gate), so pytest locks
+    equality against an INDEPENDENT local reimplementation plus the
+    char-conservation identity Σ count_p·len(p) = Σ c_w·len(w).
+
+    Distributed shape (stages/unigram.py): corpus → (word, count)
+    table via one hash exchange; each EM round is one map_batches over
+    the DISTINCT-WORD table (broadcast piece table, per-batch DP,
+    piece-bounded int64 partial vectors folded on the driver) — round
+    cost is independent of corpus size. Output: top-k pieces by final
+    Viterbi count."""
+    model = _unigram_model(sf_dir)
+    t = model.table()
+    t = t.sort_values(["count", "piece"], ascending=[False, True],
+                      kind="stable").head(k).reset_index(drop=True)
+    t["rank"] = np.arange(1, len(t) + 1, dtype=np.int64)
+    return t.astype({"piece": "str", "count": "int64", "rank": "int64"})
+
+
+QUERIES["unigram_lm_tokenizer"] = unigram_lm_tokenizer
+
+
+def unigram_encode_docs(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer train→APPLY loop for the unigram model (the fd_pca /
+    bpe_encode convention): encode every document with the trained
+    piece table and report per-source totals (n_words, n_pieces,
+    n_chars). Words encode ONCE on the distinct-word table (the DP
+    never touches the corpus); the corpus pass maps each token to its
+    piece count through the broadcast word→pieces table and folds
+    per-source int64 partials — zero shuffles. Compression ratio
+    n_chars/n_pieces is the standard tokenizer fertility metric."""
+    import ray
+
+    from ..stages.unigram import viterbi_encode
+
+    model = _unigram_model(sf_dir)
+
+    from ..stages.unigram import word_count_table
+
+    word_ds = word_count_table(_read(sf_dir, "documents",
+                                     columns=["text"]))
+    words_df = word_ds.to_pandas()
+    wp = {w: len(viterbi_encode(w, model))
+          for w in words_df["word"]}
+    wp_ref = ray.put(wp)
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        lut = ray.get(wp_ref)
+        toks = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False)
+        flat = toks.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        src = np.repeat(np.asarray(t.column("source").to_pylist(),
+                                   dtype=object), counts)[keep]
+        ws = pd.Series(flat.to_numpy(zero_copy_only=False)[keep])
+        pieces = ws.map(lut).to_numpy(dtype=np.int64)
+        chars = ws.str.len().to_numpy(dtype=np.int64)
+        df = pd.DataFrame({"source": src, "n_words": 1,
+                           "n_pieces": pieces, "n_chars": chars})
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(),
+            preserve_index=False)
+
+    out = ds.map_batches(part, batch_format="pyarrow").to_pandas() \
+        .groupby("source", as_index=False)[
+            ["n_words", "n_pieces", "n_chars"]].sum()
+    return out.sort_values("source").reset_index(drop=True).astype(
+        {"source": "str", "n_words": "int64", "n_pieces": "int64",
+         "n_chars": "int64"})
+
+
+QUERIES["unigram_encode_docs"] = unigram_encode_docs
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

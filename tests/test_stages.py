@@ -2314,3 +2314,107 @@ def test_bucketed_layout_cojoin(ray_session, tmp_path):
     write_bucketed(ray.data.from_pandas(b), "k", dc, num_buckets=4)
     with pytest.raises(ValueError):
         cobucket_join_fold(da, dc, per_bucket)
+
+
+def test_unigram_tokenizer_reference_equality(ray_session):
+    """Distributed unigram-LM training ≡ an INDEPENDENT local
+    reimplementation (plain dict/loop Python over the raw parquet):
+    same seed, same 2 hard-EM rounds, same prune, same final counts —
+    plus the char-conservation identity (every char of every word
+    occurrence is covered by exactly one piece) and segmentation
+    validity for every distinct word. Rerun equality."""
+    import collections
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from raysketch.pipelines import queries as Q
+    from raysketch.pipelines.queries import _unigram_model
+    from raysketch.stages.unigram import viterbi_encode
+
+    SF = "/root/testdata/sf0.001"
+    model = _unigram_model(SF)
+
+    # ---- independent reference ----
+    texts = pq.read_table(SF + "/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    wc = collections.Counter(w for t in texts for w in t.split(" ") if w)
+
+    def seed(max_len=4, seed_vocab=160):
+        sc = collections.Counter()
+        for w, c in wc.items():
+            for i in range(len(w)):
+                for j in range(i + 1, min(len(w), i + max_len) + 1):
+                    sc[w[i:j]] += c
+        singles = sorted(s for s in sc if len(s) == 1)
+        multi = sorted((s for s in sc if len(s) > 1),
+                       key=lambda s: (-sc[s], s))
+        keep = sorted(set(singles)
+                      | set(multi[:max(0, seed_vocab - len(singles))]))
+        return keep, np.array([sc[s] for s in keep], dtype=np.int64)
+
+    def viterbi(word, pieces, nums, den, look, max_len):
+        best = [None] * (len(word) + 1)
+        best[0] = (1, 0, ())
+        for i in range(len(word)):
+            if best[i] is None:
+                continue
+            na, ka, path = best[i]
+            for j in range(i + 1, min(len(word), i + max_len) + 1):
+                pid = look.get(word[i:j])
+                if pid is None:
+                    continue
+                cn, ck, npth = na * int(nums[pid]), ka + 1, path + (pid,)
+                old = best[j]
+                if old is None:
+                    best[j] = (cn, ck, npth)
+                    continue
+                ob, ok, opth = old
+                lhs, rhs = cn * den ** ok, ob * den ** ck
+                if lhs > rhs or (lhs == rhs and
+                                 (ck < ok or (ck == ok and npth < opth))):
+                    best[j] = (cn, ck, npth)
+        return best[len(word)][2]
+
+    def estep(pieces, counts):
+        nums = counts + 1
+        den = int(nums.sum())
+        look = {p: i for i, p in enumerate(pieces)}
+        ml = max(len(p) for p in pieces)
+        out = np.zeros(len(pieces), dtype=np.int64)
+        for w, c in wc.items():
+            for pid in viterbi(w, pieces, nums, den, look, ml):
+                out[pid] += c
+        return out
+
+    pieces, counts = seed()
+    for _ in range(2):
+        counts = estep(pieces, counts)
+    df = pd.DataFrame({"p": pieces, "c": counts})
+    singles = df[df["p"].str.len() == 1]
+    multi = df[df["p"].str.len() > 1].sort_values(
+        ["c", "p"], ascending=[False, True], kind="stable") \
+        .head(48 - len(singles))
+    keep = pd.concat([singles, multi]).sort_values("p")
+    pieces2 = keep["p"].tolist()
+    final = estep(pieces2, keep["c"].to_numpy(dtype=np.int64))
+
+    assert model.pieces == pieces2
+    assert list(model.counts) == list(final)
+
+    # char conservation + segmentation validity
+    total_chars = sum(c * len(w) for w, c in wc.items())
+    assert int((model.counts
+                * np.array([len(p) for p in model.pieces])).sum()) \
+        == total_chars
+    for w in wc:
+        path = viterbi_encode(w, model)
+        assert "".join(model.pieces[i] for i in path) == w
+
+    t1 = Q.unigram_lm_tokenizer(SF)
+    pd.testing.assert_frame_equal(t1, Q.unigram_lm_tokenizer(SF))
+    e = Q.unigram_encode_docs(SF)
+    assert int(e["n_chars"].sum()) == total_chars
+    assert int(e["n_words"].sum()) == sum(wc.values())
+    assert int(e["n_pieces"].sum()) == int(model.counts.sum())
