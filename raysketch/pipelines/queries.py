@@ -19609,6 +19609,128 @@ def unigram_encode_docs(sf_dir: str) -> pd.DataFrame:
 QUERIES["unigram_encode_docs"] = unigram_encode_docs
 
 
+def assoc_rules_events(sf_dir: str, num_buckets: int = 64,
+                       scale: int = 1_000_000) -> pd.DataFrame:
+    """ASSOCIATION RULES (Agrawal SIGMOD'93 market-basket, level 2):
+    baskets = each user's distinct event-type set; for every ordered
+    pair a→b report exact integer support counts (n_pair, n_ante,
+    n_cons) and fixed-point LIFT = n_pair·n_users·10⁶ //
+    (n_ante·n_cons) — every division an explicit floor both engines
+    state identically (the DuckDB `//` convention).
+
+    Distributed shape — the bitmask-histogram trick (the vocabulary-
+    Jaccard precedent): event types are a bounded universe, so one
+    user-hash exchange of distinct (user, type) rows reduces each
+    bucket to per-user type BITMASKS, and a bucket's contribution is a
+    T×T int64 pair matrix + a length-T antecedent vector + its user
+    count — driver folds (buckets × T²) ints, never user rows. Basket
+    sets never materialize anywhere."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    # bounded type universe: driver fold of per-batch uniques
+    tset: set = set()
+    for b in ds.map_batches(
+            lambda t: pa.table({"t": pc.unique(
+                t.column("event_type").combine_chunks())}),
+            batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        tset.update(b.column("t").to_pylist())
+    types = pd.Index(sorted(tset))
+    T = len(types)
+    if T > 64:
+        raise ValueError("bitmask path needs ≤64 types; use the "
+                         "pair-hash exchange shape instead")
+
+    from ..stages.dedup import _splitmix64
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        code = types.get_indexer(t.column("event_type").to_pandas()) \
+            .astype(np.int64)
+        df = pd.DataFrame({"u": u, "c": code}).drop_duplicates()
+        b = (_splitmix64(df["u"].to_numpy().astype(np.uint64))
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"u": pa.array(df["u"].to_numpy()),
+                         "c": pa.array(df["c"].to_numpy()),
+                         "__b": pa.array(b)})
+
+    def bucket_matrix(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy()
+        c = g["c"].to_numpy()
+        order = np.argsort(u, kind="stable")
+        u, c = u[order], c[order]
+        starts = np.nonzero(np.r_[True, u[1:] != u[:-1]])[0]
+        masks = np.bitwise_or.reduceat(
+            (np.int64(1) << c.astype(np.int64)), starts) \
+            if len(u) else np.zeros(0, dtype=np.int64)
+        # dedupe within user already done per batch; across batches
+        # the same user lands in this one bucket, so reduceat over
+        # possibly-repeated (u,c) rows still ORs to the same mask
+        pair = np.zeros((T, T), dtype=np.int64)
+        has = np.zeros(T, dtype=np.int64)
+        for a in range(T):
+            sa = (masks >> np.int64(a)) & np.int64(1)
+            has[a] = int(sa.sum())
+            for b2 in range(T):
+                if a == b2:
+                    continue
+                pair[a, b2] = int(
+                    (sa & ((masks >> np.int64(b2)) & np.int64(1))).sum())
+        return pd.DataFrame({"pair": [pair.reshape(-1).tolist()],
+                             "has": [has.tolist()],
+                             "n_users": [len(masks)]})
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__b").map_groups(bucket_matrix,
+                                   batch_format="pandas").to_pandas()
+    pair = np.zeros((T, T), dtype=np.int64)
+    has = np.zeros(T, dtype=np.int64)
+    n_users = 0
+    for _, r in parts.iterrows():
+        pair += np.asarray(r["pair"], dtype=np.int64).reshape(T, T)
+        has += np.asarray(r["has"], dtype=np.int64)
+        n_users += int(r["n_users"])
+
+    rows = []
+    for a in range(T):
+        for b2 in range(T):
+            if a == b2 or pair[a, b2] == 0:
+                continue
+            lift = (int(pair[a, b2]) * n_users * scale) \
+                // (int(has[a]) * int(has[b2]))
+            rows.append((types[a], types[b2], int(pair[a, b2]),
+                         int(has[a]), int(has[b2]), lift))
+    out = pd.DataFrame(rows, columns=["ante", "cons", "n_pair",
+                                      "n_ante", "n_cons", "lift_fp"])
+    return out.sort_values(["ante", "cons"]).reset_index(drop=True) \
+        .astype({"n_pair": "int64", "n_ante": "int64",
+                 "n_cons": "int64", "lift_fp": "int64"})
+
+
+QUERIES["assoc_rules_events"] = assoc_rules_events
+ORACLES["assoc_rules_events"] = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+          FROM events),
+    tc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+           FROM ut GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS ante, b.event_type AS cons,
+             CAST(COUNT(*) AS BIGINT) AS np
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT ante, cons, np AS n_pair, ta.c AS n_ante, tb.c AS n_cons,
+           CAST((np * (SELECT nu FROM n) * 1000000)
+                // (ta.c * tb.c) AS BIGINT) AS lift_fp
+    FROM pairs
+    JOIN tc ta ON ta.event_type = ante
+    JOIN tc tb ON tb.event_type = cons
+    ORDER BY ante, cons
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -1789,3 +1789,38 @@ def test_curation_funnel_invariants(ray_session):
     assert budget_row["words_out"] <= w3 // 2
     assert budget_row["docs_out"] < budget_row["docs_in"]
     pd.testing.assert_frame_equal(out, Q.curation_funnel_docs(SF_DIR))
+
+
+def test_assoc_rules_events_invariants(ray_session):
+    """Association rules: symmetry of pair counts (n_pair(a,b) ==
+    n_pair(b,a)), support bounded by antecedent counts, lift matches
+    the exact integer formula on every row, and the full frame equals
+    a local pandas brute force. Rerun frame-equality."""
+    import pyarrow.parquet as pq
+
+    out = Q.assoc_rules_events(SF_DIR)
+    assert len(out) > 0
+    m = {(r["ante"], r["cons"]): r for _, r in out.iterrows()}
+    for (a, b), r in m.items():
+        assert (b, a) in m and m[(b, a)]["n_pair"] == r["n_pair"]
+        assert r["n_pair"] <= min(r["n_ante"], r["n_cons"])
+
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["user_id", "event_type"]).to_pandas() \
+        .drop_duplicates()
+    nu = ev["user_id"].nunique()
+    tc = ev.groupby("event_type")["user_id"].nunique()
+    g = ev.merge(ev, on="user_id")
+    g = g[g["event_type_x"] != g["event_type_y"]]
+    pairs = g.groupby(["event_type_x", "event_type_y"]) \
+        .size().reset_index(name="np")
+    gold = []
+    for _, r in pairs.iterrows():
+        a, b, np_ = r["event_type_x"], r["event_type_y"], int(r["np"])
+        gold.append((a, b, np_, int(tc[a]), int(tc[b]),
+                     (np_ * nu * 1_000_000) // (int(tc[a]) * int(tc[b]))))
+    gold = pd.DataFrame(gold, columns=list(out.columns)) \
+        .sort_values(["ante", "cons"]).reset_index(drop=True) \
+        .astype(out.dtypes.to_dict())
+    pd.testing.assert_frame_equal(out, gold)
+    pd.testing.assert_frame_equal(out, Q.assoc_rules_events(SF_DIR))
