@@ -19731,6 +19731,54 @@ ORACLES["assoc_rules_events"] = """
 """
 
 
+def compression_quality_docs(sf_dir: str, level: int = 6,
+                             threshold_fp: int = 2000) -> pd.DataFrame:
+    """COMPRESSION-RATIO quality signal (Gopher / RefinedWeb drop
+    pages that deflate too well — machine-generated and template text
+    is highly compressible): per doc, zlib(level 6) compressed size
+    and the fixed-point ratio comp_len·10⁴ // n_chars; docs under the
+    threshold are flagged. A synthetic high-repetition doc is PLANTED
+    in-query per batch-leading doc (first 5 words × 20, doc_id + 2·10⁶)
+    so the flag provably fires (natural corpus ratios measured ≥ 0.39,
+    plants ≈ 0.08). zlib output is a pure deterministic function of
+    (bytes, level) — bit-identical at any parallelism — but not
+    SQL-expressible, so the gate is rows-only and pytest locks local
+    zlib equality + planted recall. One zero-shuffle pass; the zlib
+    call is per-DOC C code (the per-row cost is the compressor itself,
+    not Python bookkeeping)."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        sel = np.flatnonzero(ids % 40 == 0)
+        all_ids = np.r_[ids, ids[sel] + 2_000_000]
+        all_txt = texts + [" ".join(texts[i].split(" ")[:5]) * 20
+                           for i in sel]
+        comp = np.fromiter(
+            (len(zlib.compress(x.encode(), level)) for x in all_txt),
+            dtype=np.int64, count=len(all_txt))
+        n = np.fromiter((len(x) for x in all_txt), dtype=np.int64,
+                        count=len(all_txt))
+        ratio = comp * 10_000 // n
+        return pa.table({"doc_id": pa.array(all_ids),
+                         "n_chars": pa.array(n),
+                         "comp_len": pa.array(comp),
+                         "ratio_fp": pa.array(ratio),
+                         "flagged": pa.array(
+                             (ratio < threshold_fp).astype(np.int64))})
+
+    out = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_chars": "int64", "comp_len": "int64",
+         "ratio_fp": "int64", "flagged": "int64"})
+
+
+QUERIES["compression_quality_docs"] = compression_quality_docs
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

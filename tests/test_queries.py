@@ -1824,3 +1824,29 @@ def test_assoc_rules_events_invariants(ray_session):
         .astype(out.dtypes.to_dict())
     pd.testing.assert_frame_equal(out, gold)
     pd.testing.assert_frame_equal(out, Q.assoc_rules_events(SF_DIR))
+
+
+def test_compression_quality_docs(ray_session):
+    """Compression-ratio quality: every natural doc's (comp_len,
+    ratio) equals a local zlib call; every planted repetition doc
+    (doc_id ≥ 2e6) is flagged and no natural doc is; rerun
+    frame-equality."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    out = Q.compression_quality_docs(SF_DIR)
+    df = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                       columns=["doc_id", "text"]).to_pandas()
+    m = out.set_index("doc_id")
+    for _, r in df.iterrows():
+        did = int(r["doc_id"])
+        c = len(zlib.compress(r["text"].encode(), 6))
+        assert m.loc[did, "comp_len"] == c
+        assert m.loc[did, "ratio_fp"] == c * 10_000 // len(r["text"])
+    plants = out[out["doc_id"] >= 2_000_000]
+    naturals = out[out["doc_id"] < 2_000_000]
+    assert len(plants) == int((df["doc_id"] % 40 == 0).sum())
+    assert (plants["flagged"] == 1).all()
+    assert (naturals["flagged"] == 0).all()
+    pd.testing.assert_frame_equal(out, Q.compression_quality_docs(SF_DIR))
