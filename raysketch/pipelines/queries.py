@@ -19779,6 +19779,257 @@ def compression_quality_docs(sf_dir: str, level: int = 6,
 QUERIES["compression_quality_docs"] = compression_quality_docs
 
 
+def _bm25_rows(sf_dir: str, terms: list[str]):
+    """Shared BM25 machinery: returns (rows DataFrame with per-(doc,
+    term) tf + per-doc len, df dict, N, TC). One corpus pass emits
+    rows ONLY for docs hitting ≥1 query term (O(Σ df) — the
+    keyword_search selectivity bound); N/TC/df fold as per-batch int
+    partials."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tarr = pa.array(sorted(set(terms)))
+
+    def part(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        doc = np.repeat(np.arange(len(ids)), lens)
+        hit = pc.is_in(flat, value_set=tarr).to_numpy(
+            zero_copy_only=False)
+        w = flat.to_numpy(zero_copy_only=False)[hit]
+        d = doc[hit]
+        if len(d):
+            df = pd.DataFrame({"doc_id": ids[d], "term": w,
+                               "len": lens[d]})
+            g = df.groupby(["doc_id", "term", "len"],
+                           as_index=False).size() \
+                .rename(columns={"size": "tf"})
+        else:
+            g = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "term": pd.Series([], dtype=object),
+                              "len": pd.Series([], dtype="int64"),
+                              "tf": pd.Series([], dtype="int64")})
+        g["__n"] = np.int64(len(ids))
+        g["__tc"] = np.int64(lens.sum())
+        # one stats row even for hit-free batches so N/TC stay exact
+        if not len(g):
+            g = pd.DataFrame({"doc_id": [-1], "term": [""],
+                              "len": [0], "tf": [0],
+                              "__n": [np.int64(len(ids))],
+                              "__tc": [np.int64(lens.sum())]})
+        else:
+            g.loc[g.index[1:], ["__n", "__tc"]] = 0
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    N = int(rows["__n"].sum())
+    TC = int(rows["__tc"].sum())
+    rows = rows[rows["doc_id"] >= 0][["doc_id", "term", "len", "tf"]]
+    df = rows.groupby("term")["doc_id"].nunique().to_dict()
+    return rows.reset_index(drop=True), df, N, TC
+
+
+def _bm25_rank(rows: pd.DataFrame, df: dict, N: int, TC: int,
+               k: int) -> pd.DataFrame:
+    """Fixed-point BM25 (k1=6/5, b=3/4; idf_fp=(N·2²⁰)//df, the
+    keyword_search convention): per-(doc,term) contribution
+    idf_fp·44·tf·TC // (20·tf·TC + 6·TC + 18·len·N) — the closed
+    integer form of idf·tf(k1+1)/(tf+k1(1−b+b·len/avg)) with
+    avg=TC/N — summed per doc (integer sum: order-free), ranked
+    (score desc, doc_id)."""
+    if not len(rows):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score_fp": pd.Series([], dtype="int64"),
+                             "n_terms": pd.Series([], dtype="int64")})
+    idf = rows["term"].map(
+        {t: (N << 20) // c for t, c in df.items()}).to_numpy(
+        dtype=np.int64)
+    tf = rows["tf"].to_numpy(dtype=np.int64)
+    ln = rows["len"].to_numpy(dtype=np.int64)
+    num = idf * (44 * tf * TC)
+    assert num.max(initial=0) < (1 << 62), "BM25 fixed point overflow"
+    contrib = num // (20 * tf * TC + 6 * TC + 18 * ln * N)
+    agg = pd.DataFrame({"doc_id": rows["doc_id"].to_numpy(),
+                        "score_fp": contrib, "n_terms": 1}) \
+        .groupby("doc_id", as_index=False).sum()
+    order = np.lexsort((agg["doc_id"].to_numpy(),
+                        -agg["score_fp"].to_numpy()))[:k]
+    out = agg.iloc[order].reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "score_fp": "int64",
+                       "n_terms": "int64"})
+
+
+def bm25_search_docs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """BM25 ranked retrieval (Robertson–Spärck Jones / Okapi; the tf-
+    SATURATING, length-normalized upgrade of keyword_search_docs'
+    bare tf·idf) — entirely in int64 fixed point so the full ranking,
+    tie boundary included, is statable in SQL and value-hash-checked:
+    k1=6/5 and b=3/4 clear denominators exactly (see _bm25_rank), idf
+    is the engine's (N·2²⁰)//df. One selectivity-bounded corpus pass
+    (O(Σ df) rows reach the driver), N/TC/df as integer folds."""
+    rows, df, N, TC = _bm25_rows(sf_dir, _SEARCH_TERMS)
+    return _bm25_rank(rows, df, N, TC, k)
+
+
+QUERIES["bm25_search_docs"] = bm25_search_docs
+ORACLES["bm25_search_docs"] = """
+    WITH docs AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+             string_split(text, ' ') AS l
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len) AS BIGINT) AS tc FROM docs
+    ),
+    tok AS (
+      SELECT doc_id, len, unnest(l) AS w FROM docs
+    ),
+    tf AS (
+      SELECT doc_id, len, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE w IN ('dup', 'scan', 'window')
+      GROUP BY doc_id, len, w
+    ),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST((((SELECT n FROM stats) * 1048576) // df.df)
+                  * (44 * tf.tf * (SELECT tc FROM stats))
+                  // (20 * tf.tf * (SELECT tc FROM stats)
+                      + 6 * (SELECT tc FROM stats)
+                      + 18 * tf.len * (SELECT n FROM stats))
+                  AS BIGINT) AS c
+      FROM tf JOIN df USING (w)
+    )
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM contrib GROUP BY doc_id
+    ORDER BY score_fp DESC, doc_id LIMIT 20
+"""
+
+
+def hybrid_rrf_docs(sf_dir: str, k_each: int = 20, k: int = 10,
+                    rrf_k: int = 60) -> pd.DataFrame:
+    """HYBRID retrieval fusion — Reciprocal Rank Fusion (Cormack
+    SIGIR'09) of two rankings for the same query-by-example (document
+    0): its BM25 keyword ranking (over the query doc's distinct
+    terms) and its exact tf-cosine ranking (the doc_similar_topk
+    scorer) — the sparse+dense "hybrid search" shape with both legs
+    exact here. rrf_fp = Σ_lists 10⁹ // (60 + rank) is pure integer
+    floor arithmetic, so the fused ranking — every tie included — is
+    statable in SQL and value-hash-checked end to end (both leg CTEs
+    + the fusion in one oracle). Absent-leg ranks report 0.
+
+    Cost: the cosine leg is the one-pass streaming scorer; the BM25
+    leg is selectivity-bounded (O(Σ df of the query doc's terms));
+    fusion touches only 2·k_each driver rows."""
+    qrow = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda t: t.filter(pc.equal(t.column("doc_id"),
+                                                 0)),
+                     batch_format="pyarrow").take_all()
+    terms = sorted({w for w in qrow[0]["text"].split(" ") if w})
+
+    rows, df, N, TC = _bm25_rows(sf_dir, terms)
+    bm = _bm25_rank(rows[rows["doc_id"] != 0], df, N, TC, k_each)
+    bm = bm.reset_index(drop=True)
+    bm["rank_bm25"] = np.arange(1, len(bm) + 1, dtype=np.int64)
+
+    cos = doc_similar_topk(sf_dir, n_queries=1, k=k_each)
+    cos = cos.rename(columns={"rank": "rank_cos"})[
+        ["doc_id", "rank_cos"]]
+
+    fused = bm[["doc_id", "rank_bm25"]].merge(cos, on="doc_id",
+                                              how="outer")
+    fused["rank_bm25"] = fused["rank_bm25"].fillna(0).astype("int64")
+    fused["rank_cos"] = fused["rank_cos"].fillna(0).astype("int64")
+    S = 1_000_000_000
+
+    def leg(r):
+        return S // (rrf_k + r) if r > 0 else 0
+
+    fused["rrf_fp"] = [leg(a) + leg(b) for a, b in
+                       zip(fused["rank_bm25"], fused["rank_cos"])]
+    order = np.lexsort((fused["doc_id"].to_numpy(),
+                        -fused["rrf_fp"].to_numpy()))[:k]
+    out = fused.iloc[order].reset_index(drop=True)
+    return out[["doc_id", "rank_bm25", "rank_cos", "rrf_fp"]].astype(
+        {"doc_id": "int64", "rank_bm25": "int64",
+         "rank_cos": "int64", "rrf_fp": "int64"})
+
+
+QUERIES["hybrid_rrf_docs"] = hybrid_rrf_docs
+ORACLES["hybrid_rrf_docs"] = """
+    WITH docs AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+             string_split(text, ' ') AS l
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len) AS BIGINT) AS tc FROM docs
+    ),
+    tok AS (SELECT doc_id, len, unnest(l) AS w FROM docs),
+    tok2 AS (SELECT doc_id, len, w FROM tok WHERE w <> ''),
+    tf AS (
+      SELECT doc_id, len, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok2 GROUP BY doc_id, len, w
+    ),
+    n2 AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2
+           FROM tf GROUP BY doc_id),
+    q AS (SELECT w, tf FROM tf WHERE doc_id = 0),
+    dots AS (
+      SELECT c.doc_id AS did, CAST(SUM(q.tf * c.tf) AS BIGINT) AS dot
+      FROM q JOIN tf c USING (w) WHERE c.doc_id <> 0
+      GROUP BY c.doc_id
+    ),
+    r_cos AS (
+      SELECT did, ROW_NUMBER() OVER (
+               ORDER BY CAST(dot AS DOUBLE) /
+                 SQRT(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE))
+                 DESC, did) AS rc
+      FROM dots
+      JOIN n2 nq ON nq.doc_id = 0
+      JOIN n2 nc ON nc.doc_id = did
+      QUALIFY rc <= 20
+    ),
+    df AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+      WHERE w IN (SELECT w FROM q) GROUP BY w
+    ),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST((((SELECT n FROM stats) * 1048576) // df.df)
+                  * (44 * tf.tf * (SELECT tc FROM stats))
+                  // (20 * tf.tf * (SELECT tc FROM stats)
+                      + 6 * (SELECT tc FROM stats)
+                      + 18 * tf.len * (SELECT n FROM stats))
+                  AS BIGINT) AS c
+      FROM tf JOIN df USING (w) WHERE tf.doc_id <> 0
+    ),
+    r_bm AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+               ORDER BY SUM(c) DESC, doc_id) AS rb
+      FROM contrib GROUP BY doc_id
+      QUALIFY rb <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(r_bm.doc_id, r_cos.did) AS doc_id,
+             CAST(COALESCE(rb, 0) AS BIGINT) AS rank_bm25,
+             CAST(COALESCE(rc, 0) AS BIGINT) AS rank_cos,
+             CAST(COALESCE(1000000000 // (60 + rb), 0)
+                  + COALESCE(1000000000 // (60 + rc), 0) AS BIGINT)
+               AS rrf_fp
+      FROM r_bm FULL OUTER JOIN r_cos ON r_bm.doc_id = r_cos.did
+    )
+    SELECT doc_id, rank_bm25, rank_cos, rrf_fp
+    FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 10
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -1850,3 +1850,72 @@ def test_compression_quality_docs(ray_session):
     assert (plants["flagged"] == 1).all()
     assert (naturals["flagged"] == 0).all()
     pd.testing.assert_frame_equal(out, Q.compression_quality_docs(SF_DIR))
+
+
+def test_bm25_and_hybrid_invariants(ray_session):
+    """BM25: every returned score equals a local recomputation of the
+    closed integer form over brute-force tf/df/len stats; saturation
+    (contribution grows sublinearly in tf) and length normalization
+    (same tf, longer doc → smaller contribution) hold by construction
+    on the formula. Hybrid RRF: fused scores equal Σ 10⁹//(60+rank)
+    of the two independently-computed leg rankings. Rerun equality."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    out = Q.bm25_search_docs(SF_DIR)
+    df_docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                            columns=["doc_id", "text"]).to_pandas()
+    N = len(df_docs)
+    lens = {int(r["doc_id"]): len(r["text"].split(" "))
+            for _, r in df_docs.iterrows()}
+    TC = sum(lens.values())
+    terms = ["dup", "scan", "window"]
+    tf = collections.Counter()
+    dfc = collections.Counter()
+    for _, r in df_docs.iterrows():
+        ws = r["text"].split(" ")
+        for t in terms:
+            c = ws.count(t)
+            if c:
+                tf[(int(r["doc_id"]), t)] = c
+                dfc[t] += 1
+    scores = collections.Counter()
+    nterms = collections.Counter()
+    for (d, t), c in tf.items():
+        idf = (N << 20) // dfc[t]
+        scores[d] += idf * (44 * c * TC) \
+            // (20 * c * TC + 6 * TC + 18 * lens[d] * N)
+        nterms[d] += 1
+    gold = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(out["doc_id"]) == [d for d, _ in gold]
+    assert list(out["score_fp"]) == [s for _, s in gold]
+    assert list(out["n_terms"]) == [nterms[d] for d, _ in gold]
+
+    # saturation + length normalization on the closed form
+    def contrib(c, ln):
+        return (N << 20) // dfc["dup"] * (44 * c * TC) \
+            // (20 * c * TC + 6 * TC + 18 * ln * N)
+    assert contrib(2, 50) < 2 * contrib(1, 50)
+    assert contrib(1, 90) < contrib(1, 30)
+
+    hyb = Q.hybrid_rrf_docs(SF_DIR)
+    bm_ranks = {}
+    from raysketch.pipelines.queries import _bm25_rank, _bm25_rows
+    q0 = df_docs[df_docs["doc_id"] == 0]["text"].iloc[0]
+    rows, dfq, n_, tc_ = _bm25_rows(SF_DIR, sorted(set(
+        w for w in q0.split(" ") if w)))
+    bm = _bm25_rank(rows[rows["doc_id"] != 0], dfq, n_, tc_, 20)
+    for i, d in enumerate(bm["doc_id"]):
+        bm_ranks[int(d)] = i + 1
+    cos = Q.doc_similar_topk(SF_DIR, n_queries=1, k=20)
+    cos_ranks = {int(d): int(r) for d, r in
+                 zip(cos["doc_id"], cos["rank"])}
+    for _, r in hyb.iterrows():
+        d = int(r["doc_id"])
+        assert r["rank_bm25"] == bm_ranks.get(d, 0)
+        assert r["rank_cos"] == cos_ranks.get(d, 0)
+        exp = (10**9 // (60 + bm_ranks[d]) if d in bm_ranks else 0) \
+            + (10**9 // (60 + cos_ranks[d]) if d in cos_ranks else 0)
+        assert r["rrf_fp"] == exp
+    pd.testing.assert_frame_equal(hyb, Q.hybrid_rrf_docs(SF_DIR))
