@@ -20030,6 +20030,228 @@ ORACLES["hybrid_rrf_docs"] = """
 """
 
 
+_DAY_US = 86_400_000_000
+
+
+def _monday_of(us: np.ndarray) -> np.ndarray:
+    """Days-since-epoch of the Monday starting the ISO week of each
+    µs timestamp — exactly DuckDB's date_trunc('week', ts) (verified:
+    1970-01-01 is a Thursday, so Monday = day − ((day+3) mod 7))."""
+    days = us // _DAY_US
+    return days - ((days + 3) % 7)
+
+
+def cohort_retention_events(sf_dir: str, num_buckets: int = 64
+                            ) -> pd.DataFrame:
+    """COHORT RETENTION matrix — the product-analytics classic: users
+    cohorted by the week of their FIRST 'signup' event; cell
+    (cohort_day, week_offset) counts distinct cohort users with ANY
+    event in cohort week + offset (offset 0 is the signup week
+    itself). All-integer week arithmetic (Monday day-index, exactly
+    SQL date_trunc('week')), so the whole matrix value-hash-checks.
+
+    Distributed shape: the corpus reduces per batch to distinct
+    (user, week, is_signup_week) 24-byte rows; ONE user-hash exchange
+    co-locates each user's weeks; per bucket a lexsort/reduceat pass
+    finds first-signup weeks and emits (cohort, offset) count
+    partials — matrix-bounded rows to the driver, user rows never
+    leave their bucket."""
+    from ..stages.dedup import _splitmix64
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        us = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        wk = _monday_of(us)
+        sign = pc.equal(t.column("event_type"), "signup").to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"u": u, "wk": wk,
+                           "s": sign.astype(np.int64)})
+        g = df.groupby(["u", "wk"], as_index=False)["s"].max()
+        b = (_splitmix64(g["u"].to_numpy().astype(np.uint64))
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"u": pa.array(g["u"].to_numpy()),
+                         "wk": pa.array(g["wk"].to_numpy()),
+                         "s": pa.array(g["s"].to_numpy()),
+                         "__b": pa.array(b)})
+
+    def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["u", "wk"], as_index=False)["s"].max() \
+            .sort_values(["u", "wk"], kind="stable")
+        u = d["u"].to_numpy()
+        wk = d["wk"].to_numpy()
+        s = d["s"].to_numpy()
+        # first signup week per user
+        su = u[s > 0]
+        swk = wk[s > 0]
+        starts = np.nonzero(np.r_[True, su[1:] != su[:-1]])[0]
+        first_u = su[starts] if len(su) else su
+        first_wk = np.minimum.reduceat(swk, starts) if len(su) \
+            else swk
+        cohort = pd.Series(first_wk, index=first_u)
+        idx = pd.Series(u).map(cohort)
+        have = idx.notna().to_numpy()
+        off = (wk[have] - idx[have].to_numpy(dtype=np.int64)) // 7
+        keep = off >= 0
+        cells = pd.DataFrame({
+            "cohort_day": idx[have].to_numpy(dtype=np.int64)[keep],
+            "week_offset": off[keep].astype(np.int64), "n_users": 1})
+        if not len(cells):
+            return pd.DataFrame({
+                "cohort_day": pd.Series([], dtype="int64"),
+                "week_offset": pd.Series([], dtype="int64"),
+                "n_users": pd.Series([], dtype="int64")})
+        return cells.groupby(["cohort_day", "week_offset"],
+                             as_index=False)["n_users"].sum()
+
+    parts = ds.map_batches(rows, batch_format="pyarrow") \
+        .groupby("__b").map_groups(bucket_cells,
+                                   batch_format="pandas").to_pandas()
+    out = parts.groupby(["cohort_day", "week_offset"],
+                        as_index=False)["n_users"].sum()
+    return out.sort_values(["cohort_day", "week_offset"]) \
+        .reset_index(drop=True).astype({"cohort_day": "int64",
+                                        "week_offset": "int64",
+                                        "n_users": "int64"})
+
+
+QUERIES["cohort_retention_events"] = cohort_retention_events
+ORACLES["cohort_retention_events"] = """
+    WITH first_signup AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '1970-01-01',
+                  CAST(date_trunc('week', MIN(ts)) AS DATE)) AS BIGINT)
+               AS cohort_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    weeks AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-01',
+                  CAST(date_trunc('week', ts) AS DATE)) AS BIGINT)
+               AS wk
+      FROM events
+    )
+    SELECT f.cohort_day,
+           CAST((w.wk - f.cohort_day) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+    FROM weeks w JOIN first_signup f USING (user_id)
+    WHERE w.wk >= f.cohort_day
+    GROUP BY f.cohort_day, week_offset
+    ORDER BY f.cohort_day, week_offset
+"""
+
+
+def funnel_conversion_events(sf_dir: str, num_buckets: int = 64
+                             ) -> pd.DataFrame:
+    """ORDERED FUNNEL conversion (view → click → purchase, STRICT
+    temporal order): stage k counts users whose earliest stage-k event
+    strictly follows their earliest qualifying stage-(k−1) time — the
+    product-analytics sequence operator (a per-user chained MIN, not a
+    mere event-count funnel). Exact µs integer timestamps end to end.
+
+    Distributed shape: filter to the 3 stage types at the read, reduce
+    each batch to per-(user, stage) MIN-ts rows, ONE user-hash
+    exchange, per bucket a 3-step vectorized chained-min; only the
+    3-row count partial leaves each bucket."""
+    from ..stages.dedup import _splitmix64
+
+    stages = ["view", "click", "purchase"]
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        # NO per-batch MIN combiner here — deliberately. Stage k's
+        # time is min{ts > t_{k-1}}, which a per-(user,stage) batch
+        # min can destroy (the kept min may precede t_{k-1} while a
+        # discarded later event qualified). Ordered-sequence matching
+        # genuinely needs the user's qualifying events co-located:
+        # ship the 24-byte filtered rows through one exchange.
+        code = pd.Series(t.column("event_type").to_pandas()) \
+            .map({s: i for i, s in enumerate(stages)})
+        have = code.notna().to_numpy()
+        u = t.column("user_id").to_numpy(zero_copy_only=False)[have]
+        us = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[have]
+        c = code[have].to_numpy(dtype=np.int64)
+        b = (_splitmix64(u.astype(np.uint64))
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"u": pa.array(u), "c": pa.array(c),
+                         "ts": pa.array(us), "__b": pa.array(b)})
+
+    NOTS = np.int64(1) << np.int64(62)
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy()
+        c = g["c"].to_numpy()
+        ts = g["ts"].to_numpy()
+        uu = np.unique(u)
+        uix = pd.Index(uu)
+        t_prev = None
+        counts = []
+        for k in range(len(stages)):
+            sel = c == k
+            us_, tss = u[sel], ts[sel]
+            if t_prev is not None:
+                prev = t_prev[uix.get_indexer(pd.Index(us_))]
+                tss = np.where(tss > prev, tss, NOTS)
+            order = np.argsort(us_, kind="stable")
+            us_, tss = us_[order], tss[order]
+            starts = np.nonzero(np.r_[True, us_[1:] != us_[:-1]])[0]
+            tk = np.full(len(uu), NOTS, dtype=np.int64)
+            if len(us_):
+                mins = np.minimum.reduceat(tss, starts)
+                tk[uix.get_indexer(pd.Index(us_[starts]))] = mins
+            t_prev = tk
+            counts.append(int((tk < NOTS).sum()))
+        return pd.DataFrame({"stage": np.arange(len(stages),
+                                                dtype=np.int64),
+                             "n_users": np.array(counts,
+                                                 dtype=np.int64)})
+
+    parts = ds.map_batches(rows, batch_format="pyarrow") \
+        .groupby("__b").map_groups(bucket_counts,
+                                   batch_format="pandas").to_pandas()
+    out = parts.groupby("stage", as_index=False)["n_users"].sum()
+    out["name"] = [stages[i] for i in out["stage"]]
+    return out[["stage", "name", "n_users"]] \
+        .sort_values("stage").reset_index(drop=True) \
+        .astype({"stage": "int64", "name": "str", "n_users": "int64"})
+
+
+QUERIES["funnel_conversion_events"] = funnel_conversion_events
+ORACLES["funnel_conversion_events"] = """
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS stage, 'view' AS name,
+             CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), 'click',
+             CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'purchase',
+             CAST((SELECT COUNT(*) FROM t3) AS BIGINT)
+    ) ORDER BY stage
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -1919,3 +1919,52 @@ def test_bm25_and_hybrid_invariants(ray_session):
             + (10**9 // (60 + cos_ranks[d]) if d in cos_ranks else 0)
         assert r["rrf_fp"] == exp
     pd.testing.assert_frame_equal(hyb, Q.hybrid_rrf_docs(SF_DIR))
+
+
+def test_cohort_and_funnel_invariants(ray_session):
+    """Cohort retention: offset-0 cell per cohort equals the cohort
+    size (every cohort user is active in their signup week by
+    definition) and later cells never exceed it; the whole matrix
+    equals a local pandas brute force. Funnel: strictly decreasing-or-
+    equal stage counts, each equal to a local chained-min brute force;
+    the ordered count differs from the naive "has all three types"
+    count for at least one stage boundary check. Rerun equality."""
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["user_id", "ts", "event_type"]) \
+        .to_pandas()
+    us = ev["ts"].astype("int64")
+    days = us // 86_400_000_000
+    ev["wk"] = days - ((days + 3) % 7)
+
+    out = Q.cohort_retention_events(SF_DIR)
+    first = ev[ev["event_type"] == "signup"].groupby("user_id")["wk"] \
+        .min().rename("cohort")
+    act = ev[["user_id", "wk"]].drop_duplicates() \
+        .join(first, on="user_id").dropna()
+    act = act[act["wk"] >= act["cohort"]]
+    act["week_offset"] = ((act["wk"] - act["cohort"]) // 7).astype(
+        "int64")
+    gold = act.groupby([act["cohort"].astype("int64"),
+                        "week_offset"]).agg(
+        n_users=("user_id", "nunique")).reset_index() \
+        .rename(columns={"cohort": "cohort_day"}) \
+        .sort_values(["cohort_day", "week_offset"]) \
+        .reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(out, gold)
+    for _, g in out.groupby("cohort_day"):
+        base = int(g[g["week_offset"] == 0]["n_users"].iloc[0])
+        assert (g["n_users"] <= base).all()
+
+    fo = Q.funnel_conversion_events(SF_DIR)
+    t1 = ev[ev["event_type"] == "view"].groupby("user_id")["ts"].min()
+    c2 = ev[ev["event_type"] == "click"].join(t1.rename("t1"),
+                                              on="user_id").dropna()
+    t2 = c2[c2["ts"] > c2["t1"]].groupby("user_id")["ts"].min()
+    c3 = ev[ev["event_type"] == "purchase"].join(t2.rename("t2"),
+                                                 on="user_id").dropna()
+    t3 = c3[c3["ts"] > c3["t2"]].groupby("user_id")["ts"].min()
+    assert list(fo["n_users"]) == [len(t1), len(t2), len(t3)]
+    assert fo["n_users"].is_monotonic_decreasing
+    pd.testing.assert_frame_equal(fo, Q.funnel_conversion_events(SF_DIR))
