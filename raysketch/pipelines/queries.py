@@ -18694,7 +18694,13 @@ def _inverted_index_dir(sf_dir: str) -> str:
 
     idx_dir = os.path.join(tempfile.gettempdir(), "raysketch_data",
                            f"invindex_{sf_of(sf_dir)}")
-    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+    mpath = os.path.join(idx_dir, "meta.json")
+    stale = True
+    if os.path.exists(mpath):
+        import json as _json
+        with open(mpath) as f:
+            stale = _json.load(f).get("version", 1) < 2
+    if stale:
         ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
         build_inverted_index(ds, idx_dir, text_col="text",
                              id_col="doc_id", n_shards=32)
@@ -20250,6 +20256,25 @@ ORACLES["funnel_conversion_events"] = """
              CAST((SELECT COUNT(*) FROM t3) AS BIGINT)
     ) ORDER BY stage
 """
+
+
+def bm25_index_search_docs(sf_dir: str) -> pd.DataFrame:
+    """BM25 answered FROM THE INVERTED INDEX (stages/invindex.py v2:
+    postings carry doc token lengths, meta carries n_docs /
+    total_tokens) — the index-served twin of `bm25_search_docs`,
+    touching ZERO corpus bytes at query time: only the 3 query terms'
+    shards are read (term-IN filter, shard pruning pytest-locked).
+    Same exact fixed-point arithmetic, same SQL oracle ranking —
+    and pytest locks index-served ≡ corpus-scan equality."""
+    from ..stages.invindex import bm25_search_index
+
+    out = bm25_search_index(_inverted_index_dir(sf_dir),
+                            _SEARCH_TERMS, k=20)
+    return out.rename(columns={})
+
+
+QUERIES["bm25_index_search_docs"] = bm25_index_search_docs
+ORACLES["bm25_index_search_docs"] = ORACLES["bm25_search_docs"]
 
 
 # ====================================================================

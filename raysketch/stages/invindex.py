@@ -85,17 +85,21 @@ def build_inverted_index(ds, index_dir: str, text_col: str = "text",
             pc.fill_null(t.column(text_col), ""), " ").combine_chunks()
         counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(words)
-        parent = np.repeat(
-            t.column(id_col).to_numpy(zero_copy_only=False), counts)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        parent = np.repeat(ids, counts)
+        lens = np.repeat(counts.astype(np.int64), counts)
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"term": flat.to_pandas()[keep],
-                           id_col: parent[keep]})
-        g = df.groupby(["term", id_col], as_index=False).size() \
+                           id_col: parent[keep],
+                           "len": lens[keep]})
+        g = df.groupby(["term", id_col, "len"], as_index=False).size() \
             .rename(columns={"size": "tf"})
         sh = term_shard(g["term"].to_numpy(), n_shards)
+        # one totals row per batch so meta can record corpus token mass
         return pa.table({
             "term": pa.array(g["term"].to_numpy(), type=pa.string()),
             id_col: pa.array(g[id_col].to_numpy(dtype=np.int64)),
+            "len": pa.array(g["len"].to_numpy(dtype=np.int64)),
             "tf": pa.array(g["tf"].to_numpy(dtype=np.int64)),
             "shard": pa.array(sh),
         })
@@ -104,14 +108,30 @@ def build_inverted_index(ds, index_dir: str, text_col: str = "text",
         return g.sort_values(["term", id_col], kind="stable") \
             .reset_index(drop=True)
 
+    # corpus token mass (doc len = token count incl. empty tokens is
+    # NOT used; len here counts split tokens, matching
+    # len(string_split(text, ' ')) in SQL)
+    def lenrow(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.fill_null(t.column(text_col), ""), " ")
+        n = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        return pa.table({"tc": pa.array([int(n.sum())])})
+
+    total_tokens = 0
+    for b in ds.map_batches(lenrow, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows:
+            total_tokens += int(b.column("tc").to_numpy().sum())
+
     rows = ds.map_batches(postings, batch_format="pyarrow") \
         .groupby("shard").map_groups(sort_shard, batch_format="pandas")
     shards_dir = os.path.join(index_dir, "shards")
     shutil.rmtree(shards_dir, ignore_errors=True)
     os.makedirs(shards_dir, exist_ok=True)
     rows.write_parquet(shards_dir, partition_cols=["shard"])
-    meta = {"kind": "inverted", "text_col": text_col, "id_col": id_col,
-            "n_shards": n_shards, "n_docs": int(n_docs)}
+    meta = {"kind": "inverted", "version": 2, "text_col": text_col,
+            "id_col": id_col, "n_shards": n_shards,
+            "n_docs": int(n_docs), "total_tokens": int(total_tokens)}
     mpath = os.path.join(index_dir, "meta.json")
     with open(mpath + ".tmp", "w") as f:
         json.dump(meta, f)
@@ -162,6 +182,62 @@ def search_index(index_dir: str, terms: list[str], k: int = 20,
     idf_fp = (int(meta["n_docs"]) * IDF_SCALE) // df_t
     post = post.assign(w=post["tf"].to_numpy(dtype=np.int64)
                        * idf_fp.loc[post["term"]].to_numpy(dtype=np.int64))
+    g = post.groupby(id_col, as_index=False).agg(
+        score_fp=("w", "sum"), n_terms=("term", "size"))
+    g = g.sort_values(["score_fp", id_col],
+                      ascending=[False, True], kind="stable").head(k)
+    return g.reset_index(drop=True).astype(
+        {id_col: "int64", "score_fp": "int64", "n_terms": "int64"})
+
+
+def bm25_search_index(index_dir: str, terms: list[str], k: int = 20,
+                      audit: dict | None = None):
+    """BM25 served purely from the v2 index (postings carry the doc's
+    token length — the impact-index convention — and meta records
+    n_docs / total_tokens, so NO corpus access happens at query
+    time): the engine's exact fixed-point form
+    idf_fp·44·tf·TC // (20·tf·TC + 6·TC + 18·len·N) with
+    idf_fp = (N·2²⁰)//df, k1=6/5, b=3/4 (see pipelines.queries
+    _bm25_rank for the derivation). Reads only the query terms'
+    shards with a term-IN filter; driver work is O(Σ df)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("version", 1) < 2:
+        raise ValueError("bm25_search_index needs a v2 index "
+                         "(postings with doc lengths)")
+    id_col = meta["id_col"]
+    N = int(meta["n_docs"])
+    TC = int(meta["total_tokens"])
+    terms = sorted(set(terms))
+    shards = sorted(set(term_shard(terms, meta["n_shards"]).tolist()))
+    files: list[str] = []
+    for s in shards:
+        files.extend(sorted(glob.glob(os.path.join(
+            index_dir, "shards", f"shard={s}", "*.parquet"))))
+    if audit is not None:
+        audit["files_read"] = len(files)
+        audit["files_total"] = len(glob.glob(os.path.join(
+            index_dir, "shards", "shard=*", "*.parquet")))
+    empty = pd.DataFrame({id_col: np.empty(0, np.int64),
+                          "score_fp": np.empty(0, np.int64),
+                          "n_terms": np.empty(0, np.int64)})
+    if not files:
+        return empty
+    post = pq.read_table(files, columns=["term", id_col, "len", "tf"],
+                         filters=[("term", "in", terms)]).to_pandas()
+    if not len(post):
+        return empty
+    df_t = post.groupby("term")[id_col].size()
+    idf = df_t.map(lambda d: (N << 20) // int(d))
+    tf = post["tf"].to_numpy(dtype=np.int64)
+    ln = post["len"].to_numpy(dtype=np.int64)
+    num = idf.loc[post["term"]].to_numpy(dtype=np.int64) \
+        * (44 * tf * TC)
+    assert num.max(initial=0) < (1 << 62), "BM25 fixed point overflow"
+    post = post.assign(w=num // (20 * tf * TC + 6 * TC + 18 * ln * N))
     g = post.groupby(id_col, as_index=False).agg(
         score_fp=("w", "sum"), n_terms=("term", "size"))
     g = g.sort_values(["score_fp", id_col],

@@ -1968,3 +1968,30 @@ def test_cohort_and_funnel_invariants(ray_session):
     assert list(fo["n_users"]) == [len(t1), len(t2), len(t3)]
     assert fo["n_users"].is_monotonic_decreasing
     pd.testing.assert_frame_equal(fo, Q.funnel_conversion_events(SF_DIR))
+
+
+def test_bm25_index_equals_scan(ray_session):
+    """Index-served BM25 ≡ the corpus-scan BM25 frame-exactly, with
+    shard-pruning evidence (files_read < files_total) and a v1-index
+    rejection surface."""
+    import pytest
+
+    from raysketch.pipelines.queries import (_SEARCH_TERMS,
+                                             _inverted_index_dir)
+    from raysketch.stages.invindex import bm25_search_index
+
+    scan = Q.bm25_search_docs(SF_DIR)
+    audit = {}
+    idx = bm25_search_index(_inverted_index_dir(SF_DIR),
+                            _SEARCH_TERMS, k=20, audit=audit)
+    pd.testing.assert_frame_equal(idx, scan)
+    assert 0 < audit["files_read"] < audit["files_total"], audit
+
+    import json as _json
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            _json.dump({"version": 1, "n_shards": 4, "id_col": "x",
+                        "n_docs": 1}, f)
+        with pytest.raises(ValueError):
+            bm25_search_index(d, ["a"])
