@@ -20376,6 +20376,112 @@ def audio_resample_stats(sf_dir: str, factor: int = 4) -> pd.DataFrame:
 QUERIES["audio_resample_stats"] = audio_resample_stats
 
 
+def personalized_pagerank_words(sf_dir: str, iters: int = 2,
+                                num_buckets: int = 64) -> pd.DataFrame:
+    """PERSONALIZED PageRank (topic-sensitive: Haveliwala WWW'02) —
+    the teleport mass returns to a SEED set {'spark', 'join'} instead
+    of the uniform vector, ranking the graph by proximity to the
+    seeds: r ← α·e_S + (1−α)·AᵀD⁻¹r from r₀ = e_S, α = 15/100, in the
+    pagerank_word_graph exact int64 fixed point (scale 10¹², explicit
+    floor divisions, statable in SQL). Same distributed shape:
+    node-bounded broadcast vector, per-batch bincount partial folds
+    over the materialized distinct-edge dataset, zero shuffles per
+    pass."""
+    import ray
+
+    S = 1_000_000_000_000
+    seeds = ("join", "spark")
+
+    edges = _word_edge_dataset(sf_dir, num_buckets)
+    vocab_set: set = set()
+    for b in edges.iter_batches(batch_format="pyarrow", batch_size=None):
+        vocab_set.update(b.column("w1").to_pylist())
+        vocab_set.update(b.column("w2").to_pylist())
+    vocab = pd.Index(sorted(vocab_set))
+    n = len(vocab)
+    vocab_b = ray.put(vocab)
+    seed_vec = np.where(vocab.isin(seeds), np.int64(S), np.int64(0))
+
+    def fold_vec(make_partial):
+        out = np.zeros(n, dtype=np.int64)
+        for b in edges.map_batches(make_partial, batch_format="pyarrow",
+                                   batch_size=None) \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            if b.num_rows:
+                out += np.asarray(b.column("v").to_pylist()[0],
+                                  dtype=np.int64)
+        return out
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_b)
+        i = voc.get_indexer(t.column("w1").to_pandas())
+        d = np.bincount(i, minlength=n).astype(np.int64)
+        return pa.table({"v": pa.array([d.tolist()])})
+
+    deg = fold_vec(deg_partial)
+    rank = seed_vec.copy()
+    for _ in range(iters):
+        rank_ref = ray.put(rank)
+
+        def contrib_partial(t: pa.Table) -> pa.Table:
+            voc = ray.get(vocab_b)
+            r = ray.get(rank_ref)
+            i = voc.get_indexer(t.column("w1").to_pandas())
+            j = voc.get_indexer(t.column("w2").to_pandas())
+            c = r[i] // np.maximum(deg[i], 1)
+            out = np.zeros(n, dtype=np.int64)
+            np.add.at(out, j, c)
+            return pa.table({"v": pa.array([out.tolist()])})
+
+        s = fold_vec(contrib_partial)
+        rank = (15 * seed_vec) // 100 + (85 * s) // 100
+
+    return pd.DataFrame({"word": vocab.to_numpy(),
+                         "rank_scaled": rank}).sort_values("word") \
+        .reset_index(drop=True)
+
+
+QUERIES["personalized_pagerank_words"] = personalized_pagerank_words
+ORACLES["personalized_pagerank_words"] = """
+    WITH lists AS (SELECT string_split(text, ' ') AS l FROM documents),
+    big AS (SELECT DISTINCT p[1] AS w1, p[2] AS w2 FROM (
+      SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p FROM lists
+    )),
+    nodes AS (SELECT w1 AS w FROM big UNION SELECT w2 FROM big),
+    deg AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS d FROM big GROUP BY w1),
+    r0 AS (
+      SELECT w, CASE WHEN w IN ('join', 'spark')
+                     THEN CAST(1000000000000 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS r
+      FROM nodes
+    ),
+    c1 AS (
+      SELECT w2 AS w, SUM(r0.r // deg.d) AS s
+      FROM big JOIN deg USING (w1) JOIN r0 ON r0.w = big.w1 GROUP BY w2
+    ),
+    r1 AS (
+      SELECT n.w,
+             (15 * CASE WHEN n.w IN ('join', 'spark')
+                        THEN 1000000000000 ELSE 0 END) // 100
+             + (85 * COALESCE(c1.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN c1 ON n.w = c1.w
+    ),
+    c2 AS (
+      SELECT w2 AS w, SUM(r1.r // deg.d) AS s
+      FROM big JOIN deg USING (w1) JOIN r1 ON r1.w = big.w1 GROUP BY w2
+    ),
+    r2 AS (
+      SELECT n.w,
+             (15 * CASE WHEN n.w IN ('join', 'spark')
+                        THEN 1000000000000 ELSE 0 END) // 100
+             + (85 * COALESCE(c2.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN c2 ON n.w = c2.w
+    )
+    SELECT w AS word, CAST(r AS BIGINT) AS rank_scaled
+    FROM r2 ORDER BY word
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

