@@ -20482,6 +20482,75 @@ ORACLES["personalized_pagerank_words"] = """
 """
 
 
+def mmr_diversify_docs(sf_dir: str, k: int = 10, pool: int = 20,
+                       lam: float = 0.7) -> pd.DataFrame:
+    """MMR — Maximal Marginal Relevance re-ranking (Carbonell–Goldstein
+    SIGIR'98): greedily pick k of the top-`pool` cosine candidates for
+    query doc 0, each step maximizing λ·rel(d) − (1−λ)·max_{s∈sel}
+    sim(d, s) — the standard diversity re-rank between retrieval and
+    LLM context packing. rel and sim are the engine's exact-int-dot
+    cosines (doubles only at the final expression); ties break by
+    doc_id; greedy selection is inherently sequential over k·pool
+    driver-side cells, so the gate is rows-only and pytest locks the
+    λ=1 degeneration (pure relevance order, frame-equal to the cosine
+    top-k) plus an independent greedy recomputation.
+
+    Cost: candidate generation is the streaming cosine scorer; the
+    re-rank touches only pool ≤ 20 candidate tf vectors (one filtered
+    gather pass — O(pool) rows)."""
+    cand = doc_similar_topk(sf_dir, n_queries=1, k=pool)
+    ids = cand["doc_id"].to_numpy(dtype=np.int64)
+    rel = cand["cos"].to_numpy(dtype=np.float64)
+
+    want = pa.array(np.r_[ids, [0]].tolist())
+    rows = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda t: t.filter(
+            pc.is_in(t.column("doc_id"), value_set=want)),
+            batch_format="pyarrow").take_all()
+    tf = {}
+    for r in rows:
+        d: dict = {}
+        for w in r["text"].split(" "):
+            if w:
+                d[w] = d.get(w, 0) + 1
+        tf[int(r["doc_id"])] = d
+
+    def cosine(a: dict, b: dict) -> float:
+        dot = sum(c * b.get(w, 0) for w, c in a.items())
+        na = sum(v * v for v in a.values())
+        nb = sum(v * v for v in b.values())
+        return dot / np.sqrt(np.float64(na) * np.float64(nb))
+
+    sim = np.zeros((len(ids), len(ids)))
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            sim[i, j] = sim[j, i] = cosine(tf[ids[i]], tf[ids[j]])
+
+    selected: list[int] = []
+    remaining = list(range(len(ids)))
+    out_rows = []
+    for rank in range(1, min(k, len(ids)) + 1):
+        best = None
+        for i in remaining:
+            pen = max((sim[i, j] for j in selected), default=0.0)
+            score = lam * rel[i] - (1.0 - lam) * pen
+            key = (-score, ids[i])
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        _, i, score = best
+        selected.append(i)
+        remaining.remove(i)
+        out_rows.append((rank, int(ids[i]), float(rel[i]),
+                         float(score)))
+    return pd.DataFrame(out_rows, columns=["rank", "doc_id",
+                                           "rel_cos", "mmr_score"]) \
+        .astype({"rank": "int64", "doc_id": "int64",
+                 "rel_cos": "float64", "mmr_score": "float64"})
+
+
+QUERIES["mmr_diversify_docs"] = mmr_diversify_docs
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -2033,3 +2033,60 @@ def test_personalized_pagerank_vs_local(ray_session):
     assert list(out["rank_scaled"]) == list(r)
     pd.testing.assert_frame_equal(out,
                                   Q.personalized_pagerank_words(SF_DIR))
+
+
+def test_mmr_diversify_docs(ray_session):
+    """MMR: λ=1 degenerates to the pure cosine top-k (frame-level
+    agreement on ids and relevance); at λ=0.7 the selection is a
+    subset of the candidate pool, starts with the most relevant doc,
+    and matches an independent greedy recomputation; reruns equal."""
+    out = Q.mmr_diversify_docs(SF_DIR)
+    cand = Q.doc_similar_topk(SF_DIR, n_queries=1, k=20)
+    assert out["doc_id"].iloc[0] == cand["doc_id"].iloc[0]
+    assert set(out["doc_id"]) <= set(cand["doc_id"])
+    assert list(out["rank"]) == list(range(1, 11))
+
+    pure = Q.mmr_diversify_docs(SF_DIR, lam=1.0)
+    assert list(pure["doc_id"]) == list(cand["doc_id"].head(10))
+    assert np.allclose(pure["rel_cos"], cand["cos"].head(10),
+                       rtol=0, atol=0)
+
+    # independent greedy recomputation
+    import pyarrow.parquet as pq
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    txt = dict(zip(docs["doc_id"].astype(int), docs["text"]))
+
+    def vec(d):
+        out_ = {}
+        for w in txt[d].split(" "):
+            if w:
+                out_[w] = out_.get(w, 0) + 1
+        return out_
+
+    def cos(a, b):
+        va, vb = vec(a), vec(b)
+        dot = sum(c * vb.get(w, 0) for w, c in va.items())
+        na = sum(v * v for v in va.values())
+        nb = sum(v * v for v in vb.values())
+        return dot / np.sqrt(np.float64(na) * np.float64(nb))
+
+    ids = list(cand["doc_id"])
+    rel = dict(zip(cand["doc_id"], cand["cos"]))
+    sel, rem, gold = [], ids[:], []
+    for rank in range(1, 11):
+        best = None
+        for d in rem:
+            pen = max((cos(d, s) for s in sel), default=0.0)
+            score = 0.7 * rel[d] - 0.3 * pen
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, score)
+        _, d, score = best
+        sel.append(d)
+        rem.remove(d)
+        gold.append((rank, d, rel[d], score))
+    gdf = pd.DataFrame(gold, columns=list(out.columns)).astype(
+        out.dtypes.to_dict())
+    pd.testing.assert_frame_equal(out, gdf)
+    pd.testing.assert_frame_equal(out, Q.mmr_diversify_docs(SF_DIR))
