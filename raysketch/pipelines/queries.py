@@ -20551,6 +20551,128 @@ def mmr_diversify_docs(sf_dir: str, k: int = 10, pool: int = 20,
 QUERIES["mmr_diversify_docs"] = mmr_diversify_docs
 
 
+def max_concurrency_by_day(sf_dir: str, num_buckets: int = 64
+                           ) -> pd.DataFrame:
+    """SWEEP-LINE interval concurrency — max simultaneous user
+    sessions per day (sessions = the sessionize_events 30-min-gap
+    windows, active over [first_ts, last_ts]): the interval-algebra
+    operator behind capacity planning and "peak concurrent" metrics.
+    Concurrency only changes at session boundaries, so each session
+    emits two 16-byte deltas keyed k = 2·µs (+1 at start) / 2·µs+1
+    (−1 at end: starts process first at equal instants, ends are
+    inclusive), and the running level at a boundary is the PREFIX SUM
+    over smaller keys plus the key's own delta; the per-day report is
+    MAX of the level over the day's boundary instants (the level is
+    piecewise-constant between boundaries).
+
+    Distributed shape: sessions form per user-hash bucket (the
+    sessionize shape), boundary deltas pre-aggregate per batch and
+    dedupe to unique keys through one hash exchange, the running
+    level is ONE `ordered_prefix_scan` range exchange, and per-day
+    maxima fold as day-bounded partials. SQL states the identical
+    pipeline with LAG/SUM windows, value-hash-checked."""
+    from ..stages.dedup import _splitmix64
+    from ..stages.scan import ordered_prefix_scan
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        b = (_splitmix64(u) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"user_id": t.column("user_id"),
+                         "us": t.column("ts").cast(pa.int64()),
+                         "__b": pa.array(b)})
+
+    GAP = 30 * 60 * 1_000_000
+
+    def bounds_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        us = g["us"].to_numpy()
+        new = np.r_[True, (uid[1:] != uid[:-1])
+                    | ((us[1:] - us[:-1]) > GAP)]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:] - 1, len(us) - 1] if len(starts) \
+            else starts
+        a = us[starts]
+        b = us[ends]
+        return pd.DataFrame({
+            "k": np.r_[a * 2, b * 2 + 1].astype(np.int64),
+            "d": np.r_[np.ones(len(a), dtype=np.int64),
+                       -np.ones(len(b), dtype=np.int64)]})
+
+    bounds = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(bounds_bucket, batch_format="pandas")
+
+    def key_bucket(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        b = (_splitmix64(k.astype(np.uint64))
+             % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__b", pa.array(b))
+
+    def dedupe_keys(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("k", as_index=False)["d"].sum()
+        return out[out["d"] != 0]
+
+    uniq = bounds.map_batches(key_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(dedupe_keys, batch_format="pandas")
+
+    scanned = ordered_prefix_scan(uniq, "k", "d", op="sum")
+
+    DAY2 = 2 * _DAY_US
+
+    def day_max(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        p = t.column("prefix").to_numpy(zero_copy_only=False)
+        run = p + d
+        day = k // DAY2
+        df = pd.DataFrame({"day": day, "m": run})
+        return pa.Table.from_pandas(
+            df.groupby("day", as_index=False)["m"].max(),
+            preserve_index=False)
+
+    parts = scanned.map_batches(day_max, batch_format="pyarrow") \
+        .to_pandas()
+    out = parts.groupby("day", as_index=False)["m"].max() \
+        .rename(columns={"m": "max_concurrent"})
+    return out.sort_values("day").reset_index(drop=True).astype(
+        {"day": "int64", "max_concurrent": "int64"})
+
+
+QUERIES["max_concurrency_by_day"] = max_concurrency_by_day
+ORACLES["max_concurrency_by_day"] = """
+    WITH s0 AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS st
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s1 AS (
+      SELECT user_id, ts,
+             SUM(st) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM s0
+    ),
+    iv AS (
+      SELECT user_id, sid, MIN(ts) AS a, MAX(ts) AS b
+      FROM s1 GROUP BY user_id, sid
+    ),
+    bnd AS (
+      SELECT epoch_us(a) * 2 AS k, 1 AS d FROM iv
+      UNION ALL
+      SELECT epoch_us(b) * 2 + 1, -1 FROM iv
+    ),
+    u AS (SELECT k, SUM(d) AS d FROM bnd GROUP BY k HAVING SUM(d) <> 0),
+    run AS (SELECT k, SUM(d) OVER (ORDER BY k) AS r FROM u)
+    SELECT CAST(k // 172800000000 AS BIGINT) AS day,
+           CAST(MAX(r) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY day ORDER BY day
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -2090,3 +2090,44 @@ def test_mmr_diversify_docs(ray_session):
         out.dtypes.to_dict())
     pd.testing.assert_frame_equal(out, gdf)
     pd.testing.assert_frame_equal(out, Q.mmr_diversify_docs(SF_DIR))
+
+
+def test_max_concurrency_by_day(ray_session):
+    """Sweep-line concurrency equals a local brute force (explicit
+    session intervals → boundary sweep), levels are positive and
+    bounded by the number of users, and reruns are frame-equal."""
+    import pyarrow.parquet as pq
+
+    out = Q.max_concurrency_by_day(SF_DIR)
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    ivs = []
+    GAP = 30 * 60 * 1_000_000
+    for _, g in ev.sort_values(["user_id", "us"]).groupby("user_id"):
+        us = g["us"].to_numpy()
+        brk = np.r_[True, (us[1:] - us[:-1]) > GAP]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:] - 1, len(us) - 1]
+        ivs += [(int(us[s]), int(us[e]))
+                for s, e in zip(starts, ends)]
+    import collections
+    deltas = collections.Counter()
+    for a, b in ivs:
+        deltas[a * 2] += 1
+        deltas[b * 2 + 1] -= 1
+    run, day_max = 0, {}
+    for k in sorted(deltas):
+        if deltas[k] == 0:
+            continue
+        run += deltas[k]
+        d = k // (2 * 86_400_000_000)
+        day_max[d] = max(day_max.get(d, -1), run)
+    gold = pd.DataFrame(sorted(day_max.items()),
+                        columns=["day", "max_concurrent"]) \
+        .astype("int64")
+    pd.testing.assert_frame_equal(out, gold)
+    nu = ev["user_id"].nunique()
+    assert (out["max_concurrent"] >= 1).all()
+    assert (out["max_concurrent"] <= nu).all()
+    pd.testing.assert_frame_equal(out, Q.max_concurrency_by_day(SF_DIR))
