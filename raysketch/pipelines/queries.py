@@ -20673,6 +20673,121 @@ ORACLES["max_concurrency_by_day"] = """
 """
 
 
+def orders_price_band_count(sf_dir: str) -> pd.DataFrame:
+    """Keyless numeric band self-join (stages/joins.py band_count_self):
+    for every order, how many orders CORPUS-WIDE are priced within ±$50
+    — the non-equi proximity join (price-band blocking for record
+    linkage / anomaly context) that no hash exchange can route, because
+    the match condition is a range on the VALUE, not key equality.
+    Value-range partitioning with ±d halo replication (the ghost-cell
+    exchange); exact integer cents on both engines so the band boundary
+    can never float-drift."""
+    from ..stages.joins import band_count_self
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    prepped = orders.map_batches(
+        lambda t: pa.table({"o_orderkey": t.column("o_orderkey"),
+                            "c": _cents(t.column("o_totalprice"))}),
+        batch_format="pyarrow",
+    )
+    out = band_count_self(prepped, on="c", d=5000,
+                          carry=("o_orderkey",)).to_pandas()
+    out = out[["o_orderkey", "n_near"]].astype(
+        {"o_orderkey": "int64", "n_near": "int64"})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+QUERIES["orders_price_band_count"] = orders_price_band_count
+ORACLES["orders_price_band_count"] = """
+    WITH c AS (SELECT o_orderkey,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+               FROM orders)
+    SELECT a.o_orderkey AS o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_near
+    FROM c a JOIN c b ON b.v BETWEEN a.v - 5000 AND a.v + 5000
+    GROUP BY a.o_orderkey ORDER BY o_orderkey
+"""
+
+
+def scd2_revenue_by_tier(sf_dir: str) -> pd.DataFrame:
+    """Slowly-changing-dimension (SCD Type 2) temporal join: each
+    supplier has a 3-version effective-dated attribute history (tier
+    changes at two deterministic breakpoints derived from s_suppkey),
+    and every lineitem row must join to the version VALID AT ITS
+    shipdate — the dimension-history lookup every warehouse fact load
+    performs. The dimension is small, so the engine-correct plan is a
+    BROADCAST temporal resolve: ship the per-supplier breakpoint/tier
+    arrays once (ray.put-equivalent closure capture of KB-scale numpy),
+    resolve each batch's version with two vectorized comparisons, and
+    pre-reduce to ≤5 (tier, revenue, count) partials per batch — zero
+    shuffles where the SQL oracle pays a 3×|supplier| interval join."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey"])
+    skeys = np.sort(sup.column("s_suppkey").to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+    base_us = pd.Timestamp("1992-01-01").value // 1000
+    DAY_US = 86_400_000_000
+    b1_us = base_us + ((skeys * 97) % 500) * DAY_US
+    b2_us = base_us + ((skeys * 97) % 500 + 200 + (skeys * 53) % 400) * DAY_US
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_shipdate", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = t.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        cents = _cents(t.column("l_extendedprice")).to_numpy()
+        idx = np.searchsorted(skeys, s)
+        ver = (ship >= b1_us[idx]).astype(np.int64) + (ship >= b2_us[idx])
+        tier = (s + 7 * ver) % 5
+        rev = np.bincount(tier, weights=cents.astype(np.float64),
+                          minlength=5).astype(np.int64)
+        # bincount weights go through float64 — exact only below 2^53;
+        # per-batch partials stay far under it, the driver folds ints
+        n = np.bincount(tier, minlength=5)
+        return pa.table({"tier": np.arange(5, dtype=np.int64),
+                         "revenue_cents": rev, "n_items": n.astype(np.int64)})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("tier", as_index=False).sum()
+    out = out[out["n_items"] > 0].astype(
+        {"tier": "int64", "revenue_cents": "int64", "n_items": "int64"})
+    return out.sort_values("tier").reset_index(drop=True)
+
+
+QUERIES["scd2_revenue_by_tier"] = scd2_revenue_by_tier
+ORACLES["scd2_revenue_by_tier"] = """
+    WITH breaks AS (
+      SELECT s_suppkey,
+             TIMESTAMP '1992-01-01'
+               + INTERVAL ((s_suppkey * 97) % 500) DAY AS b1,
+             TIMESTAMP '1992-01-01'
+               + INTERVAL ((s_suppkey * 97) % 500 + 200
+                           + (s_suppkey * 53) % 400) DAY AS b2
+      FROM supplier
+    ), dim AS (
+      SELECT s_suppkey, 0 AS ver,
+             TIMESTAMP '1970-01-01' AS valid_from, b1 AS valid_to
+      FROM breaks
+      UNION ALL
+      SELECT s_suppkey, 1, b1, b2 FROM breaks
+      UNION ALL
+      SELECT s_suppkey, 2, b2, TIMESTAMP '2100-01-01' FROM breaks
+    )
+    SELECT CAST((d.s_suppkey + 7 * d.ver) % 5 AS BIGINT) AS tier,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN dim d
+      ON l.l_suppkey = d.s_suppkey
+     AND l.l_shipdate >= d.valid_from AND l.l_shipdate < d.valid_to
+    GROUP BY 1 ORDER BY tier
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -305,3 +305,75 @@ def test_full_outer_join_rejects_unknown_fill(ray_session):
     r = ray.data.from_pandas(pd.DataFrame({"k": [1], "rv": [2]}))
     with pytest.raises(ValueError, match="not in the output"):
         bucket_full_outer_join(l, r, on="k", fill={"nope": 0})
+
+
+class TestBandCountSelf:
+    def _brute(self, v, d):
+        v = np.asarray(v, dtype=np.int64)
+        return np.array([(np.abs(v - x) <= d).sum() for x in v])
+
+    def test_matches_brute_force(self, ray_session):
+        import ray
+
+        rng = np.random.default_rng(7)
+        v = rng.integers(0, 100_000, size=2_000).astype(np.int64)
+        df = pd.DataFrame({"id": np.arange(len(v), dtype=np.int64), "v": v})
+        from raysketch.stages.joins import band_count_self
+
+        out = band_count_self(
+            ray.data.from_pandas(df).repartition(5), on="v", d=500,
+            carry=("id",), num_buckets=16,
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        want = self._brute(v, 500)
+        assert (out["n_near"].to_numpy() == want).all()
+
+    def test_halo_cluster_at_bucket_boundary(self, ray_session):
+        """A dense cluster straddling a range boundary: every count
+        crosses the bucket edge, so only the halo replication keeps the
+        result exact."""
+        import ray
+
+        # bounds (0, 6399) with 8 buckets -> width 800; cluster at
+        # 795..805 straddles the 800 boundary
+        v = np.r_[np.arange(795, 806), np.int64(0), np.int64(6399)]
+        df = pd.DataFrame({"id": np.arange(len(v), dtype=np.int64),
+                           "v": v.astype(np.int64)})
+        from raysketch.stages.joins import band_count_self
+
+        out = band_count_self(
+            ray.data.from_pandas(df).repartition(3), on="v", d=7,
+            carry=("id",), num_buckets=8,
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        want = self._brute(v, 7)
+        assert (out["n_near"].to_numpy() == want).all()
+        # the cluster's interior rows must see neighbors on BOTH sides
+        assert out["n_near"].to_numpy()[:11].max() > 1
+
+    def test_width_floor_covers_halo(self, ray_session):
+        """d wider than span/num_buckets: the 2d+1 width floor kicks in
+        (halo may only reach adjacent ranges)."""
+        import ray
+
+        v = np.arange(0, 200, dtype=np.int64)
+        df = pd.DataFrame({"id": np.arange(len(v), dtype=np.int64), "v": v})
+        from raysketch.stages.joins import band_count_self
+
+        out = band_count_self(
+            ray.data.from_pandas(df).repartition(4), on="v", d=80,
+            carry=("id",), num_buckets=64,
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        assert (out["n_near"].to_numpy() == self._brute(v, 80)).all()
+
+    def test_duplicate_values_inclusive_boundary(self, ray_session):
+        import ray
+
+        v = np.array([10, 10, 10, 15, 20, 25, 30], dtype=np.int64)
+        df = pd.DataFrame({"id": np.arange(len(v), dtype=np.int64), "v": v})
+        from raysketch.stages.joins import band_count_self
+
+        out = band_count_self(
+            ray.data.from_pandas(df), on="v", d=5, carry=("id",),
+            num_buckets=4,
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        # boundary is inclusive: 10 matches 15 and vice versa
+        assert (out["n_near"].to_numpy() == self._brute(v, 5)).all()
