@@ -20788,6 +20788,152 @@ ORACLES["scd2_revenue_by_tier"] = """
 """
 
 
+def wordpiece_two_merges(sf_dir: str) -> pd.DataFrame:
+    """DISTRIBUTED WORDPIECE TOKENIZER TRAINING, two merge rounds
+    (Schuster & Nakajima ICASSP'12; the BERT tokenizer) — same
+    iterative corpus-transform as bpe_two_merges but the winner
+    maximizes the LIKELIHOOD GAIN count(ab)/(count(a)·count(b)), so
+    each round also folds the 256-long unigram count vector alongside
+    the 65536-long bigram combiner (still zero shuffles). The argmax is
+    exact on both engines: Python-int cross-multiplication here, a
+    HUGEINT cross-product anti-join in the oracle — float ratio
+    ordering never decides. Rewrite semantics identical to the BPE twin
+    (Arrow replace_substring ≡ SQL replace, greedy non-overlapping)."""
+    import ray.data
+
+    def counts_of(ds):
+        def counts(t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_pylist()
+            s = np.frombuffer("\x00".join(x or "" for x in texts)
+                              .encode("utf-8"), dtype=np.uint8)
+            uni = np.bincount(s, minlength=256).astype(np.int64)
+            uni[0] = 0
+            if len(s) < 2:
+                bg = np.zeros(65536, dtype=np.int64)
+            else:
+                a, b = s[:-1].astype(np.int64), s[1:].astype(np.int64)
+                m = (a != 0) & (b != 0)
+                bg = np.bincount(a[m] * 256 + b[m],
+                                 minlength=65536).astype(np.int64)
+            return pa.table({"bg": pa.array([bg.tolist()]),
+                             "uni": pa.array([uni.tolist()])})
+
+        tb = np.zeros(65536, dtype=np.int64)
+        tu = np.zeros(256, dtype=np.int64)
+        for blk in ds.map_batches(counts, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            for row in blk.column("bg").to_pylist():
+                tb += np.asarray(row, dtype=np.int64)
+            for row in blk.column("uni").to_pylist():
+                tu += np.asarray(row, dtype=np.int64)
+        return tb, tu
+
+    def top_pair(tb, tu):
+        nz = np.flatnonzero(tb > 1)
+        la, lb = nz // 256, nz % 256
+        n, ca, cb = tb[nz], tu[la], tu[lb]
+        win = -1
+        for i in range(len(nz)):  # exact rational argmax (≤65536 rows)
+            if win < 0:
+                win = i
+                continue
+            lhs = int(n[i]) * int(ca[win]) * int(cb[win])
+            rhs = int(n[win]) * int(ca[i]) * int(cb[i])
+            if lhs > rhs or (lhs == rhs
+                             and (int(la[i]), int(lb[i]))
+                             < (int(la[win]), int(lb[win]))):
+                win = i
+        return (chr(int(la[win])) + chr(int(lb[win])), int(n[win]),
+                int(ca[win]), int(cb[win]))
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    merges = []
+    for rnd, sym in ((1, "\x01"), (2, "\x02")):
+        tb, tu = counts_of(ds)
+        pair, n, ca, cb = top_pair(tb, tu)
+        merges.append({"round": np.int64(rnd), "pair": pair,
+                       "n": np.int64(n), "n_left": np.int64(ca),
+                       "n_right": np.int64(cb)})
+
+        def rewrite(t: pa.Table, _p=pair, _s=sym) -> pa.Table:
+            return pa.table({"text": pc.replace_substring(
+                pc.fill_null(t.column("text"), ""), pattern=_p,
+                replacement=_s)})
+
+        ds = ds.map_batches(rewrite, batch_format="pyarrow")
+    return pd.DataFrame(merges).astype(
+        {"round": "int64", "n": "int64", "n_left": "int64",
+         "n_right": "int64"})
+
+
+QUERIES["wordpiece_two_merges"] = wordpiece_two_merges
+ORACLES["wordpiece_two_merges"] = """
+    WITH b1 AS (
+      SELECT substring(text, i, 2) AS bg
+      FROM (SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+            FROM documents)),
+    c1 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n FROM b1
+           GROUP BY bg HAVING COUNT(*) > 1),
+    u1 AS (
+      SELECT substring(text, i, 1) AS ch, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT text, unnest(generate_series(1, length(text))) AS i
+            FROM documents) GROUP BY ch),
+    s1 AS (SELECT c1.bg, c1.n, a.n AS na, b.n AS nb FROM c1
+           JOIN u1 a ON a.ch = substring(c1.bg, 1, 1)
+           JOIN u1 b ON b.ch = substring(c1.bg, 2, 1)),
+    w1 AS (SELECT * FROM s1 s WHERE NOT EXISTS (
+             SELECT 1 FROM s1 q
+             WHERE CAST(q.n AS HUGEINT) * s.na * s.nb
+                   > CAST(s.n AS HUGEINT) * q.na * q.nb
+                OR (CAST(q.n AS HUGEINT) * s.na * s.nb
+                    = CAST(s.n AS HUGEINT) * q.na * q.nb
+                    AND q.bg < s.bg))),
+    d2 AS (SELECT replace(text, (SELECT bg FROM w1), chr(1)) AS text
+           FROM documents),
+    b2 AS (
+      SELECT substring(text, i, 2) AS bg
+      FROM (SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+            FROM d2)),
+    c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n FROM b2
+           GROUP BY bg HAVING COUNT(*) > 1),
+    u2 AS (
+      SELECT substring(text, i, 1) AS ch, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT text, unnest(generate_series(1, length(text))) AS i
+            FROM d2) GROUP BY ch),
+    s2 AS (SELECT c2.bg, c2.n, a.n AS na, b.n AS nb FROM c2
+           JOIN u2 a ON a.ch = substring(c2.bg, 1, 1)
+           JOIN u2 b ON b.ch = substring(c2.bg, 2, 1)),
+    w2 AS (SELECT * FROM s2 s WHERE NOT EXISTS (
+             SELECT 1 FROM s2 q
+             WHERE CAST(q.n AS HUGEINT) * s.na * s.nb
+                   > CAST(s.n AS HUGEINT) * q.na * q.nb
+                OR (CAST(q.n AS HUGEINT) * s.na * s.nb
+                    = CAST(s.n AS HUGEINT) * q.na * q.nb
+                    AND q.bg < s.bg)))
+    SELECT CAST(1 AS BIGINT) AS round, bg AS pair, n,
+           na AS n_left, nb AS n_right FROM w1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), bg, n, na, nb FROM w2
+    ORDER BY round
+"""
+
+
+def wordpiece_train_merges(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
+    """GENERALIZED WordPiece training: N likelihood-scored merge rounds
+    over the int32 symbol corpus (stages/bpe.py score="wordpiece" —
+    incremental pair-count deltas plus merge-site-count singles
+    maintenance). The 2-round byte-string twin (wordpiece_two_merges)
+    is oracle-checked; this entry is rows-only with incremental ≡
+    full-recount equality pytest-locked."""
+    from ..stages.bpe import bpe_train
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return bpe_train(ds, n_merges=n_merges, score="wordpiece")
+
+
+QUERIES["wordpiece_train_merges"] = wordpiece_train_merges
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

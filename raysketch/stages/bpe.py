@@ -116,17 +116,50 @@ def _merge_delta(seq: np.ndarray, new: np.ndarray, kept: np.ndarray,
 
 
 def bpe_train(ds, text_col: str = "text", n_merges: int = 50,
-              incremental: bool = True) -> pd.DataFrame:
-    """Learn ``n_merges`` BPE merges over ``ds[text_col]``. Returns
+              incremental: bool = True,
+              score: str = "bpe") -> pd.DataFrame:
+    """Learn ``n_merges`` merges over ``ds[text_col]``. Returns
     DataFrame(round, left, right, new_sym, n) — winner each round by
-    (count desc, left asc, right asc); stops early when no pair
+    (score desc, left asc, right asc); stops early when no pair
     repeats. ``incremental=False`` is the full-recount twin (one
     corpus-wide pair count per round) used to equality-lock the delta
-    maintenance (test_bpe_incremental_equals_recount)."""
+    maintenance (test_bpe_incremental_equals_recount).
+
+    ``score="bpe"`` ranks candidates by raw pair count (Sennrich'16);
+    ``score="wordpiece"`` ranks by the WordPiece likelihood gain
+    count(ab)/(count(a)·count(b)) (Schuster & Nakajima ICASSP'12, the
+    BERT tokenizer), which additionally needs the per-SYMBOL counts —
+    maintained incrementally from the per-row merge-site counts the
+    rewrite pass already knows (count(z) += sites, count(a) -= sites,
+    count(b) -= sites). The argmax is EXACT: float64 pre-ranking keeps
+    only candidates within 1e-9 relative of the top (float ratio error
+    is ~1e-15), then Python-int cross-multiplication
+    n₁·c(a₂)·c(b₂) vs n₂·c(a₁)·c(b₁) decides — no float tie can
+    mis-order."""
+    if score not in ("bpe", "wordpiece"):
+        raise ValueError(f"score must be 'bpe' or 'wordpiece', got {score!r}")
     V = 256 + n_merges
 
     state = ds.map_batches(_to_symbol_rows(text_col),
                            batch_format="pyarrow").materialize()
+
+    def singles_counts(st) -> np.ndarray:
+        total = np.zeros(V, dtype=np.int64)
+
+        def part(t: pa.Table) -> pa.Table:
+            acc = np.zeros(V, dtype=np.int64)
+            for rv in t.column("seq").to_pylist():
+                acc += np.bincount(_seq_of(rv), minlength=V)
+            acc[0] = 0
+            nz = np.flatnonzero(acc)
+            return pa.table({"c": pa.array(nz.astype(np.int64)),
+                             "v": pa.array(acc[nz])})
+
+        for b in st.map_batches(part, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            np.add.at(total, b.column("c").to_numpy(),
+                      b.column("v").to_numpy())
+        return total
 
     def full_counts(st) -> np.ndarray:
         total = np.zeros(V * V, dtype=np.int64)
@@ -148,6 +181,7 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 50,
         return total
 
     counts = full_counts(state)
+    singles = singles_counts(state) if score == "wordpiece" else None
     merges = []
     for r in range(n_merges):
         nz = np.flatnonzero(counts > 1)
@@ -155,7 +189,22 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 50,
             break
         n = counts[nz]
         la, lb = nz // V, nz % V
-        win = np.lexsort((lb, la, -n))[0]
+        if score == "wordpiece":
+            ca, cb = singles[la], singles[lb]
+            f = n / (ca.astype(np.float64) * cb.astype(np.float64))
+            near = np.flatnonzero(f >= f.max() * (1.0 - 1e-9))
+            win = -1
+            for i in near.tolist():  # exact rational argmax over ties
+                if win < 0:
+                    win = i
+                    continue
+                lhs = int(n[i]) * int(ca[win]) * int(cb[win])
+                rhs = int(n[win]) * int(ca[i]) * int(cb[i])
+                if lhs > rhs or (lhs == rhs and (la[i], lb[i])
+                                 < (la[win], lb[win])):
+                    win = i
+        else:
+            win = np.lexsort((lb, la, -n))[0]
         a, b, cnt = int(la[win]), int(lb[win]), int(n[win])
         z = 256 + r
         merges.append({"round": np.int64(r + 1), "left": np.int64(a),
@@ -163,7 +212,7 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 50,
                        "n": np.int64(cnt)})
 
         def rewrite(t: pa.Table, _a=a, _b=b, _z=z) -> pa.Table:
-            seqs, dcs, dvs = [], [], []
+            seqs, dcs, dvs, nss = [], [], [], []
             for rv in t.column("seq").to_pylist():
                 seq = _seq_of(rv)
                 kept = _greedy_sites(seq, _a, _b)
@@ -176,18 +225,21 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 50,
                 seqs.append(new.tobytes())
                 dcs.append(dc)
                 dvs.append(dv)
+                nss.append(len(kept))
             return pa.table({
                 "seq": pa.array(seqs, type=pa.large_binary()),
                 "dc": pa.array([x.tolist() for x in dcs],
                                type=pa.large_list(pa.int64())),
                 "dv": pa.array([x.tolist() for x in dvs],
                                type=pa.large_list(pa.int64())),
+                "ns": pa.array(np.array(nss, dtype=np.int64)),
             })
 
         state = state.map_batches(rewrite,
                                   batch_format="pyarrow").materialize()
         if incremental:
-            for blk in state.select_columns(["dc", "dv"]) \
+            sites = 0
+            for blk in state.select_columns(["dc", "dv", "ns"]) \
                     .iter_batches(batch_format="pyarrow", batch_size=None):
                 dc = blk.column("dc").combine_chunks().flatten() \
                     .to_numpy(zero_copy_only=False)
@@ -195,8 +247,17 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 50,
                     .to_numpy(zero_copy_only=False)
                 if len(dc):
                     np.add.at(counts, dc, dv)
+                sites += int(blk.column("ns").to_numpy().sum())
+            if score == "wordpiece":
+                # a == b decrements the same slot twice — correct: each
+                # merge consumes TWO copies of that symbol
+                singles[a] -= sites
+                singles[b] -= sites
+                singles[z] += sites
         else:
             counts = full_counts(state)
+            if score == "wordpiece":
+                singles = singles_counts(state)
 
     return pd.DataFrame(
         merges, columns=["round", "left", "right", "new_sym", "n"]) \

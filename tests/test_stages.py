@@ -1918,6 +1918,69 @@ class TestBpeTrain:
         assert int(gen.iloc[0]["n"]) == int(twin.iloc[0]["n"])
 
 
+class TestWordpieceTrain:
+    def test_incremental_equals_recount(self, ray_session, sf_dir):
+        """Likelihood-scored merges with delta-maintained pair counts
+        AND site-count-maintained singles learn the same sequence as a
+        full recount of both every round."""
+        import ray.data
+
+        from raysketch.stages.bpe import bpe_train
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["text"])
+        inc = bpe_train(ds, n_merges=10, incremental=True,
+                        score="wordpiece")
+        rec = bpe_train(ds, n_merges=10, incremental=False,
+                        score="wordpiece")
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(inc, rec)
+        assert len(inc) == 10
+
+    def test_wordpiece_diverges_from_bpe(self, ray_session):
+        """Constructed corpus where the scores disagree: 'ee' is the
+        most FREQUENT pair (BPE winner) but 'e' is so common its
+        likelihood gain is tiny; 'xy' occurs 3 times over rare symbols
+        (score 3/9) and must win WordPiece."""
+        import pandas as pd
+        import ray.data
+
+        from raysketch.stages.bpe import bpe_train
+
+        docs = pd.DataFrame({"text": ["e" * 40, "xy axy bxy"]})
+        ds = ray.data.from_pandas(docs)
+        bpe = bpe_train(ds, n_merges=1, score="bpe")
+        wp = bpe_train(ds, n_merges=1, score="wordpiece")
+        assert (int(bpe.iloc[0]["left"]), int(bpe.iloc[0]["right"])) \
+            == (ord("e"), ord("e"))
+        assert (int(wp.iloc[0]["left"]), int(wp.iloc[0]["right"])) \
+            == (ord("x"), ord("y"))
+
+    def test_first_round_matches_string_twin(self, ray_session, sf_dir):
+        import ray.data
+
+        import __ray_entry__ as e
+
+        twin = e.queries()["wordpiece_two_merges"](sf_dir)
+        gen = e.queries()["wordpiece_train_merges"](sf_dir)
+        pair = twin.iloc[0]["pair"]
+        assert (int(gen.iloc[0]["left"]), int(gen.iloc[0]["right"])) \
+            == (ord(pair[0]), ord(pair[1]))
+        assert int(gen.iloc[0]["n"]) == int(twin.iloc[0]["n"])
+
+    def test_rejects_unknown_score(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data
+
+        from raysketch.stages.bpe import bpe_train
+
+        ds = ray.data.from_pandas(pd.DataFrame({"text": ["ab"]}))
+        with pytest.raises(ValueError):
+            bpe_train(ds, n_merges=1, score="unigram")
+
+
 def test_ngram_join_prefix_tier_equality(ray_session, sf_dir):
     """The driver prefix-emit tier (kept rows ≤ prefix_driver_limit,
     VERDICT r03 item 6: skip the by-token exchange right before a
