@@ -20934,6 +20934,97 @@ def wordpiece_train_merges(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
 QUERIES["wordpiece_train_merges"] = wordpiece_train_merges
 
 
+def cuckoo_churn_membership(sf_dir: str) -> pd.DataFrame:
+    """DELETABLE membership (Cuckoo filter, Fan CoNEXT'14 — 14th sketch
+    family): build the filter over users who VIEWED, then DELETE the
+    converted users (view∩purchase — the deletion contract requires
+    delete ⊆ inserted), then probe users who ERRORED: 'which erroring
+    users are unconverted viewers' — the churn-watchlist shape a Bloom
+    filter cannot answer because it cannot unlearn conversions.
+
+    Distributed shape: ONE user-hash exchange dedups (user, kind) to
+    per-user kind masks; each bucket emits a PARTIAL cuckoo filter over
+    its viewers (every user lives in exactly one bucket, so the merged
+    multiset holds each viewer once) plus its distinct delete/probe
+    users. Driver traffic is bounded by DISTINCT users, not events;
+    the partial filters merge associatively (stored-bucket reinsert).
+    Lookup results are insert-order-independent (pytest-locked), so the
+    result is deterministic at any parallelism. Rows-only (membership
+    is approximate by design); the exact twin rides along for the gate:
+    n_members ≥ n_exact with no false negatives guaranteed, bound
+    pytest-locked."""
+    from ..sketches import CuckooFilter
+    from ..stages.dedup import _splitmix64
+
+    CAP = 1 << 14  # ≥10× the sf0.1 viewer count; size via HLL at scale
+    KINDS = ["view", "purchase", "error"]
+    NB = 64
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("event_type"),
+                          value_set=pa.array(KINDS))
+        m = idx.is_valid().to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)[m]
+        k = idx.to_numpy(zero_copy_only=False)[m].astype(np.int64)
+        bit = np.int64(1) << k
+        # per-batch OR-fold to distinct (user, mask)
+        order = np.lexsort((bit, u))
+        us, bs = u[order], bit[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        mask = np.bitwise_or.reduceat(bs, starts) if len(us) \
+            else np.empty(0, np.int64)
+        uu = us[starts] if len(us) else us
+        b = (_splitmix64(uu.astype(np.uint64)) % np.uint64(NB)).astype(np.int64)
+        return pa.table({"u": uu, "m": mask, "__b": b})
+
+    def bucket_state(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy()
+        m = g["m"].to_numpy()
+        order = np.lexsort((m, u))
+        us, ms = u[order], m[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        mask = np.bitwise_or.reduceat(ms, starts)
+        uu = us[starts]
+        viewers = uu[(mask & 1) != 0]
+        dels = uu[(mask & 3) == 3]          # view AND purchase
+        probes = uu[(mask & 4) != 0]        # error users
+        cf = CuckooFilter(capacity=CAP)
+        if len(viewers):
+            cf.add_batch(pa.array(viewers))
+        return pd.DataFrame({
+            "state": [cf.to_bytes()],
+            "dels": [dels.astype(np.int64).tobytes()],
+            "probes": [probes.astype(np.int64).tobytes()],
+        })
+
+    parts = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("__b").map_groups(bucket_state, batch_format="pandas") \
+        .to_pandas()
+
+    cf = CuckooFilter(capacity=CAP)
+    dels, probes = [], []
+    for r in parts.itertuples():
+        cf.merge(CuckooFilter.from_bytes(r.state))
+        dels.append(np.frombuffer(r.dels, dtype=np.int64))
+        probes.append(np.frombuffer(r.probes, dtype=np.int64))
+    dels = np.sort(np.concatenate(dels)) if dels else np.empty(0, np.int64)
+    probes = np.sort(np.concatenate(probes)) if probes \
+        else np.empty(0, np.int64)
+    n_viewers = cf.items_stored()
+    if len(dels):
+        cf.delete_batch(pa.array(dels))
+    member = cf.contains_batch(pa.array(probes)) if len(probes) \
+        else np.zeros(0, bool)
+    return _one_row(
+        n_viewers=int(n_viewers), n_deleted=int(len(dels)),
+        n_probes=int(len(probes)), n_members=int(member.sum()))
+
+
+QUERIES["cuckoo_churn_membership"] = cuckoo_churn_membership
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -3,6 +3,7 @@ from .bloom import BloomFilter
 from .bottomk import BottomK, set_op_estimates
 from .cms import CountMin
 from .countsketch import CountSketch
+from .cuckoo import CuckooFilter
 from .ddsketch import DDSketch
 from .fd import FrequentDirections
 from .hll import HLL
@@ -20,6 +21,7 @@ SKETCHES = {
     "bloom": BloomFilter,
     "countmin": CountMin,
     "countsketch": CountSketch,
+    "cuckoo": CuckooFilter,
     "ddsketch": DDSketch,
     "fd": FrequentDirections,
     "kll": KLL,
@@ -36,6 +38,7 @@ __all__ = [
     "BloomFilter",
     "CountMin",
     "CountSketch",
+    "CuckooFilter",
     "DDSketch",
     "FrequentDirections",
     "KLL",

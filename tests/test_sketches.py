@@ -1041,3 +1041,149 @@ class TestFrequentDirections:
         a2.add_batch(lst)
         a3.add_batch(fsl)
         assert a1.to_bytes() == a2.to_bytes() == a3.to_bytes()
+
+
+class TestCuckooFilter:
+    def _items(self, n, tag="u"):
+        import pyarrow as pa
+
+        return pa.array([f"{tag}-{i}" for i in range(n)])
+
+    def test_no_false_negatives_and_fpr(self):
+        import pyarrow as pa
+
+        from raysketch.sketches import CuckooFilter
+
+        cf = CuckooFilter(capacity=50_000)
+        items = self._items(40_000)
+        cf.add_batch(items)
+        assert cf.contains_batch(items).all()
+        ghosts = self._items(40_000, "ghost")
+        fpr = cf.contains_batch(ghosts).mean()
+        # theoretical 2*4*load/2^16 ≈ 2.2e-4 at this load; 5x slack
+        assert fpr < 5 * cf.finalize()["fp_rate_estimate"] + 1e-4
+
+    def test_delete_removes_without_harming_survivors(self):
+        import pyarrow as pa
+
+        from raysketch.sketches import CuckooFilter
+
+        cf = CuckooFilter(capacity=50_000)
+        items = self._items(30_000)
+        cf.add_batch(items)
+        dels = self._items(10_000)  # first 10k (known inserted)
+        assert cf.delete_batch(dels).all()
+        survivors = pa.array([f"u-{i}" for i in range(10_000, 30_000)])
+        assert cf.contains_batch(survivors).all()  # contract: no FN
+        # deleted items only linger as false positives
+        assert cf.contains_batch(dels).mean() < 0.01
+
+    def test_lookup_order_independent(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from raysketch.sketches import CuckooFilter
+
+        rng = np.random.default_rng(3)
+        base = [f"k-{i}" for i in range(20_000)]
+        shuf = list(base)
+        rng.shuffle(shuf)
+        a, b = CuckooFilter(capacity=30_000), CuckooFilter(capacity=30_000)
+        a.add_batch(pa.array(base))
+        b.add_batch(pa.array(shuf))
+        probe = pa.array(base + [f"g-{i}" for i in range(20_000)])
+        assert (a.contains_batch(probe) == b.contains_batch(probe)).all()
+
+    def test_merge_equals_union_lookups(self):
+        import pyarrow as pa
+
+        from raysketch.sketches import CuckooFilter
+
+        items = self._items(30_000)
+        a, b = CuckooFilter(capacity=50_000), CuckooFilter(capacity=50_000)
+        a.add_batch(pa.array(items[:15_000]))
+        b.add_batch(pa.array(items[15_000:]))
+        a.merge(b)
+        assert a.contains_batch(items).all()
+        one = CuckooFilter(capacity=50_000)
+        one.add_batch(items)
+        probe = self._items(30_000, "g")
+        # same stored multiset → identical probe answers modulo FP sets;
+        # both must agree on every inserted item and stored count
+        assert a.items_stored() == one.items_stored()
+        with pytest.raises(ValueError):
+            a.merge(CuckooFilter(capacity=1024))
+
+    def test_multiset_semantics(self):
+        import pyarrow as pa
+
+        from raysketch.sketches import CuckooFilter
+
+        cf = CuckooFilter(capacity=1024)
+        cf.add_batch(pa.array(["x", "x"]))
+        assert cf.items_stored() == 2
+        cf.delete_batch(pa.array(["x"]))
+        assert cf.contains("x")  # one copy remains
+        cf.delete_batch(pa.array(["x"]))
+        assert cf.items_stored() == 0
+
+    def test_roundtrip_and_bad_dump(self):
+        import pyarrow as pa
+
+        from raysketch.sketches import CuckooFilter
+
+        cf = CuckooFilter(capacity=2048)
+        cf.add_batch(self._items(1000))
+        rt = CuckooFilter.from_bytes(cf.to_bytes())
+        assert (rt.buckets == cf.buckets).all()
+        with pytest.raises(ValueError):
+            CuckooFilter.from_bytes(b"nope")
+        with pytest.raises(ValueError):
+            CuckooFilter.from_bytes(cf.to_bytes()[:10])
+
+    def test_full_filter_raises(self):
+        import pyarrow as pa
+
+        from raysketch.sketches import CuckooFilter
+
+        cf = CuckooFilter(capacity=8)  # nb=4 → 16 slots
+        with pytest.raises(RuntimeError):
+            cf.add_batch(self._items(4000))
+
+    def test_int_str_canonicalization(self):
+        import pyarrow as pa
+
+        from raysketch.sketches import CuckooFilter
+
+        cf = CuckooFilter(capacity=1024)
+        cf.add_batch(pa.array([100, 200], type=pa.int64()))
+        assert cf.contains("100") and cf.contains("200")
+
+
+def test_cuckoo_churn_membership_exact_twin(ray_session):
+    """The query's n_members must dominate the exact
+    |error ∩ (view \\ purchase)| (no false negatives) and stay within
+    the FP envelope above it; counts match the exact sets."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = e.queries()["cuckoo_churn_membership"](sf_dir)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    nv, nd, np_, nm = con.execute("""
+        WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type='view'),
+             p AS (SELECT DISTINCT user_id FROM events WHERE event_type='purchase'),
+             er AS (SELECT DISTINCT user_id FROM events WHERE event_type='error')
+        SELECT (SELECT COUNT(*) FROM v),
+               (SELECT COUNT(*) FROM v JOIN p USING (user_id)),
+               (SELECT COUNT(*) FROM er),
+               (SELECT COUNT(*) FROM er JOIN v USING (user_id)
+                WHERE user_id NOT IN (SELECT user_id FROM p))
+    """).fetchone()
+    assert int(got["n_viewers"].iloc[0]) == nv
+    assert int(got["n_deleted"].iloc[0]) == nd
+    assert int(got["n_probes"].iloc[0]) == np_
+    assert nm <= int(got["n_members"].iloc[0]) <= nm + max(2, int(0.01 * np_))
