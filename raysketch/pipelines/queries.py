@@ -21025,6 +21025,109 @@ def cuckoo_churn_membership(sf_dir: str) -> pd.DataFrame:
 QUERIES["cuckoo_churn_membership"] = cuckoo_churn_membership
 
 
+def time_travel_orders(sf_dir: str) -> pd.DataFrame:
+    """TIME-TRAVEL read over a commit-log versioned table
+    (stages/timetravel.py — the Delta/Iceberg snapshot pattern):
+    version 0 is the orders table range-partitioned into 8 key ranges;
+    version 1 is a COPY-ON-WRITE re-price (+5%, exact integer cents
+    cents+cents//20) of only the first quarter of the key space — so
+    the commit rewrites exactly the 2 partitions it touches and the
+    other 6 data files are REUSED byte-identical by both snapshots.
+    The query then aggregates `AS OF 0` and `AS OF 1` and emits one row
+    per version; the oracle recomputes both snapshots from the base
+    table with the same integer arithmetic ((k*8)//(max+1) < 2 selects
+    the rewritten range; DuckDB `//` floors like numpy on nonneg)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..stages.timetravel import (commit, latest_version, read_as_of,
+                                     write_partitioned_files)
+
+    maxk1 = int(pc.max(pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey"]).column("o_orderkey")).as_py()) + 1
+
+    tag = sf_of(sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                        f"ttorders_{tag}")
+    if latest_version(root) < 1:
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        os.makedirs(root, exist_ok=True)
+        orders = _read(sf_dir, "orders",
+                       columns=["o_orderkey", "o_totalprice"])
+
+        def tag_part(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__p", pa.array((k * 8) // maxk1))
+
+        f0 = write_partitioned_files(
+            orders.map_batches(tag_part, batch_format="pyarrow"),
+            os.path.join(root, "v0"), "__p")
+        commit(root, add=f0)
+        def _pval(f: str) -> int:
+            part = [c for c in f.split(os.sep) if c.startswith("__p=")]
+            return int(part[0][4:])
+
+        touched = [f for f in f0 if _pval(f) < 2]
+        import ray.data
+
+        def reprice(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            cents = _cents(t.column("o_totalprice")).to_numpy()
+            cents = cents + cents // 20
+            return pa.table({
+                "o_orderkey": k,
+                "o_totalprice": cents / 100.0,
+                "__p": (k * 8) // maxk1,
+            })
+
+        f1 = write_partitioned_files(
+            ray.data.read_parquet(touched)
+            .map_batches(reprice, batch_format="pyarrow"),
+            os.path.join(root, "v1"), "__p")
+        commit(root, add=f1, remove=touched)
+
+    rows = []
+    for v in (0, 1):
+        ds = read_as_of(root, v, columns=["o_totalprice"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = _cents(t.column("o_totalprice")).to_numpy()
+            return pa.table({"n": pa.array([len(c)], type=pa.int64()),
+                             "s": pa.array([int(c.sum())],
+                                           type=pa.int64())})
+
+        p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        rows.append({"version": np.int64(v),
+                     "n_orders": np.int64(p["n"].sum()),
+                     "sum_cents": np.int64(p["s"].sum())})
+    return pd.DataFrame(rows).astype(
+        {"version": "int64", "n_orders": "int64", "sum_cents": "int64"})
+
+
+QUERIES["time_travel_orders"] = time_travel_orders
+ORACLES["time_travel_orders"] = """
+    WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),
+    c AS (SELECT o_orderkey,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders)
+    SELECT CAST(0 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(v) AS BIGINT) AS sum_cents
+    FROM c
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN (o_orderkey * 8) // (SELECT m FROM mx) < 2
+                         THEN v + v // 20 ELSE v END) AS BIGINT)
+    FROM c
+    ORDER BY version
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -2542,3 +2542,90 @@ def test_audio_resample_roundtrip(ray_session):
     v = Q.video_scene_cuts("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(
         v, Q.video_scene_cuts("/root/testdata/sf0.001"))
+
+
+class TestTimeTravel:
+    def _mk(self, tmp_path, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from raysketch.stages.timetravel import (
+            commit, write_partitioned_files)
+
+        root = str(tmp_path / "tt")
+        df = pd.DataFrame({"k": range(100), "v": range(100)})
+        df["__p"] = df["k"] // 50  # 2 partitions
+        f0 = write_partitioned_files(ray.data.from_pandas(df),
+                                     f"{root}/v0", "__p")
+        commit(root, add=f0)
+        # v1: copy-on-write of partition 0 only (v doubled)
+        upd = df[df["__p"] == 0].copy()
+        upd["v"] = upd["v"] * 2
+        f1 = write_partitioned_files(ray.data.from_pandas(upd),
+                                     f"{root}/v1", "__p")
+        p0 = [f for f in f0 if "__p=0" in f]
+        commit(root, add=f1, remove=p0)
+        return root, f0, f1, p0
+
+    def test_as_of_reads_each_snapshot(self, tmp_path, ray_session):
+        from raysketch.stages.timetravel import read_as_of
+
+        root, f0, f1, p0 = self._mk(tmp_path, ray_session)
+        d0 = read_as_of(root, 0).to_pandas().sort_values("k")
+        d1 = read_as_of(root, 1).to_pandas().sort_values("k")
+        assert list(d0["v"]) == list(range(100))
+        assert list(d1["v"]) == [2 * x for x in range(50)] \
+            + list(range(50, 100))
+        # default = latest
+        dl = read_as_of(root).to_pandas().sort_values("k")
+        assert list(dl["v"]) == list(d1["v"])
+
+    def test_copy_on_write_reuses_untouched_files(self, tmp_path,
+                                                  ray_session):
+        from raysketch.stages.timetravel import active_files
+
+        root, f0, f1, p0 = self._mk(tmp_path, ray_session)
+        a0, a1 = set(active_files(root, 0)), set(active_files(root, 1))
+        untouched = {f for f in f0 if "__p=1" in f}
+        assert untouched and untouched <= a0 and untouched <= a1
+        assert set(p0) <= a0 and not (set(p0) & a1)
+
+    def test_vacuum_reclaims_old_versions_only(self, tmp_path,
+                                               ray_session):
+        import pytest
+
+        from raysketch.stages.timetravel import read_as_of, vacuum
+
+        root, f0, f1, p0 = self._mk(tmp_path, ray_session)
+        deleted = vacuum(root, keep_from=1)
+        assert sorted(deleted) == sorted(p0)
+        assert read_as_of(root, 1).count() == 100
+        with pytest.raises(ValueError, match="no longer readable"):
+            read_as_of(root, 0)
+
+    def test_orphan_files_invisible(self, tmp_path, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        from raysketch.stages.timetravel import active_files, vacuum
+
+        root, *_ = self._mk(tmp_path, ray_session)
+        orphan = f"{root}/v9/orphan.parquet"
+        import os
+
+        os.makedirs(f"{root}/v9", exist_ok=True)
+        papq.write_table(pa.table({"k": [1]}), orphan)
+        assert orphan not in active_files(root)
+        assert orphan in vacuum(root, keep_from=0)
+
+    def test_version_bounds(self, tmp_path, ray_session):
+        import pytest
+
+        from raysketch.stages.timetravel import active_files
+
+        root, *_ = self._mk(tmp_path, ray_session)
+        with pytest.raises(ValueError):
+            active_files(root, 2)
+        with pytest.raises(ValueError):
+            active_files(str(tmp_path / "nope"))
