@@ -15346,6 +15346,76 @@ def _lev_pairs(M: np.ndarray, L: np.ndarray, ia: np.ndarray,
     return ia[keep], ib[keep], d[keep]
 
 
+def _dl_pairs(M: np.ndarray, L: np.ndarray, ia: np.ndarray,
+              ib: np.ndarray, max_dist: int, chunk: int = 8192):
+    """Vectorized UNRESTRICTED Damerau–Levenshtein (true DL, matching
+    DuckDB's damerau_levenshtein: 'CA'→'ABC' is 2, where the restricted
+    OSA variant says 3) for index pairs into the padded byte matrix.
+    Two provable pre-filters run first — length gap (every edit changes
+    length by ≤1) and BAG distance max(|bag(a)−bag(b)|) (substitutions/
+    inserts/deletes change the char multiset by ≤1 each, transpositions
+    by 0, so bag ≤ DL) — then the full da/db-table DP (Lowrance &
+    Wagner '75) evaluates survivors in bounded-memory chunks: the
+    (P, ml+2, ml+2) lattice holds ≤`chunk` pairs, every cell update is
+    one numpy op across the chunk, and the transposition term's
+    (k−1, l−1) lookup is a per-pair 2-D gather. Pad bytes are 0 and the
+    corpus is NUL-free, so da/db updates from beyond a word's real
+    length can only be read by equally-invalid cells — no masking
+    needed (answer reads at (la, lb))."""
+    la, lb = L[ia], L[ib]
+    cand = np.abs(la - lb) <= max_dist
+    ia, ib = ia[cand], ib[cand]
+    if len(ia):
+        # bag filter: per-pair char-count L1 split into +/− parts
+        cnts = np.zeros((M.shape[0], 256), dtype=np.int16)
+        rows = np.repeat(np.arange(M.shape[0]), (M != 0).sum(axis=1))
+        np.add.at(cnts, (rows, M[M != 0]), 1)
+        diff = cnts[ia].astype(np.int32) - cnts[ib]
+        bag = np.maximum(np.clip(diff, 0, None).sum(axis=1),
+                         np.clip(-diff, 0, None).sum(axis=1))
+        keep = bag <= max_dist
+        ia, ib = ia[keep], ib[keep]
+    oa, ob, od = [], [], []
+    for s in range(0, len(ia), chunk):
+        ca, cb = ia[s:s + chunk], ib[s:s + chunk]
+        P = len(ca)
+        A, B = M[ca], M[cb]
+        lA, lB = L[ca], L[cb]
+        ml = int(max(lA.max(), lB.max()))
+        big = np.int64(2 * ml + 5)
+        # D index offset +1: D[:,0,:] / D[:,:,0] is the "-1" border
+        D = np.full((P, ml + 2, ml + 2), big, dtype=np.int64)
+        D[:, 1, 1:] = np.arange(ml + 1, dtype=np.int64)
+        D[:, 1:, 1] = np.arange(ml + 1, dtype=np.int64)
+        da = np.zeros((P, 256), dtype=np.int64)
+        pidx = np.arange(P)
+        for i in range(1, ml + 1):
+            db = np.zeros(P, dtype=np.int64)
+            a_i = A[:, i - 1].astype(np.int64)
+            for j in range(1, ml + 1):
+                b_j = B[:, j - 1].astype(np.int64)
+                k = da[pidx, b_j]
+                l = db
+                match = a_i == b_j
+                db = np.where(match, j, db)
+                sub = D[:, i, j] + (~match)
+                ins = D[:, i + 1, j] + 1
+                dele = D[:, i, j + 1] + 1
+                trans = D[pidx, k, l] + (i - k - 1) + 1 + (j - l - 1)
+                D[:, i + 1, j + 1] = np.minimum(
+                    np.minimum(sub, trans), np.minimum(ins, dele))
+            da[pidx, a_i] = i
+        d = D[pidx, lA + 1, lB + 1]
+        m = d <= max_dist
+        oa.append(ca[m])
+        ob.append(cb[m])
+        od.append(d[m])
+    if not oa:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    return np.concatenate(oa), np.concatenate(ob), np.concatenate(od)
+
+
 def vocab_edit_distance_pairs(sf_dir: str, max_dist: int = 2,
                               num_buckets: int = 64,
                               block: int = 512) -> pd.DataFrame:
@@ -21125,6 +21195,101 @@ ORACLES["time_travel_orders"] = """
                          THEN v + v // 20 ELSE v END) AS BIGINT)
     FROM c
     ORDER BY version
+"""
+
+
+def vocab_damerau_pairs(sf_dir: str, max_dist: int = 2,
+                        num_buckets: int = 64,
+                        block: int = 512) -> pd.DataFrame:
+    """Fuzzy matching with TRANSPOSITIONS — vocabulary word pairs
+    within unrestricted Damerau–Levenshtein distance 2 (the metric that
+    counts 'form'↔'from' as ONE edit, completing the string-similarity
+    family next to plain Levenshtein): same distributed tile-pair
+    decomposition as vocab_edit_distance_pairs (vocab dedups through a
+    word-hash exchange, the padded byte matrix broadcasts once, tiles
+    fan out over map_batches), but each tile evaluates the da/db-table
+    DL DP (:func:`_dl_pairs`) behind two provable pre-filters (length
+    gap, bag distance — transpositions preserve char multisets). The
+    oracle is DuckDB's damerau_levenshtein, verified UNRESTRICTED
+    ('CA'→'ABC' = 2; pytest-locked against the same case here)."""
+    import ray
+    import ray.data
+
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def words(t: pa.Table) -> pa.Table:
+        w = pc.unique(pc.list_flatten(pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ")))
+        df = pd.DataFrame({"w": w.to_pandas()})
+        h = pd.util.hash_pandas_object(df["w"], index=False).to_numpy()
+        df["__b"] = (_mix64(h) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["w"]].drop_duplicates()
+
+    vocab = sorted(ds.map_batches(words, batch_format="pyarrow")
+                   .groupby("__b").map_groups(dedup, batch_format="pandas")
+                   .to_pandas()["w"])
+    V = len(vocab)
+    ml = max(len(w) for w in vocab)
+    M = np.zeros((V, ml), dtype=np.uint8)
+    L = np.zeros(V, dtype=np.int64)
+    for i, w in enumerate(vocab):
+        b = w.encode()
+        M[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        L[i] = len(b)
+    ref = ray.put((M, L, np.array(vocab, dtype=object)))
+
+    nb = (V + block - 1) // block
+    tiles = [(bi, bj) for bi in range(nb) for bj in range(bi, nb)]
+    tile_ds = ray.data.from_pandas(pd.DataFrame(
+        {"bi": [t[0] for t in tiles], "bj": [t[1] for t in tiles]}))
+
+    def work(t: pa.Table) -> pa.Table:
+        Mb, Lb, wv = ray.get(ref)
+        oa, ob, od = [], [], []
+        for bi, bj in zip(t.column("bi").to_pylist(),
+                          t.column("bj").to_pylist()):
+            si, ei = bi * block, min((bi + 1) * block, V)
+            sj, ej = bj * block, min((bj + 1) * block, V)
+            if bi == bj:
+                a, b = np.triu_indices(ei - si, k=1)
+                ia, ib = a + si, b + si
+            else:
+                ia = np.repeat(np.arange(si, ei, dtype=np.int64), ej - sj)
+                ib = np.tile(np.arange(sj, ej, dtype=np.int64), ei - si)
+            ia, ib, d = _dl_pairs(Mb, Lb, ia, ib, max_dist)
+            oa.append(wv[ia])
+            ob.append(wv[ib])
+            od.append(d)
+        if not oa:
+            return pa.table({"word_a": pa.array([], type=pa.string()),
+                             "word_b": pa.array([], type=pa.string()),
+                             "dist": pa.array([], type=pa.int64())})
+        return pa.table({
+            "word_a": pa.array(np.concatenate(oa), type=pa.string()),
+            "word_b": pa.array(np.concatenate(ob), type=pa.string()),
+            "dist": pa.array(np.concatenate(od).astype(np.int64)),
+        })
+
+    out = tile_ds.map_batches(work, batch_format="pyarrow",
+                              batch_size=8).to_pandas()
+    return out.sort_values(["word_a", "word_b"]).reset_index(drop=True) \
+        .astype({"dist": "int64"})
+
+
+QUERIES["vocab_damerau_pairs"] = vocab_damerau_pairs
+ORACLES["vocab_damerau_pairs"] = """
+    WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+               FROM documents)
+    SELECT a.w AS word_a, b.w AS word_b,
+           CAST(damerau_levenshtein(a.w, b.w) AS BIGINT) AS dist
+    FROM v a JOIN v b ON a.w < b.w
+    WHERE damerau_levenshtein(a.w, b.w) <= 2
+    ORDER BY word_a, word_b
 """
 
 

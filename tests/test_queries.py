@@ -2131,3 +2131,103 @@ def test_max_concurrency_by_day(ray_session):
     assert (out["max_concurrent"] >= 1).all()
     assert (out["max_concurrent"] <= nu).all()
     pd.testing.assert_frame_equal(out, Q.max_concurrency_by_day(SF_DIR))
+
+
+class TestDamerauLevenshtein:
+    def _brute_dl(self, a: str, b: str) -> int:
+        """Reference unrestricted DL (Lowrance & Wagner '75)."""
+        la, lb = len(a), len(b)
+        big = la + lb
+        d = [[big] * (lb + 2) for _ in range(la + 2)]
+        for i in range(la + 1):
+            d[i + 1][1] = i
+        for j in range(lb + 1):
+            d[1][j + 1] = j
+        da = {}
+        for i in range(1, la + 1):
+            db = 0
+            for j in range(1, lb + 1):
+                k = da.get(b[j - 1], 0)
+                l = db
+                cost = 0 if a[i - 1] == b[j - 1] else 1
+                if cost == 0:
+                    db = j
+                d[i + 1][j + 1] = min(
+                    d[i][j] + cost,
+                    d[i + 1][j] + 1,
+                    d[i][j + 1] + 1,
+                    d[k][l] + (i - k - 1) + 1 + (j - l - 1))
+            da[a[i - 1]] = i
+        return d[la + 1][lb + 1]
+
+    def _pack(self, words):
+        import numpy as np
+
+        ml = max(len(w) for w in words)
+        M = np.zeros((len(words), ml), dtype=np.uint8)
+        L = np.zeros(len(words), dtype=np.int64)
+        for i, w in enumerate(words):
+            bs = w.encode()
+            M[i, :len(bs)] = np.frombuffer(bs, dtype=np.uint8)
+            L[i] = len(bs)
+        return M, L
+
+    def test_unrestricted_not_osa(self):
+        """'CA'→'ABC' is 2 under true DL (3 under restricted OSA) —
+        locks the variant to DuckDB's damerau_levenshtein."""
+        import numpy as np
+
+        from raysketch.pipelines.queries import _dl_pairs
+
+        M, L = self._pack(["CA", "ABC"])
+        ia, ib, d = _dl_pairs(M, L, np.array([0]), np.array([1]), 3)
+        assert list(d) == [2] == [self._brute_dl("CA", "ABC")]
+
+    def test_matches_brute_force_random_vocab(self):
+        """All-pairs equality vs the reference DP on a random vocab
+        with planted transpositions, using a threshold high enough
+        that the pre-filters must be exactly output-preserving."""
+        import numpy as np
+
+        from raysketch.pipelines.queries import _dl_pairs
+
+        rng = np.random.default_rng(11)
+        base = ["".join(chr(97 + c) for c in rng.integers(0, 6, size=n))
+                for n in rng.integers(2, 9, size=120)]
+        # plant transposed/edited twins
+        words = sorted({*base,
+                        *(w[1] + w[0] + w[2:] for w in base if len(w) > 2),
+                        *(w[:-1] for w in base if len(w) > 3)})
+        M, L = self._pack(words)
+        n = len(words)
+        ia, ib = np.triu_indices(n, k=1)
+        ga, gb, gd = _dl_pairs(M, L, ia.astype(np.int64),
+                               ib.astype(np.int64), 2, chunk=500)
+        got = {(int(x), int(y)): int(v) for x, y, v in zip(ga, gb, gd)}
+        want = {}
+        for x in range(n):
+            for y in range(x + 1, n):
+                d = self._brute_dl(words[x], words[y])
+                if d <= 2:
+                    want[(x, y)] = d
+        assert got == want
+        assert len(want) > 50  # the plants made the check non-vacuous
+
+    def test_matches_duckdb_on_pairs(self):
+        import duckdb
+        import numpy as np
+
+        from raysketch.pipelines.queries import _dl_pairs
+
+        words = ["form", "from", "fro", "abcd", "acbd", "badc",
+                 "xyz", "zyx", "hello", "hlelo"]
+        M, L = self._pack(words)
+        n = len(words)
+        ia, ib = np.triu_indices(n, k=1)
+        ga, gb, gd = _dl_pairs(M, L, ia.astype(np.int64),
+                               ib.astype(np.int64), 3)
+        con = duckdb.connect()
+        for x, y, v in zip(ga, gb, gd):
+            w, = con.execute("SELECT damerau_levenshtein(?, ?)",
+                             [words[int(x)], words[int(y)]]).fetchone()
+            assert int(v) == w
