@@ -21293,6 +21293,99 @@ ORACLES["vocab_damerau_pairs"] = """
 """
 
 
+def winsorized_mean_price(sf_dir: str) -> pd.DataFrame:
+    """WINSORIZED mean — the robust-statistics completion next to the
+    trimmed mean and MAD: clip l_extendedprice at the exact p05/p95
+    order statistics (reusing the sort-free two-pass percentile layout,
+    ⌈q·n⌉−1 ≡ quantile_disc) and ship the clipped sum as exact integer
+    cents plus the count, so the caller's division is the only float.
+    One extra zero-shuffle pass over the same pruned column."""
+    pcts = exact_percentile_price(sf_dir, qs=(0.05, 0.95))
+    lo_c = int(pcts.loc[pcts["q"] == 0.05, "value_cents"].iloc[0])
+    hi_c = int(pcts.loc[pcts["q"] == 0.95, "value_cents"].iloc[0])
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _cents(t.column("l_extendedprice")).to_numpy()
+        c = np.clip(v, lo_c, hi_c)
+        return pa.table({"s": pa.array([int(c.sum())], type=pa.int64()),
+                         "n": pa.array([len(c)], type=pa.int64())})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return _one_row(p05_cents=np.int64(lo_c), p95_cents=np.int64(hi_c),
+                    sum_clipped_cents=np.int64(p["s"].sum()),
+                    n_rows=np.int64(p["n"].sum()))
+
+
+QUERIES["winsorized_mean_price"] = winsorized_mean_price
+ORACLES["winsorized_mean_price"] = """
+    WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+               FROM lineitem),
+    q AS (SELECT CAST(quantile_disc(v, 0.05) AS BIGINT) AS lo,
+                 CAST(quantile_disc(v, 0.95) AS BIGINT) AS hi FROM c)
+    SELECT q.lo AS p05_cents, q.hi AS p95_cents,
+           CAST(SUM(LEAST(GREATEST(c.v, q.lo), q.hi)) AS BIGINT)
+             AS sum_clipped_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM c, q GROUP BY q.lo, q.hi
+"""
+
+
+def rolling7_median_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Rolling 7-DAY median of daily revenue — the robust trend line
+    (medians shrug off the spike days that wreck rolling means), and
+    the window-family member SQL engines struggle to push down
+    (MEDIAN OVER RANGE re-sorts every frame). Calendar-correct RANGE
+    frame (6 preceding DAYS, not rows — gap days matter). Distributed
+    shape: per-batch combiner reduces to ≤n_days (day, cents) partials
+    — the fact table never shuffles; the bounded day table windows on
+    the driver. Medians are emitted ×2 (two-middle averages are
+    half-integers; ×2 keeps both engines in exact integers)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_shipdate", "l_extendedprice"])
+    DAY_US = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64) // DAY_US
+        c = _cents(t.column("l_extendedprice")).to_numpy()
+        df = pd.DataFrame({"day": d, "c": c})
+        agg = df.groupby("day", as_index=False)["c"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    daily = p.groupby("day", as_index=False)["c"].sum() \
+        .sort_values("day").reset_index(drop=True)
+    days = daily["day"].to_numpy(dtype=np.int64)
+    rev = daily["c"].to_numpy(dtype=np.int64)
+    lo = np.searchsorted(days, days - 6, side="left")
+    med2 = np.empty(len(days), dtype=np.int64)
+    for i in range(len(days)):  # bounded by DISTINCT days, not rows
+        w = np.sort(rev[lo[i]:i + 1])
+        m = len(w)
+        med2[i] = int(w[m // 2]) * 2 if m % 2 else \
+            int(w[m // 2 - 1]) + int(w[m // 2])
+    return pd.DataFrame({"day": days, "revenue_cents": rev,
+                         "median7_x2": med2}).astype(
+        {"day": "int64", "revenue_cents": "int64", "median7_x2": "int64"})
+
+
+QUERIES["rolling7_median_daily_revenue"] = rolling7_median_daily_revenue
+ORACLES["rolling7_median_daily_revenue"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS day,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT day, revenue_cents,
+           CAST(2 * MEDIAN(revenue_cents) OVER (
+                 ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS median7_x2
+    FROM d ORDER BY day
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================
@@ -21356,8 +21449,14 @@ _GATE_PRIORITY = [
     "lm_score_docs", "top_cosine_pairs",
     "semdedup_trained_embeddings", "bpe_train_merges",
     "ccnet_perplexity_buckets", "dsir_select_docs",
-    "domain_mix_select", "kmeans_fixedpoint_embeddings",
-    "source_drift_tv",
+    "domain_mix_select",
+    # round-4 seventh-session oracles: the band join (non-equi
+    # value-range exchange), SCD2 temporal dimension join, WordPiece
+    # (tokenizer-training triad complete), time-travel snapshot reads
+    # (kmeans_fixedpoint_embeddings/source_drift_tv move to the
+    # FAST_SUBSET + full-replica tier to hold the snapshot at 50)
+    "orders_price_band_count", "scd2_revenue_by_tier",
+    "wordpiece_two_merges", "time_travel_orders",
     # join family
     "revenue_by_nation", "join_size_view_purchase",
 ]
