@@ -21386,6 +21386,160 @@ ORACLES["rolling7_median_daily_revenue"] = """
 """
 
 
+def cdc_merge_tombstones(sf_dir: str, num_buckets: int = 64
+                         ) -> pd.DataFrame:
+    """MERGE with DELETE tombstones — the full CDC triad (INSERT /
+    UPDATE / DELETE) that upsert_orders_latest's latest-wins started:
+    a deterministic version-1 change stream re-prices keys ≡3 (mod 10)
+    by +7% (exact integer cents c + 7c//100) and tombstones keys ≡6
+    (mod 20); the merged snapshot is latest-wins per key with
+    tombstoned keys REMOVED — the row-level delete Bloom/bitmaps can't
+    express and the reason lakehouse MERGE exists. Same single
+    key-exchange shape: per-batch argmax-by-version combiner, per-
+    bucket latest pick, tombstone filter, ≤|status| aggregate partials
+    out. The oracle states the same merge via ROW_NUMBER over the
+    unioned snapshots plus an op≠'D' filter."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    base = _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def both_versions(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        s = t.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        c = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        upd = k % 10 == 3
+        dele = k % 20 == 6
+        kk = np.concatenate([k, k[upd], k[dele]])
+        ss = np.concatenate([s, s[upd], s[dele]])
+        cc = np.concatenate([c, c[upd] + 7 * c[upd] // 100,
+                             np.zeros(int(dele.sum()), dtype=np.int64)])
+        vv = np.concatenate([np.zeros(len(k), dtype=np.int64),
+                             np.ones(int(upd.sum()) + int(dele.sum()),
+                                     dtype=np.int64)])
+        dd = np.concatenate([np.zeros(len(k) + int(upd.sum()), dtype=bool),
+                             np.ones(int(dele.sum()), dtype=bool)])
+        order = np.lexsort((-vv, kk))
+        kk, ss, cc, vv, dd = (x[order] for x in (kk, ss, cc, vv, dd))
+        keep = np.r_[True, kk[1:] != kk[:-1]]
+        kk, ss, cc, vv, dd = (x[keep] for x in (kk, ss, cc, vv, dd))
+        return pa.table({
+            "k": pa.array(kk), "s": pa.array(ss), "c": pa.array(cc),
+            "v": pa.array(vv), "d": pa.array(dd),
+            "__b": pa.array((_mix64(kk.astype(np.uint64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def merged(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(dtype=np.int64)
+        v = g["v"].to_numpy(dtype=np.int64)
+        order = np.lexsort((-v, k))
+        keep = np.r_[True, k[order][1:] != k[order][:-1]]
+        pick = g.iloc[order[keep]]
+        live = pick[~pick["d"].to_numpy(dtype=bool)]
+        out = live.groupby("s", as_index=False).agg(
+            n=("c", "size"), sum_cents=("c", "sum"))
+        return out.astype({"n": "int64", "sum_cents": "int64"})
+
+    parts = base.map_batches(both_versions, batch_format="pyarrow") \
+        .groupby("__b").map_groups(merged, batch_format="pandas") \
+        .to_pandas()
+    agg = parts.groupby("s", as_index=False)[["n", "sum_cents"]].sum()
+    return agg.rename(columns={"s": "o_orderstatus"}) \
+        .sort_values("o_orderstatus").reset_index(drop=True) \
+        .astype({"n": "int64", "sum_cents": "int64"})
+
+
+QUERIES["cdc_merge_tombstones"] = cdc_merge_tombstones
+ORACLES["cdc_merge_tombstones"] = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS s,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders),
+    snap AS (
+      SELECT k, s, c, 0 AS v, 'I' AS op FROM b
+      UNION ALL
+      SELECT k, s, c + 7 * c // 100, 1, 'U' FROM b WHERE k % 10 = 3
+      UNION ALL
+      SELECT k, s, 0, 1, 'D' FROM b WHERE k % 20 = 6),
+    latest AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                            ORDER BY v DESC) AS rn
+               FROM snap)
+    SELECT s AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS sum_cents
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    GROUP BY s ORDER BY o_orderstatus
+"""
+
+
+def ivm_revenue_by_flag(sf_dir: str) -> pd.DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE: the materialized aggregate
+    (revenue + rowcount by l_returnflag) is kept current by folding a
+    CDC delta's OWN aggregate into the stored state — deletes
+    contribute (−cents, −1), inserts (+cents, +1) — without re-reading
+    the unchanged base rows, the O(|delta|) update that makes
+    materialized views cheap to keep fresh (additive groups: SUM/COUNT
+    are self-maintainable; MIN/MAX are not — documented limit). The
+    deterministic delta deletes keys ≡5 (mod 13) and inserts a +50¢
+    twin of keys ≡3 (mod 17). Both the base state and the delta
+    aggregate are per-batch combiners (≤|flags| partial rows each);
+    equality vs full recompute is pytest-locked; the oracle recomputes
+    from the modified base."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
+
+    def base_state(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "f": t.column("l_returnflag").to_pandas(),
+            "c": _cents(t.column("l_extendedprice")).to_numpy(),
+        })
+        return df.groupby("f", as_index=False).agg(
+            n=("c", "size"), s=("c", "sum"))
+
+    def delta_agg(t: pa.Table) -> pd.DataFrame:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        f = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        c = _cents(t.column("l_extendedprice")).to_numpy()
+        dele = k % 13 == 5
+        ins = k % 17 == 3
+        df = pd.DataFrame({
+            "f": np.concatenate([f[dele], f[ins]]),
+            "n": np.concatenate([-np.ones(int(dele.sum()), np.int64),
+                                 np.ones(int(ins.sum()), np.int64)]),
+            "s": np.concatenate([-c[dele], c[ins] + 50]),
+        })
+        return df.groupby("f", as_index=False)[["n", "s"]].sum()
+
+    base = ds.map_batches(base_state, batch_format="pyarrow").to_pandas() \
+        .groupby("f", as_index=False)[["n", "s"]].sum()
+    delta = ds.map_batches(delta_agg, batch_format="pyarrow").to_pandas() \
+        .groupby("f", as_index=False)[["n", "s"]].sum()
+    out = base.merge(delta, on="f", how="outer", suffixes=("", "_d")) \
+        .fillna(0)
+    out["n"] = (out["n"] + out["n_d"]).astype(np.int64)
+    out["s"] = (out["s"] + out["s_d"]).astype(np.int64)
+    out = out[out["n"] > 0][["f", "n", "s"]]
+    return out.rename(columns={"f": "l_returnflag",
+                               "s": "revenue_cents"}) \
+        .sort_values("l_returnflag").reset_index(drop=True) \
+        .astype({"n": "int64", "revenue_cents": "int64"})
+
+
+QUERIES["ivm_revenue_by_flag"] = ivm_revenue_by_flag
+ORACLES["ivm_revenue_by_flag"] = """
+    WITH mod AS (
+      SELECT l_returnflag AS f,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem WHERE l_orderkey % 13 <> 5
+      UNION ALL
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) + 50
+      FROM lineitem WHERE l_orderkey % 17 = 3)
+    SELECT f AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS revenue_cents
+    FROM mod GROUP BY f ORDER BY l_returnflag
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -2231,3 +2231,41 @@ class TestDamerauLevenshtein:
             w, = con.execute("SELECT damerau_levenshtein(?, ?)",
                              [words[int(x)], words[int(y)]]).fetchone()
             assert int(v) == w
+
+
+def test_ivm_equals_full_recompute(ray_session):
+    """The delta-maintained view equals recomputing the aggregate from
+    the modified base within the engine (not just vs the oracle)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    import __ray_entry__ as e
+    from raysketch.pipelines.queries import _cents
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = e.queries()["ivm_revenue_by_flag"](sf_dir)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
+
+    def modified(t: pa.Table) -> pd.DataFrame:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        f = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        c = _cents(t.column("l_extendedprice")).to_numpy()
+        keep = k % 13 != 5
+        ins = k % 17 == 3
+        df = pd.DataFrame({
+            "l_returnflag": np.concatenate([f[keep], f[ins]]),
+            "c": np.concatenate([c[keep], c[ins] + 50]),
+        })
+        return df.groupby("l_returnflag", as_index=False).agg(
+            n=("c", "size"), revenue_cents=("c", "sum"))
+
+    full = ds.map_batches(modified, batch_format="pyarrow").to_pandas() \
+        .groupby("l_returnflag", as_index=False)[["n", "revenue_cents"]] \
+        .sum().sort_values("l_returnflag").reset_index(drop=True) \
+        .astype({"n": "int64", "revenue_cents": "int64"})
+    pd.testing.assert_frame_equal(got, full)
