@@ -21540,6 +21540,65 @@ ORACLES["ivm_revenue_by_flag"] = """
 """
 
 
+def image_resize_stats(sf_dir: str) -> pd.DataFrame:
+    """REAL image decode → EXACT bilinear resize → stats: the resize
+    every vision-model ingest performs, done in integer fixed point
+    (stages/multimodal.ImageBilinearResize — exact rational source
+    coordinates, weights summing to 2⁴⁰, half-up rounding) so the
+    tensor batch is bit-identical on every platform and run; per-image
+    output is the exact integer channel sum of the 24×24 resample.
+    Same cached real-PNG table and actor-pool decode as
+    image_features_stats; rows-only with identity/constant/float-ref
+    invariants pytest-locked."""
+    import glob as _glob
+    import tempfile
+
+    import ray.data
+
+    from ..stages.multimodal import (
+        ImageBilinearResize,
+        ImageDecode,
+        make_real_png_table,
+    )
+
+    n = max(32, int(4096 * sf_of(sf_dir)))
+    cache = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                         f"pngs_n{n}_s7")
+    if not _glob.glob(os.path.join(cache, "*.parquet")):
+        import pyarrow.parquet as pq
+
+        os.makedirs(cache, exist_ok=True)
+        tmp = os.path.join(cache, "_part0.tmp")
+        pq.write_table(make_real_png_table(n, seed=7), tmp,
+                       row_group_size=max(32, n // 8))
+        os.replace(tmp, os.path.join(cache, "part0.parquet"))
+    ds = ray.data.read_parquet(cache)
+
+    def sums(batch: dict) -> pd.DataFrame:
+        imgs = batch["image"].astype(np.int64)  # (n, 24, 24, 3)
+        s = imgs.sum(axis=(1, 2))
+        return pd.DataFrame({
+            "item_id": np.asarray(batch["item_id"], dtype=np.int64),
+            "sum_r": s[:, 0], "sum_g": s[:, 1], "sum_b": s[:, 2],
+        })
+
+    out = (
+        ds.map_batches(ImageDecode,
+                       fn_constructor_kwargs={"deterministic_fake": False},
+                       batch_format="pyarrow", batch_size=64,
+                       concurrency=auto_concurrency())
+        .map_batches(ImageBilinearResize((24, 24)), batch_size=64)
+        .map_batches(sums, batch_size=64)
+        .to_pandas()
+    )
+    return out.sort_values("item_id").reset_index(drop=True).astype(
+        {"item_id": "int64", "sum_r": "int64", "sum_g": "int64",
+         "sum_b": "int64"})
+
+
+QUERIES["image_resize_stats"] = image_resize_stats
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -173,6 +173,56 @@ class ImageResize:
         return {"item_id": batch["item_id"], "image": out}
 
 
+class ImageBilinearResize:
+    """EXACT fixed-point bilinear resize (align_corners=False — the
+    PIL/torch convention: src = (dst+0.5)·s/D − 0.5, clamped to edges).
+    Every source coordinate is the exact rational ((2d+1)s − D)/(2D)
+    materialized in 2²⁰ fixed-point units, the four corner weights sum
+    to exactly 2⁴⁰, and the output pixel is the half-up-rounded integer
+    — so the stage is bit-deterministic on every platform and
+    IDENTITY-EXACT when the size already matches (fractions degenerate
+    to 0; pytest-locked), unlike float bilinear whose last-ulp rounding
+    is library-dependent."""
+
+    SHIFT = 20
+
+    def __init__(self, size: tuple[int, int] = (32, 32)):
+        self.size = size
+
+    def _axis(self, s: int, D: int):
+        F = 1 << self.SHIFT
+        d = np.arange(D, dtype=np.int64)
+        pos = ((2 * d + 1) * s - D) * F // (2 * D)  # floor, exact
+        i0 = pos >> self.SHIFT
+        frac = pos & (F - 1)
+        frac = np.where((i0 < 0) | (i0 >= s - 1), 0, frac)  # edge clamp
+        i0 = np.clip(i0, 0, s - 1)
+        i1 = np.minimum(i0 + 1, s - 1)
+        return i0, i1, frac
+
+    def resize_one(self, img: np.ndarray) -> np.ndarray:
+        H, W = self.size
+        h, w = img.shape[:2]
+        F = np.int64(1 << self.SHIFT)
+        y0, y1, fy = self._axis(h, H)
+        x0, x1, fx = self._axis(w, W)
+        p = img.astype(np.int64)
+        top = (p[y0][:, x0] * (F - fx)[None, :, None]
+               + p[y0][:, x1] * fx[None, :, None])
+        bot = (p[y1][:, x0] * (F - fx)[None, :, None]
+               + p[y1][:, x1] * fx[None, :, None])
+        num = top * (F - fy)[:, None, None] + bot * fy[:, None, None]
+        return ((num + (np.int64(1) << np.int64(2 * self.SHIFT - 1)))
+                >> np.int64(2 * self.SHIFT)).astype(np.uint8)
+
+    def __call__(self, batch: dict) -> dict:
+        H, W = self.size
+        out = np.empty((len(batch["image"]), H, W, 3), dtype=np.uint8)
+        for i, img in enumerate(batch["image"]):
+            out[i] = self.resize_one(img)
+        return {"item_id": batch["item_id"], "image": out}
+
+
 class ImageFeatures:
     """Cheap feature extraction (channel means/stds + 8-bin luma
     histogram) — the stand-in for a model-inference actor stage; swap

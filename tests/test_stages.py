@@ -2629,3 +2629,69 @@ class TestTimeTravel:
             active_files(root, 2)
         with pytest.raises(ValueError):
             active_files(str(tmp_path / "nope"))
+
+
+class TestImageBilinearResize:
+    def test_identity_is_exact(self):
+        import numpy as np
+
+        from raysketch.stages.multimodal import ImageBilinearResize
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, size=(37, 53, 3)).astype(np.uint8)
+        assert (ImageBilinearResize((37, 53)).resize_one(img) == img).all()
+
+    def test_constant_preserved(self):
+        import numpy as np
+
+        from raysketch.stages.multimodal import ImageBilinearResize
+
+        c = np.full((20, 30, 3), 117, np.uint8)
+        assert (ImageBilinearResize((13, 7)).resize_one(c) == 117).all()
+
+    def test_matches_float_reference_within_rounding(self):
+        """Exact fixed point vs float64 bilinear: equal except at
+        .5-boundary pixels (≤1 level), and bit-identical across runs."""
+        import numpy as np
+
+        from raysketch.stages.multimodal import ImageBilinearResize
+
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, size=(41, 29, 3)).astype(np.uint8)
+
+        def ref(img, H, W):
+            h, w = img.shape[:2]
+            ys = (np.arange(H) + 0.5) * h / H - 0.5
+            xs = (np.arange(W) + 0.5) * w / W - 0.5
+            fy = np.where((np.floor(ys) < 0) | (np.floor(ys) >= h - 1),
+                          0, ys - np.floor(ys))
+            fx = np.where((np.floor(xs) < 0) | (np.floor(xs) >= w - 1),
+                          0, xs - np.floor(xs))
+            y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+            x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+            y1 = np.minimum(y0 + 1, h - 1)
+            x1 = np.minimum(x0 + 1, w - 1)
+            p = img.astype(np.float64)
+            top = p[y0][:, x0] * (1 - fx)[None, :, None] \
+                + p[y0][:, x1] * fx[None, :, None]
+            bot = p[y1][:, x0] * (1 - fx)[None, :, None] \
+                + p[y1][:, x1] * fx[None, :, None]
+            v = top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
+            return np.floor(v + 0.5).astype(np.int64)
+
+        for (H, W) in [(16, 16), (64, 64), (5, 80), (24, 24)]:
+            st = ImageBilinearResize((H, W))
+            got = st.resize_one(img).astype(np.int64)
+            assert np.abs(got - ref(img, H, W)).max() <= 1
+            assert (st.resize_one(img).astype(np.int64) == got).all()
+
+    def test_query_runs_and_is_deterministic(self, ray_session):
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        q = e.queries()["image_resize_stats"]
+        a = q("/root/testdata/sf0.001")
+        b = q("/root/testdata/sf0.001")
+        assert len(a) >= 32
+        pd.testing.assert_frame_equal(a, b)
