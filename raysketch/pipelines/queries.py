@@ -21599,6 +21599,70 @@ def image_resize_stats(sf_dir: str) -> pd.DataFrame:
 QUERIES["image_resize_stats"] = image_resize_stats
 
 
+def bitmap_served_counts(sf_dir: str) -> pd.DataFrame:
+    """BITMAP INDEX (O'Neil SIGMOD'97 — stages/bitmapindex.py): one
+    bitset per distinct value of each low-cardinality column over the
+    dense event_id space, built in ONE zero-shuffle pass (per-batch
+    sparse word-OR partials, driver OR-scatter — the index is
+    n_rows/64 words per value, small by design) and persisted as a
+    parquet state table. The query then SERVES the full
+    (event_type × day-of-week) count grid from the INDEX ALONE —
+    word-wise AND + popcount per cell, never rescanning the fact table
+    — the OLAP-cube acceleration bitmap engines (Druid, Pinot, Kylin)
+    are built on. OR is idempotent/commutative, so the build is
+    bit-identical at any batch layout or retry."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..stages.bitmapindex import (build_bitmap_index, load_bitmaps,
+                                      popcount)
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    DAY = np.int64(86_400_000_000)
+    src = os.path.join(sf_dir, "events.parquet")
+    n_rows = pq.ParquetFile(src).metadata.num_rows
+
+    def type_codes(t: pa.Table) -> np.ndarray:
+        return pc.index_in(t.column("event_type"),
+                           value_set=pa.array(TYPES)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def dow_codes(t: pa.Table) -> np.ndarray:
+        us = t.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        return ((us // DAY + 4) % 7).astype(np.int64)  # Sunday=0
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+    idx_path = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                            f"bitmapidx_{sf_of(sf_dir)}", "index.parquet")
+    build_bitmap_index(
+        ds, "event_id",
+        {"event_type": (TYPES, type_codes),
+         "dow": (list(range(7)), dow_codes)},
+        n_rows, idx_path)
+
+    bm = load_bitmaps(idx_path)  # serve path: index reads ONLY
+    rows = []
+    for ty in TYPES:
+        for d in range(7):
+            n = popcount(bm[("event_type", ty)] & bm[("dow", str(d))])
+            if n:
+                rows.append({"event_type": ty, "dow": np.int64(d),
+                             "n": np.int64(n)})
+    return pd.DataFrame(rows).astype({"dow": "int64", "n": "int64"}) \
+        .sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+QUERIES["bitmap_served_counts"] = bitmap_served_counts
+ORACLES["bitmap_served_counts"] = """
+    SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, dayofweek(ts)
+    ORDER BY event_type, dow
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

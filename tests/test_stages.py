@@ -2695,3 +2695,85 @@ class TestImageBilinearResize:
         b = q("/root/testdata/sf0.001")
         assert len(a) >= 32
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestBitmapIndex:
+    def test_partials_fold_equals_direct(self):
+        """OR-scattering per-batch partials equals building the bitmap
+        from all rows at once (idempotent/commutative OR ⇒ any split)."""
+        import numpy as np
+
+        from raysketch.stages.bitmapindex import bitmap_partials
+
+        rng = np.random.default_rng(0)
+        n = 5000
+        ids = rng.permutation(n).astype(np.int64)
+        codes = rng.integers(0, 3, size=n).astype(np.int64)
+        vals = ["a", "b", "c"]
+        nw = (n + 63) >> 6
+
+        def fold(chunks):
+            bms = {v: np.zeros(nw, dtype=np.uint64) for v in vals}
+            for lo, hi in chunks:
+                df = bitmap_partials(ids[lo:hi], codes[lo:hi], "c", vals)
+                for v, g in df.groupby("value"):
+                    np.bitwise_or.at(
+                        bms[v], g["word"].to_numpy(dtype=np.int64),
+                        g["bits"].to_numpy(dtype=np.int64).view(np.uint64))
+            return bms
+
+        a = fold([(0, n)])
+        b = fold([(0, 1234), (1234, 1234), (1234, 4000), (4000, n)])
+        for v in vals:
+            assert (a[v] == b[v]).all()
+            # ground truth membership
+            want = np.zeros(n, dtype=bool)
+            want[ids[codes == vals.index(v)]] = True
+            got = ((a[v][np.arange(n) >> 6]
+                    >> (np.arange(n) & 63).astype(np.uint64)) & 1) == 1
+            assert (got == want).all()
+
+    def test_boolean_algebra_and_popcount(self):
+        import numpy as np
+
+        from raysketch.stages.bitmapindex import bitmap_partials, popcount
+
+        n = 300
+        ids = np.arange(n, dtype=np.int64)
+        c1 = (ids % 2).astype(np.int64)      # even/odd
+        c2 = (ids % 3 == 0).astype(np.int64)  # mult of 3
+        nw = (n + 63) >> 6
+
+        def bm_of(codes, vals, want_val):
+            bm = np.zeros(nw, dtype=np.uint64)
+            df = bitmap_partials(ids, codes, "x", vals)
+            g = df[df["value"] == want_val]
+            np.bitwise_or.at(bm, g["word"].to_numpy(dtype=np.int64),
+                             g["bits"].to_numpy(dtype=np.int64)
+                             .view(np.uint64))
+            return bm
+
+        even = bm_of(c1, ["even", "odd"], "even")
+        mult3 = bm_of(c2, ["no", "yes"], "yes")
+        assert popcount(even & mult3) == sum(
+            1 for i in range(n) if i % 2 == 0 and i % 3 == 0)
+        assert popcount(even | mult3) == sum(
+            1 for i in range(n) if i % 2 == 0 or i % 3 == 0)
+        # NOT needs masking the tail bits beyond n
+        full = np.full(nw, ~np.uint64(0), dtype=np.uint64)
+        tail = n & 63
+        if tail:
+            full[-1] = (np.uint64(1) << np.uint64(tail)) - np.uint64(1)
+        assert popcount(full & ~even) == n // 2
+
+    def test_index_rebuild_bit_identical(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        import __ray_entry__ as e
+
+        a = e.queries()["bitmap_served_counts"]("/root/testdata/sf0.001")
+        b = e.queries()["bitmap_served_counts"]("/root/testdata/sf0.001")
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
