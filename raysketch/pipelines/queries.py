@@ -21663,6 +21663,51 @@ ORACLES["bitmap_served_counts"] = """
 """
 
 
+def phrase_search_docs(sf_dir: str) -> pd.DataFrame:
+    """EXACT PHRASE search served from a POSITIONAL inverted index
+    (stages/invindex.py v3 — postings carry occurrence positions, the
+    structure tf postings cannot answer adjacency from): per-document
+    count of the phrase "table hash" as the intersection of shifted
+    position sets, reading ONLY the two terms' shards. The oracle
+    restates adjacency with DuckDB list indexing over the same
+    whitespace tokenization (our 0-based pos p ≡ ts[p+1]), proving the
+    index round-trip end to end — positions survive the exchange, the
+    pack, the parquet write and the pruned read bit-exactly."""
+    import tempfile
+
+    import ray.data
+
+    from ..stages.invindex import build_positional_index, phrase_search
+
+    idx = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                       f"posidx_{sf_of(sf_dir)}")
+    meta_path = os.path.join(idx, "meta.json")
+    ok = False
+    if os.path.exists(meta_path):
+        import json as _json
+
+        with open(meta_path) as f:
+            ok = _json.load(f).get("version") == 3
+    if not ok:
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        build_positional_index(ds, idx)
+    out = phrase_search(idx, ["table", "hash"])
+    return out.astype({"doc_id": "int64", "n_occ": "int64"})
+
+
+QUERIES["phrase_search_docs"] = phrase_search_docs
+ORACLES["phrase_search_docs"] = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                  FROM documents),
+    p AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS i,
+                 ts
+          FROM toks)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM p WHERE ts[i] = 'table' AND ts[i + 1] = 'hash'
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -244,3 +244,137 @@ def bm25_search_index(index_dir: str, terms: list[str], k: int = 20,
                       ascending=[False, True], kind="stable").head(k)
     return g.reset_index(drop=True).astype(
         {id_col: "int64", "score_fp": "int64", "n_terms": "int64"})
+
+
+def build_positional_index(ds, index_dir: str, text_col: str = "text",
+                           id_col: str = "doc_id", n_shards: int = 32
+                           ) -> dict:
+    """POSITIONAL inverted index (v3): postings carry every occurrence
+    position, the structure PHRASE queries need (adjacency is not
+    derivable from tf). Build cost is the honest positional price —
+    one (term, doc, pos) row per TOKEN crosses the term-hash exchange
+    (vs one per distinct (term, doc) for the tf index; document lengths
+    bound it) — then each shard packs positions into one
+    list<int64> row per (term, doc), sorted by (term, doc) for the
+    same row-group pruning the tf index gets. Positions are 0-based
+    token offsets under the corpus-wide whitespace tokenization
+    (empty tokens KEEP their slots, so SQL list indices map 1:1:
+    our pos p ≡ DuckDB ts[p+1])."""
+    import shutil
+
+    import pandas as pd
+
+    n_docs = ds.count()
+
+    def occ_rows(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.fill_null(t.column(text_col), ""), " ").combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        parent = np.repeat(ids, counts)
+        # position = index within the doc's token list (empties keep slots)
+        ends = np.cumsum(counts)
+        pos = np.arange(int(ends[-1]) if len(ends) else 0,
+                        dtype=np.int64) - np.repeat(ends - counts, counts)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        terms = flat.to_pandas()[keep].to_numpy()
+        sh = term_shard(terms, n_shards)
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            id_col: pa.array(parent[keep]),
+            "pos": pa.array(pos[keep]),
+            "shard": pa.array(sh),
+        })
+
+    def pack_shard(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        if not len(g):  # empty frames must keep the SAME columns
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 id_col: pd.Series([], dtype=np.int64),
+                                 "positions": pd.Series([], dtype=object),
+                                 "shard": pd.Series([], dtype=np.int64)})
+        t = g["term"].to_numpy()
+        d = g[id_col].to_numpy(dtype=np.int64)
+        p = g["pos"].to_numpy(dtype=np.int64)
+        order = np.lexsort((p, d, t))
+        t, d, p = t[order], d[order], p[order]
+        change = np.r_[True, (t[1:] != t[:-1]) | (d[1:] != d[:-1])]
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(t)]
+        return pd.DataFrame({
+            "term": t[starts],
+            id_col: d[starts],
+            "positions": [p[s:e].tolist() for s, e in zip(starts, ends)],
+            "shard": np.full(len(starts), int(g["shard"].iloc[0]),
+                             dtype=np.int64),
+        })
+
+    rows = ds.map_batches(occ_rows, batch_format="pyarrow") \
+        .groupby("shard").map_groups(pack_shard, batch_format="pandas")
+    shards_dir = os.path.join(index_dir, "shards")
+    shutil.rmtree(shards_dir, ignore_errors=True)
+    os.makedirs(shards_dir, exist_ok=True)
+    rows.write_parquet(shards_dir, partition_cols=["shard"])
+    meta = {"kind": "inverted", "version": 3, "positional": True,
+            "text_col": text_col, "id_col": id_col,
+            "n_shards": n_shards, "n_docs": int(n_docs)}
+    mpath = os.path.join(index_dir, "meta.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(mpath + ".tmp", mpath)
+    return meta
+
+
+def phrase_search(index_dir: str, phrase: list[str]) -> "pd.DataFrame":
+    """EXACT phrase query from the positional index alone: read ONLY
+    the phrase terms' shards (term-IN filter + row-group stats), align
+    per document, and count positions p with p+i ∈ positions(term_i)
+    for every i — intersection of shifted position sets, the classic
+    positional-postings merge. Driver work is O(Σ df·occ) for the
+    phrase's terms, independent of corpus size. Returns
+    (doc_id, n_occ), docs with ≥1 occurrence."""
+    import pandas as pd
+    import pyarrow.parquet as pq_mod
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if not meta.get("positional"):
+        raise ValueError("phrase_search needs a positional (v3) index")
+    id_col = meta["id_col"]
+    shards = term_shard(phrase, meta["n_shards"])
+    per_term = []
+    for term, sh in zip(phrase, shards):
+        files = sorted(glob.glob(os.path.join(
+            index_dir, "shards", f"shard={sh}", "*.parquet")))
+        if not files:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "n_occ": pd.Series([], dtype=np.int64)})
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(files).to_table(
+            filter=pads.field("term") == term,
+            columns=[id_col, "positions"])
+        per_term.append({
+            int(d): np.asarray(p, dtype=np.int64)
+            for d, p in zip(t.column(id_col).to_pylist(),
+                            t.column("positions").to_pylist())})
+    first = per_term[0]
+    out_d, out_n = [], []
+    for d, p0 in first.items():
+        cand = p0
+        for i, mp in enumerate(per_term[1:], start=1):
+            pi = mp.get(d)
+            if pi is None:
+                cand = cand[:0]
+                break
+            cand = cand[np.isin(cand + i, pi)]
+            if not len(cand):
+                break
+        if len(cand):
+            out_d.append(d)
+            out_n.append(len(cand))
+    return pd.DataFrame({id_col: np.array(out_d, dtype=np.int64),
+                         "n_occ": np.array(out_n, dtype=np.int64)}) \
+        .sort_values(id_col).reset_index(drop=True)

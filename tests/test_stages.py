@@ -2777,3 +2777,76 @@ class TestBitmapIndex:
         import pandas as pd
 
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestPositionalIndex:
+    def test_phrase_matches_brute_force_three_terms(self, ray_session,
+                                                    tmp_path):
+        import pandas as pd
+        import ray.data
+
+        from raysketch.stages.invindex import (build_positional_index,
+                                               phrase_search)
+
+        docs = pd.DataFrame({
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "a b c a b c",       # 'a b c' twice
+                "a b x a b",         # 'a b' twice, no 'a b c'
+                "c a b c",           # once
+                "a a b c c",         # once
+                "b c a",             # zero (wraps don't count)
+                "",                  # empty
+            ],
+        })
+        idx = str(tmp_path / "pidx")
+        build_positional_index(ray.data.from_pandas(docs).repartition(3),
+                               idx, n_shards=4)
+        got = phrase_search(idx, ["a", "b", "c"])
+        want = {}
+        for r in docs.itertuples():
+            ts = r.text.split(" ")
+            n = sum(1 for i in range(len(ts) - 2)
+                    if ts[i:i + 3] == ["a", "b", "c"])
+            if n:
+                want[r.doc_id] = n
+        assert {int(d): int(n) for d, n in
+                zip(got["doc_id"], got["n_occ"])} == want
+        # two-term phrase too
+        got2 = phrase_search(idx, ["a", "b"])
+        want2 = {}
+        for r in docs.itertuples():
+            ts = r.text.split(" ")
+            n = sum(1 for i in range(len(ts) - 1)
+                    if ts[i:i + 2] == ["a", "b"])
+            if n:
+                want2[r.doc_id] = n
+        assert {int(d): int(n) for d, n in
+                zip(got2["doc_id"], got2["n_occ"])} == want2
+
+    def test_rejects_tf_index(self, ray_session, tmp_path):
+        import pandas as pd
+        import pytest
+        import ray.data
+
+        from raysketch.stages.invindex import (build_inverted_index,
+                                               phrase_search)
+
+        docs = pd.DataFrame({"doc_id": [0], "text": ["a b"]})
+        idx = str(tmp_path / "tfidx")
+        build_inverted_index(ray.data.from_pandas(docs), idx, n_shards=2)
+        with pytest.raises(ValueError, match="positional"):
+            phrase_search(idx, ["a", "b"])
+
+    def test_absent_term_returns_empty(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data
+
+        from raysketch.stages.invindex import (build_positional_index,
+                                               phrase_search)
+
+        docs = pd.DataFrame({"doc_id": [0], "text": ["a b"]})
+        idx = str(tmp_path / "pidx2")
+        build_positional_index(ray.data.from_pandas(docs), idx,
+                               n_shards=2)
+        assert len(phrase_search(idx, ["a", "zz"])) == 0
