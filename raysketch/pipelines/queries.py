@@ -21708,6 +21708,93 @@ ORACLES["phrase_search_docs"] = """
 """
 
 
+def session_error_overlaps(sf_dir: str, gap_min: int = 30,
+                           win_s: int = 300) -> pd.DataFrame:
+    """KEYLESS interval-overlap join (stages/joins.py
+    interval_overlap_count): for every user session (30-min-gap
+    sessionization), how many system-wide ERROR windows (error ts
+    ±5 min, ANY user) overlapped it — the "which incidents touched my
+    session" temporal join that key-hash exchanges cannot route. Time
+    axis range-partitioned with span replication; every overlapping
+    pair counted exactly once via the overlap-START ownership rule
+    (the bucket containing max(session_start, window_lo), which both
+    intervals provably touch); zero-overlap sessions kept (LEFT
+    semantics). The oracle pays the real inequality join."""
+    from ..stages.dedup import _splitmix64 as _mix64
+    from ..stages.joins import interval_overlap_count
+
+    GAP = np.int64(gap_min) * np.int64(60_000_000)
+    W = np.int64(win_s) * np.int64(1_000_000)
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def tag_user(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        us = t.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        b = (_mix64(u.astype(np.uint64)) % np.uint64(64)).astype(np.int64)
+        return pa.table({"u": u, "t": us, "__b": b})
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        t = g["t"].to_numpy(dtype=np.int64)
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        new = np.r_[True, (u[1:] != u[:-1]) | (t[1:] - t[:-1] > GAP)]
+        sid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(t)] - 1 if len(t) else starts
+        return pd.DataFrame({"user_id": u[starts],
+                             "a": t[starts], "b": t[ends]})
+
+    sessions = ev.map_batches(tag_user, batch_format="pyarrow") \
+        .groupby("__b").map_groups(sessions_bucket, batch_format="pandas")
+
+    windows = ev.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array(
+                t.filter(pc.equal(t.column("event_type"), "error"))
+                .column("ts").to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").view(np.int64) - W),
+            "hi": pa.array(
+                t.filter(pc.equal(t.column("event_type"), "error"))
+                .column("ts").to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").view(np.int64) + W),
+        }), batch_format="pyarrow")
+
+    out = interval_overlap_count(sessions, windows, left_cols=("a", "b"),
+                                 id_cols=("user_id", "a"))
+    return out.sort_values(["user_id", "a"]).reset_index(drop=True) \
+        .astype({"user_id": "int64", "a": "int64", "n_overlaps": "int64"})
+
+
+QUERIES["session_error_overlaps"] = session_error_overlaps
+ORACLES["session_error_overlaps"] = """
+    WITH s0 AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS st
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s1 AS (SELECT user_id, ts,
+                  SUM(st) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+           FROM s0),
+    iv AS (SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS a,
+                  CAST(epoch_us(MAX(ts)) AS BIGINT) AS b
+           FROM s1 GROUP BY user_id, sid),
+    w AS (SELECT epoch_us(ts) - 300000000 AS lo,
+                 epoch_us(ts) + 300000000 AS hi
+          FROM events WHERE event_type = 'error')
+    SELECT iv.user_id, iv.a AS a,
+           CAST(COUNT(w.lo) AS BIGINT) AS n_overlaps
+    FROM iv LEFT JOIN w ON w.lo <= iv.b AND w.hi >= iv.a
+    GROUP BY iv.user_id, iv.a
+    ORDER BY user_id, a
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

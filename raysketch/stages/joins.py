@@ -496,3 +496,125 @@ def band_count_self(
 
     return ds.map_batches(emit, batch_format="pyarrow") \
         .groupby("__b").map_groups(count_bucket, batch_format="pandas")
+
+
+def interval_overlap_count(
+    left,
+    right,
+    left_cols: tuple,
+    right_cols: tuple = ("lo", "hi"),
+    id_cols: tuple = (),
+    num_buckets: int = 64,
+    count_col: str = "n_overlaps",
+):
+    """KEYLESS interval-overlap join, count form: for every left
+    interval [a, b], how many right intervals [lo, hi] OVERLAP it
+    (closed-ended: lo ≤ b ∧ hi ≥ a) — the temporal join behind
+    "which incident windows touched my session" that no equi-exchange
+    can route.
+
+    Range-partition the TIME axis; every interval is replicated to each
+    range its span touches (replication factor = span/width + 1 — skew
+    bound: one pathological hour-long bucket of intervals lands on one
+    worker). Each overlapping pair is counted EXACTLY ONCE via the
+    OVERLAP-START ownership rule: the pair belongs to the range
+    containing max(a, lo), which both intervals provably touch. Inside
+    a bucket everything is searchsorted algebra over the bucket's
+    sorted lo/hi arrays:
+
+    - case lo ≥ a (start = lo): count lo ∈ [max(a, BLO), min(b, BHI)]
+      — hi ≥ a holds automatically, and restricting lo to the bucket
+      range dedups across the window's other copies;
+    - case lo < a (start = a): evaluated ONLY by the left copy in a's
+      home bucket: count (lo < a) − (hi < a) (every such window's span
+      contains a, so its copy is present here).
+
+    Left ``id_cols`` ride every copy; partial counts (including zeros —
+    LEFT-join semantics) sum per id in one final small groupby. Two
+    exchanges total, no pair materialization. Integer endpoints only.
+    """
+    import ray.data.aggregate as ragg
+
+    la_col, lb_col = left_cols
+    rlo_col, rhi_col = right_cols
+    id_cols = list(id_cols)
+
+    mm_l = left.aggregate(ragg.Min(la_col), ragg.Max(lb_col))
+    mm_r = right.aggregate(ragg.Min(rlo_col), ragg.Max(rhi_col))
+    axis_lo = int(min(mm_l[f"min({la_col})"],
+                      mm_r[f"min({rlo_col})"] if mm_r[f"min({rlo_col})"]
+                      is not None else mm_l[f"min({la_col})"]))
+    axis_hi = int(max(mm_l[f"max({lb_col})"],
+                      mm_r[f"max({rhi_col})"] if mm_r[f"max({rhi_col})"]
+                      is not None else mm_l[f"max({lb_col})"]))
+    w = max(1, -(-(axis_hi - axis_lo + 1) // num_buckets))
+
+    def replicate(t: pa.Table, a_col, b_col, side: str,
+                  carry: list) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b0 = (a - axis_lo) // w
+        b1 = (b - axis_lo) // w
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(a)), reps)
+        # bucket of copy j of row i = b0[i] + j
+        off = np.arange(int(reps.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        cols = {"__bk": np.repeat(b0, reps) + off,
+                "__s": np.full(int(reps.sum()), side == "r"),
+                "__a": a[idx], "__b": b[idx]}
+        for c in carry:
+            v = t.column(c).to_numpy(zero_copy_only=False)
+            cols[c] = v[idx]
+        return pa.table(cols)
+
+    pad_int = [(c, np.int64(0)) for c in id_cols]
+
+    l_rep = left.map_batches(
+        lambda t: replicate(t, la_col, lb_col, "l", id_cols),
+        batch_format="pyarrow")
+    r_rep = right.map_batches(
+        lambda t: _pad_right(replicate(t, rlo_col, rhi_col, "r", []),
+                             pad_int),
+        batch_format="pyarrow")
+    both = l_rep.union(r_rep)
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bk = int(g["__bk"].iloc[0])
+        blo = axis_lo + bk * w
+        bhi = blo + w - 1  # inclusive range end
+        is_r = g["__s"].to_numpy(dtype=bool)
+        rlo = np.sort(g.loc[is_r, "__a"].to_numpy(dtype=np.int64))
+        rhi = np.sort(g.loc[is_r, "__b"].to_numpy(dtype=np.int64))
+        lg = g[~is_r]
+        a = lg["__a"].to_numpy(dtype=np.int64)
+        b = lg["__b"].to_numpy(dtype=np.int64)
+        # case 1: lo in [max(a, blo), min(b, bhi)]
+        lo_from = np.maximum(a, blo)
+        lo_to = np.minimum(b, bhi)
+        c1 = (np.searchsorted(rlo, lo_to, side="right")
+              - np.searchsorted(rlo, lo_from, side="left"))
+        c1 = np.where(lo_to >= lo_from, c1, 0)
+        # case 2: lo < a ≤ hi, only in a's home bucket
+        home = (blo <= a) & (a <= bhi)
+        c2 = (np.searchsorted(rlo, a, side="left")
+              - np.searchsorted(rhi, a, side="left"))
+        n = c1 + np.where(home, c2, 0)
+        out = lg[id_cols].reset_index(drop=True)
+        out[count_col] = n.astype(np.int64)
+        return out
+
+    parts = both.groupby("__bk") \
+        .map_groups(count_bucket, batch_format="pandas").to_pandas()
+    agg = parts.groupby(id_cols, as_index=False)[count_col].sum()
+    return agg.astype({count_col: "int64"})
+
+
+def _pad_right(t: pa.Table, pad_int: list) -> pa.Table:
+    """Typed-zero padding for the right side's missing id columns
+    (int64 nulls upcast whole bucket frames to float64 — the 2^53 id
+    trap)."""
+    for c, z in pad_int:
+        t = t.append_column(c, pa.array(
+            np.zeros(t.num_rows, dtype=np.int64)))
+    return t

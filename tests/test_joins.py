@@ -377,3 +377,65 @@ class TestBandCountSelf:
         ).to_pandas().sort_values("id").reset_index(drop=True)
         # boundary is inclusive: 10 matches 15 and vice versa
         assert (out["n_near"].to_numpy() == self._brute(v, 5)).all()
+
+
+class TestIntervalOverlapCount:
+    def test_matches_brute_force(self, ray_session):
+        import ray
+
+        rng = np.random.default_rng(5)
+        nl, nr = 400, 300
+        a = rng.integers(0, 100_000, size=nl).astype(np.int64)
+        b = a + rng.integers(0, 30_000, size=nl)  # spans cross buckets
+        lo = rng.integers(0, 100_000, size=nr).astype(np.int64)
+        hi = lo + rng.integers(0, 20_000, size=nr)
+        left = pd.DataFrame({"id": np.arange(nl, dtype=np.int64),
+                             "a": a, "b": b})
+        right = pd.DataFrame({"lo": lo, "hi": hi})
+        from raysketch.stages.joins import interval_overlap_count
+
+        out = interval_overlap_count(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(3),
+            left_cols=("a", "b"), id_cols=("id",), num_buckets=8,
+        ).sort_values("id").reset_index(drop=True)
+        want = np.array([((lo <= b[i]) & (hi >= a[i])).sum()
+                         for i in range(nl)])
+        assert (out["n_overlaps"].to_numpy() == want).all()
+        assert len(out) == nl  # zero-overlap intervals kept
+
+    def test_point_intervals_and_touching_boundaries(self, ray_session):
+        """Closed-ended semantics: touching endpoints overlap; point
+        intervals work; identical intervals count multiply."""
+        import ray
+
+        left = pd.DataFrame({"id": np.arange(3, dtype=np.int64),
+                             "a": np.array([10, 50, 100], dtype=np.int64),
+                             "b": np.array([20, 50, 200], dtype=np.int64)})
+        right = pd.DataFrame({
+            "lo": np.array([20, 50, 50, 0], dtype=np.int64),
+            "hi": np.array([30, 50, 50, 9], dtype=np.int64)})
+        from raysketch.stages.joins import interval_overlap_count
+
+        out = interval_overlap_count(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            left_cols=("a", "b"), id_cols=("id",), num_buckets=4,
+        ).sort_values("id").reset_index(drop=True)
+        # id0: [10,20] touches [20,30] → 1; id1: point 50 matches the
+        # two [50,50] copies → 2; id2: none
+        assert list(out["n_overlaps"]) == [1, 2, 0]
+
+    def test_empty_right(self, ray_session):
+        import ray
+
+        left = pd.DataFrame({"id": np.array([0], dtype=np.int64),
+                             "a": np.array([1], dtype=np.int64),
+                             "b": np.array([5], dtype=np.int64)})
+        right = pd.DataFrame({"lo": pd.Series([], dtype=np.int64),
+                              "hi": pd.Series([], dtype=np.int64)})
+        from raysketch.stages.joins import interval_overlap_count
+
+        out = interval_overlap_count(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            left_cols=("a", "b"), id_cols=("id",))
+        assert list(out["n_overlaps"]) == [0]
