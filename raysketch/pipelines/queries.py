@@ -21795,6 +21795,78 @@ ORACLES["session_error_overlaps"] = """
 """
 
 
+def containment_ngram_pairs(sf_dir: str) -> pd.DataFrame:
+    """ASYMMETRIC near-dup: exact word-3-gram CONTAINMENT self-join
+    (stages/dedup.py containment_join) at max-containment ≥ 0.9, over
+    the documents table plus PLANTED superstrings (every 97th doc gets
+    a +1000000-id twin with an appended tail — the quote-inside-a-
+    longer-host case: containment(orig→twin) = 1 while Jaccard
+    n_a/n_b < 0.9, so the Jaccard join provably misses what this one
+    must catch; pytest asserts both directions). One-sided prefix
+    filtering (probe prefix × index FULL set — the Jaccard both-sides
+    cut is unsound for containment); output is all-integer
+    (inter, n_a, n_b), so the SQL twin value-hashes float-free."""
+    from ..stages.dedup import containment_join
+
+    TAIL = " zz qq ww ee rr tt yy uu"
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = did % 97 == 0
+        ids2 = did[m] + 1_000_000
+        txt2 = pc.binary_join_element_wise(
+            pc.fill_null(t.column("text"), ""),
+            pa.array([TAIL] * t.num_rows), "")
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([did, ids2])),
+            "text": pa.concat_arrays(
+                [t.column("text").combine_chunks().cast(pa.string()),
+                 txt2.combine_chunks().filter(pa.array(m))
+                 .cast(pa.string())]),
+        })
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return containment_join(planted, k=3, t_num=9, t_den=10)
+
+
+QUERIES["containment_ngram_pairs"] = containment_ngram_pairs
+ORACLES["containment_ngram_pairs"] = """
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz qq ww ee rr tt yy uu'
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs2),
+    pos AS (
+      SELECT doc_id, words,
+             unnest(range(1, greatest(len(words) - 1, 1))) AS p
+      FROM w
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             list_extract(words, CAST(p AS INT)) || ' ' ||
+             list_extract(words, CAST(p AS INT) + 1) || ' ' ||
+             list_extract(words, CAST(p AS INT) + 2) AS gram
+      FROM pos
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE i * 10 >= 9 * sa.n OR i * 10 >= 9 * sb.n
+    ORDER BY id_a, id_b
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -2825,3 +2825,143 @@ def semdedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     return removed.astype({id_col: "int64", "cluster": "int64",
                            "dup_of": "int64"}) \
         .sort_values(id_col).reset_index(drop=True)
+
+
+def containment_join(ds, text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 3, t_num: int = 9, t_den: int = 10,
+                     num_buckets: int = 64,
+                     broadcast_df_limit: int = 2_000_000):
+    """EXACT n-gram CONTAINMENT self-join: every pair with
+    max(|A∩B|/|A|, |A∩B|/|B|) ≥ t_num/t_den — the ASYMMETRIC near-dup
+    semantics Jaccard cannot see: a document quoted whole inside a
+    larger one has containment 1 but Jaccard |A|/|B| → 0 as the host
+    grows (Broder '97 separates resemblance from containment; this is
+    the quote/superset-dedup operator).
+
+    Candidates are provably complete via ONE-SIDED prefix filtering:
+    if |A∩B| ≥ ⌈t·nA⌉ then any (nA−⌈t·nA⌉+1)-subset of A's tokens hits
+    A∩B ⊆ B — so under the global (df, token) order, A's PREFIX of
+    that length shares a token with B's FULL set. Hence PROBE rows
+    (each doc's containment prefix) pair against INDEX rows (each
+    doc's full token set) in one token-hash exchange; the asymmetry is
+    exactly why the index side cannot be pruned (the Jaccard prefix
+    filter's both-sides cut is unsound here). Candidate volume is
+    Σ_token df_prefix·df — bounded on word shingles (df ≈ 10 on this
+    corpus). If the vocabulary exceeds the broadcast cap the probe
+    side degrades to the FULL token set (prefix = everything): still
+    provably complete, just more candidates — a correctness-preserving
+    fallback, not an error.
+
+    Verify is exact on true text grams. Returns
+    (id_a, id_b, inter, n_a, n_b) with id_a < id_b — ALL integers, so
+    the SQL twin value-hashes with no float anywhere."""
+    import pandas as pd
+
+    rows_fn = _word_gram_rows(text_col, id_col, k)
+    gram_set = _word_gram_set(k)
+    docs = ds.select_columns([id_col, text_col])
+    tok = docs.map_batches(rows_fn, batch_format="pyarrow")
+    vocab = _fold_df_counts(tok, broadcast_df_limit)
+
+    def ceil_t(n):
+        return -(-t_num * n) // t_den
+
+    if vocab is not None:
+        import ray
+
+        vocab_ref = ray.put(vocab)
+        holder: list = []
+
+        def probe_index_rows(t: pa.Table) -> pa.Table:
+            if not holder:
+                holder.append(ray.get(vocab_ref))
+            vt, vc = holder[0]
+            r = rows_fn(t)
+            token = r.column("token").to_numpy(zero_copy_only=False)
+            did = r.column(id_col).to_numpy(zero_copy_only=False)
+            n = r.column("n").to_numpy(zero_copy_only=False)
+            df = vc[np.searchsorted(vt, token)]
+            # rank tokens per doc by (df, token); prefix = first
+            # n - ceil(t·n) + 1
+            order = np.lexsort((token, df, did))
+            did_s, tok_s, n_s = did[order], token[order], n[order]
+            starts = np.flatnonzero(np.r_[True, did_s[1:] != did_s[:-1]])
+            rank = np.arange(len(did_s), dtype=np.int64) \
+                - np.repeat(starts, np.diff(np.r_[starts, len(did_s)]))
+            plen = n_s - ceil_t(n_s) + 1
+            probe = rank < plen
+            return pa.table({"token": tok_s, id_col: did_s,
+                             "probe": probe,
+                             "__tb": (_splitmix64(tok_s.astype(np.uint64))
+                                      % np.uint64(num_buckets))
+                             .astype(np.int64)})
+    else:
+        def probe_index_rows(t: pa.Table) -> pa.Table:
+            r = rows_fn(t)
+            token = r.column("token").to_numpy(zero_copy_only=False)
+            did = r.column(id_col).to_numpy(zero_copy_only=False)
+            return pa.table({"token": token, id_col: did,
+                             "probe": np.ones(len(token), dtype=bool),
+                             "__tb": (_splitmix64(token.astype(np.uint64))
+                                      % np.uint64(num_buckets))
+                             .astype(np.int64)})
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        tok_a = g["token"].to_numpy(dtype=np.int64)
+        did = g[id_col].to_numpy(dtype=np.int64)
+        pr = g["probe"].to_numpy(dtype=bool)
+        order = np.argsort(tok_a, kind="stable")
+        tok_s, did_s, pr_s = tok_a[order], did[order], pr[order]
+        starts = np.flatnonzero(np.r_[True, tok_s[1:] != tok_s[:-1]])
+        ends = np.r_[starts[1:], len(tok_s)]
+        pa_, pb_ = [], []
+        for s, e in zip(starts, ends):
+            d = did_s[s:e]
+            p = pr_s[s:e]
+            probes = d[p]
+            if not len(probes):
+                continue
+            lo = np.minimum.outer(probes, d).ravel()
+            hi = np.maximum.outer(probes, d).ravel()
+            m = lo != hi
+            pa_.append(lo[m])
+            pb_.append(hi[m])
+        if not pa_:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(pa_),
+                             "id_b": np.concatenate(pb_)}) \
+            .drop_duplicates()
+
+    raw = docs.map_batches(probe_index_rows, batch_format="pyarrow") \
+        .groupby("__tb").map_groups(emit_pairs, batch_format="pandas")
+    pairs = _driver_dedupe_pairs(raw)
+    empty = pd.DataFrame({
+        "id_a": pd.Series([], dtype="int64"),
+        "id_b": pd.Series([], dtype="int64"),
+        "inter": pd.Series([], dtype="int64"),
+        "n_a": pd.Series([], dtype="int64"),
+        "n_b": pd.Series([], dtype="int64")})
+    if len(pairs) == 0:
+        return empty
+    want = set(pairs["id_a"]).union(pairs["id_b"])
+    t = _gather_rows_by_id(docs, id_col, want)
+    grams = {}
+    if t is not None:
+        for i, x in zip(t.column(id_col).to_pylist(),
+                        t.column(text_col).to_pylist()):
+            grams[int(i)] = gram_set(x or "")
+    out_rows = []
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ga, gb = grams.get(int(a), set()), grams.get(int(b), set())
+        inter = len(ga & gb)
+        na, nb = len(ga), len(gb)
+        if (na and inter * t_den >= t_num * na) or \
+                (nb and inter * t_den >= t_num * nb):
+            out_rows.append((int(a), int(b), inter, na, nb))
+    if not out_rows:
+        return empty
+    return pd.DataFrame(out_rows,
+                        columns=["id_a", "id_b", "inter", "n_a", "n_b"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True) \
+        .astype("int64")

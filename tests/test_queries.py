@@ -2269,3 +2269,36 @@ def test_ivm_equals_full_recompute(ray_session):
         .sum().sort_values("l_returnflag").reset_index(drop=True) \
         .astype({"n": "int64", "revenue_cents": "int64"})
     pd.testing.assert_frame_equal(got, full)
+
+
+def test_containment_catches_planted_superstrings_jaccard_misses(
+        ray_session):
+    """Every planted (orig, orig+tail) pair must be reported with
+    inter == n_a (full containment of the original), and at least one
+    such pair must sit BELOW the 0.9 Jaccard bar — the asymmetric
+    semantics the Jaccard join provably cannot express."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = e.queries()["containment_ngram_pairs"](sf_dir)
+    con = duckdb.connect()
+    planted_ids = con.execute(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
+        f"WHERE doc_id % 97 = 0 AND text IS NOT NULL "
+        f"AND length(text) > 0").fetchdf()["doc_id"]
+    pairs = {(int(a), int(b)): (int(i), int(na), int(nb))
+             for a, b, i, na, nb in zip(got["id_a"], got["id_b"],
+                                        got["inter"], got["n_a"],
+                                        got["n_b"])}
+    assert len(planted_ids) > 0
+    jaccard_would_miss = 0
+    for d in planted_ids:
+        key = (int(d), int(d) + 1_000_000)
+        assert key in pairs, f"planted pair {key} missing"
+        i, na, nb = pairs[key]
+        assert i == na  # the original is fully contained
+        if 10 * i < 9 * (na + nb - i):  # jaccard < 0.9
+            jaccard_would_miss += 1
+    assert jaccard_would_miss > 0
