@@ -21867,6 +21867,154 @@ ORACLES["containment_ngram_pairs"] = """
 """
 
 
+def pattern_vcp_adjacent(sf_dir: str) -> pd.DataFrame:
+    """SEQUENCE PATTERN MATCHING (the MATCH_RECOGNIZE shape SQL
+    engines mostly lack): count, per user, occurrences of the exact
+    ADJACENT event pattern view→click→purchase — three consecutive
+    events in the user's time-ordered stream with nothing in between
+    (funnel_conversion_events allows gaps; adjacency is the stricter
+    regex-over-sequences semantics). One user-hash exchange, per-user
+    lexsort, one vectorized triple-shift compare — the per-row LEAD
+    window the oracle states with LEAD(type,1)/LEAD(type,2). Ties in
+    ts are broken by event_id on both engines (the stream's stable
+    order)."""
+    from ..stages.dedup import _splitmix64 as _mix64
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    TYPES = ["view", "click", "purchase"]
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        us = t.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        idx = pc.index_in(t.column("event_type"),
+                          value_set=pa.array(TYPES))
+        k = pc.fill_null(idx, -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = (_mix64(u.astype(np.uint64)) % np.uint64(64)).astype(np.int64)
+        return pa.table({"u": u, "t": us, "e": eid, "k": k, "__b": b})
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        t = g["t"].to_numpy(dtype=np.int64)
+        e = g["e"].to_numpy(dtype=np.int64)
+        k = g["k"].to_numpy(dtype=np.int64)
+        order = np.lexsort((e, t, u))
+        u, k = u[order], k[order]
+        if len(u) < 3:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "n_vcp": pd.Series([], dtype=np.int64)})
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        hit = same & (k[:-2] == 0) & (k[1:-1] == 1) & (k[2:] == 2)
+        df = pd.DataFrame({"user_id": u[:-2][hit]})
+        out = df.groupby("user_id", as_index=False).size() \
+            .rename(columns={"size": "n_vcp"})
+        return out.astype({"user_id": "int64", "n_vcp": "int64"})
+
+    parts = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(count_bucket, batch_format="pandas") \
+        .to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "n_vcp": pd.Series([], dtype="int64")})
+    return parts.sort_values("user_id").reset_index(drop=True) \
+        .astype({"user_id": "int64", "n_vcp": "int64"})
+
+
+QUERIES["pattern_vcp_adjacent"] = pattern_vcp_adjacent
+ORACLES["pattern_vcp_adjacent"] = """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_vcp
+    FROM s
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    GROUP BY user_id ORDER BY user_id
+"""
+
+
+def roc_auc_wordcount_en(sf_dir: str) -> pd.DataFrame:
+    """EXACT ROC-AUC (Mann–Whitney U) — the model-evaluation operator
+    every classifier pipeline needs, computed distributed WITHOUT a
+    global sort: AUC over a bounded integer score (word count) scoring
+    the label lang='en' reduces to per-(score, label) COUNTS — one
+    zero-shuffle histogram combiner — then the driver's cumulative
+    scan assigns each distinct score its mid-rank in EXACT integers
+    (2·avg_rank = 2·cum_before + c + 1, so ties cost no floats).
+    Output is the integer triple (2U, n_pos, n_neg) plus AUC in
+    floored millionths — the SQL twin states the same mid-rank algebra
+    via RANK() + COUNT() OVER (2r + c − 1) and HUGEINT arithmetic."""
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def hist(t: pa.Table) -> pd.DataFrame:
+        wc = pc.list_value_length(pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " ")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = pc.equal(t.column("lang"), "en") \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"s": wc, "p": pos.astype(np.int64)})
+        g = df.groupby(["s", "p"], as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["s", "p"], as_index=False)["c"].sum() \
+        .sort_values("s").reset_index(drop=True)
+    scores = np.sort(g["s"].unique())
+    tot = {int(s): 0 for s in scores}
+    posc = {int(s): 0 for s in scores}
+    for r in g.itertuples():
+        tot[int(r.s)] += int(r.c)
+        if r.p:
+            posc[int(r.s)] += int(r.c)
+    cum = 0
+    sum2r = 0
+    n_pos = n_all = 0
+    for s in scores:
+        c = tot[int(s)]
+        sum2r += posc[int(s)] * (2 * cum + c + 1)
+        cum += c
+        n_pos += posc[int(s)]
+        n_all += c
+    n_neg = n_all - n_pos
+    u2 = sum2r - n_pos * (n_pos + 1)
+    auc_micro = (u2 * 500_000) // (n_pos * n_neg) if n_pos and n_neg else 0
+    return _one_row(u2=np.int64(u2), n_pos=np.int64(n_pos),
+                    n_neg=np.int64(n_neg),
+                    auc_micro=np.int64(auc_micro))
+
+
+QUERIES["roc_auc_wordcount_en"] = roc_auc_wordcount_en
+ORACLES["roc_auc_wordcount_en"] = """
+    WITH sc AS (
+      SELECT len(string_split(text, ' ')) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+      FROM documents
+    ),
+    r AS (
+      SELECT p,
+             RANK() OVER (ORDER BY s) AS rk,
+             COUNT(*) OVER (PARTITION BY s) AS c
+      FROM sc
+    ),
+    agg AS (
+      SELECT CAST(SUM(2 * rk + c - 1) FILTER (p = 1) AS BIGINT) AS sum2r,
+             CAST(COUNT(*) FILTER (p = 1) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) FILTER (p = 0) AS BIGINT) AS n_neg
+      FROM r
+    )
+    SELECT sum2r - n_pos * (n_pos + 1) AS u2, n_pos, n_neg,
+           CAST(((sum2r - n_pos * (n_pos + 1)) * 500000)
+                // (n_pos * n_neg) AS BIGINT) AS auc_micro
+    FROM agg
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================
