@@ -1354,7 +1354,8 @@ def score_pairs_distributed(pairs_ds, payload_ds, id_col: str,
                             payload_col: str, scorer,
                             score_col: str = "score",
                             num_buckets: int = 64,
-                            bloom_bits: int = 1 << 22):
+                            bloom_bits: int = 1 << 22,
+                            score_dtype=np.float64):
     """Distributed candidate-pair verification: attach each side's
     payload (signature / embedding / text) via two hash-bucket
     exchanges, score vectorized inside bucket tasks, never touching the
@@ -1527,11 +1528,15 @@ def score_pairs_distributed(pairs_ds, payload_ds, id_col: str,
         ed, vb = _attach(g)
         va = ed.column("v").combine_chunks()
         sc = scorer(_from_wire(va), _from_wire(vb)) if len(vb) \
-            else np.empty(0, dtype=np.float64)
+            else np.empty(0, dtype=score_dtype)
+        # every bucket (including empty ones) must emit ONE dtype for
+        # the union schema; integer scorers (packed containment
+        # triples) must not round-trip through float64
+        sc = np.asarray(sc).astype(score_dtype)
         return pa.table({
             "id_a": ed.column("o").combine_chunks(),
             "id_b": ed.column("k").combine_chunks(),
-            score_col: pa.array(np.asarray(sc, dtype=np.float64)),
+            score_col: pa.array(sc),
         })
 
     tagged_payload = payload.map_batches(tag_payload, batch_format="pyarrow")
@@ -2830,7 +2835,8 @@ def semdedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
 def containment_join(ds, text_col: str = "text", id_col: str = "doc_id",
                      k: int = 3, t_num: int = 9, t_den: int = 10,
                      num_buckets: int = 64,
-                     broadcast_df_limit: int = 2_000_000):
+                     broadcast_df_limit: int = 2_000_000,
+                     verify_driver_limit: int = 200_000):
     """EXACT n-gram CONTAINMENT self-join: every pair with
     max(|A∩B|/|A|, |A∩B|/|B|) ≥ t_num/t_den — the ASYMMETRIC near-dup
     semantics Jaccard cannot see: a document quoted whole inside a
@@ -2944,6 +2950,52 @@ def containment_join(ds, text_col: str = "text", id_col: str = "doc_id",
         "n_b": pd.Series([], dtype="int64")})
     if len(pairs) == 0:
         return empty
+    if len(pairs) > verify_driver_limit:
+        # distributed verify tier (scale parity with the Jaccard join):
+        # texts attach via two bucket exchanges; the exact
+        # (inter, n_a, n_b) triple packs into ONE int64 (20 bits each,
+        # docs capped at 2^20 distinct grams) so the generic scorer
+        # plumbing carries it losslessly
+        import ray.data as _rd
+
+        def pack_scorer(va: pa.Array, vb: pa.Array) -> np.ndarray:
+            memo: dict[str, frozenset] = {}
+
+            def gs(x):
+                x = x or ""
+                s = memo.get(x)
+                if s is None:
+                    s = frozenset(gram_set(x))
+                    memo[x] = s
+                return s
+
+            out = np.empty(len(va), dtype=np.int64)
+            for i, (x, y) in enumerate(zip(va.to_pylist(),
+                                           vb.to_pylist())):
+                sa, sb = gs(x), gs(y)
+                out[i] = ((len(sa & sb) << 40)
+                          | (min(len(sa), (1 << 20) - 1) << 20)
+                          | min(len(sb), (1 << 20) - 1))
+            return out
+
+        scored = score_pairs_distributed(
+            _rd.from_pandas(pairs[["id_a", "id_b"]].reset_index(drop=True)),
+            docs, id_col, text_col, pack_scorer, "packed",
+            score_dtype=np.int64).to_pandas()
+        p = scored["packed"].to_numpy(dtype=np.int64)
+        inter = p >> 40
+        na = (p >> 20) & ((1 << 20) - 1)
+        nb = p & ((1 << 20) - 1)
+        keep = ((na > 0) & (inter * t_den >= t_num * na)) \
+            | ((nb > 0) & (inter * t_den >= t_num * nb))
+        out = pd.DataFrame({
+            "id_a": scored["id_a"].to_numpy(dtype=np.int64)[keep],
+            "id_b": scored["id_b"].to_numpy(dtype=np.int64)[keep],
+            "inter": inter[keep], "n_a": na[keep], "n_b": nb[keep]})
+        if not len(out):
+            return empty
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True) \
+            .astype("int64")
     want = set(pairs["id_a"]).union(pairs["id_b"])
     t = _gather_rows_by_id(docs, id_col, want)
     grams = {}

@@ -605,8 +605,27 @@ def interval_overlap_count(
         return out
 
     parts = both.groupby("__bk") \
-        .map_groups(count_bucket, batch_format="pandas").to_pandas()
-    agg = parts.groupby(id_cols, as_index=False)[count_col].sum()
+        .map_groups(count_bucket, batch_format="pandas")
+
+    # final per-interval sum across its copies' partials — DISTRIBUTED
+    # (one id-hash exchange): the partial set is n_left × replication
+    # rows, which must never fold on the driver at scale
+    from ..hashing import murmur64a
+    from ..keys import canonical_flat_bytes
+
+    def id_bucket(t: pa.Table) -> pa.Table:
+        data, offsets = canonical_flat_bytes(t.column(id_cols[0]))
+        h = murmur64a(data, offsets)
+        return t.append_column("__ib", pa.array(
+            (h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(id_cols, as_index=False)[count_col].sum()
+        return out.astype({count_col: "int64"})
+
+    agg = parts.map_batches(id_bucket, batch_format="pyarrow") \
+        .groupby("__ib").map_groups(sum_bucket, batch_format="pandas") \
+        .to_pandas()
     return agg.astype({count_col: "int64"})
 
 

@@ -2302,3 +2302,22 @@ def test_containment_catches_planted_superstrings_jaccard_misses(
         if 10 * i < 9 * (na + nb - i):  # jaccard < 0.9
             jaccard_would_miss += 1
     assert jaccard_would_miss > 0
+
+
+def test_containment_distributed_verify_tier_equality(ray_session):
+    """Forcing verify_driver_limit=0 routes verification through
+    score_pairs_distributed (packed int64 triples) — output must equal
+    the driver tier exactly."""
+    import pandas as pd
+    import ray.data
+
+    from raysketch.stages.dedup import containment_join
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"]).repartition(4)
+    a = containment_join(ds, k=3, t_num=9, t_den=10)
+    b = containment_join(ds, k=3, t_num=9, t_den=10,
+                         verify_driver_limit=0)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
