@@ -22177,6 +22177,64 @@ ORACLES["entity_resolution_components"] = """
 """
 
 
+def k_anonymity_audit(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """PRIVACY AUDIT — k-anonymity + l-diversity (Sweeney '02;
+    Machanavajjhala '07), the compliance gate a dataset passes before
+    release: group customers by the quasi-identifier pair
+    (nation, market segment) and report each group's size n (k-anon:
+    n < k means the QI combination re-identifies to fewer than k
+    people) and its l-diversity l = distinct sensitive values (account
+    balance banded negative/low/high — a group where everyone shares
+    one band leaks the sensitive attribute even at large n).
+    Distributed shape: sizes are a ≤|QI|-row per-batch combiner;
+    diversity folds per-batch DISTINCT (QI, band) triples — both
+    zero-shuffle, driver work bounded by the QI domain, never rows."""
+    ds = _read(sf_dir, "customer",
+               columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        seg = t.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        cents = _cents(t.column("c_acctbal")).to_numpy()
+        band = np.where(cents < 0, 0, np.where(cents < 500_000, 1, 2))
+        df = pd.DataFrame({"c_nationkey": nk, "c_mktsegment": seg,
+                           "band": band})
+        g = df.groupby(["c_nationkey", "c_mktsegment", "band"],
+                       as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["c_nationkey", "c_mktsegment", "band"],
+                      as_index=False)["n"].sum()
+    out = g.groupby(["c_nationkey", "c_mktsegment"], as_index=False) \
+        .agg(n=("n", "sum"), l_div=("band", "nunique"))
+    out["k_violation"] = (out["n"] < k).astype(np.int64)
+    return out.sort_values(["c_nationkey", "c_mktsegment"]) \
+        .reset_index(drop=True).astype(
+        {"c_nationkey": "int64", "n": "int64", "l_div": "int64",
+         "k_violation": "int64"})
+
+
+QUERIES["k_anonymity_audit"] = k_anonymity_audit
+ORACLES["k_anonymity_audit"] = """
+    WITH b AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN CAST(ROUND(c_acctbal * 100) AS BIGINT) < 0 THEN 0
+                  WHEN CAST(ROUND(c_acctbal * 100) AS BIGINT) < 500000
+                  THEN 1 ELSE 2 END AS band
+      FROM customer
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT band) AS BIGINT) AS l_div,
+           CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
+             AS k_violation
+    FROM b GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================
