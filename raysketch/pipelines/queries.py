@@ -22235,6 +22235,45 @@ ORACLES["k_anonymity_audit"] = """
 """
 
 
+def audio_vad_segments(sf_dir: str) -> pd.DataFrame:
+    """Voice-activity segmentation over REAL PCM audio
+    (stages/multimodal.AudioVadSegments): cached WAV fixtures with
+    PLANTED voiced bursts between true-silence gaps → actor-pool
+    decode + 20 ms frame-energy VAD → per-clip (frames, voiced frames,
+    segments, longest run). Planted recall is exact (n_segments ==
+    planted bursts for every clip — pytest-locked); rows-only,
+    deterministic (fixed frame boundaries)."""
+    import glob as _glob
+    import tempfile
+
+    import ray.data
+
+    from ..stages.multimodal import AudioVadSegments, make_vad_wav_table
+
+    n = max(24, int(2048 * sf_of(sf_dir)))
+    cache = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                         f"vadwavs_n{n}_s3")
+    if not _glob.glob(os.path.join(cache, "*.parquet")):
+        import pyarrow.parquet as pq
+
+        os.makedirs(cache, exist_ok=True)
+        tmp = os.path.join(cache, "_part0.tmp")
+        pq.write_table(make_vad_wav_table(n, seed=3), tmp,
+                       row_group_size=max(16, n // 8))
+        os.replace(tmp, os.path.join(cache, "part0.parquet"))
+    ds = ray.data.read_parquet(cache,
+                               columns=["item_id", "payload"])
+    out = ds.map_batches(AudioVadSegments, batch_format="pyarrow",
+                         batch_size=32,
+                         concurrency=auto_concurrency()).to_pandas()
+    return out.sort_values("item_id").reset_index(drop=True).astype(
+        {c: "int64" for c in ("item_id", "n_frames", "n_voiced",
+                              "n_segments", "longest_run")})
+
+
+QUERIES["audio_vad_segments"] = audio_vad_segments
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -271,6 +271,88 @@ def make_real_wav_table(n: int, seed: int = 0) -> pa.Table:
     })
 
 
+def make_vad_wav_table(n: int, seed: int = 0) -> pa.Table:
+    """WAV fixture with PLANTED voiced bursts separated by true
+    silence: clip i carries exactly ``(i % 3) + 1`` loud sine bursts
+    (amplitude 0.6) between silence gaps (amplitude 0 + 1e-3 dither) —
+    the ground truth for voice-activity segmentation recall."""
+    from .wavcodec import encode_wav
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, bursts = [], [], []
+    rate = 8000
+    for i in range(n):
+        nb = (i % 3) + 1
+        parts = [np.zeros(rate // 5)]  # leading silence 200 ms
+        for b in range(nb):
+            dur = int(rng.integers(rate // 10, rate // 4))
+            t = np.arange(dur) / rate
+            f0 = float(rng.uniform(200, 800))
+            parts.append(0.6 * np.sin(2 * np.pi * f0 * t))
+            parts.append(np.zeros(rate // 5))  # separating silence
+        sig = np.concatenate(parts)
+        sig = sig + 1e-3 * rng.standard_normal(len(sig))  # dither
+        ids.append(i)
+        payloads.append(encode_wav(sig, rate, bits=16))
+        bursts.append(nb)
+    return pa.table({
+        "item_id": pa.array(np.array(ids, dtype=np.int64)),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "n_bursts": pa.array(np.array(bursts, dtype=np.int64)),
+        "format": pa.array(["wav"] * n),
+    })
+
+
+class AudioVadSegments:
+    """Voice-activity detection by frame energy: 20 ms frames, a frame
+    is VOICED when its mean square exceeds ``threshold`` (default 1e-3
+    — two orders above the fixture's dither floor, two below its burst
+    power), and voiced runs become segments. The segmentation
+    primitive in front of every speech pipeline (diarization, ASR
+    chunking, silence trimming). Frame boundaries are fixed by the
+    sample rate, so output is deterministic for identical payloads."""
+
+    def __init__(self, frame_ms: int = 20, threshold: float = 1e-3):
+        self.frame_ms = frame_ms
+        self.threshold = threshold
+
+    def clip_stats(self, payload: bytes):
+        from .wavcodec import decode_wav
+
+        x, rate = decode_wav(payload)
+        x = x.reshape(len(x), -1).mean(axis=1)  # mono mixdown
+        flen = max(1, rate * self.frame_ms // 1000)
+        nf = len(x) // flen
+        if nf == 0:
+            return 0, 0, 0, 0
+        e = (x[: nf * flen].reshape(nf, flen) ** 2).mean(axis=1)
+        v = e >= self.threshold
+        starts = v & np.r_[True, ~v[:-1]]
+        n_seg = int(starts.sum())
+        # longest voiced run
+        if n_seg:
+            idx = np.flatnonzero(np.r_[starts, True])
+            runs = np.diff(np.flatnonzero(
+                np.r_[True, v[1:] != v[:-1], True]))
+            vals = v[np.r_[0, np.cumsum(runs[:-1])]]
+            longest = int(runs[vals].max())
+        else:
+            longest = 0
+        return nf, int(v.sum()), n_seg, longest
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self.clip_stats(p)
+                for p in batch.column("payload").to_pylist()]
+        arr = np.array(rows, dtype=np.int64).reshape(-1, 4)
+        return pa.table({
+            "item_id": batch.column("item_id"),
+            "n_frames": pa.array(arr[:, 0]),
+            "n_voiced": pa.array(arr[:, 1]),
+            "n_segments": pa.array(arr[:, 2]),
+            "longest_run": pa.array(arr[:, 3]),
+        })
+
+
 class AudioFrameSample:
     """Audio frame sampling: every payload → ``n_frames`` evenly-spaced
     frames with RMS energy. Real path decodes PCM WAV with the built-in

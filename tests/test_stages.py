@@ -2850,3 +2850,53 @@ class TestPositionalIndex:
         build_positional_index(ray.data.from_pandas(docs), idx,
                                n_shards=2)
         assert len(phrase_search(idx, ["a", "zz"])) == 0
+
+
+class TestAudioVad:
+    def test_planted_burst_recall_exact(self):
+        import numpy as np
+
+        from raysketch.stages.multimodal import (AudioVadSegments,
+                                                 make_vad_wav_table)
+
+        t = make_vad_wav_table(24, seed=3)
+        out = AudioVadSegments()(t)
+        nb = t.column("n_bursts").to_numpy()
+        seg = out.column("n_segments").to_numpy()
+        assert (nb == seg).all()
+        assert (out.column("n_voiced").to_numpy() > 0).all()
+        assert (out.column("longest_run").to_numpy() > 0).all()
+        # silence padding means voiced < total frames everywhere
+        assert (out.column("n_voiced").to_numpy()
+                < out.column("n_frames").to_numpy()).all()
+
+    def test_all_silence_and_all_voice(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from raysketch.stages.multimodal import AudioVadSegments
+        from raysketch.stages.wavcodec import encode_wav
+
+        rate = 8000
+        silent = encode_wav(np.zeros(rate), rate, bits=16)
+        t = np.arange(rate) / rate
+        loud = encode_wav(0.5 * np.sin(2 * np.pi * 440 * t), rate,
+                          bits=16)
+        tb = pa.table({"item_id": pa.array([0, 1], type=pa.int64()),
+                       "payload": pa.array([silent, loud],
+                                           type=pa.binary())})
+        out = AudioVadSegments()(tb)
+        assert out.column("n_segments").to_pylist() == [0, 1]
+        assert out.column("n_voiced").to_pylist()[0] == 0
+        nf = out.column("n_frames").to_pylist()[1]
+        assert out.column("longest_run").to_pylist()[1] == nf
+
+    def test_query_deterministic(self, ray_session):
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        a = e.queries()["audio_vad_segments"]("/root/testdata/sf0.001")
+        b = e.queries()["audio_vad_segments"]("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) >= 24
