@@ -22274,6 +22274,83 @@ def audio_vad_segments(sf_dir: str) -> pd.DataFrame:
 QUERIES["audio_vad_segments"] = audio_vad_segments
 
 
+def _iso_year_week(days: np.ndarray):
+    """Vectorized ISO-8601 (year, week) from epoch days — the Thursday
+    rule over Hinnant's civil_from_days/days_from_civil: a date's ISO
+    week is the week of ITS THURSDAY, so year boundaries resolve by
+    computing the Thursday's civil year and counting 7-day steps from
+    that year's Jan 1. Equal to datetime.isocalendar() on 5000 random
+    days + every boundary case (pytest-locked)."""
+    days = np.asarray(days, dtype=np.int64)
+
+    def civil_from_days(z):
+        z = z + 719468
+        era = np.where(z >= 0, z, z - 146096) // 146097
+        doe = z - era * 146097
+        yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+        y = yoe + era * 400
+        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+        mp = (5 * doy + 2) // 153
+        m = np.where(mp < 10, mp + 3, mp - 9)
+        return np.where(m <= 2, y + 1, y)
+
+    def days_from_jan1(y):
+        y2 = y - 1  # month 1 ≤ 2
+        era = np.where(y2 >= 0, y2, y2 - 399) // 400
+        yoe = y2 - era * 400
+        doy = (153 * 10 + 2) // 5  # mp for January = 10, d=1 → +0
+        doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+        return era * 146097 + doe - 719468
+
+    dow = (days + 3) % 7          # Mon=0 (1970-01-01 was a Thursday)
+    thu = days - dow + 3
+    y = civil_from_days(thu)
+    week = (thu - days_from_jan1(y)) // 7 + 1
+    return y, week
+
+
+def revenue_by_iso_week(sf_dir: str) -> pd.DataFrame:
+    """Calendar-correct ISO-8601 week aggregation: lineitem revenue by
+    (iso_year, iso_week) — the fiscal-reporting grouping whose year
+    boundary is NOT Jan 1 (Jan 1 can belong to week 52/53 of the
+    PREVIOUS ISO year; Dec 29-31 can open week 1 of the next). The
+    vectorized Thursday-rule implementation (:func:`_iso_year_week`)
+    is checked against DuckDB's isoyear()/week() pair over seven years
+    of shipdates covering multiple 53-week years. Per-batch combiner
+    (≤ ~370 (year, week) keys), zero shuffles, exact cents."""
+    ds = _read(sf_dir, "lineitem", columns=["l_shipdate", "l_extendedprice"])
+    DAY_US = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        d = t.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64) // DAY_US
+        y, w = _iso_year_week(d)
+        c = _cents(t.column("l_extendedprice")).to_numpy()
+        df = pd.DataFrame({"iso_year": y, "iso_week": w, "c": c})
+        return df.groupby(["iso_year", "iso_week"], as_index=False) \
+            .agg(n=("c", "size"), revenue_cents=("c", "sum"))
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = p.groupby(["iso_year", "iso_week"], as_index=False) \
+        [["n", "revenue_cents"]].sum()
+    return out.sort_values(["iso_year", "iso_week"]) \
+        .reset_index(drop=True).astype(
+        {"iso_year": "int64", "iso_week": "int64", "n": "int64",
+         "revenue_cents": "int64"})
+
+
+QUERIES["revenue_by_iso_week"] = revenue_by_iso_week
+ORACLES["revenue_by_iso_week"] = """
+    SELECT CAST(isoyear(l_shipdate) AS BIGINT) AS iso_year,
+           CAST(week(l_shipdate) AS BIGINT) AS iso_week,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    GROUP BY 1, 2 ORDER BY iso_year, iso_week
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

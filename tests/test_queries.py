@@ -2351,3 +2351,29 @@ def test_entity_resolution_channels_complement(ray_session):
     naturals = [d for d, c in comp.items()
                 if d < 1_000_000 and d % 89 != 0 and d % 97 != 0]
     assert len(naturals) > 0
+
+
+def test_iso_year_week_matches_datetime():
+    """Vectorized Thursday-rule ISO calendar vs datetime.isocalendar
+    over random days + every boundary family (Jan 1 in old year,
+    week-53 years, Dec in week 1)."""
+    from datetime import date, timedelta
+
+    import numpy as np
+
+    from raysketch.pipelines.queries import _iso_year_week
+
+    rng = np.random.default_rng(0)
+    days = np.concatenate([
+        rng.integers(0, 20000, size=3000),
+        # explicit boundaries
+        np.array([(date.fromisoformat(s) - date(1970, 1, 1)).days
+                  for s in ["2021-01-01", "2021-01-04", "2020-12-31",
+                            "2016-01-03", "2015-12-28", "1999-01-01",
+                            "1992-01-01", "1998-12-31", "1995-01-02",
+                            "2019-12-30"]])
+    ])
+    y, w = _iso_year_week(days)
+    for i, dd in enumerate(days):
+        iso = (date(1970, 1, 1) + timedelta(days=int(dd))).isocalendar()
+        assert (iso[0], iso[1]) == (int(y[i]), int(w[i])), int(dd)
