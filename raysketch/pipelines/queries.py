@@ -22351,6 +22351,172 @@ ORACLES["revenue_by_iso_week"] = """
 """
 
 
+def _ttorders_stats_table(sf_dir: str) -> tuple[str, int]:
+    """Versioned orders table whose commits EMBED per-file o_orderkey
+    (min, max) stats (timetravel.commit_with_stats) — the Iceberg-
+    manifest variant of the time_travel_orders build (same v0 range
+    partitioning + v1 copy-on-write reprice of the first quarter)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..stages.timetravel import (commit_with_stats, latest_version,
+                                     write_partitioned_files)
+
+    maxk1 = int(pc.max(pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey"]).column("o_orderkey")).as_py()) + 1
+    tag = sf_of(sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "raysketch_data",
+                        f"ttorders_stats_{tag}")
+    if latest_version(root) < 1:
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        os.makedirs(root, exist_ok=True)
+        orders = _read(sf_dir, "orders",
+                       columns=["o_orderkey", "o_totalprice"])
+
+        def tag_part(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            return t.append_column("__p", pa.array((k * 8) // maxk1))
+
+        f0 = write_partitioned_files(
+            orders.map_batches(tag_part, batch_format="pyarrow"),
+            os.path.join(root, "v0"), "__p")
+        commit_with_stats(root, f0, "o_orderkey")
+
+        def _pval(f: str) -> int:
+            part = [c for c in f.split(os.sep) if c.startswith("__p=")]
+            return int(part[0][4:])
+
+        touched = [f for f in f0 if _pval(f) < 2]
+        import ray.data
+
+        def reprice(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            cents = _cents(t.column("o_totalprice")).to_numpy()
+            cents = cents + cents // 20
+            return pa.table({"o_orderkey": k,
+                             "o_totalprice": cents / 100.0,
+                             "__p": (k * 8) // maxk1})
+
+        f1 = write_partitioned_files(
+            ray.data.read_parquet(touched)
+            .map_batches(reprice, batch_format="pyarrow"),
+            os.path.join(root, "v1"), "__p")
+        commit_with_stats(root, f1, "o_orderkey", remove=touched)
+    return root, maxk1
+
+
+def time_travel_pruned_read(sf_dir: str) -> pd.DataFrame:
+    """DATA SKIPPING from the commit log alone (Iceberg manifests):
+    the versioned orders table's commits carry per-file o_orderkey
+    (min, max); a key-range predicate over [m/8, 3m/8) then resolves
+    its file list from the LOG — files whose stats are disjoint never
+    open (pytest asserts files_read < files_active for BOTH
+    snapshots). The range straddles the v1 copy-on-write boundary, so
+    snapshot 1 reads a mix of rewritten and shared files; pruned sets
+    are supersets, so a residual row filter finishes the predicate.
+    Oracle recomputes both snapshots from the base table with the same
+    integer arithmetic."""
+    import ray.data
+
+    from ..stages.timetravel import active_files_pruned
+
+    root, maxk1 = _ttorders_stats_table(sf_dir)
+    lo, hi = maxk1 // 8, 3 * maxk1 // 8 - 1  # inclusive key range
+    rows = []
+    for v in (0, 1):
+        files, _total = active_files_pruned(root, v, lo, hi)
+        ds = ray.data.read_parquet(files,
+                                   columns=["o_orderkey", "o_totalprice"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            m = (k >= lo) & (k <= hi)
+            c = _cents(t.column("o_totalprice")).to_numpy()[m]
+            return pa.table({"n": pa.array([int(m.sum())], type=pa.int64()),
+                             "s": pa.array([int(c.sum())],
+                                           type=pa.int64())})
+
+        p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        rows.append({"version": np.int64(v),
+                     "n_orders": np.int64(p["n"].sum()),
+                     "sum_cents": np.int64(p["s"].sum())})
+    return pd.DataFrame(rows).astype(
+        {"version": "int64", "n_orders": "int64", "sum_cents": "int64"})
+
+
+QUERIES["time_travel_pruned_read"] = time_travel_pruned_read
+ORACLES["time_travel_pruned_read"] = """
+    WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),
+    c AS (SELECT o_orderkey,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders
+          WHERE o_orderkey >= (SELECT m FROM mx) // 8
+            AND o_orderkey <= 3 * (SELECT m FROM mx) // 8 - 1)
+    SELECT CAST(0 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(v) AS BIGINT) AS sum_cents
+    FROM c
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN (o_orderkey * 8) // (SELECT m FROM mx) < 2
+                         THEN v + v // 20 ELSE v END) AS BIGINT)
+    FROM c
+    ORDER BY version
+"""
+
+
+def time_travel_changes(sf_dir: str) -> pd.DataFrame:
+    """CHANGED-FILES-ONLY snapshot diff (the table_changes() /
+    changelog read): the copy-on-write layout means v0→v1 differences
+    live entirely in the files one side has and the other lacks — the
+    diff reads ONLY those (pytest asserts changed < active; shared
+    files never open), where a naive diff rescans both snapshots.
+    Emits the exact aggregate delta (Δrows, Δcents); the oracle
+    derives the same delta from the base table: the repriced quarter
+    adds exactly Σ v//20 cents and zero rows."""
+    import ray.data
+
+    from ..stages.timetravel import changed_files
+
+    root, _maxk1 = _ttorders_stats_table(sf_dir)
+    added, removed = changed_files(root, 0, 1)
+
+    def sums(files) -> tuple[int, int]:
+        if not files:
+            return 0, 0
+        ds = ray.data.read_parquet(files, columns=["o_totalprice"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = _cents(t.column("o_totalprice")).to_numpy()
+            return pa.table({"n": pa.array([len(c)], type=pa.int64()),
+                             "s": pa.array([int(c.sum())],
+                                           type=pa.int64())})
+
+        p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        return int(p["n"].sum()), int(p["s"].sum())
+
+    na, sa = sums(added)
+    nr, sr = sums(removed)
+    return _one_row(delta_rows=np.int64(na - nr),
+                    delta_cents=np.int64(sa - sr))
+
+
+QUERIES["time_travel_changes"] = time_travel_changes
+ORACLES["time_travel_changes"] = """
+    WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),
+    c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders
+          WHERE (o_orderkey * 8) // (SELECT m FROM mx) < 2)
+    SELECT CAST(0 AS BIGINT) AS delta_rows,
+           CAST(SUM(v // 20) AS BIGINT) AS delta_cents
+    FROM c
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

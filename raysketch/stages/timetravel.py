@@ -23,7 +23,8 @@ import json
 import os
 
 __all__ = ["commit", "active_files", "read_as_of", "latest_version",
-           "vacuum", "write_partitioned_files"]
+           "vacuum", "write_partitioned_files", "file_column_stats",
+           "commit_with_stats", "active_files_pruned", "changed_files"]
 
 
 def _log_dir(path: str) -> str:
@@ -114,3 +115,87 @@ def write_partitioned_files(ds, out_dir: str,
     ds.write_parquet(out_dir, partition_cols=[partition_col])
     return sorted(glob.glob(os.path.join(out_dir, "**", "*.parquet"),
                             recursive=True))
+
+
+def file_column_stats(files: list[str], column: str) -> dict:
+    """Per-file (min, max) of ``column`` from parquet FOOTER metadata
+    only (no data pages read) — the stats a commit embeds so readers
+    can skip files by predicate, Iceberg-manifest style."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == column and c.statistics is not None:
+                    s = c.statistics
+                    if s.has_min_max:
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+        out[f] = (lo, hi)
+    return out
+
+
+def commit_with_stats(path: str, add: list[str], column: str,
+                      remove: list[str] = ()) -> int:
+    """Commit that embeds per-added-file (min, max) stats of ``column``
+    in the log entry — data skipping served from the LOG alone (no
+    footer reads at query time)."""
+    stats = file_column_stats(add, column)
+    v = commit(path, add, remove)
+    entry_path = os.path.join(_log_dir(path), f"{v:08d}.json")
+    with open(entry_path) as f:
+        e = json.load(f)
+    e["stats_column"] = column
+    e["stats"] = {os.path.relpath(f0, path): [s[0], s[1]]
+                  for f0, s in stats.items()}
+    tmp = entry_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(e, f)
+    os.replace(tmp, entry_path)
+    return v
+
+
+def _log_stats(path: str, version: int) -> dict:
+    """rel-file → (min, max) union over log entries ≤ version."""
+    out = {}
+    for i in range(version + 1):
+        with open(os.path.join(_log_dir(path), f"{i:08d}.json")) as f:
+            e = json.load(f)
+        for rel, s in (e.get("stats") or {}).items():
+            out[rel] = (s[0], s[1])
+    return out
+
+
+def active_files_pruned(path: str, version: int | None, lo, hi
+                        ) -> tuple[list[str], int]:
+    """Active files at ``version`` whose logged [min, max] intersects
+    [lo, hi] — files with stats disjoint from the predicate are
+    SKIPPED without opening them; files lacking stats are kept
+    (pruning must never drop rows). Returns (files, n_total_active)."""
+    act = active_files(path, version)
+    last = latest_version(path) if version is None else int(version)
+    stats = _log_stats(path, last)
+    kept = []
+    for f in act:
+        rel = os.path.relpath(f, path)
+        s = stats.get(rel)
+        if s is None or s[0] is None:
+            kept.append(f)
+        elif not (s[1] < lo or s[0] > hi):
+            kept.append(f)
+    return kept, len(act)
+
+
+def changed_files(path: str, v_from: int, v_to: int
+                  ) -> tuple[list[str], list[str]]:
+    """(added, removed) file lists between two snapshots — the
+    copy-on-write dividend: files shared by both versions never appear,
+    so a snapshot diff reads ONLY what changed, not either snapshot."""
+    a = set(active_files(path, v_from))
+    b = set(active_files(path, v_to))
+    return sorted(b - a), sorted(a - b)

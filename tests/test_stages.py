@@ -2900,3 +2900,40 @@ class TestAudioVad:
         b = e.queries()["audio_vad_segments"]("/root/testdata/sf0.001")
         pd.testing.assert_frame_equal(a, b)
         assert len(a) >= 24
+
+
+class TestTimeTravelStats:
+    def test_log_served_pruning_skips_files(self, ray_session):
+        """The key-range read must open strictly fewer files than the
+        snapshot holds (stats pruning), for BOTH versions, and the
+        changed-file diff must touch fewer files than either
+        snapshot."""
+        from raysketch.pipelines.queries import _ttorders_stats_table
+        from raysketch.stages.timetravel import (active_files,
+                                                 active_files_pruned,
+                                                 changed_files)
+
+        sf_dir = "/root/testdata/sf0.001"
+        root, maxk1 = _ttorders_stats_table(sf_dir)
+        lo, hi = maxk1 // 8, 3 * maxk1 // 8 - 1
+        for v in (0, 1):
+            files, total = active_files_pruned(root, v, lo, hi)
+            assert 0 < len(files) < total
+        added, removed = changed_files(root, 0, 1)
+        n_active = len(active_files(root, 1))
+        assert added and removed
+        assert len(added) + len(removed) < 2 * n_active
+        # shared files appear in neither list
+        shared = set(active_files(root, 0)) & set(active_files(root, 1))
+        assert shared and not (shared & set(added)) \
+            and not (shared & set(removed))
+
+    def test_pruning_is_superset_never_drops(self, ray_session):
+        """A predicate covering everything prunes nothing; stats-less
+        files are kept."""
+        from raysketch.pipelines.queries import _ttorders_stats_table
+        from raysketch.stages.timetravel import active_files_pruned
+
+        root, maxk1 = _ttorders_stats_table("/root/testdata/sf0.001")
+        files, total = active_files_pruned(root, 1, 0, maxk1)
+        assert len(files) == total
