@@ -22517,6 +22517,87 @@ ORACLES["time_travel_changes"] = """
 """
 
 
+def simhash_cluster_compression(sf_dir: str, group: int = 32
+                                ) -> pd.DataFrame:
+    """LAYOUT-AWARE storage: writing similar documents ADJACENTLY
+    makes general-purpose compression find their shared substrings —
+    the locality dividend behind similarity-clustered data files (why
+    sort-before-write matters beyond pruning). Near-duplicates are
+    PLANTED (every 7th doc gets a +500000-id near-copy) so the effect
+    is real on any corpus, then the SAME docs compress under two
+    layouts with EQUAL ``group``-doc blocks: (a) simhash order —
+    buckets on the hash's top bits (near-dups share them), sorted and
+    chunked within buckets; (b) doc_id order — the plant lands far
+    from its original. Each block zlib-compresses independently (the
+    row-group analogy); exact byte totals ship back; pytest asserts
+    the clustered layout strictly wins and the query is deterministic."""
+    import zlib
+
+    from ..stages.dedup import SimHasher
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = pc.fill_null(t.column("text"), "")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        m = did % 7 == 0
+        tails = pc.binary_join_element_wise(
+            txt, pa.array([" near dup tail"] * t.num_rows), "")
+        if isinstance(tails, pa.ChunkedArray):
+            tails = tails.combine_chunks()
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([did, did[m] + 500_000])),
+            "text": pa.concat_arrays([
+                txt.cast(pa.string()),
+                tails.filter(pa.array(m)).cast(pa.string())]),
+        })
+
+    ds = base.map_batches(plant, batch_format="pyarrow")
+    sim = ds.map_batches(SimHasher(), batch_format="pyarrow")
+    from ..stages.joins import bucket_hash_join
+
+    joined = bucket_hash_join(ds, sim, on="doc_id")
+
+    def measure(order_col: str):
+        def bucketize(t: pa.Table) -> pa.Table:
+            k = t.column(order_col).to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            if order_col == "simhash":
+                b = (k >> np.uint64(61)).astype(np.int64)  # top 3 bits
+            else:
+                b = (k // np.uint64(2048)).astype(np.int64)  # id ranges
+            return pa.table({"__g": pa.array(b),
+                             "text": t.column("text"),
+                             order_col: t.column(order_col)})
+
+        def compress_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            gg = g.sort_values(order_col).reset_index(drop=True)
+            raws, zls = 0, 0
+            for s in range(0, len(gg), group):
+                blob = "\x00".join(
+                    gg["text"].iloc[s:s + group].astype(str)).encode()
+                raws += len(blob)
+                zls += len(zlib.compress(blob, 6))
+            return pd.DataFrame({"raw": [raws], "zl": [zls]})
+
+        parts = joined.map_batches(bucketize, batch_format="pyarrow") \
+            .groupby("__g").map_groups(compress_bucket,
+                                       batch_format="pandas").to_pandas()
+        return int(parts["raw"].sum()), int(parts["zl"].sum())
+
+    raw_c, zl_c = measure("simhash")
+    _raw_i, zl_i = measure("doc_id")
+    return _one_row(raw_bytes=np.int64(raw_c),
+                    clustered_bytes=np.int64(zl_c),
+                    id_order_bytes=np.int64(zl_i),
+                    ratio_ppm=np.int64(zl_c * 1_000_000 // max(zl_i, 1)))
+
+
+QUERIES["simhash_cluster_compression"] = simhash_cluster_compression
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

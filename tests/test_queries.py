@@ -2377,3 +2377,17 @@ def test_iso_year_week_matches_datetime():
     for i, dd in enumerate(days):
         iso = (date(1970, 1, 1) + timedelta(days=int(dd))).isocalendar()
         assert (iso[0], iso[1]) == (int(y[i]), int(w[i])), int(dd)
+
+
+def test_simhash_cluster_compression_wins_and_deterministic(ray_session):
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    q = e.queries()["simhash_cluster_compression"]
+    a = q("/root/testdata/sf0.001")
+    assert int(a["clustered_bytes"].iloc[0]) \
+        < int(a["id_order_bytes"].iloc[0])
+    assert int(a["ratio_ppm"].iloc[0]) < 1_000_000
+    b = q("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(a, b)
