@@ -732,3 +732,33 @@ def snapshot_diff(old_ds, new_ds, key_col: str = "doc_id",
         .groupby("__b")
         .map_groups(diff_bucket, batch_format="pandas")
     )
+
+
+def rendezvous_assign(keys: "np.ndarray", n_shards: int) -> "np.ndarray":
+    """Highest-random-weight (rendezvous) shard assignment (Thaler &
+    Ravishankar '96): key k lands on argmax_s mix(hash(k), s). Unlike
+    ``hash(k) % N``, growing N→N+1 moves ONLY the keys the new shard
+    wins (an exact structural property, not an expectation — every
+    other shard's argmax is unchanged by adding a candidate), and each
+    key moves with probability 1/(N+1): the minimal-movement
+    rebalancing rule that lets the hash-sharded state tables
+    (incremental dedup indexes, rollups, inverted indexes) grow
+    without rewriting every shard. Vectorized: one splitmix of the key
+    vector, then one mix per shard — O(n·N) with no Python loop."""
+    import numpy as np
+
+    from .dedup import _splitmix64
+
+    h = _splitmix64(np.asarray(keys, dtype=np.uint64))
+    # per-shard seeds via an array splitmix (scalar uint64 ops warn on
+    # the deliberate wraparound)
+    seeds = _splitmix64(np.arange(n_shards, dtype=np.uint64)
+                        + np.uint64(0x9E37))
+    best = np.zeros(len(h), dtype=np.int64)
+    best_w = _splitmix64(h ^ seeds[0])
+    for s in range(1, n_shards):
+        w = _splitmix64(h ^ seeds[s])
+        m = w > best_w
+        best[m] = s
+        best_w[m] = w[m]
+    return best

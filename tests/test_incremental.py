@@ -292,3 +292,44 @@ class TestCompaction:
             .sort_values(["new_id", "old_id"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(before, after)
         assert (before["old_id"] == 1).any()  # the near-dup is found
+
+
+class TestRendezvousAssign:
+    def test_grow_moves_only_into_new_shard(self):
+        import numpy as np
+
+        from raysketch.stages.incremental import rendezvous_assign
+
+        keys = np.arange(100_000, dtype=np.uint64)
+        a8 = rendezvous_assign(keys, 8)
+        a9 = rendezvous_assign(keys, 9)
+        moved = a8 != a9
+        # EXACT structural property, not statistical
+        assert (a9[moved] == 8).all()
+        # expected 1/9, binomial 6-sigma band
+        f = moved.mean()
+        assert abs(f - 1 / 9) < 6 * np.sqrt((1 / 9) * (8 / 9) / len(keys))
+
+    def test_shrink_reassigns_only_lost_shard(self):
+        import numpy as np
+
+        from raysketch.stages.incremental import rendezvous_assign
+
+        keys = np.arange(100_000, dtype=np.uint64)
+        a7 = rendezvous_assign(keys, 7)
+        a8 = rendezvous_assign(keys, 8)
+        m = a7 != a8
+        assert (a8[m] == 7).all()
+
+    def test_balanced_and_deterministic(self):
+        import numpy as np
+
+        from raysketch.stages.incremental import rendezvous_assign
+
+        rng = np.random.default_rng(0)
+        keys = rng.integers(0, 2**63, size=50_000).astype(np.uint64)
+        a = rendezvous_assign(keys, 10)
+        b = rendezvous_assign(keys, 10)
+        assert (a == b).all()
+        frac = np.bincount(a, minlength=10) / len(keys)
+        assert (np.abs(frac - 0.1) < 0.01).all()
