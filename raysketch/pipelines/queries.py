@@ -22598,6 +22598,67 @@ def simhash_cluster_compression(sf_dir: str, group: int = 32
 QUERIES["simhash_cluster_compression"] = simhash_cluster_compression
 
 
+def cusum_revenue_shifts(sf_dir: str) -> pd.DataFrame:
+    """CUSUM change-point detection (Page 1954) over daily revenue —
+    the sequential drift monitor every data-quality pipeline wants:
+    S_t = max(0, S_{t−1} + x_t − μ − k) accumulates persistent
+    upward deviation (k = μ/20 slack swallows noise) and alarms past
+    h = μ. The recurrence looks inherently sequential, but the closed
+    form S_t = P_t − min(0, min_{j≤t} P_j) (P = prefix sums of the
+    slack-adjusted series) turns it into prefix algebra — one
+    cumulative sum + one running minimum — so the oracle is plain
+    window functions (a 2500-step recursive CTE measured 15 s; this
+    runs in milliseconds) and the engine side is a per-batch daily
+    combiner plus an O(days) exact-integer scan. All arithmetic in
+    cents with floored μ — no float anywhere."""
+    ds = _read(sf_dir, "lineitem", columns=["l_shipdate", "l_extendedprice"])
+    DAY_US = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        d = t.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64) // DAY_US
+        c = _cents(t.column("l_extendedprice")).to_numpy()
+        df = pd.DataFrame({"day": d, "rev": c})
+        return df.groupby("day", as_index=False)["rev"].sum()
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    daily = p.groupby("day", as_index=False)["rev"].sum() \
+        .sort_values("day").reset_index(drop=True)
+    rev = daily["rev"].to_numpy(dtype=np.int64)
+    mu = int(rev.sum()) // len(rev)
+    z = rev - mu - mu // 20
+    P = np.cumsum(z)
+    mn = np.minimum(np.minimum.accumulate(P), 0)
+    s = P - mn
+    h = mu
+    return pd.DataFrame({
+        "day": daily["day"].to_numpy(dtype=np.int64),
+        "cusum_cents": s,
+        "alarm": (s > h).astype(np.int64),
+    }).astype({"day": "int64", "cusum_cents": "int64", "alarm": "int64"})
+
+
+QUERIES["cusum_revenue_shifts"] = cusum_revenue_shifts
+ORACLES["cusum_revenue_shifts"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS day,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1),
+    stats AS (SELECT CAST(SUM(rev) // COUNT(*) AS BIGINT) AS mu FROM d),
+    o AS (SELECT day, rev - mu - mu // 20 AS z FROM d, stats),
+    p AS (SELECT day, SUM(z) OVER (ORDER BY day) AS pf FROM o),
+    m AS (SELECT day, pf,
+                 LEAST(CAST(0 AS BIGINT),
+                       MIN(pf) OVER (ORDER BY day)) AS mn
+          FROM p)
+    SELECT m.day, CAST(pf - mn AS BIGINT) AS cusum_cents,
+           CAST(CASE WHEN pf - mn > (SELECT mu FROM stats)
+                     THEN 1 ELSE 0 END AS BIGINT) AS alarm
+    FROM m ORDER BY day
+"""
+
+
 # ====================================================================
 # Driver-gate registration order
 # ====================================================================

@@ -2391,3 +2391,19 @@ def test_simhash_cluster_compression_wins_and_deterministic(ray_session):
     assert int(a["ratio_ppm"].iloc[0]) < 1_000_000
     b = q("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_cusum_closed_form_equals_recurrence():
+    """S_t = P_t − min(0, min_{j≤t} P_j) equals the literal
+    max(0, S_{t−1} + z_t) recurrence on random integer series."""
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    for _ in range(20):
+        z = rng.integers(-50, 40, size=rng.integers(1, 400))
+        P = np.cumsum(z)
+        s_closed = P - np.minimum(np.minimum.accumulate(P), 0)
+        s = 0
+        for i, zi in enumerate(z):
+            s = max(0, s + int(zi))
+            assert s == int(s_closed[i])
