@@ -2407,3 +2407,71 @@ def test_cusum_closed_form_equals_recurrence():
         for i, zi in enumerate(z):
             s = max(0, s + int(zi))
             assert s == int(s_closed[i])
+
+
+class TestBoruvkaMST:
+    def _kruskal(self, edges, n):
+        """Reference Kruskal under the same strict order (-w, u, v)."""
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        out = []
+        for w, u, v in sorted((-w, u, v) for u, v, w in edges):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+                out.append((u, v, -w))
+        return sorted(out)
+
+    def test_random_graphs_equal_kruskal(self):
+        import numpy as np
+
+        from raysketch.pipelines.queries import _boruvka_mst
+
+        rng = np.random.default_rng(4)
+        for trial in range(5):
+            n = int(rng.integers(50, 400))
+            m = n * 4
+            u = rng.integers(0, n, size=m).astype(np.int64)
+            v = rng.integers(0, n, size=m).astype(np.int64)
+            keep = u != v
+            u, v = np.minimum(u, v)[keep], np.maximum(u, v)[keep]
+            w = rng.integers(1, 40, size=len(u)).astype(np.int64)
+            # dedupe parallel edges (sum weights like the query does)
+            import pandas as pd
+
+            df = pd.DataFrame({"u": u, "v": v, "w": w}) \
+                .groupby(["u", "v"], as_index=False)["w"].sum()
+            uu = df["u"].to_numpy()
+            vv = df["v"].to_numpy()
+            ww = df["w"].to_numpy()
+
+            def it():
+                # two arbitrary chunks — the algorithm must not care
+                mid = len(uu) // 2
+                yield uu[:mid], vv[:mid], ww[:mid]
+                yield uu[mid:], vv[mid:], ww[mid:]
+
+            got = sorted((int(a), int(b), int(x))
+                         for a, b, x in _boruvka_mst(it, n))
+            want = self._kruskal(
+                list(zip(uu.tolist(), vv.tolist(), ww.tolist())), n)
+            assert got == want
+
+    def test_corpus_mst_is_spanning_and_deterministic(self, ray_session):
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        q = e.queries()["mst_word_graph"]
+        a = q("/root/testdata/sf0.001")
+        b = q("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(a, b)
+        # tree on a connected word graph: |V| - 1 edges
+        words = set(a["w1"]).union(a["w2"])
+        assert len(a) == len(words) - 1
