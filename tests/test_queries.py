@@ -2475,3 +2475,28 @@ class TestBoruvkaMST:
         # tree on a connected word graph: |V| - 1 edges
         words = set(a["w1"]).union(a["w2"])
         assert len(a) == len(words) - 1
+
+
+def test_deepwalk_walks_valid_and_deterministic(ray_session):
+    """Every consecutive pair in every walk is a real directed edge
+    (or a dead-end self-stay); output reproducible; exact walk count
+    and length."""
+    import pandas as pd
+
+    import __ray_entry__ as e
+    from raysketch.pipelines.queries import _word_edge_dataset
+
+    sf_dir = "/root/testdata/sf0.001"
+    a = e.queries()["deepwalk_corpus_words"](sf_dir)
+    b = e.queries()["deepwalk_corpus_words"](sf_dir)
+    pd.testing.assert_frame_equal(a, b)
+    edges = _word_edge_dataset(sf_dir, 16).to_pandas()
+    eset = set(zip(edges["w1"], edges["w2"]))
+    nodes = set(edges["w1"]).union(edges["w2"])
+    assert len(a) == 2 * len(nodes)
+    for r in a.itertuples():
+        ws = r.walk.split(" ")
+        assert len(ws) == 8
+        assert ws[0] == r.start
+        for x, y in zip(ws, ws[1:]):
+            assert (x, y) in eset or x == y  # dead-end self-stay
