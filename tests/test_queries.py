@@ -2500,3 +2500,29 @@ def test_deepwalk_walks_valid_and_deterministic(ray_session):
         assert ws[0] == r.start
         for x, y in zip(ws, ws[1:]):
             assert (x, y) in eset or x == y  # dead-end self-stay
+
+
+def test_leakage_safe_folds_no_component_straddles(ray_session):
+    """No entity-resolution component spans folds under the safe
+    assignment, while the naive doc_id % k split provably leaks (at
+    least one planted pair lands in different folds)."""
+    import numpy as np
+
+    import __ray_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    labels = e.queries()["entity_resolution_components"](sf_dir)
+    comp = labels["component"].to_numpy(dtype=np.int64)
+    doc = labels["doc_id"].to_numpy(dtype=np.int64)
+    safe_fold = comp % 5
+    # safe: constant fold within every component
+    import pandas as pd
+
+    df = pd.DataFrame({"c": comp, "f": safe_fold, "d": doc})
+    assert (df.groupby("c")["f"].nunique() == 1).all()
+    # naive doc_id % 5 leaks: some component spans ≥2 folds
+    naive = df.assign(nf=df["d"] % 5)
+    assert (naive.groupby("c")["nf"].nunique() > 1).any()
+    # fold table consistent with the label table
+    folds = e.queries()["leakage_safe_folds"](sf_dir)
+    assert int(folds["n_docs"].sum()) == len(labels)
