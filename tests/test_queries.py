@@ -2526,3 +2526,26 @@ def test_leakage_safe_folds_no_component_straddles(ray_session):
     # fold table consistent with the label table
     folds = e.queries()["leakage_safe_folds"](sf_dir)
     assert int(folds["n_docs"].sum()) == len(labels)
+
+
+def test_late_replay_equals_full_recompute(ray_session):
+    """Repaired totals (base + late delta) for the affected hours must
+    equal a full per-hour recompute over ALL events."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = e.queries()["late_replay_hourly"](sf_dir)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    full = con.execute("""
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    """).fetchdf().set_index("hour")["n"].to_dict()
+    assert len(got) > 0
+    for r in got.itertuples():
+        assert int(r.n_base) + int(r.n_late) == int(r.n_total)
+        assert int(r.n_total) == full[int(r.hour)]
