@@ -2549,3 +2549,17 @@ def test_late_replay_equals_full_recompute(ray_session):
     for r in got.itertuples():
         assert int(r.n_base) + int(r.n_late) == int(r.n_total)
         assert int(r.n_total) == full[int(r.hour)]
+
+
+def test_distinct_estimator_panel_bands(ray_session):
+    import __ray_entry__ as e
+
+    r = e.queries()["distinct_estimator_panel"]("/root/testdata/sf0.001")
+    assert sorted(r["method"]) == ["bloom", "bottomk", "hll"]
+    exact = int(r["exact"].iloc[0])
+    assert exact > 0
+    for row in r.itertuples():
+        # generous 5% band — sf0.001's 15 users sit in every
+        # estimator's near-exact regime; the column proves wiring
+        assert abs(int(row.err_pct_x100)) <= 500
+        assert int(row.exact) == exact
