@@ -439,3 +439,69 @@ class TestIntervalOverlapCount:
             ray.data.from_pandas(left), ray.data.from_pandas(right),
             left_cols=("a", "b"), id_cols=("id",))
         assert list(out["n_overlaps"]) == [0]
+
+
+def test_worker_death_mid_band_and_interval_joins(ray_session, tmp_path):
+    """A worker dying mid-batch inside the new exchange operators
+    (band join, interval-overlap join) is retried transparently and
+    the results equal an undisturbed run — the halo/ownership
+    decompositions stay exact under task re-execution."""
+    import os
+
+    import ray
+
+    rng = np.random.default_rng(9)
+    v = rng.integers(0, 50_000, size=1500).astype(np.int64)
+    df = pd.DataFrame({"id": np.arange(len(v), dtype=np.int64), "v": v})
+    from raysketch.stages.joins import band_count_self, interval_overlap_count
+
+    clean = band_count_self(ray.data.from_pandas(df).repartition(4),
+                            on="v", d=300, carry=("id",),
+                            num_buckets=8).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+
+    marker = str(tmp_path / "band_died")
+
+    def flaky(t: pa.Table) -> pa.Table:
+        if not os.path.exists(marker):
+            open(marker, "w").write("x")
+            os._exit(1)
+        return t
+
+    flaky_ds = ray.data.from_pandas(df).repartition(4) \
+        .map_batches(flaky, batch_format="pyarrow")
+    got = band_count_self(flaky_ds, on="v", d=300, carry=("id",),
+                          num_buckets=8).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert os.path.exists(marker)
+    pd.testing.assert_frame_equal(got, clean)
+
+    # interval overlap twin
+    a = rng.integers(0, 50_000, size=400).astype(np.int64)
+    b = a + rng.integers(0, 5_000, size=400)
+    lo = rng.integers(0, 50_000, size=300).astype(np.int64)
+    hi = lo + rng.integers(0, 3_000, size=300)
+    left = pd.DataFrame({"id": np.arange(400, dtype=np.int64),
+                         "a": a, "b": b})
+    right = pd.DataFrame({"lo": lo, "hi": hi})
+    clean2 = interval_overlap_count(
+        ray.data.from_pandas(left).repartition(3),
+        ray.data.from_pandas(right).repartition(2),
+        left_cols=("a", "b"), id_cols=("id",), num_buckets=8) \
+        .sort_values("id").reset_index(drop=True)
+    marker2 = str(tmp_path / "iv_died")
+
+    def flaky2(t: pa.Table) -> pa.Table:
+        if not os.path.exists(marker2):
+            open(marker2, "w").write("x")
+            os._exit(1)
+        return t
+
+    got2 = interval_overlap_count(
+        ray.data.from_pandas(left).repartition(3)
+        .map_batches(flaky2, batch_format="pyarrow"),
+        ray.data.from_pandas(right).repartition(2),
+        left_cols=("a", "b"), id_cols=("id",), num_buckets=8) \
+        .sort_values("id").reset_index(drop=True)
+    assert os.path.exists(marker2)
+    pd.testing.assert_frame_equal(got2, clean2)
