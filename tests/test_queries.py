@@ -2563,3 +2563,65 @@ def test_distinct_estimator_panel_bands(ray_session):
         # estimator's near-exact regime; the column proves wiring
         assert abs(int(row.err_pct_x100)) <= 500
         assert int(row.exact) == exact
+
+
+class TestIsotonicPAVA:
+    def _brute_pava(self, num, den):
+        """O(n²) reference: repeatedly merge any adjacent violator."""
+        from fractions import Fraction
+
+        pools = [[int(a), int(b)] for a, b in zip(num, den)]
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(pools) - 1):
+                if Fraction(pools[i][0], pools[i][1]) >= \
+                        Fraction(pools[i + 1][0], pools[i + 1][1]):
+                    a = pools.pop(i + 1)
+                    pools[i][0] += a[0]
+                    pools[i][1] += a[1]
+                    changed = True
+                    break
+        return pools
+
+    def test_matches_brute_force_random(self):
+        import numpy as np
+
+        from raysketch.pipelines.queries import _pava_pools
+
+        rng = np.random.default_rng(6)
+        for _ in range(25):
+            k = int(rng.integers(1, 60))
+            den = rng.integers(1, 50, size=k).astype(np.int64)
+            num = np.array([rng.integers(0, d + 1) for d in den],
+                           dtype=np.int64)
+            pool, pn, pdn = _pava_pools(num, den)
+            want = self._brute_pava(num, den)
+            got = []
+            for pid in range(pool.max() + 1):
+                m = pool == pid
+                got.append([int(pn[m][0]), int(pdn[m][0])])
+            assert got == want
+            # monotone strictly increasing pool means (cross-mult)
+            for i in range(len(got) - 1):
+                assert got[i][0] * got[i + 1][1] \
+                    < got[i + 1][0] * got[i][1]
+            # mass preserved
+            assert sum(x[0] for x in got) == int(num.sum())
+            assert sum(x[1] for x in got) == int(den.sum())
+
+    def test_query_monotone_and_deterministic(self, ray_session):
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        q = e.queries()["isotonic_quality_calibration"]
+        a = q("/root/testdata/sf0.001")
+        b = q("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(a, b)
+        fn = a["fit_num"].to_numpy()
+        fd = a["fit_den"].to_numpy()
+        for i in range(len(a) - 1):
+            assert fn[i] * fd[i + 1] <= fn[i + 1] * fd[i]
+        assert int(a["n"].sum()) == int(a.groupby("pool")["fit_den"]
+                                        .first().sum())
