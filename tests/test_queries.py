@@ -2625,3 +2625,20 @@ class TestIsotonicPAVA:
             assert fn[i] * fd[i + 1] <= fn[i + 1] * fd[i]
         assert int(a["n"].sum()) == int(a.groupby("pool")["fit_den"]
                                         .first().sum())
+
+
+def test_blocking_recall_panel(ray_session):
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    q = e.queries()["blocking_recall_panel"]
+    a = q("/root/testdata/sf0.001")
+    by = a.set_index("strategy")
+    # prefix filtering is provably complete
+    assert int(by.loc["prefix_filter", "recall_ppm"]) == 1_000_000
+    # LSH at 16x4 bands for truth >= 0.8 has near-1 theoretical recall
+    assert int(by.loc["minhash_lsh_16x4", "recall_ppm"]) >= 950_000
+    assert (a["n_truth"] > 0).all()
+    b = q("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(a, b)
