@@ -2642,3 +2642,47 @@ def test_blocking_recall_panel(ray_session):
     assert (a["n_truth"] > 0).all()
     b = q("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(a, b)
+
+
+class TestFaginTA:
+    def test_equals_full_sort_random(self):
+        import numpy as np
+        import pandas as pd
+
+        from raysketch.pipelines.queries import _fagin_ta
+
+        rng = np.random.default_rng(8)
+        for _ in range(15):
+            n = int(rng.integers(5, 300))
+            ids = np.arange(n, dtype=np.int64)
+            s1 = rng.integers(0, 100, size=n).astype(np.int64)
+            s2 = rng.integers(0, 100, size=n).astype(np.int64)
+            l1 = pd.DataFrame({"id": ids, "s": s1}) \
+                .sort_values(["s", "id"], ascending=[False, True])
+            l2 = pd.DataFrame({"id": ids, "s": s2}) \
+                .sort_values(["s", "id"], ascending=[False, True])
+            k = min(int(rng.integers(1, 12)), n)
+            top, depth = _fagin_ta(l1, l2, k)
+            total = s1 + s2
+            order = np.lexsort((ids, -total))
+            want = [(int(ids[i]), int(total[i])) for i in order[:k]]
+            assert top == want
+            assert depth <= n
+
+    def test_early_stop_on_skewed_lists(self):
+        """Heavy-head score distributions stop far above the tail —
+        the algorithm's point."""
+        import numpy as np
+        import pandas as pd
+
+        from raysketch.pipelines.queries import _fagin_ta
+
+        n = 10_000
+        ids = np.arange(n, dtype=np.int64)
+        s = np.zeros(n, dtype=np.int64)
+        s[:20] = np.arange(1000, 980, -1)  # 20 big heads, flat tail
+        l = pd.DataFrame({"id": ids, "s": s}) \
+            .sort_values(["s", "id"], ascending=[False, True])
+        top, depth = _fagin_ta(l, l.copy(), 5)
+        assert depth < 50
+        assert top[0] == (0, 2000)
