@@ -2686,3 +2686,35 @@ class TestFaginTA:
         top, depth = _fagin_ta(l, l.copy(), 5)
         assert depth < 50
         assert top[0] == (0, 2000)
+
+
+def test_lis_matches_brute_force(ray_session):
+    import duckdb
+    import numpy as np
+
+    import __ray_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = e.queries()["lis_value_by_user"](sf_dir)
+
+    def brute_lis(seq):
+        if not len(seq):
+            return 0
+        best = [1] * len(seq)
+        for i in range(len(seq)):
+            for j in range(i):
+                if seq[j] < seq[i]:
+                    best[i] = max(best[i], best[j] + 1)
+        return max(best)
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v "
+        f"FROM '{sf_dir}/events.parquet' "
+        f"ORDER BY user_id, ts, event_id").fetchdf()
+    want = df.groupby("user_id")["v"].apply(
+        lambda s: brute_lis(s.tolist()))
+    lens = dict(zip(got["user_id"].astype(int), got["lis_len"].astype(int)))
+    assert len(lens) == len(want)
+    for uid, w in want.items():
+        assert lens[int(uid)] == int(w)
