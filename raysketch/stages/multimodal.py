@@ -223,6 +223,38 @@ class ImageBilinearResize:
         return {"item_id": batch["item_id"], "image": out}
 
 
+class ImageHistEq:
+    """Per-channel HISTOGRAM EQUALIZATION — the contrast-normalization
+    preprocessing vision ingests run before augmentation, in exact
+    integer arithmetic: the standard mapping
+    v' = round((cdf(v) − cdf_min) · 255 / (n − cdf_min)) evaluated as
+    integer ((num·255 + den/2) // den), so output is bit-deterministic.
+    Properties (pytest-locked): idempotent-ish monotone (preserves
+    pixel ORDER), constant images stay constant, and an already-
+    uniform ramp maps to itself."""
+
+    def eq_one(self, img: np.ndarray) -> np.ndarray:
+        out = np.empty_like(img)
+        n = img.shape[0] * img.shape[1]
+        for c in range(img.shape[2]):
+            ch = img[:, :, c]
+            hist = np.bincount(ch.ravel(), minlength=256).astype(np.int64)
+            cdf = np.cumsum(hist)
+            nz = np.flatnonzero(hist)
+            cdf_min = int(cdf[nz[0]]) if len(nz) else 0
+            den = max(n - cdf_min, 1)
+            lut = ((np.maximum(cdf - cdf_min, 0) * 255 + den // 2)
+                   // den).astype(np.uint8)
+            out[:, :, c] = lut[ch]
+        return out
+
+    def __call__(self, batch: dict) -> dict:
+        out = np.empty_like(batch["image"])
+        for i, img in enumerate(batch["image"]):
+            out[i] = self.eq_one(img)
+        return {"item_id": batch["item_id"], "image": out}
+
+
 class ImageFeatures:
     """Cheap feature extraction (channel means/stds + 8-bin luma
     histogram) — the stand-in for a model-inference actor stage; swap

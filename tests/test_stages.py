@@ -2937,3 +2937,55 @@ class TestTimeTravelStats:
         root, maxk1 = _ttorders_stats_table("/root/testdata/sf0.001")
         files, total = active_files_pruned(root, 1, 0, maxk1)
         assert len(files) == total
+
+
+class TestImageHistEq:
+    def test_constant_image_unchanged_value_class(self):
+        import numpy as np
+
+        from raysketch.stages.multimodal import ImageHistEq
+
+        c = np.full((16, 16, 3), 73, np.uint8)
+        out = ImageHistEq().eq_one(c)
+        # a single value maps to one value (all mass at one level)
+        assert len(np.unique(out)) == 1
+
+    def test_monotone_order_preserving(self):
+        import numpy as np
+
+        from raysketch.stages.multimodal import ImageHistEq
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(20, 20, 3)).astype(np.uint8)
+        out = ImageHistEq().eq_one(img)
+        for c in range(3):
+            a = img[:, :, c].ravel()
+            b = out[:, :, c].ravel()
+            order = np.argsort(a, kind="stable")
+            assert (np.diff(b[order].astype(np.int64)) >= 0).all()
+
+    def test_uniform_ramp_identity_and_low_contrast_stretches(self):
+        import numpy as np
+
+        from raysketch.stages.multimodal import ImageHistEq
+
+        ramp = np.tile(np.arange(256, dtype=np.uint8), 256) \
+            .reshape(256, 256, 1).repeat(3, axis=2)
+        out = ImageHistEq().eq_one(ramp)
+        assert np.abs(out.astype(int) - ramp.astype(int)).max() <= 1
+        # a low-contrast band [100, 120) stretches to span ~[0, 255]
+        rng = np.random.default_rng(1)
+        low = rng.integers(100, 120, size=(64, 64, 3)).astype(np.uint8)
+        eq = ImageHistEq().eq_one(low)
+        assert int(eq.max()) >= 250 and int(eq.min()) <= 5
+
+    def test_deterministic(self):
+        import numpy as np
+
+        from raysketch.stages.multimodal import ImageHistEq
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, size=(33, 47, 3)).astype(np.uint8)
+        a = ImageHistEq().eq_one(img)
+        b = ImageHistEq().eq_one(img)
+        assert (a == b).all()
