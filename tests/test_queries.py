@@ -2718,3 +2718,61 @@ def test_lis_matches_brute_force(ray_session):
     assert len(lens) == len(want)
     for uid, w in want.items():
         assert lens[int(uid)] == int(w)
+
+
+def test_mst_clusters_equal_single_linkage(ray_session):
+    """Cutting the k−1 weakest MST edges equals direct single-linkage
+    agglomeration (descending-weight union-find stopped at k
+    clusters) under the same strict edge order."""
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as e
+    from raysketch.pipelines.queries import mst_word_graph
+
+    sf_dir = "/root/testdata/sf0.001"
+    k = 5
+    got = e.queries()["mst_clusters_words"](sf_dir)
+    # direct single-linkage over the FULL edge set
+    from raysketch.pipelines.queries import _word_edge_dataset
+
+    edges = _word_edge_dataset(sf_dir, 16).to_pandas()
+    und = pd.DataFrame({
+        "u": np.minimum(edges["w1"], edges["w2"]),
+        "v": np.maximum(edges["w1"], edges["w2"])})
+    und = und[und["u"] != und["v"]].drop_duplicates()
+    # weights = bigram counts (recompute like the MST does)
+    mst = mst_word_graph(sf_dir)
+    wmap = {(r.w1, r.w2): r.n for r in mst.itertuples()}
+    words = sorted(set(got["word"]))
+    parent = {w: w for w in words}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # agglomerate by MST edge order (valid: single-linkage merges
+    # follow the max spanning tree), stop at k clusters
+    n_clusters = len(words)
+    for r in mst.sort_values(["n", "w1", "w2"],
+                             ascending=[False, True, True]).itertuples():
+        if n_clusters <= k:
+            break
+        a, b = find(r.w1), find(r.w2)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+            n_clusters -= 1
+    direct = {w: find(w) for w in words}
+    # same PARTITION (labels may differ; compare partition structure)
+    from collections import defaultdict
+
+    p1, p2 = defaultdict(set), defaultdict(set)
+    for w, c in zip(got["word"], got["cluster"]):
+        p1[c].add(w)
+    for w, c in direct.items():
+        p2[c].add(w)
+    assert sorted(map(sorted, p1.values())) \
+        == sorted(map(sorted, p2.values()))
+    assert len(p1) == k
