@@ -2805,3 +2805,34 @@ class TestHaarSTransform:
         coeffs = a[a["level"] >= 0]["coeff"].abs()
         assert (coeffs.iloc[:-1].to_numpy()
                 >= coeffs.iloc[1:].to_numpy() - 0).any() or True
+
+
+class TestGateWindowRotation:
+    """VERDICT r04 item 6: the driver's first-50 CORRECTNESS window
+    rotates per round toward least-recently-covered oracle queries."""
+
+    def test_window_shape_and_freshness(self):
+        import glob
+        import json
+
+        from raysketch.pipelines import queries as qmod
+
+        win = list(qmod.QUERIES)[:qmod._GATE_WINDOW]
+        assert len(win) == qmod._GATE_WINDOW
+        # north-rule sketch queries stay pinned at the front
+        assert win[: len(qmod._GATE_PINNED)] == qmod._GATE_PINNED
+        # every rotated slot is oracle-checked
+        assert all(q in qmod.ORACLES for q in win[len(qmod._GATE_PINNED):])
+        # deterministic: re-deriving the rotation gives the same window
+        again = list(qmod._rotate_gate_window(dict(qmod.QUERIES),
+                                              qmod.ORACLES))
+        assert again[:qmod._GATE_WINDOW] == win
+        # rotation reorders, never drops
+        assert set(again) == set(qmod.QUERIES)
+        # with >=2 prior snapshots, the window must bring fresh coverage
+        snaps = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+        if len(snaps) >= 2:
+            prior = set()
+            for p in snaps[-2:]:
+                prior |= set(json.load(open(p)))
+            assert sum(1 for q in win if q not in prior) >= 10
