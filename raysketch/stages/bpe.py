@@ -29,7 +29,66 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["bpe_train", "bpe_encode"]
+__all__ = ["bpe_train", "bpe_encode", "bounded_symbol_sample"]
+
+
+def bounded_symbol_sample(ds, char_budget: int, text_col: str = "text",
+                          id_col: str = "doc_id", seed: int = 0x5157):
+    """Deterministic symbol-budget cap on a training corpus (VERDICT
+    r04 item 2): admit WHOLE documents in ``murmur64a(id)`` order until
+    the cumulative UTF-8 byte count reaches ``char_budget``, then
+    filter the Dataset to the admitted ids — the bottom-k-by-hash
+    idiom (similarity.py deterministic_sample) sized by a byte budget
+    instead of a row count.
+
+    Deterministic at any parallelism / batch layout: admission is a
+    pure function of the (id, text-length) set.  Only 16-byte
+    (hash, n_bytes) rows ever shuffle — text stays in place and is
+    filtered by ONE zero-shuffle pass against the driver-held cutoff
+    hash.  The driver reads the sorted tiny table only up to the
+    budget (O(sample docs), not O(corpus)).  When the whole corpus
+    fits the budget every document is admitted, so training equals
+    the uncapped run exactly (equality lock in
+    test_bpe_budget_cap_admits_all)."""
+    from ..hashing import murmur64a
+    from ..keys import canonical_flat_bytes
+
+    sd = np.uint64((seed & 0xFFFFFFFF) | 1)
+
+    def _doc_hashes(t: pa.Table) -> np.ndarray:
+        data, off = canonical_flat_bytes(t.column(id_col))
+        h = murmur64a(data, off, sd).astype(np.uint64)
+        # 63-bit so signed Dataset sort and unsigned numpy agree
+        return (h >> np.uint64(1)).astype(np.int64)
+
+    def hnb(t: pa.Table) -> pa.Table:
+        nb = pc.fill_null(
+            pc.binary_length(pc.cast(t.column(text_col),
+                                     pa.large_binary())), 0)
+        return pa.table({"h": pa.array(_doc_hashes(t)),
+                         "nb": pc.cast(nb, pa.int64())})
+
+    cutoff = None
+    cum = 0
+    for b in ds.map_batches(hnb, batch_format="pyarrow").sort("h") \
+            .iter_batches(batch_format="pyarrow", batch_size=4096):
+        h = b.column("h").to_numpy()
+        nb = b.column("nb").to_numpy()
+        run = cum + np.cumsum(nb)
+        # admit while the PRIOR cumulative total is under budget
+        adm = np.flatnonzero(run - nb < char_budget)
+        if len(adm):
+            cutoff = int(h[adm[-1]])
+        cum = int(run[-1])
+        if cum >= char_budget:
+            break
+    if cutoff is None:
+        cutoff = -1  # empty corpus or zero budget → admit nothing
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(_doc_hashes(t) <= cutoff))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def _to_symbol_rows(text_col: str):
@@ -115,9 +174,74 @@ def _merge_delta(seq: np.ndarray, new: np.ndarray, kept: np.ndarray,
     return c[nz], v[nz]
 
 
+def _pick_winner(counts: np.ndarray, singles, V: int, score: str):
+    """Argmax over the global pair-count vector — shared by the
+    distributed round loop and the bounded driver-local loop so the
+    two paths cannot diverge. Returns (a, b, n) or None."""
+    nz = np.flatnonzero(counts > 1)
+    if not len(nz):
+        return None
+    n = counts[nz]
+    la, lb = nz // V, nz % V
+    if score == "wordpiece":
+        ca, cb = singles[la], singles[lb]
+        f = n / (ca.astype(np.float64) * cb.astype(np.float64))
+        near = np.flatnonzero(f >= f.max() * (1.0 - 1e-9))
+        win = -1
+        for i in near.tolist():  # exact rational argmax over ties
+            if win < 0:
+                win = i
+                continue
+            lhs = int(n[i]) * int(ca[win]) * int(cb[win])
+            rhs = int(n[win]) * int(ca[i]) * int(cb[i])
+            if lhs > rhs or (lhs == rhs and (la[i], lb[i])
+                             < (la[win], lb[win])):
+                win = i
+    else:
+        win = np.lexsort((lb, la, -n))[0]
+    return int(la[win]), int(lb[win]), int(n[win])
+
+
+def _train_local(seq: np.ndarray, V: int, n_merges: int,
+                 score: str) -> list[dict]:
+    """Driver-local round loop over ONE bounded symbol run — used when
+    a char_budget proves the training input small. Byte-equal to the
+    distributed loop: same kernels (_greedy_sites/_apply_merge/
+    _merge_delta), same _pick_winner, and one concatenated
+    boundary-joined run has the identical global pair/singles counts
+    as the per-row runs it came from (boundary pairs are masked)."""
+    counts = np.zeros(V * V, dtype=np.int64)
+    codes = _pair_codes(seq, V)
+    if len(codes):
+        counts += np.bincount(codes, minlength=V * V)
+    singles = np.bincount(seq, minlength=V).astype(np.int64)
+    singles[0] = 0
+    merges: list[dict] = []
+    for r in range(n_merges):
+        w = _pick_winner(counts, singles, V, score)
+        if w is None:
+            break
+        a, b, cnt = w
+        z = 256 + r
+        merges.append({"round": np.int64(r + 1), "left": np.int64(a),
+                       "right": np.int64(b), "new_sym": np.int64(z),
+                       "n": np.int64(cnt)})
+        kept = _greedy_sites(seq, a, b)
+        if len(kept):
+            new = _apply_merge(seq, kept, z)
+            dc, dv = _merge_delta(seq, new, kept, V)
+            np.add.at(counts, dc, dv)
+            singles[a] -= len(kept)
+            singles[b] -= len(kept)
+            singles[z] += len(kept)
+            seq = new
+    return merges
+
+
 def bpe_train(ds, text_col: str = "text", n_merges: int = 50,
               incremental: bool = True,
-              score: str = "bpe") -> pd.DataFrame:
+              score: str = "bpe", char_budget: int | None = None,
+              id_col: str = "doc_id") -> pd.DataFrame:
     """Learn ``n_merges`` merges over ``ds[text_col]``. Returns
     DataFrame(round, left, right, new_sym, n) — winner each round by
     (score desc, left asc, right asc); stops early when no pair
@@ -139,6 +263,37 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 50,
     if score not in ("bpe", "wordpiece"):
         raise ValueError(f"score must be 'bpe' or 'wordpiece', got {score!r}")
     V = 256 + n_merges
+    if char_budget is not None:
+        # bounded-sample training input (VERDICT r04 item 2): real
+        # systems never train a tokenizer on the full corpus; a budget
+        # at or above the corpus size reproduces the uncapped merges
+        # exactly (whole corpus admitted). The budget also BOUNDS the
+        # gathered sample (≤ budget + one overshoot doc per admission
+        # boundary), so the N-round loop runs driver-local — 50
+        # materialize rounds of Ray scheduling cost more than the
+        # entire bounded compute. Equality with the distributed loop
+        # is locked by test_bpe_budget_cap_admits_all.
+        sampled = bounded_symbol_sample(ds, char_budget, text_col, id_col)
+        runs = [
+            _seq_of(rv)
+            for t in sampled.map_batches(_to_symbol_rows(text_col),
+                                         batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+            for rv in t.column("seq").to_pylist()
+        ]
+        sep = np.zeros(1, dtype=np.int32)
+        parts: list[np.ndarray] = []
+        for x in runs:
+            if parts:
+                parts.append(sep)
+            parts.append(x)
+        seq = np.concatenate(parts) if parts \
+            else np.empty(0, dtype=np.int32)
+        merges = _train_local(seq, V, n_merges, score)
+        return pd.DataFrame(
+            merges, columns=["round", "left", "right", "new_sym", "n"]) \
+            .astype({c: "int64" for c in
+                     ("round", "left", "right", "new_sym", "n")})
 
     state = ds.map_batches(_to_symbol_rows(text_col),
                            batch_format="pyarrow").materialize()
@@ -184,28 +339,10 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 50,
     singles = singles_counts(state) if score == "wordpiece" else None
     merges = []
     for r in range(n_merges):
-        nz = np.flatnonzero(counts > 1)
-        if not len(nz):
+        w = _pick_winner(counts, singles, V, score)
+        if w is None:
             break
-        n = counts[nz]
-        la, lb = nz // V, nz % V
-        if score == "wordpiece":
-            ca, cb = singles[la], singles[lb]
-            f = n / (ca.astype(np.float64) * cb.astype(np.float64))
-            near = np.flatnonzero(f >= f.max() * (1.0 - 1e-9))
-            win = -1
-            for i in near.tolist():  # exact rational argmax over ties
-                if win < 0:
-                    win = i
-                    continue
-                lhs = int(n[i]) * int(ca[win]) * int(cb[win])
-                rhs = int(n[win]) * int(ca[i]) * int(cb[i])
-                if lhs > rhs or (lhs == rhs and (la[i], lb[i])
-                                 < (la[win], lb[win])):
-                    win = i
-        else:
-            win = np.lexsort((lb, la, -n))[0]
-        a, b, cnt = int(la[win]), int(lb[win]), int(n[win])
+        a, b, cnt = w
         z = 256 + r
         merges.append({"round": np.int64(r + 1), "left": np.int64(a),
                        "right": np.int64(b), "new_sym": np.int64(z),
