@@ -31,6 +31,7 @@ from ..keys import canonical_flat_bytes
 __all__ = [
     "exact_dedup_keep_ids",
     "exact_dedup_drop_ids",
+    "anti_join_rows_by_id",
     "MinHasher",
     "lsh_candidate_pairs",
     "SimHasher",
@@ -60,6 +61,153 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return x ^ (x >> np.uint64(31))
+
+
+def _wire_codec(vtype):
+    """(wire_type, to_wire, from_wire) for shipping a payload column
+    through a union/exchange.
+
+    Fixed-size-list payloads (minhash signatures, fixed-dim
+    embeddings) travel as large_binary on the wire: pa.nulls() for a
+    fixed-size list ALLOCATES the full child storage, so a null-padded
+    union side ships payload_width bytes of padding PER ROW (measured
+    1.04 GB of nulls for 1M pairs × 128 u64 — the exchange cost ~142 s
+    at 8M turns). As binary, payload rows carry their raw bytes and
+    padded rows carry zero-length strings; consumers reconstruct the
+    typed array zero-copy. Other types pass through unchanged."""
+    if pa.types.is_fixed_size_list(vtype):
+        _W = vtype.list_size
+        _vdt = np.dtype(vtype.value_type.to_pandas_dtype())
+        _BW = _W * _vdt.itemsize
+        wire_type = pa.large_binary()
+        _empty_fsl = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.empty(0, dtype=_vdt)), _W)
+
+        def _to_wire(col):
+            a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            if len(a) == 0:
+                return pa.array([], type=wire_type)
+            flat = np.ascontiguousarray(
+                a.flatten().to_numpy(zero_copy_only=False))
+            offs = np.arange(0, (len(a) + 1) * _BW, _BW, dtype=np.int64)
+            return pa.LargeBinaryArray.from_buffers(
+                wire_type, len(a),
+                [None, pa.py_buffer(offs), pa.py_buffer(flat.view(np.uint8))])
+
+        def _from_wire(arr):
+            a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+                else arr
+            if len(a) == 0:
+                return _empty_fsl
+            offs = np.frombuffer(a.buffers()[1], dtype=np.int64,
+                                 count=len(a) + 1, offset=a.offset * 8)
+            # the zero-copy view assumes dense _BW-byte rows (what
+            # _to_wire emits); a sliced / non-dense / null-bearing
+            # LargeBinary would misalign every downstream payload —
+            # validate and fall back to a safe per-row copy (ADVICE r03)
+            if (a.null_count == 0
+                    and int(offs[-1] - offs[0]) == len(a) * _BW
+                    and bool(np.all(np.diff(offs) == _BW))):
+                raw = np.frombuffer(a.buffers()[2], dtype=np.uint8,
+                                    count=int(offs[-1] - offs[0]),
+                                    offset=int(offs[0]))
+            else:
+                rows = a.to_pylist()
+                bad = [i for i, r in enumerate(rows)
+                       if r is None or len(r) != _BW]
+                if bad:
+                    raise ValueError(
+                        f"payload wire row(s) {bad[:5]} are not "
+                        f"{_BW}-byte dense binaries")
+                raw = np.frombuffer(b"".join(rows), dtype=np.uint8)
+            return pa.FixedSizeListArray.from_arrays(
+                pa.array(raw.view(_vdt)), _W)
+    else:
+        wire_type = vtype
+
+        def _to_wire(col):
+            a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            return a.cast(vtype)
+
+        def _from_wire(arr):
+            return arr
+
+    return wire_type, _to_wire, _from_wire
+
+
+def anti_join_rows_by_id(rows_ds, ids_ds, id_col: str = "doc_id",
+                         num_buckets: int = 64):
+    """``rows_ds`` minus rows whose ``id_col`` appears in ``ids_ds``
+    — the shuffle-tier complement of a drop-set broadcast filter
+    (VERDICT r04 item 3: a 40%-duplicate corpus makes the drop set
+    tens of GB, too big to ``ray.put``).
+
+    ONE id-hash bucket exchange: both sides land in the same bucket
+    (same hash), rows are kept iff no probe id matches in-bucket.
+    Payload columns ride wire-packed (fixed-size lists → large_binary
+    via :func:`_wire_codec`; probe rows carry empty strings / typed
+    zeros — never ``pa.nulls`` padding, which allocates full child
+    storage for fixed-size lists and upcasts int group frames), and
+    are reconstructed zero-copy after the filter."""
+    import pyarrow.compute as pc
+
+    schema = rows_ds.schema()
+    fields = list(zip(schema.names, schema.types))
+    payload = [(n, t) for n, t in fields if n != id_col]
+    codecs = {n: _wire_codec(t) for n, t in payload}
+
+    def tag_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        b = (_splitmix64(ids) % np.uint64(num_buckets)).astype(np.int64)
+        cols = {id_col: t.column(id_col)}
+        for n, _ in payload:
+            cols[n] = codecs[n][1](t.column(n))
+        cols["__b"] = pa.array(b)
+        cols["__probe"] = pa.array(np.zeros(t.num_rows, dtype=bool))
+        return pa.table(cols)
+
+    def tag_probes(t: pa.Table) -> pa.Table:
+        u = pc.unique(t.column(id_col).combine_chunks())
+        ids = u.to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (_splitmix64(ids) % np.uint64(num_buckets)).astype(np.int64)
+        cols = {id_col: u}
+        for n, _ in payload:
+            wt = codecs[n][0]
+            if pa.types.is_large_binary(wt) or pa.types.is_binary(wt):
+                cols[n] = pa.array([b""] * len(u), type=wt)
+            elif pa.types.is_string(wt) or pa.types.is_large_string(wt):
+                cols[n] = pa.array([""] * len(u), type=wt)
+            elif pa.types.is_integer(wt) or pa.types.is_floating(wt) \
+                    or pa.types.is_boolean(wt):
+                cols[n] = pa.array(np.zeros(len(u)), type=wt)
+            else:
+                cols[n] = pa.nulls(len(u), type=wt)  # cheap: var-size only
+        cols["__b"] = pa.array(b)
+        cols["__probe"] = pa.array(np.ones(len(u), dtype=bool))
+        return pa.table(cols)
+
+    out_cols = [id_col] + [n for n, _ in payload]
+
+    def filter_bucket(t: pa.Table) -> pa.Table:
+        probe = t.column("__probe").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = ~probe & ~np.isin(ids, ids[probe])
+        return t.filter(pa.array(keep)).select(out_cols)
+
+    filtered = rows_ds.map_batches(tag_rows, batch_format="pyarrow") \
+        .union(ids_ds.map_batches(tag_probes, batch_format="pyarrow")) \
+        .groupby("__b").map_groups(filter_bucket, batch_format="pyarrow")
+
+    def unpack(t: pa.Table) -> pa.Table:
+        cols = {id_col: t.column(id_col)}
+        for n, _ in payload:
+            cols[n] = codecs[n][2](t.column(n))
+        return pa.table(cols)
+
+    return filtered.map_batches(unpack, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ exact
@@ -417,7 +565,8 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
 
 def collapse_exact_signatures(sig_ds, id_col: str = "doc_id",
                               sig_col: str = "minhash",
-                              num_buckets: int = 64):
+                              num_buckets: int = 64,
+                              broadcast_threshold: int = 50_000_000):
     """Collapse docs with IDENTICAL signature vectors before LSH banding.
 
     Mass-duplicate corpora put hundreds of byte-identical signatures in
@@ -438,6 +587,11 @@ def collapse_exact_signatures(sig_ds, id_col: str = "doc_id",
     negligible at 10¹⁰ docs. The exchange carries 32-byte rows; the
     representative filter broadcasts the DROP set (non-representative
     members, O(exact-duplicates) — the exact_dedup_drop_ids asymmetry).
+    Past ``broadcast_threshold`` dropped ids (a 40%-duplicate 100 TB
+    corpus makes the drop set tens of GB — VERDICT r04 item 3) it
+    falls back to :func:`anti_join_rows_by_id`: one id-hash exchange,
+    signatures wire-packed, no driver/broadcast materialization
+    (equality locked by test_collapse_forced_anti_join_fallback).
 
     Returns ``(reps_ds, edges_ds, n_edges)``: ``reps_ds`` is ``sig_ds``
     minus non-representative members; ``edges_ds`` has
@@ -485,6 +639,13 @@ def collapse_exact_signatures(sig_ds, id_col: str = "doc_id",
     n_edges = edges_ds.count()
     if n_edges == 0:
         return sig_ds, None, 0
+
+    if n_edges > broadcast_threshold:
+        drops = edges_ds.select_columns(["id_b"]) \
+            .map_batches(lambda t: t.rename_columns([id_col]),
+                         batch_format="pyarrow")
+        reps = anti_join_rows_by_id(sig_ds, drops, id_col, num_buckets)
+        return reps, edges_ds, n_edges
 
     drop = np.sort(edges_ds.select_columns(["id_b"]).to_pandas()["id_b"]
                    .to_numpy().astype(np.int64))
@@ -1401,72 +1562,7 @@ def score_pairs_distributed(pairs_ds, payload_ds, id_col: str,
     vtype = dict(zip(payload.schema().names,
                      payload.schema().types))[payload_col]
 
-    # Fixed-size-list payloads (minhash signatures, fixed-dim
-    # embeddings) travel as large_binary on the wire: pa.nulls() for a
-    # fixed-size list ALLOCATES the full child storage, so the pair
-    # side of exchange 1 was shipping payload_width bytes of null
-    # padding PER PAIR (measured 1.04 GB of nulls for 1M pairs × 128
-    # u64 — the exchange cost ~142 s at 8M turns). As binary, payload
-    # rows carry their raw bytes and pair rows carry zero-length
-    # strings; buckets reconstruct the typed array zero-copy.
-    if pa.types.is_fixed_size_list(vtype):
-        _W = vtype.list_size
-        _vdt = np.dtype(vtype.value_type.to_pandas_dtype())
-        _BW = _W * _vdt.itemsize
-        wire_type = pa.large_binary()
-        _empty_fsl = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.empty(0, dtype=_vdt)), _W)
-
-        def _to_wire(col):
-            a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
-                else col
-            if len(a) == 0:
-                return pa.array([], type=wire_type)
-            flat = np.ascontiguousarray(
-                a.flatten().to_numpy(zero_copy_only=False))
-            offs = np.arange(0, (len(a) + 1) * _BW, _BW, dtype=np.int64)
-            return pa.LargeBinaryArray.from_buffers(
-                wire_type, len(a),
-                [None, pa.py_buffer(offs), pa.py_buffer(flat.view(np.uint8))])
-
-        def _from_wire(arr):
-            a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
-                else arr
-            if len(a) == 0:
-                return _empty_fsl
-            offs = np.frombuffer(a.buffers()[1], dtype=np.int64,
-                                 count=len(a) + 1, offset=a.offset * 8)
-            # the zero-copy view assumes dense _BW-byte rows (what
-            # _to_wire emits); a sliced / non-dense / null-bearing
-            # LargeBinary would misalign every downstream payload —
-            # validate and fall back to a safe per-row copy (ADVICE r03)
-            if (a.null_count == 0
-                    and int(offs[-1] - offs[0]) == len(a) * _BW
-                    and bool(np.all(np.diff(offs) == _BW))):
-                raw = np.frombuffer(a.buffers()[2], dtype=np.uint8,
-                                    count=int(offs[-1] - offs[0]),
-                                    offset=int(offs[0]))
-            else:
-                rows = a.to_pylist()
-                bad = [i for i, r in enumerate(rows)
-                       if r is None or len(r) != _BW]
-                if bad:
-                    raise ValueError(
-                        f"payload wire row(s) {bad[:5]} are not "
-                        f"{_BW}-byte dense binaries")
-                raw = np.frombuffer(b"".join(rows), dtype=np.uint8)
-            return pa.FixedSizeListArray.from_arrays(
-                pa.array(raw.view(_vdt)), _W)
-    else:
-        wire_type = vtype
-
-        def _to_wire(col):
-            a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
-                else col
-            return a.cast(vtype)
-
-        def _from_wire(arr):
-            return arr
+    wire_type, _to_wire, _from_wire = _wire_codec(vtype)
 
     def _kb(k_np: np.ndarray) -> pa.Array:
         return pa.array((_splitmix64(k_np.astype(np.uint64)) % B)
