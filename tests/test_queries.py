@@ -2850,3 +2850,25 @@ def test_line_dedup_forced_fallback(ray_session, sf_dir):
     b = line_dedup_docs(sf_dir, broadcast_limit=0)
     pd.testing.assert_frame_equal(a, b)
     assert (a["n_dup_lines"] > 0).any()  # planted boilerplate present
+
+
+def test_bounded_vocab_matches_set_fold_and_caps(ray_session, sf_dir):
+    """_bounded_vocab (vectorized per-block pc.unique partials) equals
+    the naive driver set-fold exactly, and trips its loud cap instead
+    of silently broadcasting an oversized node vector (VERDICT r04
+    item 4)."""
+    import pandas as pd
+    import pytest
+
+    from raysketch.pipelines.queries import (_bounded_vocab,
+                                             _word_edge_dataset)
+
+    edges = _word_edge_dataset(sf_dir)
+    vocab = _bounded_vocab(edges)
+    ref: set = set()
+    for b in edges.iter_batches(batch_format="pyarrow", batch_size=None):
+        ref.update(b.column("w1").to_pylist())
+        ref.update(b.column("w2").to_pylist())
+    pd.testing.assert_index_equal(vocab, pd.Index(sorted(ref)))
+    with pytest.raises(ValueError, match="vocabulary exceeds"):
+        _bounded_vocab(edges, cap=5)
