@@ -2872,3 +2872,24 @@ def test_bounded_vocab_matches_set_fold_and_caps(ray_session, sf_dir):
     pd.testing.assert_index_equal(vocab, pd.Index(sorted(ref)))
     with pytest.raises(ValueError, match="vocabulary exceeds"):
         _bounded_vocab(edges, cap=5)
+
+
+def test_top_cosine_ann_tier(ray_session, sf_dir):
+    """Forcing the ANN tier (guard=0) returns pairs whose cosines are
+    BIT-IDENTICAL to the exact tiled tier for every common pair, with
+    recall ≥ 0.8 at k=20 — and the default guard keeps the exact tier
+    (oracle anchor) at small sf (VERDICT r04 item 1)."""
+    from raysketch.pipelines.queries import top_cosine_pairs
+
+    k = 20
+    exact = top_cosine_pairs(sf_dir, k=k)
+    ann = top_cosine_pairs(sf_dir, k=k, ann_tier_rows=0)
+    assert list(ann.columns) == list(exact.columns)
+    ep = {(int(a), int(b)): c for a, b, c in
+          zip(exact["vec_a"], exact["vec_b"], exact["cos"])}
+    ap = {(int(a), int(b)): c for a, b, c in
+          zip(ann["vec_a"], ann["vec_b"], ann["cos"])}
+    common = set(ep) & set(ap)
+    assert len(common) >= int(0.8 * k)  # recall@k
+    for p in common:
+        assert ep[p] == ap[p]  # exact re-rank → bit-equal cosine
