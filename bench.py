@@ -26,6 +26,35 @@ import sys
 import time
 
 
+def _components_stress(sf_dir: str) -> None:
+    """propagate_components over a synthetic 1M-component chain/star
+    mix plus a 16384-node chain (~3M edges, ~4M nodes) — the
+    connected-components stress entry (VERDICT r04 item 7). Round
+    count is asserted ≈ log₂(diameter) in pytest; here it is timed."""
+    import ray.data
+
+    from raysketch.stages.dedup import (propagate_components,
+                                        synthetic_component_edges)
+
+    edges, _ = synthetic_component_edges(1_000_000, 16384)
+    ds = ray.data.from_pandas(edges).repartition(32).materialize()
+    propagate_components(ds).count()
+
+
+def _curate_convs_cold(sf_dir: str):
+    """curate_conversations with the checkpoint dir wiped first — the
+    cold leg; the resume leg runs right after on the same dir."""
+    import shutil
+    import tempfile
+
+    from raysketch.pipelines.queries import curate_conversations, sf_of
+
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), "raysketch_data",
+                               f"curated_convs_{sf_of(sf_dir)}"),
+                  ignore_errors=True)
+    return curate_conversations(sf_dir)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -107,8 +136,18 @@ def run_bench() -> dict:
         # (rebuilds the index every call by design)
         "incremental_dedup_turns": Q.incremental_dedup_turns,
         # 50 incremental-delta merge rounds over the documents table
-        # (VERDICT r03 item 5 done-criterion)
+        # (VERDICT r03 item 5 done-criterion; 512 KiB symbol-budget
+        # sample since round 5)
         "bpe_50_merges": lambda d: Q.bpe_train_merges(d, n_merges=50),
+        # VERDICT r04 item 7: 1M chain/star components (~3M edges,
+        # ~4M nodes) + a 16384-node chain — pointer-jumping must stay
+        # O(log diameter) rounds with bounded per-round block counts
+        "components_stress": _components_stress,
+        # VERDICT r04 item 8: conversation-curation checkpointed sink,
+        # cold leg (fresh output dir) THEN resume leg (skips finished
+        # shards — regression-times the checkpoint-skip path)
+        "curate_conversations_cold": _curate_convs_cold,
+        "curate_conversations_resume": Q.curate_conversations,
     }
     per_h = {}
     for name, fn in heavy_queries.items():

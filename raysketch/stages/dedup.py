@@ -1285,7 +1285,8 @@ def _bucket_min_by_node(ds_in, key_col: str, val_col: str, num_buckets: int):
 
 
 def propagate_components(pairs_ds, rounds: int | None = None,
-                         num_buckets: int = 64):
+                         num_buckets: int = 64,
+                         stats: dict | None = None):
     """Distributed min-label propagation for candidate-pair sets too
     large for driver-side union-find.
 
@@ -1410,7 +1411,51 @@ def propagate_components(pairs_ds, rounds: int | None = None,
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    if stats is not None:
+        # observability for the O(log diameter) + bounded-block-count
+        # claims (VERDICT r04 item 7): rounds includes the final
+        # no-change confirmation round
+        stats["rounds"] = r
+        stats["label_blocks"] = label_blocks
+        stats["n_nodes"] = n_nodes
     return labels
+
+
+def synthetic_component_edges(n_comps: int, chain_len: int,
+                              seed: int = 7):
+    """Deterministic chain+star component mix plus one long chain —
+    the :func:`propagate_components` stress harness (VERDICT r04
+    item 7). Fully vectorized generation. Returns
+    ``(edges_df(id_a, id_b), expected_df(node, label))`` where the
+    expected label of every node is its component's min id."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    sizes = rng.integers(2, 7, size=n_comps)
+    starts = np.zeros(n_comps, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    total = int(sizes.sum())
+    comp_of = np.repeat(np.arange(n_comps), sizes)
+    idx = np.arange(total, dtype=np.int64)
+    offset = idx - starts[comp_of]
+    is_last = offset == sizes[comp_of] - 1
+    star = (np.arange(n_comps) % 2 == 0)
+    chain_mask = ~is_last & ~star[comp_of]
+    a1, b1 = idx[chain_mask], idx[chain_mask] + 1
+    star_mask = (offset > 0) & star[comp_of]
+    a2, b2 = starts[comp_of[star_mask]], idx[star_mask]
+    base = total
+    a3 = base + np.arange(chain_len - 1, dtype=np.int64)
+    b3 = a3 + 1
+    edges = pd.DataFrame({
+        "id_a": np.concatenate([a1, a2, a3]),
+        "id_b": np.concatenate([b1, b2, b3])})
+    expected = pd.DataFrame({
+        "node": np.concatenate([idx, base + np.arange(chain_len)]),
+        "label": np.concatenate([
+            starts[comp_of],
+            np.full(chain_len, base, dtype=np.int64)])})
+    return edges, expected
 
 
 # --------------------------------------- distributed pair verification
