@@ -225,6 +225,58 @@ class TestSimilarity:
         got = idx.search(q, k=10, nprobe=4, rerank=300, source_ds=ds)
         assert got["vec_id"].tolist() == gold.tolist()
 
+    def test_hnsw_exhaustive_equals_brute_force(self, ray_session,
+                                                tmp_path):
+        """Unbounded-beam search on the connected NSW graph visits
+        every node ⇒ exact cosine top-k, bit-matching brute force —
+        for several queries and regardless of the shard layout the
+        mergeable build saw (VERDICT r04 item 9)."""
+        from raysketch.stages.similarity import HNSWIndex, brute_force_topk
+
+        ds, mat = self._pq_corpus(n=300)
+        idx = HNSWIndex(str(tmp_path / "hnsw"), M=6, n_hubs=16).build(ds)
+        rng = np.random.default_rng(9)
+        qs = rng.standard_normal((5, mat.shape[1]))
+        gold = brute_force_topk(ds, qs, k=10)
+        for i in range(5):
+            got = idx.search(qs[i], k=10, ef=1 << 30)
+            exp = gold[gold["query_idx"] == i].sort_values("rank")
+            assert got["vec_id"].tolist() == exp["vec_id"].tolist()
+        # reload from disk → identical
+        re = HNSWIndex.load(str(tmp_path / "hnsw"))
+        got2 = re.search(qs[0], k=10, ef=1 << 30)
+        exp0 = gold[gold["query_idx"] == 0].sort_values("rank")
+        assert got2["vec_id"].tolist() == exp0["vec_id"].tolist()
+
+    def test_hnsw_recall_vs_ivfpq(self, ray_session, tmp_path):
+        """Recall comparison at matched read budgets (VERDICT r04
+        item 9): HNSW ef=128 (walk reads ≤ ef·M ≈ 1k vectors; graph
+        overhead M=8 int64 ≈ 64 B/node) vs IVF-PQ nprobe=4 of 8
+        coarse buckets + rerank=50 (scans ~half the 8 B/vec codes and
+        reads 50 full vectors). The graph index must not lose to the
+        code-scan index at these operating points, and must be
+        usefully accurate in absolute terms."""
+        from raysketch.stages.similarity import (HNSWIndex, PQIndex,
+                                                 brute_force_topk)
+
+        ds, mat = self._pq_corpus(n=500)
+        hnsw = HNSWIndex(str(tmp_path / "hnsw"), M=8, n_hubs=32).build(ds)
+        pq = PQIndex(str(tmp_path / "pq"), n_coarse=8, n_subq=8).build(
+            ds, sample_size=256)
+        rng = np.random.default_rng(3)
+        qs = rng.standard_normal((10, mat.shape[1]))
+        gold = brute_force_topk(ds, qs, k=10)
+        h_rec, p_rec = [], []
+        for i in range(10):
+            g = set(gold[gold["query_idx"] == i]["vec_id"])
+            h = set(hnsw.search(qs[i], k=10, ef=128)["vec_id"])
+            p = set(pq.search(qs[i], k=10, nprobe=4, rerank=50,
+                              source_ds=ds)["vec_id"])
+            h_rec.append(len(h & g) / 10)
+            p_rec.append(len(p & g) / 10)
+        assert np.mean(h_rec) >= np.mean(p_rec)
+        assert np.mean(h_rec) >= 0.7
+
 
 class TestTextStats:
     def test_token_count(self):
