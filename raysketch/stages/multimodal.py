@@ -94,6 +94,42 @@ def make_real_png_table(n: int, seed: int = 0) -> pa.Table:
     })
 
 
+def make_real_jpeg_table(n: int, seed: int = 0) -> pa.Table:
+    """Rows whose payloads are REAL baseline-JPEG bytes (the
+    jpegcodec.py encoder: gradient + seeded noise, varying sizes,
+    4:4:4 / 4:2:0 and grayscale cycling, quality cycling 95/85/75) —
+    the fixture for the real JPEG decode path (VERDICT r04 item 5)."""
+    from .jpegcodec import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, ws, hs = [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(16, 65))
+        h = int(rng.integers(16, 65))
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([
+            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+            rng.integers(0, 256, size=(h, w), dtype=np.uint8),
+        ], axis=2)
+        if i % 3 == 2:
+            payloads.append(encode_jpeg(img[:, :, 0], quality=95 - 10 * (i % 2)))
+        else:
+            payloads.append(encode_jpeg(
+                img, quality=(95, 85, 75)[i % 3],
+                subsampling="420" if i % 2 else "444"))
+        ids.append(i)
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "item_id": pa.array(np.array(ids, dtype=np.int64)),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array(np.array(ws, dtype=np.int32)),
+        "height": pa.array(np.array(hs, dtype=np.int32)),
+        "format": pa.array(["jpeg"] * n),
+    })
+
+
 def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
     """Deterministic stand-in decode: payload hash seeds the pixels."""
     seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
@@ -135,6 +171,13 @@ class ImageDecode:
             if img.shape[2] == 1:
                 img = np.repeat(img, 3, axis=2)
             return img[:, :, :3]  # drop alpha for the RGB contract
+        if fmt in ("jpeg", "jpg"):
+            from .jpegcodec import decode_jpeg
+
+            img = decode_jpeg(payload)
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            return img
         raise NotImplementedError(
             f"no codec for format {fmt!r} in this environment (install pillow)"
         )

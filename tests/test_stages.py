@@ -838,6 +838,107 @@ class TestWavCodec:
         assert all(abs(v - 0.5 / np.sqrt(2)) < 0.01 for v in vals), vals
 
 
+class TestJpegCodec:
+    """Pure-numpy baseline JPEG (VERDICT r04 item 5): round-trip
+    against fixtures encoded by the same module (JPEG is lossy — the
+    lock is a bounded per-pixel error at high quality plus bitwise
+    decode determinism), corrupt-stream rejection, and the
+    ImageDecode path end-to-end."""
+
+    @staticmethod
+    def _gradient(h, w, seed=0):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack([
+            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+            rng.integers(0, 256, size=(h, w), dtype=np.uint8),
+        ], axis=2)
+
+    def test_roundtrip_error_bounds(self):
+        from raysketch.stages.jpegcodec import decode_jpeg, encode_jpeg
+
+        img = self._gradient(48, 64)
+        smooth = img.copy()
+        smooth[:, :, 2] = img[:, :, 0] // 2  # fully smooth channels
+        for sub, bound in (("444", 4), ("420", 8)):
+            out = decode_jpeg(encode_jpeg(smooth, quality=95,
+                                          subsampling=sub))
+            assert out.shape == smooth.shape
+            err = np.abs(out.astype(int) - smooth.astype(int))
+            assert err.max() <= bound, (sub, err.max())
+        # decode is deterministic bit-for-bit
+        b = encode_jpeg(img, quality=85, subsampling="420")
+        assert decode_jpeg(b).tobytes() == decode_jpeg(b).tobytes()
+
+    def test_grayscale_and_odd_sizes(self):
+        from raysketch.stages.jpegcodec import decode_jpeg, encode_jpeg
+
+        g = ((np.add.outer(np.arange(45) * 5, np.arange(61) * 3)) % 256) \
+            .astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(g, quality=95))
+        assert out.shape == (45, 61, 1)
+        img = self._gradient(45, 61, seed=2)
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+        assert out.shape == img.shape  # MCU padding cropped exactly
+
+    def test_corrupt_and_unsupported_rejection(self):
+        import pytest
+
+        from raysketch.stages.jpegcodec import decode_jpeg, encode_jpeg
+
+        b = encode_jpeg(self._gradient(16, 16), quality=90)
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\xff\xd8garbage")
+        with pytest.raises(ValueError):
+            decode_jpeg(b[: len(b) // 2])  # truncated entropy stream
+        with pytest.raises(ValueError):
+            decode_jpeg(b"not a jpeg")
+        # progressive (SOF2) must be rejected loudly, not mis-decoded
+        prog = bytearray(b)
+        sof = prog.find(b"\xff\xc0")
+        prog[sof + 1] = 0xC2
+        with pytest.raises(ValueError, match="SOF2"):
+            decode_jpeg(bytes(prog))
+
+    def test_restart_markers(self):
+        """DRI/RSTn handling: splice a DRI segment is encoder-side
+        absent, so craft the stream by re-encoding with manual restart
+        injection is out of scope — instead verify the reader rejects
+        a stream whose DRI promises restarts that never come."""
+        import pytest
+
+        from raysketch.stages.jpegcodec import decode_jpeg, encode_jpeg
+
+        b = bytearray(encode_jpeg(self._gradient(32, 32), quality=90))
+        sos = b.find(b"\xff\xda")
+        dri = b"\xff\xdd\x00\x04\x00\x01"  # restart every 1 MCU
+        b2 = bytes(b[:sos]) + dri + bytes(b[sos:])
+        with pytest.raises(ValueError):
+            decode_jpeg(b2)
+
+    def test_image_decode_stage_jpeg(self, ray_session):
+        """ImageDecode consumes real JPEG payloads end-to-end and the
+        decoded pixels match decode_jpeg exactly."""
+        import ray.data
+
+        from raysketch.stages.jpegcodec import decode_jpeg
+        from raysketch.stages.multimodal import (ImageDecode,
+                                                 make_real_jpeg_table)
+
+        t = make_real_jpeg_table(12, seed=5)
+        out = ray.data.from_arrow(t).map_batches(
+            ImageDecode, fn_constructor_kwargs={"deterministic_fake": False},
+            batch_format="pyarrow", batch_size=4, concurrency=2,
+        ).to_pandas().sort_values("item_id")
+        payloads = t.column("payload").to_pylist()
+        for _, row in out.iterrows():
+            img = decode_jpeg(payloads[int(row["item_id"])])
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            assert np.array_equal(row["image"], img)
+
+
 from hypothesis import given, settings, strategies as st
 
 
@@ -854,6 +955,27 @@ class TestCodecProperties:
         img = np.random.default_rng(seed).integers(0, 256, size=(h, w, ch),
                                                    dtype=np.uint8)
         assert np.array_equal(decode_png(encode_png(img, filter_type=ft)), img)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(1, 40), w=st.integers(1, 40),
+        sub=st.sampled_from(["444", "420"]),
+        q=st.sampled_from([75, 90, 95]), seed=st.integers(0, 2**16),
+    )
+    def test_jpeg_roundtrip_property(self, h, w, sub, q, seed):
+        """Any size (incl. non-MCU-aligned), any supported sampling /
+        quality: decode(encode(x)) has the input's exact shape, never
+        raises, and is decode-deterministic. (JPEG is lossy — exact
+        pixel equality is not a property; the bounded-error lock lives
+        in TestJpegCodec.)"""
+        from raysketch.stages.jpegcodec import decode_jpeg, encode_jpeg
+
+        img = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8)
+        b = encode_jpeg(img, quality=q, subsampling=sub)
+        out = decode_jpeg(b)
+        assert out.shape == img.shape
+        assert decode_jpeg(b).tobytes() == out.tobytes()
 
     @settings(max_examples=25, deadline=None)
     @given(
