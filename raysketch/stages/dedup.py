@@ -3158,3 +3158,196 @@ def containment_join(ds, text_col: str = "text", id_col: str = "doc_id",
                         columns=["id_a", "id_b", "inter", "n_a", "n_b"]) \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True) \
         .astype("int64")
+
+
+# ------------------------------------------------- exact substring dedup
+def _long_window_hashes(data: np.ndarray, offsets: np.ndarray,
+                        L: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hash every L-byte window of every doc, L a multiple of 8.
+
+    Builds on :func:`_window_hashes` (exact MurmurHash64A of each 8-byte
+    chunk) and chains the L/8 non-overlapping chunk hashes of each
+    window through a splitmix round — equal windows always hash equal
+    (chunk hashes are functions of the bytes alone); unequal windows
+    collide with probability ~n²/2⁶⁴ like every hash-keyed exchange in
+    this module. Returns (window hashes, per-doc window-count offsets),
+    aligned like :func:`_window_hashes`."""
+    assert L >= 8 and L % 8 == 0
+    wh8, woff8 = _window_hashes(data, offsets, 8)
+    lens = offsets[1:] - offsets[:-1]
+    wc = np.maximum(lens - L + 1, 0)
+    woffL = np.zeros(len(wc) + 1, dtype=np.int64)
+    np.cumsum(wc, out=woffL[1:])
+    total = int(woffL[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), woffL
+    base8 = np.repeat(woff8[:-1], wc) + (
+        np.arange(total, dtype=np.int64) - np.repeat(woffL[:-1], wc))
+    h = wh8[base8].copy()
+    for c in range(8, L, 8):
+        h = _splitmix64((h * np.uint64(0x9E3779B97F4A7C15)) ^ wh8[base8 + c])
+    return h, woffL
+
+
+def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                   L: int = 32, masked: bool = False, num_buckets: int = 64):
+    """Exact duplicated-substring spans (Lee et al. 2021, the ExactSubstr
+    dedup of "Deduplicating Training Data Makes Language Models Better"):
+    an L-byte window is *duplicated* when its byte content occurs ≥2
+    times anywhere in the corpus (any doc, any position — including a
+    second time in the same doc); every duplicated window's [pos, pos+L)
+    span is marked, overlapping/adjacent spans merge, and each doc
+    reports how much of it is covered by duplicated content.
+
+    Distributed shape (two bucket exchanges, no full-corpus group):
+
+    1. window rows (hash, doc, pos) bucket-exchange BY HASH — a window
+       content's full occurrence list lives in exactly one bucket, so a
+       within-bucket segment count IS the global occurrence count;
+       rows in segments of length ≥2 are the duplicated positions.
+    2. duplicated (doc, pos) rows + per-doc meta rows (window count,
+       byte length — and the text itself when ``masked=True``) union
+       into a BY-DOC bucket exchange; per doc, sorted span starts
+       merge via the gaps-and-islands identity
+       ``cover = Σ min(next_start − start, L)`` (last span counts L).
+
+    Returns per-doc ``(doc_id, n_windows, n_dup_windows,
+    dup_cover_chars, kept_chars)``; with ``masked=True`` additionally
+    ``text_kept`` — the doc's bytes with every duplicated span removed
+    (the actual dedup output). Positions/lengths are BYTE-based; on
+    ASCII corpora they equal SQL character semantics.
+    """
+    import pandas as pd
+
+    B = np.uint64(num_buckets)
+    Li = np.int64(L)
+
+    def window_rows(t: pa.Table) -> pa.Table:
+        data, offsets = arrow_to_flat_bytes(t.column(text_col))
+        wh, woff = _long_window_hashes(data, offsets.astype(np.int64), L)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        wc = np.diff(woff)
+        total = int(woff[-1])
+        doc = np.repeat(ids, wc)
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(woff[:-1], wc))
+        return pa.table({
+            "__hb": pa.array(((_splitmix64(wh) % B)).astype(np.int64)),
+            "h": pa.array(wh.view(np.int64)),  # signed wire; bits intact
+            id_col: pa.array(doc),
+            "pos": pa.array(pos),
+        })
+
+    def dup_rows(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        di = g[id_col].to_numpy()
+        ps = g["pos"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        new_g = np.r_[True, hs[1:] != hs[:-1]]
+        starts = np.nonzero(new_g)[0]
+        seg = np.diff(np.r_[starts, len(hs)])
+        dup = np.repeat(seg, seg) >= 2
+        keep = order[dup]
+        return pd.DataFrame({id_col: di[keep], "pos": ps[keep]})
+
+    dup = (
+        ds.map_batches(window_rows, batch_format="pyarrow")
+        .groupby("__hb")
+        .map_groups(dup_rows, batch_format="pandas")
+    )
+
+    with_text = bool(masked)
+
+    def meta_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        tl = pc.binary_length(t.column(text_col)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nw = np.maximum(tl - Li + 1, 0)
+        cols = {
+            id_col: pa.array(ids),
+            "pos": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "n_windows": pa.array(nw),
+            "text_len": pa.array(tl),
+        }
+        if with_text:
+            cols["__txt"] = pc.cast(t.column(text_col), pa.large_binary())
+        return pa.table(cols)
+
+    def dup_pad(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            id_col: t.column(id_col),
+            "pos": t.column("pos"),
+            "n_windows": pa.array(np.zeros(n, dtype=np.int64)),
+            "text_len": pa.array(np.zeros(n, dtype=np.int64)),
+        }
+        if with_text:
+            cols["__txt"] = pa.array([b""] * n, type=pa.large_binary())
+        return pa.table(cols)
+
+    def ib(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__ib", pa.array((_splitmix64(ids) % B).astype(np.int64)))
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        ps = g["pos"].to_numpy()
+        meta = ps < 0
+        m = g[meta].sort_values(id_col)
+        uid = m[id_col].to_numpy()
+        nw = m["n_windows"].to_numpy()
+        tl = m["text_len"].to_numpy()
+        d_ids, d_ps = ids[~meta], ps[~meta]
+        order = np.lexsort((d_ps, d_ids))
+        d_ids, d_ps = d_ids[order], d_ps[order]
+        same = np.r_[d_ids[1:] == d_ids[:-1], False]
+        nxt = np.r_[d_ps[1:], 0]
+        contrib = np.where(same, np.minimum(nxt - d_ps, Li), Li)
+        starts = np.nonzero(np.r_[True, d_ids[1:] != d_ids[:-1]])[0]
+        if len(d_ids):
+            cover_per = np.add.reduceat(contrib, starts)
+            nd_per = np.diff(np.r_[starts, len(d_ids)])
+            dup_uid = d_ids[starts]
+        else:
+            cover_per = nd_per = dup_uid = np.empty(0, dtype=np.int64)
+        idx = np.searchsorted(uid, dup_uid)
+        cover = np.zeros(len(uid), dtype=np.int64)
+        nd = np.zeros(len(uid), dtype=np.int64)
+        cover[idx] = cover_per
+        nd[idx] = nd_per
+        out = pd.DataFrame({
+            id_col: uid, "n_windows": nw, "n_dup_windows": nd,
+            "dup_cover_chars": cover, "kept_chars": tl - cover})
+        if with_text:
+            txts = m["__txt"].to_numpy()
+            doc_pos: dict[int, np.ndarray] = {}
+            if len(d_ids):
+                for k, s in enumerate(starts):
+                    e = s + nd_per[k]
+                    doc_pos[int(dup_uid[k])] = d_ps[s:e]
+            kept = []
+            for k, i in enumerate(uid):
+                t_b = bytes(txts[k])
+                sp = doc_pos.get(int(i))
+                if sp is None:
+                    kept.append(t_b)
+                    continue
+                mask = np.zeros(len(t_b), dtype=bool)
+                for p in sp:  # bounded: per-doc span count
+                    mask[p:p + L] = True
+                arr = np.frombuffer(t_b, dtype=np.uint8)
+                kept.append(arr[~mask].tobytes())
+            out["text_kept"] = [b.decode("utf-8", "surrogateescape")
+                                for b in kept]
+        return out
+
+    meta = ds.map_batches(meta_rows, batch_format="pyarrow")
+    return (
+        dup.map_batches(dup_pad, batch_format="pyarrow")
+        .union(meta)
+        .map_batches(ib, batch_format="pyarrow")
+        .groupby("__ib")
+        .map_groups(per_doc, batch_format="pandas")
+    )

@@ -3308,3 +3308,113 @@ class TestImageHistEq:
         a = ImageHistEq().eq_one(img)
         b = ImageHistEq().eq_one(img)
         assert (a == b).all()
+
+
+class TestCharSpanDedup:
+    """Char-level exact-substring dedup (stages/dedup.py
+    dup_span_stats): brute-force equality on a planted corpus, plus
+    layout independence."""
+
+    L = 16
+
+    @staticmethod
+    def _brute(texts: dict[int, str], L: int):
+        """O(n²) reference: count every L-byte window across the whole
+        corpus, mark all windows with count ≥ 2, merge spans, excise."""
+        from collections import Counter
+
+        cnt = Counter()
+        for t in texts.values():
+            b = t.encode()
+            for p in range(max(len(b) - L + 1, 0)):
+                cnt[b[p:p + L]] += 1
+        out = {}
+        for i, t in texts.items():
+            b = t.encode()
+            starts = [p for p in range(max(len(b) - L + 1, 0))
+                      if cnt[b[p:p + L]] >= 2]
+            mask = bytearray(len(b))
+            for p in starts:
+                for j in range(p, min(p + L, len(b))):
+                    mask[j] = 1
+            kept = bytes(c for c, m in zip(b, mask) if not m)
+            cover = sum(mask)
+            out[i] = dict(n_windows=max(len(b) - L + 1, 0),
+                          n_dup_windows=len(starts),
+                          dup_cover_chars=cover,
+                          kept_chars=len(b) - cover,
+                          text_kept=kept.decode())
+        return out
+
+    def _corpus(self):
+        boiler = "SUBSCRIBE TO OUR NEWSLETTER TODAY PLEASE"  # 40 B shared
+        texts = {
+            1: "unique first document text aaa " + boiler + " tail one",
+            2: "second doc body bbbb " + boiler + " different tail",
+            3: "internal repeat XYZXYZXYZXYZXYZXYZXYZXYZ repeat done",
+            4: "wholly unique document with no duplicated content qq",
+            5: boiler,                       # doc fully covered
+            6: "tiny",                       # shorter than L
+        }
+        return texts
+
+    def test_equals_brute_force(self, ray_session):
+        import ray
+
+        from raysketch.stages.dedup import dup_span_stats
+
+        texts = self._corpus()
+        gold = self._brute(texts, self.L)
+        tbl = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                        "text": pa.array(list(texts.values()))})
+        for parts in (1, 4):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            out = dup_span_stats(ds, L=self.L, masked=True).to_pandas()
+            out = out.sort_values("doc_id").reset_index(drop=True)
+            assert list(out["doc_id"]) == sorted(texts)
+            for _, r in out.iterrows():
+                g = gold[int(r["doc_id"])]
+                for k in ("n_windows", "n_dup_windows",
+                          "dup_cover_chars", "kept_chars"):
+                    assert int(r[k]) == g[k], (r["doc_id"], k)
+                assert r["text_kept"] == g["text_kept"], r["doc_id"]
+
+    def test_internal_repeat_caught(self, ray_session):
+        """A window repeated WITHIN one doc is duplicated content —
+        doc-level and first-kept token dedup both miss this."""
+        import ray
+
+        from raysketch.stages.dedup import dup_span_stats
+
+        texts = self._corpus()
+        tbl = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                        "text": pa.array(list(texts.values()))})
+        out = dup_span_stats(ray.data.from_arrow(tbl), L=self.L,
+                             masked=True).to_pandas()
+        r3 = out[out["doc_id"] == 3].iloc[0]
+        assert r3["n_dup_windows"] > 0
+        assert "XYZXYZXYZXYZ" not in r3["text_kept"]
+        r5 = out[out["doc_id"] == 5].iloc[0]
+        assert r5["text_kept"] == ""            # fully excised
+        r6 = out[out["doc_id"] == 6].iloc[0]
+        assert r6["text_kept"] == "tiny" and r6["n_windows"] == 0
+
+    def test_long_window_hashes_match_direct(self):
+        """Chained chunk hashes: equal windows ⇒ equal hashes, and the
+        hash depends only on the window bytes (alignment-free)."""
+        from raysketch.stages.dedup import _long_window_hashes
+
+        rng = np.random.default_rng(7)
+        b1 = rng.integers(65, 91, 200).astype(np.uint8)
+        # same 48-byte payload at different offsets in different docs
+        pay = rng.integers(65, 91, 48).astype(np.uint8)
+        d1 = np.concatenate([b1[:10], pay, b1[10:40]])
+        d2 = np.concatenate([b1[40:67], pay, b1[70:90]])
+        data = np.concatenate([d1, d2])
+        off = np.array([0, len(d1), len(d1) + len(d2)], dtype=np.int64)
+        h, woff = _long_window_hashes(data, off, 48)
+        h1 = h[woff[0]:woff[1]][10]          # window at pay's offset in d1
+        h2 = h[woff[1]:woff[2]][27]          # window at pay's offset in d2
+        assert h1 == h2
+        # and a different window differs
+        assert h[woff[0]:woff[1]][0] != h1
