@@ -2893,3 +2893,43 @@ def test_top_cosine_ann_tier(ray_session, sf_dir):
     assert len(common) >= int(0.8 * k)  # recall@k
     for p in common:
         assert ep[p] == ap[p]  # exact re-rank → bit-equal cosine
+
+
+class TestDecontaminateEmbeddings:
+    """Semantic decontamination: planted exact copy of an eval vector
+    must be flagged with cosine exactly 1.0; scale-guard trips loudly."""
+
+    def _write(self, tmp_path, n=120, dim=16, seed=3):
+        import pyarrow as pa
+        rng = np.random.default_rng(seed)
+        emb = rng.normal(size=(n, dim)).astype(np.float32)
+        ids = np.arange(n, dtype=np.int64)
+        # vec 37 is eval (37 % 37 == 0); plant vec 40 = exact copy
+        emb[40] = emb[37]
+        tbl = pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1)), dim),
+            "label": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+        import pyarrow.parquet as pq
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+        return str(tmp_path)
+
+    def test_planted_copy_flagged(self, ray_session, tmp_path):
+        from raysketch.pipelines.queries import decontaminate_embeddings
+
+        sf = self._write(tmp_path)
+        out = decontaminate_embeddings(sf)
+        r = out[out["vec_id"] == 40].iloc[0]
+        assert r["eval_id"] == 37
+        assert r["max_cos"] == 1.0
+        assert r["contaminated"] == 1
+        assert (out["vec_id"] % 37 != 0).all()  # eval rows excluded
+
+    def test_eval_guard_trips(self, ray_session, tmp_path):
+        from raysketch.pipelines.queries import decontaminate_embeddings
+
+        sf = self._write(tmp_path)
+        with pytest.raises(ValueError, match="eval_limit"):
+            decontaminate_embeddings(sf, eval_limit=1)
