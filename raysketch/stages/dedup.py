@@ -3189,17 +3189,14 @@ def _long_window_hashes(data: np.ndarray, offsets: np.ndarray,
     return h, woffL
 
 
-def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
-                   L: int = 32, masked: bool = False, num_buckets: int = 64):
-    """Exact duplicated-substring spans (Lee et al. 2021, the ExactSubstr
-    dedup of "Deduplicating Training Data Makes Language Models Better"):
-    an L-byte window is *duplicated* when its byte content occurs ≥2
-    times anywhere in the corpus (any doc, any position — including a
-    second time in the same doc); every duplicated window's [pos, pos+L)
-    span is marked, overlapping/adjacent spans merge, and each doc
-    reports how much of it is covered by duplicated content.
+def _dup_span_stats_exchange(ds, text_col: str = "text",
+                             id_col: str = "doc_id", L: int = 32,
+                             masked: bool = False, num_buckets: int = 64):
+    """Attach-positions tier of :func:`dup_span_stats` — the fallback
+    when the duplicated-hash set is too big to broadcast.
 
-    Distributed shape (two bucket exchanges, no full-corpus group):
+    Two bucket exchanges, no full-corpus group and nothing on the
+    driver (dup positions never leave the workers):
 
     1. window rows (hash, doc, pos) bucket-exchange BY HASH — a window
        content's full occurrence list lives in exactly one bucket, so a
@@ -3210,12 +3207,6 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
        into a BY-DOC bucket exchange; per doc, sorted span starts
        merge via the gaps-and-islands identity
        ``cover = Σ min(next_start − start, L)`` (last span counts L).
-
-    Returns per-doc ``(doc_id, n_windows, n_dup_windows,
-    dup_cover_chars, kept_chars)``; with ``masked=True`` additionally
-    ``text_kept`` — the doc's bytes with every duplicated span removed
-    (the actual dedup output). Positions/lengths are BYTE-based; on
-    ASCII corpora they equal SQL character semantics.
     """
     import pandas as pd
 
@@ -3351,3 +3342,142 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby("__ib")
         .map_groups(per_doc, batch_format="pandas")
     )
+
+
+def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                   L: int = 32, masked: bool = False, num_buckets: int = 64,
+                   broadcast_limit: int = 50_000_000):
+    """Exact duplicated-substring spans (Lee et al. 2021, the ExactSubstr
+    dedup of "Deduplicating Training Data Makes Language Models Better"):
+    an L-byte window is *duplicated* when its byte content occurs ≥2
+    times anywhere in the corpus (any doc, any position — including a
+    second time in the same doc); every duplicated window's [pos, pos+L)
+    span is marked, overlapping/adjacent spans merge, and each doc
+    reports how much of it is covered by duplicated content.
+
+    Returns per-doc ``(doc_id, n_windows, n_dup_windows,
+    dup_cover_chars, kept_chars)``; with ``masked=True`` additionally
+    ``text_kept`` — the doc's bytes with every duplicated span removed
+    (the actual dedup output). Positions/lengths are BYTE-based; on
+    ASCII corpora they equal SQL character semantics.
+
+    Scale tiers (the dup-HASH set, not the corpus, decides):
+
+    - Common tier: ONE exchange of per-batch-deduped 16-byte
+      ``(hash, count)`` rows (never positions — a window's global
+      count is the sum of its per-batch counts, and a hash's rows all
+      land in one bucket); the duplicated-hash SET — typically ≪
+      corpus — broadcasts once via ``ray.put``; a second zero-shuffle
+      pass re-hashes each doc locally (hashing is cheap; wire is not),
+      marks positions against the broadcast set (sorted-array
+      searchsorted) and emits final stats/masked text directly.
+    - Past ``broadcast_limit`` duplicated hashes the broadcast would
+      be the scale-killer the exact-dedup drop-set guard exists for —
+      fall back to :func:`_dup_span_stats_exchange` (positions ride
+      the hash exchange, spans assemble in a by-doc exchange; nothing
+      driver-side). Both tiers are output-identical (same hash
+      function, same span algebra) — equality-locked in pytest.
+    """
+    import pandas as pd
+    import ray
+
+    B = np.uint64(num_buckets)
+    Li = np.int64(L)
+
+    def hash_count_rows(t: pa.Table) -> pa.Table:
+        data, offsets = arrow_to_flat_bytes(t.column(text_col))
+        wh, _ = _long_window_hashes(data, offsets.astype(np.int64), L)
+        hu, cnt = np.unique(wh, return_counts=True)
+        return pa.table({
+            "__hb": pa.array((_splitmix64(hu) % B).astype(np.int64)),
+            "h": pa.array(hu.view(np.int64)),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    def dup_hashes(g) -> "pa.Table":
+        h = g["h"].to_numpy()
+        c = g["c"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        hs, cs = h[order], c[order]
+        starts = np.nonzero(np.r_[True, hs[1:] != hs[:-1]])[0]
+        tot = np.add.reduceat(cs, starts)
+        return pd.DataFrame({"h": hs[starts][tot >= 2]})
+
+    dup_ds = (
+        ds.map_batches(hash_count_rows, batch_format="pyarrow")
+        .groupby("__hb")
+        .map_groups(dup_hashes, batch_format="pandas")
+    ).materialize()
+    n_dup = dup_ds.count()
+    if n_dup > broadcast_limit:
+        return _dup_span_stats_exchange(ds, text_col, id_col, L,
+                                        masked, num_buckets)
+    if n_dup:
+        # empty map_groups outputs surface as schema-less zero-row
+        # blocks — skip any block without the column
+        blocks = [t.column("h").to_numpy(zero_copy_only=False)
+                  for t in (ray.get(r) for r in dup_ds.to_arrow_refs())
+                  if "h" in t.column_names and t.num_rows]
+        arr = np.sort(np.concatenate(blocks)) if blocks \
+            else np.empty(0, dtype=np.int64)
+    else:
+        arr = np.empty(0, dtype=np.int64)
+    ref = ray.put(arr)
+    with_text = bool(masked)
+
+    def span_pass(t: pa.Table) -> pa.Table:
+        dup_arr = ray.get(ref)
+        data, offsets = arrow_to_flat_bytes(t.column(text_col))
+        offsets = offsets.astype(np.int64)
+        wh, woff = _long_window_hashes(data, offsets, L)
+        hv = wh.view(np.int64)
+        if len(dup_arr):
+            idx = np.searchsorted(dup_arr, hv)
+            idx[idx == len(dup_arr)] = 0
+            is_dup = dup_arr[idx] == hv
+        else:
+            is_dup = np.zeros(len(hv), dtype=bool)
+        n = t.num_rows
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        tl = (offsets[1:] - offsets[:-1])
+        nw = np.diff(woff)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), nw)
+        pos = np.arange(int(woff[-1]), dtype=np.int64) \
+            - np.repeat(woff[:-1], nw)
+        d_doc, d_pos = doc_of[is_dup], pos[is_dup]
+        # per-doc merged cover: starts sorted already (pos ascending
+        # within each doc, docs in order)
+        same = np.r_[d_doc[1:] == d_doc[:-1], False]
+        nxt = np.r_[d_pos[1:], 0]
+        contrib = np.where(same, np.minimum(nxt - d_pos, Li), Li)
+        starts = np.nonzero(np.r_[True, d_doc[1:] != d_doc[:-1]])[0] \
+            if len(d_doc) else np.empty(0, dtype=np.int64)
+        cover = np.zeros(n, dtype=np.int64)
+        ndw = np.zeros(n, dtype=np.int64)
+        if len(d_doc):
+            cover[d_doc[starts]] = np.add.reduceat(contrib, starts)
+            ndw[d_doc[starts]] = np.diff(np.r_[starts, len(d_doc)])
+        cols = {
+            id_col: pa.array(ids),
+            "n_windows": pa.array(nw),
+            "n_dup_windows": pa.array(ndw),
+            "dup_cover_chars": pa.array(cover),
+            "kept_chars": pa.array(tl - cover),
+        }
+        if with_text:
+            kept = []
+            for i in range(n):
+                b = data[offsets[i]:offsets[i + 1]]
+                if not ndw[i]:
+                    kept.append(b.tobytes())
+                    continue
+                mask = np.zeros(len(b), dtype=bool)
+                sl = slice(*np.searchsorted(d_doc, [i, i + 1]))
+                for p in d_pos[sl]:
+                    mask[p:p + L] = True
+                kept.append(b[~mask].tobytes())
+            cols["text_kept"] = pa.array(
+                [x.decode("utf-8", "surrogateescape") for x in kept])
+        return pa.table(cols)
+
+    return ds.map_batches(span_pass, batch_format="pyarrow")

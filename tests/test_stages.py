@@ -3418,3 +3418,24 @@ class TestCharSpanDedup:
         assert h1 == h2
         # and a different window differs
         assert h[woff[0]:woff[1]][0] != h1
+
+    def test_broadcast_and_exchange_tiers_equal(self, ray_session):
+        """broadcast_limit=0 forces the attach-positions exchange
+        fallback; both tiers must be frame-identical (same hash
+        function, same span algebra)."""
+        import ray
+
+        from raysketch.stages.dedup import dup_span_stats
+
+        texts = self._corpus()
+        tbl = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                        "text": pa.array(list(texts.values()))})
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        cols = ["doc_id", "n_windows", "n_dup_windows",
+                "dup_cover_chars", "kept_chars", "text_kept"]
+        a = dup_span_stats(ds, L=self.L, masked=True).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)[cols]
+        b = dup_span_stats(ds, L=self.L, masked=True,
+                           broadcast_limit=0).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)[cols]
+        pd.testing.assert_frame_equal(a, b)
