@@ -2933,3 +2933,58 @@ class TestDecontaminateEmbeddings:
         sf = self._write(tmp_path)
         with pytest.raises(ValueError, match="eval_limit"):
             decontaminate_embeddings(sf, eval_limit=1)
+
+
+class TestTurnSpanDedupConvs:
+    """Full DuckDB replica of the transcripts-payload span-dedup query
+    at sf0.001 — oracle-grade even though transcripts is not a
+    registered driver view (the gate can't see it; this test can)."""
+
+    def test_matches_duckdb_replica(self, ray_session):
+        import glob
+
+        import duckdb
+
+        from raysketch.pipelines.queries import (_TURNS_PER_SF, sf_of,
+                                                 turn_span_dedup_convs,
+                                                 write_transcripts)
+
+        sf = "/root/testdata/sf0.001"
+        got = turn_span_dedup_convs(sf)
+        n_turns = max(1000, int(sf_of(sf) * _TURNS_PER_SF))
+        tpath = write_transcripts(n_turns)
+        files = sorted(glob.glob(tpath + "/*.parquet"))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet({files!r})")
+        exp = con.execute("""
+            WITH pos AS (
+              SELECT conv_id, turn_idx, text,
+                     unnest(range(1, greatest(length(text) - 32 + 2, 1))) AS p
+              FROM t),
+            w AS (SELECT conv_id, turn_idx, p,
+                         substring(text, CAST(p AS INT), 32) AS gram
+                  FROM pos),
+            cnt AS (SELECT gram, COUNT(*) AS c FROM w GROUP BY gram),
+            dup AS (SELECT conv_id, turn_idx, p,
+                           LEAD(p) OVER (PARTITION BY conv_id, turn_idx
+                                         ORDER BY p) AS np
+                    FROM w JOIN cnt USING (gram) WHERE c >= 2),
+            per_turn AS (SELECT conv_id, turn_idx, COUNT(*) AS nd,
+                                SUM(LEAST(COALESCE(np - p, 32), 32)) AS cov
+                         FROM dup GROUP BY conv_id, turn_idx),
+            agg AS (SELECT conv_id, SUM(nd) AS nd, SUM(cov) AS cov
+                    FROM per_turn GROUP BY conv_id),
+            base AS (SELECT conv_id, COUNT(*) AS n_turns,
+                            SUM(GREATEST(length(text) - 31, 0)) AS nw
+                     FROM t GROUP BY conv_id)
+            SELECT b.conv_id,
+                   CAST(b.n_turns AS BIGINT) AS n_turns,
+                   CAST(b.nw AS BIGINT) AS n_windows,
+                   CAST(COALESCE(a.nd, 0) AS BIGINT) AS n_dup_windows,
+                   CAST(COALESCE(a.cov, 0) AS BIGINT) AS dup_cover_chars
+            FROM base b LEFT JOIN agg a USING (conv_id)
+            ORDER BY conv_id
+        """).fetchdf()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp.reset_index(drop=True),
+            check_dtype=False)
