@@ -1284,6 +1284,13 @@ def _bucket_min_by_node(ds_in, key_col: str, val_col: str, num_buckets: int):
         .groupby("__mb").map_groups(mb, batch_format="pandas")
 
 
+# single-node streaming-executor safety knobs (see the livelock
+# note inside propagate_components); kept module-level so stress
+# runs can coarsen blocks without code edits
+_EDGE_BLOCK_CAP = 96
+_LABEL_BLOCK_CAP = 96
+
+
 def propagate_components(pairs_ds, rounds: int | None = None,
                          num_buckets: int = 64,
                          stats: dict | None = None):
@@ -1374,6 +1381,18 @@ def propagate_components(pairs_ds, rounds: int | None = None,
 
     edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow") \
         .map_batches(edge_bucket, batch_format="pyarrow").materialize()
+    # Bound the per-round union's TOTAL input block count: Ray's
+    # streaming executor livelocks when a multi-input union feeding a
+    # sort holds too many queued bundles — the scheduling thread goes
+    # CPU-bound in per-tick resource accounting (process_completed_
+    # tasks / ExecutionResources.subtract) and produces no output for
+    # tens of minutes (observed at 1e8 edges: 526 union-input blocks
+    # spin, 292 stream fine; faulthandler stacks in BASELINE.md notes).
+    # Caps: edges ≤ 96 blocks here, labels ≤ 96 below → union inputs
+    # ≤ 96 + 2·96 = 288, under the known-good count, with blocks still
+    # ≥ ~1M rows so per-task vectorization stays efficient.
+    if edges.num_blocks() > _EDGE_BLOCK_CAP:
+        edges = edges.repartition(_EDGE_BLOCK_CAP).materialize()
     labels = _bucket_min_by_node(edges, "node", "peer", num_buckets)
     labels = labels.map_batches(
         lambda t: pa.table({"node": t.column("node"),
@@ -1384,7 +1403,8 @@ def propagate_components(pairs_ds, rounds: int | None = None,
     # per-round coalesce target: labels are 16-byte rows, one per node,
     # constant across rounds — ~1M rows per block, floor 2, cap 512
     n_nodes = labels.count()
-    label_blocks = int(max(2, min(512, n_nodes // 1_000_000 + 2)))
+    label_blocks = int(max(2, min(_LABEL_BLOCK_CAP,
+                                   n_nodes // 1_000_000 + 2)))
     labels = labels.repartition(label_blocks).materialize()
     r = 0
     while rounds is None or r < rounds:
