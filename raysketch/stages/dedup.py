@@ -1289,6 +1289,13 @@ def _bucket_min_by_node(ds_in, key_col: str, val_col: str, num_buckets: int):
 # runs can coarsen blocks without code edits
 _EDGE_BLOCK_CAP = 96
 _LABEL_BLOCK_CAP = 96
+# warn when ONE round's union+sort working set approaches the cluster
+# object-store budget: past it Ray 2.49's streaming executor does not
+# degrade, it LIVELOCKS (scheduler thread spins in resource
+# accounting, workers idle, zero output — measured at 1e8 edges /
+# ~19 GB rounds vs a 38 GiB default store; BASELINE.md round-5 table).
+# A loud early warning with the fix beats a silent hang.
+_STORE_WARN_FRACTION = 0.5
 
 
 def propagate_components(pairs_ds, rounds: int | None = None,
@@ -1403,6 +1410,28 @@ def propagate_components(pairs_ds, rounds: int | None = None,
     # per-round coalesce target: labels are 16-byte rows, one per node,
     # constant across rounds — ~1M rows per block, floor 2, cap 512
     n_nodes = labels.count()
+    try:
+        import ray as _ray
+
+        store = float(_ray.cluster_resources().get(
+            "object_store_memory", 0.0))
+        # per-round union = symmetrized edge rows + 2 label tables,
+        # ~41 B/row wired, roughly doubled in flight across the two
+        # sorts of a round
+        est = 2.0 * 41.0 * (edges.count() + 2.0 * n_nodes)
+        if store and est > _STORE_WARN_FRACTION * store:
+            import warnings
+
+            warnings.warn(
+                f"propagate_components round working set ~{est/2**30:.1f}"
+                f" GiB vs object store {store/2**30:.1f} GiB: Ray's "
+                "streaming executor can LIVELOCK (not degrade) when a "
+                "union+sort round exceeds its memory budget — raise "
+                "object_store_memory (with spill disk to match) or "
+                "shard the edge set; see BASELINE.md round-5 notes",
+                RuntimeWarning, stacklevel=2)
+    except Exception:
+        pass  # resource introspection is advisory only
     label_blocks = int(max(2, min(_LABEL_BLOCK_CAP,
                                    n_nodes // 1_000_000 + 2)))
     labels = labels.repartition(label_blocks).materialize()

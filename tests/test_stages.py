@@ -3439,3 +3439,25 @@ class TestCharSpanDedup:
                            broadcast_limit=0).to_pandas() \
             .sort_values("doc_id").reset_index(drop=True)[cols]
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_propagate_store_budget_warning(ray_session, monkeypatch):
+    """The round-working-set vs object-store check warns LOUDLY (the
+    alternative is a silent executor livelock — BASELINE.md round-5);
+    an absurdly low warn fraction must trip it on any input, and the
+    result must be unaffected."""
+    import warnings
+
+    import ray
+
+    from raysketch.stages import dedup as D
+
+    pairs = pd.DataFrame({"id_a": [1, 2, 3], "id_b": [2, 3, 9]})
+    ds = ray.data.from_pandas(pairs)
+    monkeypatch.setattr(D, "_STORE_WARN_FRACTION", 1e-18)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = D.propagate_components(ds).to_pandas()
+    assert any("LIVELOCK" in str(x.message) for x in w)
+    got = dict(zip(out["node"], out["label"]))
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1}
