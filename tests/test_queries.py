@@ -2988,3 +2988,44 @@ class TestTurnSpanDedupConvs:
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), exp.reset_index(drop=True),
             check_dtype=False)
+
+
+class TestWassersteinValueByType:
+    """W1 exactness on a hand-computable distribution pair, plus the
+    loud fold-cap trip."""
+
+    def test_known_value(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raysketch.pipelines.queries import wasserstein_value_by_type
+
+        # click: all mass at $1.00; error: all mass at $3.50
+        # → W1 = $2.50 exactly; purchase: half at 1.00, half at 3.50
+        # → W1(click, purchase) = 1.25
+        rows = ([("click", 1.00)] * 4 + [("error", 3.50)] * 4
+                + [("purchase", 1.00)] * 2 + [("purchase", 3.50)] * 2
+                + [("signup", 1.00)] + [("view", 1.00)])
+        tbl = pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[0] for r in rows]),
+            "value": pa.array([r[1] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        out = wasserstein_value_by_type(str(tmp_path))
+        w = {(r["type_a"], r["type_b"]): r for _, r in out.iterrows()}
+        assert w[("click", "error")]["w1_dollars"] == 2.50
+        assert w[("click", "purchase")]["w1_dollars"] == 1.25
+        assert w[("click", "signup")]["w1_dollars"] == 0.0
+        # exact numerator: |4*4 - 0*4| * 250 = 4000 for click/error
+        assert w[("click", "error")]["w1_num"] == "4000"
+
+    def test_fold_cap_trips(self, ray_session):
+        from raysketch.pipelines.queries import wasserstein_value_by_type
+
+        with pytest.raises(ValueError, match="fold_cap"):
+            wasserstein_value_by_type("/root/testdata/sf0.001",
+                                      fold_cap=1)
