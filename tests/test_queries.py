@@ -3029,3 +3029,40 @@ class TestWassersteinValueByType:
         with pytest.raises(ValueError, match="fold_cap"):
             wasserstein_value_by_type("/root/testdata/sf0.001",
                                       fold_cap=1)
+
+
+class TestStressCentralityWords:
+    """Hand-computed stress on a path and a diamond (sigma > 1)."""
+
+    @staticmethod
+    def _write(tmp_path, texts):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        })
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_path_graph(self, ray_session, tmp_path):
+        from raysketch.pipelines.queries import stress_centrality_words
+
+        sf = self._write(tmp_path, ["a b c d e"])
+        out = stress_centrality_words(sf)
+        got = dict(zip(out["word"], out["stress"]))
+        # path a-b-c-d-e: through b: (a,c),(a,d),(a,e); through c:
+        # (a,d),(a,e),(b,d),(b,e); symmetric for d; endpoints 0
+        assert got == {"a": 0, "b": 3, "c": 4, "d": 3, "e": 0}
+
+    def test_diamond_sigma_two(self, ray_session, tmp_path):
+        from raysketch.pipelines.queries import stress_centrality_words
+
+        sf = self._write(tmp_path, ["s x t", "s y t"])
+        out = stress_centrality_words(sf)
+        got = dict(zip(out["word"], out["stress"]))
+        # s-t has two shortest paths (via x, via y): each middle node
+        # carries one; x-y (distance 2 via s or t, sigma=2) adds one
+        # to each of s and t
+        assert got == {"s": 1, "t": 1, "x": 1, "y": 1}
