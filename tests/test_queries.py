@@ -3066,3 +3066,36 @@ class TestStressCentralityWords:
         # carries one; x-y (distance 2 via s or t, sigma=2) adds one
         # to each of s and t
         assert got == {"s": 1, "t": 1, "x": 1, "y": 1}
+
+
+class TestBestSplitRevenue:
+    """Planted level shift: the exact SS argmax must land on it."""
+
+    def test_planted_shift(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raysketch.pipelines.queries import best_split_revenue
+
+        US_DAY = 86_400_000_000
+        days, prices = [], []
+        for t in range(60):
+            # one order per day: $100 for 40 days, then $300
+            days.append(t * US_DAY)
+            prices.append(100.0 if t < 40 else 300.0)
+        tbl = pa.table({
+            "o_orderkey": pa.array(range(60), pa.int64()),
+            "o_orderdate": pa.array(days, pa.timestamp("us")),
+            "o_totalprice": pa.array(prices, pa.float64()),
+        })
+        pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+        out = best_split_revenue(str(tmp_path))
+        r = out.iloc[0]
+        assert r["t_left"] == 40          # split right at the shift
+        assert r["split_day_us"] == 39 * US_DAY
+        assert r["n_days"] == 60
+        # delta = cum_40*60 - 40*tot; cum=400000 cents*... exact check:
+        # rev 10000c*40 + 30000c*20 -> tot=1000000c; cum_40=400000c
+        # delta = 400000*60 - 40*1000000 = -16000000; num=2.56e14
+        assert r["ss_num"] == str(16_000_000 ** 2)
+        assert r["ss_den"] == str(40 * 20)
