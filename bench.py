@@ -148,6 +148,10 @@ def run_bench() -> dict:
         # shards — regression-times the checkpoint-skip path)
         "curate_conversations_cold": _curate_convs_cold,
         "curate_conversations_resume": Q.curate_conversations,
+        # round-5 span kernel over the full 2M-turn transcript table
+        # (~400 MB turn text, ~119M duplicated window occurrences):
+        # tiered dup_span_stats broadcast path end to end
+        "turn_span_dedup_convs": Q.turn_span_dedup_convs,
     }
     per_h = {}
     for name, fn in heavy_queries.items():
